@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table catalog for the engine.
+  *
+  * The reference (stoneatom/stonedb) is a single-node columnar engine whose
+  * query pipeline is: MySQL parse → compiled step list → pack-skipping scan
+  * → join/agg → materialize (see /root/repo/SURVEY.md §3, citing
+  * storage/tianmu/core/engine_execute.cpp:80 and core/query.cpp:571 of the
+  * reference). Here the entire pipeline is Catalyst: we only own session
+  * configuration and table registration.
+  *
+  * Scale notes (100 TB target):
+  *  - AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  *    join-strategy switching replace the reference's hand-rolled join
+  *    fallback chain (optimizer/joiner.cpp:95-103).
+  *  - ANSI off: the reference inherits MySQL 5.7 loose semantics (silent
+  *    casts, NULL on overflow) — SURVEY.md §1.2.
+  *  - UTC + parquet NTZ inference keep timestamp semantics engine-neutral.
+  *  - shuffle.partitions defaults to the local core count; on a real
+  *    cluster this is expected to be overridden (or left to AQE's
+  *    coalescing with a high initial value).
+  */
+object Engine {
+
+  val TpchTables: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val ExtraTables: Seq[String] = Seq("events", "documents", "embeddings")
+  val AllTables: Seq[String] = TpchTables ++ ExtraTables
+
+  def defaultParallelism: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  /** Apply engine configuration to an existing builder. */
+  def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", cores)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.parquet.filterPushdown", "true")
+    // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+    // rejects; read as long ns and convert in table() below.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.aggregatePushdown", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    .config("spark.ui.enabled", "false")
+
+  def session(master: String = s"local[$defaultParallelism]",
+              cores: Int = defaultParallelism,
+              appName: String = "graft"): SparkSession = {
+    val spark = configure(
+      SparkSession.builder().master(master).appName(appName), cores)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Read one testdata table: `{dir}/{name}.parquet`. The `events` table
+    * stores `ts` as nano-precision timestamps (read as long ns under
+    * `nanosAsLong`); normalize to microsecond TIMESTAMP_NTZ — integer
+    * `div`, not `/`, because 2024 epoch-ns ≈ 1.7e18 exceeds double's 2^53
+    * exact-integer range. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000"))
+        .cast("timestamp_ntz"))
+    else df
+  }
+
+  /** Register every table under `dir` as a temp view (SQL entry point —
+    * the analog of the reference's schema catalog). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    AllTables.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM-wide session, local[4]). */
+object TestSession {
+  lazy val spark: SparkSession = Engine.session("local[4]", 4, "graft-test")
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import operators.Relational
+  private def spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q01 pricing summary: 6 groups, exact count invariant") {
+    val df = Relational.q01PricingSummary(spark, sf).cache()
+    assert(df.count() === 6)
+    val total = df.agg(org.apache.spark.sql.functions.sum("count_order"))
+      .first().getLong(0)
+    val expected = Engine.table(spark, sf, "lineitem")
+      .filter("l_shipdate <= '2000-09-02'").count()
+    assert(total === expected)
+    df.unpersist()
+  }
+
+  test("q03 topk: at most 10 rows, revenue descending") {
+    val rows = Relational.q03ShippingPriority(spark, sf).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("q05 star join: one row per surviving nation, positive revenue") {
+    val rows = Relational.q05LocalSupplierVolume(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+  }
+
+  test("q06 single-row revenue") {
+    val r = Relational.q06ForecastRevenue(spark, sf).first()
+    assert(r.getAs[Double]("revenue") > 0 && r.getAs[Long]("n_items") > 0)
+  }
+
+  test("q19 or-tree matches manual recomputation") {
+    val r = Relational.q19OrTreeRevenue(spark, sf).first()
+    Engine.registerAll(spark, sf)
+    val n = spark.sql(
+      """SELECT count(*) FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#5'  AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+        |""".stripMargin).first().getLong(0)
+    assert(r.getAs[Long]("n_items") === n)
+  }
+}
