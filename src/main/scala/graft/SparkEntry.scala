@@ -16,12 +16,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     operators.Relational.q05LocalSupplierVolume(spark, "/root/testdata/sf0.001")
 
+  private def modules = Seq(
+    operators.Relational.queries -> operators.Relational.oracles,
+    operators.Filters.queries -> operators.Filters.oracles,
+    operators.Joins.queries -> operators.Joins.oracles,
+    operators.Aggregates.queries -> operators.Aggregates.oracles,
+    operators.SortSetOps.queries -> operators.SortSetOps.oracles,
+    operators.Subqueries.queries -> operators.Subqueries.oracles,
+    operators.Events.queries -> operators.Events.oracles)
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries
+    modules.map(_._1).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles
+    modules.map(_._2).reduce(_ ++ _)
 }

@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.Engine
+import graft.functions.GroupConcat.groupConcat
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Relational.{dec, dsum, davg, sqlDec, sqlDsum, sqlDavg}
+
+/** Aggregation inventory (SURVEY.md §2.5): the reference's
+  * AggregationAlgorithm kernels (optimizer/aggregator_basic.h /
+  * aggregator_advanced.h) — COUNT/SUM/AVG/MIN/MAX [DISTINCT],
+  * STDDEV/VAR, BIT_AND/OR/XOR, GROUP_CONCAT — plus HAVING and ROLLUP
+  * (ROLLUP is surplus: the reference rejects it to the MySQL row engine,
+  * core/query_compile.cpp:70-74; Spark gives it natively).
+  */
+object Aggregates {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Engine.table(s, dir, n)
+
+  /** DISTINCT aggregates (GroupDistinctTable analog,
+    * optimizer/group_distinct_table.cpp). Distinct double sums are exact
+    * under the fixed-point convention: the distinct SET of scaled
+    * decimals is engine-independent. */
+  def qAggDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        (sum_distinct(dec(col("l_quantity"))).cast("double") / 10000.0)
+          .as("sum_uq_qty"),
+        count(lit(1)).as("n_rows"))
+
+  val qAggDistinctSql: String =
+    s"""SELECT l_returnflag,
+      |  COUNT(DISTINCT l_suppkey) AS n_supp,
+      |  COUNT(DISTINCT l_partkey) AS n_part,
+      |  CAST(SUM(DISTINCT ${sqlDec("l_quantity")}) AS DOUBLE) / 10000.0 AS sum_uq_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** STDDEV / VAR kernels (aggregator_advanced.h:89-151). Builtins on
+    * both sides; rounding absorbs <1e-9 algorithmic differences
+    * (Welford vs. naive) while staying far from the grid. */
+  def qAggStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        round(stddev_pop(col("l_extendedprice")), 2).as("sdp_price"),
+        round(var_samp(col("l_discount")), 8).as("var_disc"),
+        round(var_pop(col("l_discount")), 8).as("varp_disc"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+
+  val qAggStatsSql: String =
+    """SELECT l_linestatus,
+      |  ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price,
+      |  ROUND(STDDEV_POP(l_extendedprice), 2) AS sdp_price,
+      |  ROUND(VAR_SAMP(l_discount), 8) AS var_disc,
+      |  ROUND(VAR_POP(l_discount), 8) AS varp_disc,
+      |  MIN(l_extendedprice) AS min_price,
+      |  MAX(l_extendedprice) AS max_price
+      |FROM lineitem
+      |GROUP BY l_linestatus""".stripMargin
+
+  /** BIT_AND / BIT_OR / BIT_XOR (aggregator_advanced.h:153-211). */
+  def qAggBits(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("bit_and(l_linenumber)").cast("long").as("band"),
+        expr("bit_or(l_linenumber)").cast("long").as("bor"),
+        expr("bit_xor(l_linenumber)").cast("long").as("bxor"))
+
+  val qAggBitsSql: String =
+    """SELECT l_returnflag,
+      |  CAST(BIT_AND(l_linenumber) AS BIGINT) AS band,
+      |  CAST(BIT_OR(l_linenumber) AS BIGINT) AS bor,
+      |  CAST(BIT_XOR(l_linenumber) AS BIGINT) AS bxor
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** GROUP_CONCAT via the custom Aggregator (SURVEY.md §2.5 — the one
+    * aggregate needing custom code). */
+  def qAggGroupConcat(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(groupConcat(col("n_name")).as("nations"),
+        count(lit(1)).as("n_nations"))
+  }
+
+  val qAggGroupConcatSql: String =
+    """SELECT r_name,
+      |  STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+      |  COUNT(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  /** HAVING over a shuffled hash aggregation. */
+  def qAggHaving(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("n_items") > 50)
+
+  val qAggHavingSql: String =
+    s"""SELECT l_suppkey, COUNT(*) AS n_items,
+      |  ${sqlDsum("l_quantity", "sum_qty")}
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |HAVING COUNT(*) > 50""".stripMargin
+
+  /** ROLLUP (surplus vs. reference — see scaladoc above). */
+  def qAggRollup(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+  }
+
+  val qAggRollupSql: String =
+    s"""SELECT r_name, n_name, COUNT(*) AS n_customers,
+      |  ${sqlDsum("c_acctbal", "sum_bal")}
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_distinct" -> (qAggDistinct _),
+    "q_agg_stats" -> (qAggStats _),
+    "q_agg_bits" -> (qAggBits _),
+    "q_agg_group_concat" -> (qAggGroupConcat _),
+    "q_agg_having" -> (qAggHaving _),
+    "q_agg_rollup" -> (qAggRollup _))
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_distinct" -> qAggDistinctSql,
+    "q_agg_stats" -> qAggStatsSql,
+    "q_agg_bits" -> qAggBitsSql,
+    "q_agg_group_concat" -> qAggGroupConcatSql,
+    "q_agg_having" -> qAggHavingSql,
+    "q_agg_rollup" -> qAggRollupSql)
+}

@@ -1,0 +1,259 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Relational.{dsum, davg, sqlDsum, sqlDavg}
+
+/** Filter / projection / scalar-expression inventory (SURVEY.md §2.3 +
+  * §2.9): predicate shapes the reference compiles to Descriptors
+  * (optimizer/compile/descriptor.h:76-131 — BETWEEN, IN, LIKE, IS NULL,
+  * OR trees) and the MySQL scalar-function surface its MTR suite pins
+  * (string/date/math/control-flow tests under
+  * mysql-test/suite/tianmu/t/). All predicates are plain Column
+  * expressions, so Catalyst pushes them into the Parquet scan — the
+  * analog of the reference's pack-level EvaluatePack_* kernels
+  * (vc/tianmu_attr_exqp.cpp:40) plus Knowledge-Grid skipping for free.
+  */
+object Filters {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Engine.table(s, dir, n)
+
+  /** Row-level fixed-point image (scale 4) as double — deterministic
+    * across engines (pure IEEE ops, see Relational.dec). */
+  private def rdec(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0)
+  private def sqlRdec(e: String): String =
+    s"FLOOR(($e) * 10000.0 + 0.5) / 10000.0"
+
+  // --- BETWEEN + IN + LIKE ----------------------------------------------
+
+  def qFilterBetweenInLike(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_type").isin("ECONOMY", "PROMO")
+        && col("p_name").like("%bolt%")
+        && col("p_size").between(10, 40))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        davg(col("p_retailprice")).as("avg_price"))
+
+  val qFilterBetweenInLikeSql: String =
+    s"""SELECT p_brand, COUNT(*) AS n_parts,
+      |  ${sqlDavg("p_retailprice", "avg_price")}
+      |FROM part
+      |WHERE p_type IN ('ECONOMY', 'PROMO') AND p_name LIKE '%bolt%'
+      |  AND p_size BETWEEN 10 AND 40
+      |GROUP BY p_brand""".stripMargin
+
+  // --- NULL three-valued logic (SURVEY.md §1.2 Tribool) ------------------
+
+  def qFilterNullLogic(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_all"),
+        count(nullif(col("l_discount"), lit(0.0))).as("n_discounted"),
+        dsum(coalesce(nullif(col("l_discount"), lit(0.0)), lit(0.05)))
+          .as("sum_disc_filled"))
+
+  val qFilterNullLogicSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n_all,
+      |  COUNT(NULLIF(l_discount, 0.0)) AS n_discounted,
+      |  ${sqlDsum("COALESCE(NULLIF(l_discount, 0.0), 0.05)", "sum_disc_filled")}
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
+  // --- projection expressions (vc/expr_column.cpp analog) ----------------
+
+  def qProjExpressions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        rdec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("disc_price"),
+        when(col("l_quantity") >= 40, "bulk")
+          .when(col("l_quantity") >= 15, "case")
+          .otherwise("unit").as("qty_tier"),
+        concat(col("l_returnflag"), lit("/"), col("l_linestatus"))
+          .as("flag_status"))
+
+  val qProjExpressionsSql: String =
+    s"""SELECT l_orderkey, l_linenumber,
+      |  ${sqlRdec("l_extendedprice * (1.0 - l_discount)")} AS disc_price,
+      |  CASE WHEN l_quantity >= 40 THEN 'bulk'
+      |       WHEN l_quantity >= 15 THEN 'case'
+      |       ELSE 'unit' END AS qty_tier,
+      |  l_returnflag || '/' || l_linestatus AS flag_status
+      |FROM lineitem
+      |WHERE l_orderkey < 100""".stripMargin
+
+  // --- string functions (concat/substr/left/right/length/replace…) -------
+
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_custkey") < 200)
+      .select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(col("c_name")).as("name_lower"),
+        substring(col("c_name"), 10, 5).as("name_mid"),
+        length(col("c_name")).as("name_len"),
+        regexp_replace(col("c_name"), lit("Customer#"), lit("C"))
+          .as("name_short"),
+        expr("left(c_name, 8)").as("name_left"),
+        expr("right(c_name, 4)").as("name_right"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey").cast("string"))
+          .as("seg_key"))
+
+  val qStringFuncsSql: String =
+    """SELECT c_custkey,
+      |  UPPER(c_mktsegment) AS seg_upper,
+      |  LOWER(c_name) AS name_lower,
+      |  SUBSTR(c_name, 10, 5) AS name_mid,
+      |  CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+      |  REPLACE(c_name, 'Customer#', 'C') AS name_short,
+      |  LEFT(c_name, 8) AS name_left,
+      |  RIGHT(c_name, 4) AS name_right,
+      |  REVERSE(c_mktsegment) AS seg_rev,
+      |  LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+      |  c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS seg_key
+      |FROM customer
+      |WHERE c_custkey < 200""".stripMargin
+
+  // --- date functions (§2.9 ~30 date tests) ------------------------------
+
+  def qDateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 300)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        weekofyear(col("o_orderdate")).as("woy"),
+        weekday(col("o_orderdate")).as("wd"),
+        last_day(col("o_orderdate")).as("month_end"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .as("days_since"),
+        add_months(col("o_orderdate"), 2).as("plus2m"))
+
+  val qDateFuncsSql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INTEGER) AS y,
+      |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+      |  CAST(month(o_orderdate) AS INTEGER) AS m,
+      |  CAST(day(o_orderdate) AS INTEGER) AS d,
+      |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+      |  CAST(weekofyear(o_orderdate) AS INTEGER) AS woy,
+      |  CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd,
+      |  last_day(o_orderdate) AS month_end,
+      |  strftime(o_orderdate, '%Y-%m') AS ym,
+      |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+      |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m
+      |FROM orders
+      |WHERE o_orderkey < 300""".stripMargin
+
+  // --- math functions (func_math.test analog) ----------------------------
+
+  def qMathFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        abs(col("p_size") - 25).as("size_dev"),
+        floor(col("p_retailprice")).cast("long").as("price_floor"),
+        ceil(col("p_retailprice")).cast("long").as("price_ceil"),
+        round(sqrt(col("p_retailprice")), 6).as("price_sqrt"),
+        round(log(col("p_retailprice")), 6).as("price_ln"),
+        pow(col("p_size"), 2).cast("long").as("size_sq"),
+        (col("p_size") % 7).as("size_mod"),
+        signum(col("p_size") - 25).cast("int").as("size_sign"),
+        greatest(col("p_size"), lit(10)).as("size_min10"),
+        least(col("p_size"), lit(40)).as("size_max40"))
+
+  val qMathFuncsSql: String =
+    """SELECT p_partkey,
+      |  ABS(p_size - 25) AS size_dev,
+      |  CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+      |  CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+      |  ROUND(SQRT(p_retailprice), 6) AS price_sqrt,
+      |  ROUND(LN(p_retailprice), 6) AS price_ln,
+      |  CAST(POW(p_size, 2) AS BIGINT) AS size_sq,
+      |  p_size % 7 AS size_mod,
+      |  CAST(SIGN(p_size - 25) AS INTEGER) AS size_sign,
+      |  GREATEST(p_size, 10) AS size_min10,
+      |  LEAST(p_size, 40) AS size_max40
+      |FROM part""".stripMargin
+
+  // --- control flow (if/case/ifnull/nullif tests) -------------------------
+
+  def qCaseFlow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        when(col("o_totalprice") >= 300000, "big")
+          .when(col("o_totalprice") >= 150000, "mid")
+          .otherwise("small").as("tier"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+          .as("status_disp"))
+      .groupBy(col("tier"), col("status_disp"))
+      .agg(count(lit(1)).as("n"))
+
+  val qCaseFlowSql: String =
+    """SELECT
+      |  CASE WHEN o_totalprice >= 300000 THEN 'big'
+      |       WHEN o_totalprice >= 150000 THEN 'mid'
+      |       ELSE 'small' END AS tier,
+      |  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_disp,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY 1, 2""".stripMargin
+
+  // --- casts (cast_data_types.test analog; MySQL loose semantics) --------
+
+  def qCastTypes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_linenumber") === 1 && col("l_orderkey") < 2000)
+      .select(
+        col("l_orderkey"),
+        col("l_quantity").cast("int").as("qty_int"),
+        col("l_orderkey").cast("string").as("key_str"),
+        col("l_shipdate").cast("date").as("ship_day"),
+        col("l_linenumber").cast("double").as("line_dbl"),
+        col("l_returnflag").cast("string").as("flag_str"))
+
+  val qCastTypesSql: String =
+    """SELECT l_orderkey,
+      |  CAST(l_quantity AS INTEGER) AS qty_int,
+      |  CAST(l_orderkey AS VARCHAR) AS key_str,
+      |  CAST(l_shipdate AS DATE) AS ship_day,
+      |  CAST(l_linenumber AS DOUBLE) AS line_dbl,
+      |  CAST(l_returnflag AS VARCHAR) AS flag_str
+      |FROM lineitem
+      |WHERE l_linenumber = 1 AND l_orderkey < 2000""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_between_in_like" -> (qFilterBetweenInLike _),
+    "q_filter_null_logic" -> (qFilterNullLogic _),
+    "q_proj_expressions" -> (qProjExpressions _),
+    "q_string_funcs" -> (qStringFuncs _),
+    "q_date_funcs" -> (qDateFuncs _),
+    "q_math_funcs" -> (qMathFuncs _),
+    "q_case_flow" -> (qCaseFlow _),
+    "q_cast_types" -> (qCastTypes _))
+
+  val oracles: Map[String, String] = Map(
+    "q_filter_between_in_like" -> qFilterBetweenInLikeSql,
+    "q_filter_null_logic" -> qFilterNullLogicSql,
+    "q_proj_expressions" -> qProjExpressionsSql,
+    "q_string_funcs" -> qStringFuncsSql,
+    "q_date_funcs" -> qDateFuncsSql,
+    "q_math_funcs" -> qMathFuncsSql,
+    "q_case_flow" -> qCaseFlowSql,
+    "q_cast_types" -> qCastTypesSql)
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sort / limit / top-k / DISTINCT / UNION inventory (SURVEY.md §2.7-2.8).
+  * Top-k compiles to TakeOrderedAndProject — the analog of the reference's
+  * SorterLimit heap (util/sorter3.h:211); LIMIT+OFFSET mirrors TM_TOP
+  * n1,n2 (core/query_compile.cpp:1268); UNION [ALL/DISTINCT] mirrors
+  * TempTable::Union (core/temp_table.cpp:1318). Sort keys include a unique
+  * tiebreaker so results are deterministic sets.
+  */
+object SortSetOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Engine.table(s, dir, n)
+
+  def qSortTopk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val qSortTopkSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  def qSortLimitOffset(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .offset(10)
+      .limit(20)
+
+  val qSortLimitOffsetSql: String =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_orderkey
+      |LIMIT 20 OFFSET 10""".stripMargin
+
+  /** SELECT DISTINCT = group-by over all output columns (TM_DISTINCT,
+    * core/query_compile.cpp:1232). */
+  def qDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+
+  val qDistinctSql: String =
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+  def qUnionAll(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val a = c.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"), lit("building").as("src"))
+    val b = c.filter(col("c_mktsegment") === "MACHINERY"
+        && col("c_acctbal") > 0)
+      .select(col("c_custkey").as("custkey"), lit("machinery").as("src"))
+    a.unionAll(b)
+  }
+
+  val qUnionAllSql: String =
+    """SELECT c_custkey AS custkey, 'building' AS src
+      |FROM customer WHERE c_mktsegment = 'BUILDING'
+      |UNION ALL
+      |SELECT c_custkey AS custkey, 'machinery' AS src
+      |FROM customer WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 0""".stripMargin
+
+  /** UNION DISTINCT dedups across overlapping sides
+    * (temp_table.cpp:1344-1430's GroupDistinctTable analog). */
+  def qUnionDistinct(s: SparkSession, dir: String): DataFrame = {
+    val rich = t(s, dir, "customer").filter(col("c_acctbal") > 8000)
+      .select(col("c_custkey").as("custkey"))
+    val bigSpenders = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("custkey"))
+    rich.union(bigSpenders).distinct()
+  }
+
+  val qUnionDistinctSql: String =
+    """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 8000
+      |UNION
+      |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sort_topk" -> (qSortTopk _),
+    "q_sort_limit_offset" -> (qSortLimitOffset _),
+    "q_distinct" -> (qDistinct _),
+    "q_union_all" -> (qUnionAll _),
+    "q_union_distinct" -> (qUnionDistinct _))
+
+  val oracles: Map[String, String] = Map(
+    "q_sort_topk" -> qSortTopkSql,
+    "q_sort_limit_offset" -> qSortLimitOffsetSql,
+    "q_distinct" -> qDistinctSql,
+    "q_union_all" -> qUnionAllSql,
+    "q_union_distinct" -> qUnionDistinctSql)
+}

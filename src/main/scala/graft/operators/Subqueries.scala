@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Relational.{dec, dsum, davg, sqlDec, sqlDsum, sqlDavg}
+
+/** Subquery inventory (SURVEY.md §2.10): scalar / IN / correlated /
+  * quantified (ALL-ANY) subqueries — the reference's SubSelectColumn
+  * machinery (vc/subselect_column.h:40) and O_EQ_ALL/ANY operator family
+  * (common_definitions.h:185-202). DataFrame-side each becomes a join
+  * (the decorrelated plan Catalyst would produce from the SQL), which is
+  * the scale-correct shape: a correlated re-evaluation per outer row —
+  * how the reference executes ROW_BASED subqueries — would be a
+  * driver-side loop here.
+  *
+  * Window functions at the end are surplus vs. the reference (MySQL 5.7
+  * has none, SURVEY.md §2.6).
+  */
+object Subqueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Engine.table(s, dir, n)
+
+  /** Scalar subquery: orders above the global average price. The
+    * threshold uses the exact fixed-point average so both engines compute
+    * the identical double. */
+  def qSubqScalar(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val thr = o.agg(davg(col("o_totalprice")).as("thr"))
+    o.join(broadcast(thr), col("o_totalprice") > col("thr"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  val qSubqScalarSql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+      |  ${sqlDsum("o_totalprice", "sum_price")}
+      |FROM orders
+      |WHERE o_totalprice > (SELECT ${sqlDavg("o_totalprice", "thr")} FROM orders)
+      |GROUP BY o_orderstatus""".stripMargin
+
+  /** IN subquery → left-semi join (in_subquery.test analog). */
+  def qSubqIn(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val heavy = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      .select(col("l_partkey"))
+    p.join(heavy, col("p_partkey") === col("l_partkey"), "leftsemi")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+  }
+
+  val qSubqInSql: String =
+    """SELECT p_brand, COUNT(*) AS n_parts
+      |FROM part
+      |WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+      |GROUP BY p_brand""".stripMargin
+
+  /** Correlated scalar subquery (TPC-H Q17 shape): per-part average
+    * quantity, decorrelated into a grouped join — each lineitem compares
+    * against 0.5× its part's average. */
+  def qSubqCorrelated(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
+    val halfAvg = li.groupBy(col("l_partkey").as("hp_partkey"))
+      .agg((davg(col("l_quantity")) * 0.5).as("half_avg"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(halfAvg, col("l_partkey") === col("hp_partkey"))
+      .filter(col("l_quantity") < col("half_avg"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Quantified comparison: s_acctbal >= ALL(subquery) — rewritten to the
+    * max (SURVEY.md §7 risk register; O_MORE_EQ_ALL,
+    * common_definitions.h:195). */
+  def qSubqAnyAll(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+    val thr = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") < 5000)
+      .agg(max(col("c_acctbal")).as("max_bal"))
+    sup.join(broadcast(thr), col("s_acctbal") >= col("max_bal"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+  }
+
+  val qSubqAnyAllSql: String =
+    """SELECT s_suppkey, s_name, s_acctbal
+      |FROM supplier
+      |WHERE s_acctbal >= ALL (SELECT c_acctbal FROM customer
+      |                        WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 5000)""".stripMargin
+
+  // --- window functions (surplus tier, SURVEY.md §2.6) -------------------
+
+  /** Top-2 orders per customer by row_number. */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"))
+  }
+
+  val qWindowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders
+      |) WHERE rn <= 2""".stripMargin
+
+  /** Running per-customer spend (exact fixed-point window sum). */
+  def qWindowRunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (sum(dec(col("o_totalprice"))).over(w).cast("double") / 10000.0)
+          .as("running_spend"))
+  }
+
+  val qWindowRunningSumSql: String =
+    s"""SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(${sqlDec("o_totalprice")}) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      |  ) AS DOUBLE) / 10000.0 AS running_spend
+      |FROM orders
+      |WHERE o_custkey < 100""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_subq_scalar" -> (qSubqScalar _),
+    "q_subq_in" -> (qSubqIn _),
+    "q_subq_correlated" -> (qSubqCorrelated _),
+    "q_subq_any_all" -> (qSubqAnyAll _),
+    "q_window_rank" -> (qWindowRank _),
+    "q_window_running_sum" -> (qWindowRunningSum _))
+
+  val oracles: Map[String, String] = Map(
+    "q_subq_scalar" -> qSubqScalarSql,
+    "q_subq_in" -> qSubqInSql,
+    "q_subq_correlated" -> qSubqCorrelatedSqlReal,
+    "q_subq_any_all" -> qSubqAnyAllSql,
+    "q_window_rank" -> qWindowRankSql,
+    "q_window_running_sum" -> qWindowRunningSumSql)
+
+  /** Correlated oracle with the exact per-part fixed-point half-average. */
+  lazy val qSubqCorrelatedSqlReal: String =
+    s"""SELECT ${sqlDsum("l_extendedprice", "x").replace(" AS x", "")} / 7.0 AS avg_yearly,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#13'
+      |  AND l_quantity < (
+      |    SELECT ${sqlDavg("l2.l_quantity", "h").replace(" AS h", "")} * 0.5
+      |    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin
+}
