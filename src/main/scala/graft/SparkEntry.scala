@@ -23,7 +23,11 @@ object SparkEntry {
     operators.Aggregates.queries -> operators.Aggregates.oracles,
     operators.SortSetOps.queries -> operators.SortSetOps.oracles,
     operators.Subqueries.queries -> operators.Subqueries.oracles,
-    operators.Events.queries -> operators.Events.oracles)
+    operators.Events.queries -> operators.Events.oracles,
+    operators.TextOps.queries -> operators.TextOps.oracles,
+    operators.Dedup.queries -> operators.Dedup.oracles,
+    operators.Similarity.queries -> operators.Similarity.oracles,
+    operators.Multimodal.queries -> operators.Multimodal.oracles)
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

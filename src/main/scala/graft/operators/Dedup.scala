@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.Engine
+import graft.functions.SimHash64.simhash64
+import graft.functions.Vectors.{charShingles, dot}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over `documents`
+  * / `embeddings`: exact (hash group-by), MinHash+LSH, SimHash, n-gram
+  * Jaccard, embedding-cosine. No reference analog (extension tier).
+  *
+  * Scale design: every variant is blocked — candidates come from an
+  * equi-join on a bucket key (LSH band, SimHash chunk, length bucket,
+  * cluster label), never from a global cross join. At 100 TB the shuffle
+  * is by bucket key and the quadratic work happens only inside buckets
+  * whose expected size is O(1); the exact verification joins touch only
+  * surviving candidate pairs.
+  */
+object Dedup {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Engine.table(s, dir, n)
+
+  private def r6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
+  // --- exact dedup (oracle-checked) ---------------------------------------
+
+  /** Exact dedup: one group per distinct text, keeper = min doc_id — the
+    * classic hash-groupBy dedup (map-side partial agg; shuffle carries one
+    * row per distinct fingerprint). */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("group_size"))
+
+  val qDedupExactSql: String =
+    """SELECT md5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS group_size
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
+  // --- MinHash + LSH -------------------------------------------------------
+
+  /** 32 minhash permutations derived from one xxhash64 pass (h·a+b with
+    * fixed odd multipliers), banded 8×4 (Broder 1997 / Leskovec-Rajaraman-
+    * Ullman ch.3 parameters: j=0.7 → P(candidate)≈0.88). */
+  private val NumHashes = 32
+  private val BandSize = 4
+  private val hashParams: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  /** doc_id, shingles, sig (array of 32 minhashes). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val shingles = charShingles(lower(col("text")), 5)
+    val baseHashes = transform(col("shingles"), x => xxhash64(x))
+    val sig = array(hashParams.map { case (a, b) =>
+      array_min(transform(col("hs"), h => h * lit(a) + lit(b)))
+    }: _*)
+    docs
+      .select(col("doc_id"), shingles.as("shingles"))
+      .where(size(col("shingles")) > 0)
+      .withColumn("hs", baseHashes)
+      .withColumn("sig", sig)
+      .drop("hs")
+  }
+
+  /** LSH candidate pairs (doc_a < doc_b), deduped across bands. */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val nBands = NumHashes / BandSize
+    val bands = sigs.select(col("doc_id"), col("sig"), col("shingles"),
+      posexplode(array((0 until nBands).map { b =>
+        xxhash64((0 until BandSize)
+          .map(i => col("sig").getItem(b * BandSize + i)): _*)
+      }: _*)).as(Seq("band", "bhash")))
+    val l = bands.select(col("band"), col("bhash"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("shingles").as("sh_a"))
+    val r = bands.select(col("band"), col("bhash"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("shingles").as("sh_b"))
+    l.join(r, Seq("band", "bhash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** MinHash-LSH near-dup pairs with exact-Jaccard verification of the
+    * candidates (intersection/union over the 5-gram shingle sets). */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(t(s, dir, "documents"))
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / NumHashes
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b")))
+    lshCandidates(sigs)
+      .select(col("doc_a"), col("doc_b"),
+        r6(est).as("est_jaccard"), r6(jac).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --- SimHash --------------------------------------------------------------
+
+  /** SimHash near-dup pairs: 64-bit signature (custom Catalyst
+    * expression), blocked on 4×16-bit chunks — hamming ≤ 3 guarantees at
+    * least one identical chunk (pigeonhole), so chunk-equality blocking is
+    * lossless for the ≤3 threshold. */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), simhash64(lower(col("text"))).as("sig"))
+    val chunks = d.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(k =>
+        shiftrightunsigned(col("sig"), k * 16).bitwiseAND(lit(0xFFFFL))
+      ): _*)).as(Seq("chunk", "cval")))
+    val l = chunks.select(col("chunk"), col("cval"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val r = chunks.select(col("chunk"), col("cval"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk", "cval"))
+      .where(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .where(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --- exact n-gram Jaccard with length-bucket blocking ----------------------
+
+  /** Exact 5-gram Jaccard dedup, blocked by length bucket (near-dups have
+    * near-equal length; emitting buckets k and k+1 covers pairs whose
+    * lengths differ ≤ bucket width). Quadratic only inside a bucket. */
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val bucketWidth = 64
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        charShingles(lower(col("text")), 5).as("sh"),
+        floor(length(col("text")) / bucketWidth).cast("long").as("lb"))
+    val exploded = d.select(col("doc_id"), col("sh"),
+      explode(array(col("lb"), col("lb") + 1)).as("bucket"))
+    val l = exploded.select(col("bucket"), col("doc_id").as("doc_a"),
+      col("sh").as("sh_a"))
+    val r = exploded.select(col("bucket"), col("doc_id").as("doc_b"),
+      col("sh").as("sh_b"))
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b")))
+    l.join(r, Seq("bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), r6(jac).as("jaccard"))
+      .where(col("jaccard") >= 0.4)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --- embedding cosine near-dup ---------------------------------------------
+
+  /** Embedding-cosine near-dup: label-blocked pair scan (the IVF-style
+    * "within-cluster" candidate set), emitting the top-20 most-similar
+    * pairs. Vectors are unit-norm so dot = cosine; a production threshold
+    * variant is `.where(cos >= θ)` on the same plan. */
+  def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val l = e.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val r = e.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    l.join(r, Seq("label"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        r6(dot(col("emb_a"), col("emb_b"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_embed" -> (qDedupEmbed _))
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> qDedupExactSql)
+}

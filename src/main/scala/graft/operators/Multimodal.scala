@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed per-partition in
+  * batches (the Scala analog of a Pandas-UDF/`mapInPandas` stage).
+  *
+  * The decode step is STUBBED (`decodeStub`): this container has no
+  * image/audio codecs, so it derives deterministic fake dimensions /
+  * features from the bytes. Everything around it — schema, partitioning,
+  * batch iteration shape, feature-vector contract — is the real pipeline.
+  * At 100 TB: payloads stay columnar in Parquet (binary chunks are
+  * page-compressed, metadata columns prune without touching bytes);
+  * decode parallelism = repartition count; nothing is collected.
+  */
+object Multimodal {
+
+  /** One media object: payload + typed metadata. */
+  case class MediaRow(doc_id: Long, kind: String, media: Array[Byte])
+
+  /** Decoded features: dimensions + fixed-width embedding. */
+  case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Int,
+                           width: Int, height: Int, feature: Array[Float])
+
+  /** STUB for the codec call (would be e.g. javax.imageio / ffmpeg in a
+    * real deployment). Deterministic: dims and features are FNV-1a hashes
+    * of the payload, so tests and reruns agree. */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    val width = 64 + (h & 0x3ff).toInt          // fake 64..1087 px
+    val height = 64 + ((h >>> 10) & 0x3ff).toInt
+    val feat = new Array[Float](8)
+    var k = 0
+    var g = h
+    while (k < 8) {
+      g ^= g >>> 33; g *= 0xff51afd7ed558ccdL; g ^= g >>> 33
+      feat(k) = ((g & 0xffff).toInt - 32768) / 32768.0f
+      k += 1
+    }
+    (width, height, feat)
+  }
+
+  /** The media "table": document text bytes standing in for payloads
+    * (binary column + kind metadata) — same shape as an image/audio lake. */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Engine.table(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("media/"),
+          (col("doc_id") % 3).cast("int").cast("string")).as("kind"),
+        col("text").cast("binary").as("media"))
+      .as[MediaRow]
+  }
+
+  /** Per-partition batch decode + featurize — the `mapInPandas` analog:
+    * one iterator pass per partition, no driver collection, output is a
+    * narrow typed Dataset. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val (w, h, feat) = decodeStub(m.media)
+        MediaFeatures(m.doc_id, m.kind, m.media.length, w, h, feat)
+      }
+    }
+  }
+
+  /** Inventory entry (rows-only check: binary plumbing is not
+    * SQL-expressible in the oracle): decode features + per-kind stats. */
+  def qMediaFeatures(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(s, dir))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("width")).as("min_w"),
+        max(col("height")).as("max_h"))
+      .orderBy(col("kind"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_features" -> (qMediaFeatures _))
+
+  val oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristics, fingerprinting. Pure column expressions (no UDFs) — each is
+  * a narrow projection + aggregation, so at 100 TB it is a single scan
+  * with full pushdown and no shuffle beyond the final group-by.
+  *
+  * No reference analog (the reference is a SQL OLAP engine); these are the
+  * extension tier mandated by BASELINE.json's north star.
+  */
+object TextOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Engine.table(s, dir, n)
+
+  /** Engine-portable fixed-point rounding of a double expression (see
+    * Relational.dec — same IEEE-only trick, scale 6). */
+  private def r6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+  private def sqlR6(e: String): String =
+    s"FLOOR(($e) * 1000000.0 + 0.5) / 1000000.0"
+
+  /** Whitespace token count — the texts are single-space tokenised, so
+    * `#spaces + 1` is exact and engine-portable. */
+  private def tokenCount(c: Column): Column =
+    (length(c) - length(regexp_replace(c, " ", "")) + 1).cast("long")
+  private val sqlTokenCount =
+    "CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)"
+
+  /** Occurrences of word `w` (space-delimited) via replace-shrinkage —
+    * portable across engines (both scan left-to-right non-overlapping). */
+  private def wordHits(c: Column, w: String): Column = {
+    val padded = concat(lit(" "), c, lit(" "))
+    (length(padded) - length(regexp_replace(padded, s" ${w} ", " ")))
+      .cast("double") / (w.length + 1)
+  }
+  private def sqlWordHits(w: String): String =
+    s"CAST(LENGTH(' ' || text || ' ') - LENGTH(REPLACE(' ' || text || ' ', ' $w ', ' ')) AS DOUBLE) / ${w.length + 1}"
+
+  // --- token/char statistics ---------------------------------------------
+
+  def qTextStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_obs"),
+        r6(length(regexp_replace(col("text"), " ", "")).cast("double")
+          / tokenCount(col("text"))).as("avg_word_len"))
+
+  val qTextStatsSql: String =
+    s"""SELECT doc_id, lang,
+      |  $sqlTokenCount AS n_tokens,
+      |  CAST(LENGTH(text) AS BIGINT) AS n_chars_obs,
+      |  ${sqlR6(s"CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / $sqlTokenCount")} AS avg_word_len
+      |FROM documents""".stripMargin
+
+  // --- quality scoring -----------------------------------------------------
+
+  /** Length / alpha-ratio / stopword-ratio quality heuristic, bucketed. */
+  def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = tokenCount(col("text"))
+    val alphaRatio =
+      length(regexp_replace(lower(col("text")), "[^a-z ]", ""))
+        .cast("double") / length(col("text"))
+    val stopRatio =
+      (wordHits(col("text"), "the") + wordHits(col("text"), "and")
+        + wordHits(col("text"), "of")) / toks.cast("double")
+    val score = r6(alphaRatio * 0.5 + least(stopRatio * lit(2.0), lit(1.0)) * 0.3
+      + when(toks.between(10, 400), 0.2).otherwise(0.0))
+    d.select(col("doc_id"), score.as("quality"),
+        when(score >= 0.6, "good").when(score >= 0.45, "ok")
+          .otherwise("low").as("quality_band"))
+  }
+
+  val qTextQualitySql: String = {
+    val toks = sqlTokenCount
+    val alpha = "CAST(LENGTH(REGEXP_REPLACE(LOWER(text), '[^a-z ]', '', 'g')) AS DOUBLE) / LENGTH(text)"
+    val stop = s"(${sqlWordHits("the")} + ${sqlWordHits("and")} + ${sqlWordHits("of")}) / CAST($toks AS DOUBLE)"
+    val score = sqlR6(s"$alpha * 0.5 + LEAST($stop * 2.0, 1.0) * 0.3 + CASE WHEN $toks BETWEEN 10 AND 400 THEN 0.2 ELSE 0.0 END")
+    s"""SELECT doc_id, $score AS quality,
+      |  CASE WHEN $score >= 0.6 THEN 'good'
+      |       WHEN $score >= 0.45 THEN 'ok'
+      |       ELSE 'low' END AS quality_band
+      |FROM documents""".stripMargin
+  }
+
+  // --- language ID heuristic ----------------------------------------------
+
+  /** Stopword-hit language ID (n-gram/stopword heuristic tier). Scores a
+    * few high-frequency function words per language; ties broken by a
+    * fixed language order. The `lang` column is NOT consulted — this is a
+    * content classifier; the driver-visible output compares guess vs
+    * label. */
+  def qTextLangid(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val en = wordHits(col("text"), "the") + wordHits(col("text"), "and")
+    val de = wordHits(col("text"), "der") + wordHits(col("text"), "und")
+    val fr = wordHits(col("text"), "le") + wordHits(col("text"), "et")
+    val es = wordHits(col("text"), "el") + wordHits(col("text"), "y")
+    val guess = when(en >= de && en >= fr && en >= es && en > 0, "en")
+      .when(de >= fr && de >= es && de > 0, "de")
+      .when(fr >= es && fr > 0, "fr")
+      .when(es > 0, "es")
+      .otherwise("unknown")
+    d.groupBy(col("lang"), guess.as("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val qTextLangidSql: String = {
+    val en = s"${sqlWordHits("the")} + ${sqlWordHits("and")}"
+    val de = s"${sqlWordHits("der")} + ${sqlWordHits("und")}"
+    val fr = s"${sqlWordHits("le")} + ${sqlWordHits("et")}"
+    val es = s"${sqlWordHits("el")} + ${sqlWordHits("y")}"
+    s"""SELECT lang,
+      |  CASE WHEN ($en) >= ($de) AND ($en) >= ($fr) AND ($en) >= ($es) AND ($en) > 0 THEN 'en'
+      |       WHEN ($de) >= ($fr) AND ($de) >= ($es) AND ($de) > 0 THEN 'de'
+      |       WHEN ($fr) >= ($es) AND ($fr) > 0 THEN 'fr'
+      |       WHEN ($es) > 0 THEN 'es'
+      |       ELSE 'unknown' END AS lang_guess,
+      |  COUNT(*) AS n_docs
+      |FROM documents
+      |GROUP BY 1, 2""".stripMargin
+  }
+
+  // --- fingerprinting ------------------------------------------------------
+
+  /** Normalized-content fingerprint (md5 of lowercased text) + per-source
+    * distinct-fingerprint stats — the cheap "document identity" primitive
+    * exact dedup builds on. */
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), md5(lower(col("text"))).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"))
+
+  val qTextFingerprintSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(LOWER(text))) AS n_unique
+      |FROM documents
+      |GROUP BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (qTextStats _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_text_langid" -> (qTextLangid _),
+    "q_text_fingerprint" -> (qTextFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" -> qTextStatsSql,
+    "q_text_quality" -> qTextQualitySql,
+    "q_text_langid" -> qTextLangidSql,
+    "q_text_fingerprint" -> qTextFingerprintSql)
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmOpsSpec extends AnyFunSuite {
+  import operators._
+  private def spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  test("text stats: observed char count equals the table's n_chars") {
+    val joined = TextOps.qTextStats(spark, sf)
+      .join(Engine.table(spark, sf, "documents").select("doc_id", "n_chars"),
+        "doc_id")
+    assert(joined.filter(col("n_chars_obs") =!= col("n_chars")).count() === 0)
+  }
+
+  test("exact dedup groups cover all docs") {
+    val total = Dedup.qDedupExact(spark, sf)
+      .agg(sum("group_size")).first().getLong(0)
+    assert(total === Engine.table(spark, sf, "documents").count())
+  }
+
+  test("minhash LSH recall: finds every exact pair with jaccard >= 0.9") {
+    val exact = Dedup.qDedupNgram(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.qDedupMinhash(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "expected planted near-dups in testdata")
+    val missed = exact -- lsh
+    assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
+  }
+
+  test("minhash estimate tracks exact jaccard (within 0.25)") {
+    val rows = Dedup.qDedupMinhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val jac = r.getAs[Double]("jaccard")
+      assert(math.abs(est - jac) <= 0.25, s"est=$est jac=$jac")
+    }
+  }
+
+  test("simhash near-dups: nonempty, hamming <= 3, ordered pairs") {
+    val rows = Dedup.qDedupSimhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Int]("hamming") <= 3)
+    }
+  }
+
+  test("brute-force top-k matches a driver-side recomputation") {
+    val e = Engine.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (qid, qv) = e.minBy(_._1)
+    val expected = e.filter(_._1 != qid)
+      .map { case (id, v) =>
+        val d = v.zip(qv).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        (id, math.floor(d * 1e6 + 0.5) / 1e6)
+      }
+      .sortBy { case (id, c) => (-c, id) }.take(20)
+    val got = Similarity.qSimBruteForce(spark, sf)
+      .select("vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("IVF top-k is a subset of the full ranking, scores bounded by exact") {
+    val brute = Similarity.qSimBruteForce(spark, sf)
+      .select("cos").collect().map(_.getDouble(0))
+    val ivf = Similarity.qSimIvf(spark, sf)
+      .select("cos").collect().map(_.getDouble(0))
+    assert(ivf.length === 20)
+    assert(ivf.max <= brute.max + 1e-9)
+    assert(ivf.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("media features: deterministic stub, covers all docs") {
+    val a = Multimodal.qMediaFeatures(spark, sf).collect()
+    val b = Multimodal.qMediaFeatures(spark, sf).collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.map(_.getAs[Long]("n_media")).sum ===
+      Engine.table(spark, sf, "documents").count())
+  }
+
+  test("langid guesses are confined to known labels") {
+    val langs = TextOps.qTextLangid(spark, sf)
+      .select("lang_guess").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "unknown")))
+  }
+}
