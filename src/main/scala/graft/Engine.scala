@@ -75,8 +75,11 @@ object Engine {
     else df
   }
 
-  /** Register every table under `dir` as a temp view (SQL entry point —
-    * the analog of the reference's schema catalog). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+  /** Register every table under `dir` as a temp view plus the custom SQL
+    * functions (the SQL entry point — the analog of the reference's
+    * schema catalog + function dialect). */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
     AllTables.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    functions.Registry.register(spark)
+  }
 }

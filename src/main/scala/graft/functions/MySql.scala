@@ -1,0 +1,196 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+import org.apache.spark.sql.functions._
+
+/** MySQL-semantics scalar shims (SURVEY.md §2.9). The reference evaluates
+  * scalar functions with MySQL 5.7's own Item tree (wrapped as
+  * MysqlExpression, storage/tianmu/core/mysql_expression.h:34), so its
+  * scalar surface = MySQL's. Most map 1:1 to Spark builtins; these shims
+  * cover the MySQL-isms that don't. Everything returns a `Column`
+  * composed of codegen'd builtins (plus one native Catalyst
+  * IntegralDivide), so nothing here breaks whole-stage codegen.
+  */
+object MySql {
+
+  /** MySQL `a DIV b` — integer division truncating toward zero. */
+  def div(a: Column, b: Column): Column =
+    GraftSqlBridge.column(IntegralDivide(
+      GraftSqlBridge.expression(a.cast("long")),
+      GraftSqlBridge.expression(b.cast("long"))))
+
+  /** MySQL `MOD` / `%` — result takes the sign of the dividend (same as
+    * Spark `%`, unlike `pmod`). */
+  def mod(a: Column, b: Column): Column = a % b
+
+  /** MySQL `IF(cond, t, f)`. */
+  def if_(cond: Column, t: Column, f: Column): Column =
+    when(cond, t).otherwise(f)
+
+  /** MySQL `IFNULL`. */
+  def ifnull(a: Column, b: Column): Column = coalesce(a, b)
+
+  /** MySQL `TRUNCATE(x, d)` — toward zero (ROUND truncates differently
+    * for negatives). */
+  def truncate(x: Column, d: Int): Column = {
+    val p = math.pow(10, d)
+    (signum(x) * floor(abs(x) * p) / p)
+  }
+
+  // --- week numbering ------------------------------------------------------
+
+  /** First Sunday on-or-after Jan 1 of the year containing `d`, shifted
+    * by `yearOffset`. */
+  private def firstSunday(d: Column, yearOffset: Int): Column =
+    next_day(date_sub(make_date(year(d) + yearOffset, lit(1), lit(1)), 1),
+      "SU")
+
+  /** MySQL `WEEK(d, mode)`; modes 0 (default: Sunday-start, week 0 for
+    * days before the year's first Sunday) and 3 (ISO-8601, =
+    * `weekofyear`). */
+  def week(d: Column, mode: Int = 0): Column = mode match {
+    case 0 =>
+      val fs = firstSunday(d, 0)
+      when(d < fs, 0)
+        .otherwise(floor(datediff(d, fs) / 7).cast("int") + 1)
+    case 3 => weekofyear(d)
+    case m => throw new IllegalArgumentException(s"WEEK mode $m not implemented")
+  }
+
+  /** MySQL `YEARWEEK(d)` (mode 0): YYYYWW; days before the year's first
+    * Sunday belong to the previous year's last week (e.g.
+    * YEARWEEK('2000-01-01') = 199952). */
+  def yearweek(d: Column): Column = {
+    val fs = firstSunday(d, 0)
+    val fsPrev = firstSunday(d, -1)
+    when(d >= fs,
+      year(d) * 100 + (floor(datediff(d, fs) / 7).cast("int") + 1))
+      .otherwise(
+        (year(d) - 1) * 100
+          + (floor(datediff(d, fsPrev) / 7).cast("int") + 1))
+  }
+
+  // --- periods (YYYYMM ints) ----------------------------------------------
+
+  private def periodToMonths(p: Column): Column =
+    (p.cast("long") / lit(100L)).cast("long") * 12 + (p.cast("long") % 100) - 1
+
+  /** MySQL `PERIOD_ADD(p, n)`. */
+  def periodAdd(p: Column, n: Column): Column = {
+    val m = periodToMonths(p) + n.cast("long")
+    (m / lit(12L)).cast("long") * 100 + (m % 12) + 1
+  }
+
+  /** MySQL `PERIOD_DIFF(p1, p2)` — months between periods. */
+  def periodDiff(p1: Column, p2: Column): Column =
+    periodToMonths(p1) - periodToMonths(p2)
+
+  // --- time <-> seconds ------------------------------------------------------
+
+  /** MySQL `SEC_TO_TIME(s)` as 'HH:MM:SS' (hours not wrapped at 24,
+    * zero-padded to 2; sign preserved). */
+  def secToTime(s: Column): Column = {
+    val sec = abs(s.cast("long"))
+    val hh = lpad((sec / lit(3600L)).cast("long").cast("string"), 2, "0")
+    val mm = lpad(((sec % 3600) / lit(60L)).cast("long").cast("string"), 2, "0")
+    val ss = lpad((sec % 60).cast("string"), 2, "0")
+    concat(when(s < 0, "-").otherwise(""), hh, lit(":"), mm, lit(":"), ss)
+  }
+
+  /** MySQL `TIME_TO_SEC('[-]H:MM:SS')`. */
+  def timeToSec(t: Column): Column = {
+    val clean = regexp_replace(t, "^-", "")
+    val parts = split(clean, ":")
+    val secs = parts.getItem(0).cast("long") * 3600 +
+      parts.getItem(1).cast("long") * 60 + parts.getItem(2).cast("long")
+    when(t.startsWith("-"), -secs).otherwise(secs)
+  }
+
+  /** MySQL `ADDTIME(ts, 'HH:MM:SS')`. */
+  def addtime(ts: Column, t: Column): Column =
+    ts + make_dt_interval(lit(0), lit(0), lit(0), timeToSec(t).cast("double"))
+
+  // --- DATE_FORMAT % patterns ------------------------------------------------
+
+  /** Translate a MySQL DATE_FORMAT %-pattern to a java.time pattern
+    * (throws on specifiers with no Java analog). */
+  def mysqlFormatToJava(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        sb.append(fmt.charAt(i + 1) match {
+          case 'Y' => "yyyy"; case 'y' => "yy"
+          case 'M' => "MMMM"; case 'b' => "MMM"
+          case 'm' => "MM"; case 'c' => "M"
+          case 'd' => "dd"; case 'e' => "d"
+          case 'H' => "HH"; case 'k' => "H"
+          case 'h' | 'I' => "hh"; case 'l' => "h"
+          case 'i' => "mm"
+          case 's' | 'S' => "ss"
+          case 'f' => "SSSSSS"
+          case 'p' => "a"
+          case 'W' => "EEEE"; case 'a' => "EEE"
+          case 'j' => "DDD"
+          case 'T' => "HH:mm:ss"
+          case 'r' => "hh:mm:ss a"
+          case '%' => "%"
+          case u => throw new IllegalArgumentException(
+            s"DATE_FORMAT specifier %$u not implemented")
+        })
+        i += 2
+      } else {
+        if (c.isLetter) sb.append('\'').append(c).append('\'')
+        else if (c == '\'') sb.append("''")
+        else sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** MySQL `DATE_FORMAT(d, '%...')`. */
+  def dateFormat(d: Column, fmt: String): Column =
+    date_format(d, mysqlFormatToJava(fmt))
+
+  /** MySQL `DAYNAME` / `MONTHNAME`. */
+  def dayname(d: Column): Column = date_format(d, "EEEE")
+  def monthname(d: Column): Column = date_format(d, "MMMM")
+
+  // --- TIMESTAMPADD / TIMESTAMPDIFF -----------------------------------------
+
+  /** MySQL `TIMESTAMPADD(unit, n, ts)`. */
+  def timestampAdd(unit: String, n: Column, ts: Column): Column =
+    unit.toUpperCase match {
+      case "YEAR" => ts + make_interval(n, lit(0), lit(0), lit(0), lit(0), lit(0), lit(0))
+      case "QUARTER" => ts + make_interval(lit(0), n * 3, lit(0), lit(0), lit(0), lit(0), lit(0))
+      case "MONTH" => ts + make_interval(lit(0), n, lit(0), lit(0), lit(0), lit(0), lit(0))
+      case "WEEK" => ts + make_interval(lit(0), lit(0), n, lit(0), lit(0), lit(0), lit(0))
+      case "DAY" => ts + make_interval(lit(0), lit(0), lit(0), n, lit(0), lit(0), lit(0))
+      case "HOUR" => ts + make_interval(lit(0), lit(0), lit(0), lit(0), n, lit(0), lit(0))
+      case "MINUTE" => ts + make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), n, lit(0))
+      case "SECOND" => ts + make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), lit(0), n.cast("double"))
+      case u => throw new IllegalArgumentException(s"TIMESTAMPADD unit $u")
+    }
+
+  /** MySQL `TIMESTAMPDIFF(unit, a, b)` — complete units from a to b,
+    * truncated toward zero. */
+  def timestampDiff(unit: String, a: Column, b: Column): Column = {
+    def usDiv(us: Long): Column =
+      div(unix_micros(b.cast("timestamp")) - unix_micros(a.cast("timestamp")),
+        lit(us))
+    unit.toUpperCase match {
+      case "SECOND" => usDiv(1000000L)
+      case "MINUTE" => usDiv(60L * 1000000)
+      case "HOUR" => usDiv(3600L * 1000000)
+      case "DAY" => usDiv(86400L * 1000000)
+      case "WEEK" => usDiv(7L * 86400 * 1000000)
+      case "MONTH" => months_between(b, a).cast("long")
+      case "QUARTER" => div(months_between(b, a).cast("long"), lit(3L))
+      case "YEAR" => div(months_between(b, a).cast("long"), lit(12L))
+      case u => throw new IllegalArgumentException(s"TIMESTAMPDIFF unit $u")
+    }
+  }
+}

@@ -237,7 +237,55 @@ object Filters {
       |FROM lineitem
       |WHERE l_linenumber = 1 AND l_orderkey < 2000""".stripMargin
 
+  // --- MySQL shim functions over real data (functions/MySql.scala) -------
+
+  /** YEARWEEK / WEEK(mode 0) / period keys / TIMESTAMPDIFF — the
+    * MySQL-isms with no Spark builtin, oracle-checked by replicating the
+    * same calendar rules in the DuckDB SQL. */
+  def qMysqlDateShims(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MySql
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 300)
+      .select(
+        col("o_orderkey"),
+        MySql.yearweek(col("o_orderdate")).cast("int").as("yw"),
+        MySql.week(col("o_orderdate")).cast("int").as("wk"),
+        MySql.week(col("o_orderdate"), 3).cast("int").as("iso_wk"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("int").as("period"),
+        MySql.timestampDiff("DAY", lit("1995-01-01").cast("timestamp"),
+          col("o_orderdate")).cast("long").as("days_since"),
+        MySql.secToTime(
+          MySql.timestampDiff("SECOND", lit("1995-01-01").cast("timestamp"),
+            col("o_orderdate")) % 86400).as("tod"))
+  }
+
+  val qMysqlDateShimsSql: String =
+    """WITH t AS (
+      |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+      |    make_date(CAST(year(o_orderdate) AS INTEGER), 1, 1) AS jan1,
+      |    make_date(CAST(year(o_orderdate) AS INTEGER) - 1, 1, 1) AS jan1p
+      |  FROM orders WHERE o_orderkey < 300
+      |), u AS (
+      |  SELECT o_orderkey, d,
+      |    jan1 + CAST((7 - isodow(jan1)) % 7 AS INTEGER) AS fs,
+      |    jan1p + CAST((7 - isodow(jan1p)) % 7 AS INTEGER) AS fsp
+      |  FROM t
+      |)
+      |SELECT o_orderkey,
+      |  CAST(CASE WHEN d >= fs THEN year(d) * 100 + (datediff('day', fs, d) // 7 + 1)
+      |            ELSE (year(d) - 1) * 100 + (datediff('day', fsp, d) // 7 + 1)
+      |       END AS INTEGER) AS yw,
+      |  CAST(CASE WHEN d < fs THEN 0
+      |            ELSE datediff('day', fs, d) // 7 + 1 END AS INTEGER) AS wk,
+      |  CAST(weekofyear(d) AS INTEGER) AS iso_wk,
+      |  CAST(year(d) * 100 + month(d) AS INTEGER) AS period,
+      |  CAST(datediff('day', DATE '1995-01-01', d) AS BIGINT) AS days_since,
+      |  '00:00:00' AS tod
+      |FROM u""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mysql_date_shims" -> (qMysqlDateShims _),
     "q_filter_between_in_like" -> (qFilterBetweenInLike _),
     "q_filter_null_logic" -> (qFilterNullLogic _),
     "q_proj_expressions" -> (qProjExpressions _),
@@ -248,6 +296,7 @@ object Filters {
     "q_cast_types" -> (qCastTypes _))
 
   val oracles: Map[String, String] = Map(
+    "q_mysql_date_shims" -> qMysqlDateShimsSql,
     "q_filter_between_in_like" -> qFilterBetweenInLikeSql,
     "q_filter_null_logic" -> qFilterNullLogicSql,
     "q_proj_expressions" -> qProjExpressionsSql,

@@ -1,0 +1,108 @@
+package graft
+
+import graft.functions.MySql
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shim semantics pinned against hand-checked MySQL 5.7 results (the
+  * values in comments are MySQL's own documented/verified outputs). */
+class MySqlFuncSpec extends AnyFunSuite {
+  private def spark = TestSession.spark
+
+  private def eval(c: Column): Any =
+    spark.range(1).select(c.as("r")).first().get(0)
+
+  test("DIV truncates toward zero") {
+    assert(eval(MySql.div(lit(7), lit(2))) === 3L)      // 7 DIV 2 = 3
+    assert(eval(MySql.div(lit(-7), lit(2))) === -3L)    // -7 DIV 2 = -3
+  }
+
+  test("MOD keeps dividend sign") {
+    assert(eval(MySql.mod(lit(-7), lit(2))) === -1)     // MOD(-7,2) = -1
+    assert(eval(MySql.mod(lit(7), lit(-2))) === 1)      // MOD(7,-2) = 1
+  }
+
+  test("TRUNCATE toward zero") {
+    assert(eval(MySql.truncate(lit(1.223), 1)) === 1.2)
+    assert(eval(MySql.truncate(lit(-1.999), 1)) === -1.9)
+    assert(eval(MySql.truncate(lit(122.0), -2)) === 100.0)
+  }
+
+  test("WEEK mode 0") {
+    assert(eval(MySql.week(lit("2000-01-01").cast("date"))) === 0)
+    assert(eval(MySql.week(lit("2000-01-09").cast("date"))) === 2)
+    assert(eval(MySql.week(lit("2008-02-20").cast("date"))) === 7)
+  }
+
+  test("WEEK mode 3 = ISO") {
+    assert(eval(MySql.week(lit("2008-02-20").cast("date"), 3)) === 8)
+  }
+
+  test("YEARWEEK borrows previous year before first Sunday") {
+    assert(eval(MySql.yearweek(lit("2000-01-01").cast("date"))) === 199952)
+    assert(eval(MySql.yearweek(lit("1987-01-01").cast("date"))) === 198652)
+    assert(eval(MySql.yearweek(lit("2000-01-09").cast("date"))) === 200002)
+  }
+
+  test("PERIOD_ADD / PERIOD_DIFF") {
+    assert(eval(MySql.periodAdd(lit(200801), lit(2))) === 200803L)
+    assert(eval(MySql.periodAdd(lit(200812), lit(1))) === 200901L)
+    assert(eval(MySql.periodDiff(lit(200802), lit(200703))) === 11L)
+  }
+
+  test("SEC_TO_TIME / TIME_TO_SEC") {
+    assert(eval(MySql.secToTime(lit(2378))) === "00:39:38")
+    assert(eval(MySql.secToTime(lit(-2378))) === "-00:39:38")
+    assert(eval(MySql.secToTime(lit(100000))) === "27:46:40")
+    assert(eval(MySql.timeToSec(lit("22:23:00"))) === 80580L)
+    assert(eval(MySql.timeToSec(lit("-1:00:05"))) === -3605L)
+  }
+
+  test("DATE_FORMAT % patterns") {
+    val d = lit("2009-10-04 22:23:00").cast("timestamp")
+    assert(eval(MySql.dateFormat(d, "%W %M %Y")) === "Sunday October 2009")
+    assert(eval(MySql.dateFormat(d, "%H:%i:%s")) === "22:23:00")
+    assert(eval(MySql.dateFormat(d, "%Y-%m-%d")) === "2009-10-04")
+    assert(eval(MySql.dateFormat(d, "%e/%c/%y %p")) === "4/10/09 PM")
+    intercept[IllegalArgumentException] { MySql.mysqlFormatToJava("%D") }
+  }
+
+  test("DAYNAME / MONTHNAME") {
+    val d = lit("2007-02-03").cast("date")
+    assert(eval(MySql.dayname(d)) === "Saturday")
+    assert(eval(MySql.monthname(d)) === "February")
+  }
+
+  test("ADDTIME") {
+    val ts = lit("2007-12-31 23:59:59").cast("timestamp")
+    assert(eval(MySql.addtime(ts, lit("00:01:01"))).toString
+      .startsWith("2008-01-01 00:01:00"))
+  }
+
+  test("TIMESTAMPDIFF (MySQL doc examples)") {
+    assert(eval(MySql.timestampDiff("MONTH",
+      lit("2003-02-01").cast("timestamp"),
+      lit("2003-05-01").cast("timestamp"))) === 3L)
+    assert(eval(MySql.timestampDiff("YEAR",
+      lit("2002-05-01").cast("timestamp"),
+      lit("2001-01-01").cast("timestamp"))) === -1L)
+    assert(eval(MySql.timestampDiff("MINUTE",
+      lit("2003-02-01").cast("timestamp"),
+      lit("2003-05-01 12:05:55").cast("timestamp"))) === 128885L)
+  }
+
+  test("TIMESTAMPADD") {
+    assert(eval(MySql.timestampAdd("WEEK", lit(1),
+      lit("2003-01-02").cast("timestamp"))).toString
+      .startsWith("2003-01-09"))
+    assert(eval(MySql.timestampAdd("MONTH", lit(2),
+      lit("2003-12-31").cast("timestamp"))).toString
+      .startsWith("2004-02-29"))
+  }
+
+  test("IF / IFNULL") {
+    assert(eval(MySql.if_(lit(1) > 2, lit("a"), lit("b"))) === "b")
+    assert(eval(MySql.ifnull(lit(null).cast("string"), lit("x"))) === "x")
+  }
+}

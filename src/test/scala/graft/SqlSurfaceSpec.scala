@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL entry point: registered views + custom functions callable from
+  * spark.sql — the dialect surface a reference user would migrate to. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private def spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  test("registerAll exposes every table and the custom functions") {
+    Engine.registerAll(spark, sf)
+    val row = spark.sql(
+      """SELECT r_name, group_concat(n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name LIMIT 1""".stripMargin).first()
+    assert(row.getString(1).split(",").nonEmpty)
+    val sh = spark.sql(
+      "SELECT simhash64(text) AS h FROM documents LIMIT 3").collect()
+    assert(sh.forall(r => r.getLong(0) != 0L))
+  }
+
+  test("simhash is stable and near-identical texts collide closely") {
+    Engine.registerAll(spark, sf)
+    val h = spark.sql(
+      """SELECT bit_count(simhash64('the quick brown fox jumps') ^
+        |                 simhash64('the quick brown fox jumped')) AS d,
+        |        bit_count(simhash64('the quick brown fox jumps') ^
+        |                 simhash64('completely unrelated words here')) AS far
+        |""".stripMargin).first()
+    assert(h.getAs[Int]("d") < h.getAs[Int]("far"))
+  }
+
+  test("full TPC-H-style SQL runs through the view catalog") {
+    Engine.registerAll(spark, sf)
+    val n = spark.sql(
+      """SELECT l_returnflag, count(*) n FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY l_returnflag""".stripMargin).count()
+    assert(n > 0)
+  }
+}
