@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** `LOAD DATA INFILE` parity (SURVEY.md §3.2): the reference parses
+  * delimited text with configurable delimiter/enclosure/terminator,
+  * routes bad rows to a reject file (storage/tianmu/loader/
+  * parsing_strategy.h:53-65, loader/rejecter.cpp), and builds 64K-row
+  * column packs with per-pack metadata.
+  *
+  * Spark mapping: schema-d CSV read in PERMISSIVE mode with a corrupt-
+  * record column (reject analog), then a Parquet write whose row groups
+  * are the pack analog — with column statistics and optional bloom
+  * filters standing in for the Knowledge Grid (DPN min/max +
+  * RSIndex_Bloom, data/dpn.h:58, index/rsi_bloom.h).
+  */
+object CsvLoader {
+
+  val CorruptCol = "_corrupt_record"
+
+  case class LoadResult(clean: DataFrame, rejects: DataFrame)
+
+  /** Parse a delimited file against `schema`; rows that fail to parse come
+    * back separately (the reject file analog). TPC-H-style trailing
+    * delimiters are tolerated via an ignored trailing column when
+    * `trailingDelimiter`. */
+  def load(spark: SparkSession, path: String, schema: StructType,
+           delimiter: String = ",", quote: String = "\"",
+           trailingDelimiter: Boolean = false): LoadResult = {
+    val readSchema0 =
+      if (trailingDelimiter) schema.add("_trailing", "string")
+      else schema
+    val readSchema = readSchema0.add(CorruptCol, "string")
+    val raw = spark.read
+      .schema(readSchema)
+      .option("delimiter", delimiter)
+      .option("quote", quote)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .csv(path)
+      .cache() // one pass parses; clean/reject split reuses it
+    val clean = raw.filter(col(CorruptCol).isNull)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val rejects = raw.filter(col(CorruptCol).isNotNull)
+      .select(col(CorruptCol).as("raw_line"))
+    LoadResult(clean, rejects)
+  }
+
+  /** Write with pack-analog tuning: bounded row groups (the 64K-row pack,
+    * common/defs.h:47), stats always on, bloom filters for the named
+    * columns (RSIndex_Bloom analog — consulted by Parquet readers for
+    * point predicates the way the reference consults KN nodes). */
+  def writePacked(df: DataFrame, outPath: String,
+                  bloomCols: Seq[String] = Nil,
+                  rowGroupBytes: Long = 32L << 20): Unit = {
+    var w = df.write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+    bloomCols.foreach { c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    w.parquet(outPath)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** HTAP delta-store analog (SURVEY.md §3.3): the reference buffers DML in
+  * a row-oriented RocksDB delta table (core/delta_table.h:37), readers
+  * merge base + delta (DeltaIterator, delta_table.h:78), and a background
+  * job folds the delta into column packs
+  * (Engine::ProcessInsertBufferMerge, core/engine.h:210).
+  *
+  * Here: `base/` is the columnar store, `delta/` receives appends, reads
+  * union the two, `compact()` folds delta into base. At scale the
+  * pattern is the standard lakehouse ingest: appends land as small files
+  * partitioned by arrival, queries see base ∪ delta with no blocking,
+  * compaction rewrites asynchronously (row-level upserts would graduate
+  * to a table format like Delta/Iceberg — out of scope per SURVEY §2.11).
+  */
+class DeltaStore(spark: SparkSession, root: String) {
+
+  private val basePath = s"$root/base"
+  private val deltaPath = s"$root/delta"
+
+  private def fs = new Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(p: String): Boolean = fs.exists(new Path(p))
+
+  /** Initialize (or replace) the base table. */
+  def writeBase(df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(basePath)
+
+  /** Append rows to the delta side (the INSERT buffer analog). */
+  def append(df: DataFrame): Unit =
+    df.write.mode("append").parquet(deltaPath)
+
+  /** Merged read view: base ∪ delta (DeltaIterator analog). */
+  def read(): DataFrame = {
+    val base = spark.read.parquet(basePath)
+    if (exists(deltaPath)) base.unionByName(spark.read.parquet(deltaPath))
+    else base
+  }
+
+  /** Fold the delta into the base and clear it (background-merge analog).
+    * Rewrites through a staging dir so a failed compaction never leaves a
+    * half-written base. */
+  def compact(): Unit = {
+    if (!exists(deltaPath)) return
+    val staging = s"$root/_staging"
+    read().write.mode("overwrite").parquet(staging)
+    fs.delete(new Path(basePath), true)
+    fs.rename(new Path(staging), new Path(basePath))
+    fs.delete(new Path(deltaPath), true)
+  }
+
+  /** Rows currently sitting in the unmerged delta. */
+  def deltaCount(): Long =
+    if (exists(deltaPath)) spark.read.parquet(deltaPath).count() else 0L
+}

