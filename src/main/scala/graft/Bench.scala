@@ -1,24 +1,63 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): run the headline queries against
+  * SPARK_GRAFT_SF_DIR, print ONE JSON line with per-query seconds.
+  * Queries are forced end-to-end with a noop sink (full plan execution,
+  * no driver materialization — `count()` would let Catalyst shortcut
+  * column reads). */
 object Bench {
+
+  /** Headline set: the TPC-H-shaped core + one representative per
+    * extension family, mirroring BASELINE.md's query mix. */
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary",      // scan-heavy agg (Q1)
+    "q03_shipping_priority_topk", // 3-way join + topk (Q3)
+    "q05_local_supplier_volume", // 6-way star join (Q5)
+    "q06_forecast_revenue",     // pure filter-agg (Q6)
+    "q19_ortree_revenue",       // or-tree join (Q19)
+    "q_subq_correlated",        // decorrelated Q17 shape
+    "q_agg_distinct",           // distinct aggregation
+    "q_agg_having",             // shuffled hash agg
+    "q_window_rank",            // window functions
+    "q_union_distinct",         // set op + dedup
+    "q_events_hourly",          // time-bucketed agg
+    "q_events_sessions",        // lag/session analytics
+    "q_text_quality",           // text scoring scan
+    "q_dedup_exact",            // hash dedup
+    "q_dedup_minhash",          // LSH near-dup
+    "q_sim_bruteforce_topk",    // ANN baseline
+    "q_sim_ivf_topk")           // ANN probe path
+
+  def runOne(spark: SparkSession, name: String, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    try SparkEntry.queries(name)(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return -1.0
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Engine.defaultParallelism.toString).toInt
+    val spark = Engine.session(s"local[$cpus]", cpus, "graft-bench")
+
+    // JVM/codegen warmup on the smallest query so per-query numbers
+    // measure the plan, not classloading.
+    runOne(spark, "q06_forecast_revenue", sfDir)
+
+    val results = headline.map(n => n -> runOne(spark, n, sfDir))
+    val qs = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

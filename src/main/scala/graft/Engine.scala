@@ -75,6 +75,25 @@ object Engine {
     else df
   }
 
+  /** Rebalance the input of a compute-bound per-row stage (shingling,
+    * hashing, regex scoring) across all cores when the upstream scan
+    * yields fewer splits than cores. The testdata parquet files are
+    * single-row-group, so Spark's byte-range splitting gives them ONE
+    * non-empty task and per-row compute serializes on one core; the
+    * shuffled bytes (raw text) are tiny next to the compute they unlock.
+    * On a cluster-scale input splits ≫ cores, the condition is false and
+    * no shuffle is added — safe at 100 TB. Not used for plain scan→agg
+    * queries, where partial aggregation already shrinks data before the
+    * exchange and a rebalance would only add a full-data shuffle.
+    *
+    * ONLY call this on a raw scan: `.rdd` on a plan containing joins or
+    * aggregates materializes AQE query stages, i.e. executes the plan
+    * eagerly just to count partitions. */
+  def rebalance(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** Register every table under `dir` as a temp view plus the custom SQL
     * functions (the SQL entry point — the analog of the reference's
     * schema catalog + function dialect). */

@@ -53,45 +53,69 @@ object Dedup {
     Seq.fill(NumHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
   }
 
-  /** doc_id, shingles, sig (array of 32 minhashes). */
+  /** doc_id, sig (array of 32 minhashes).
+    *
+    * Shape (the 100 TB concern): shingles are exploded to (doc_id, h)
+    * rows — explode a position sequence + substr per position, so the
+    * whole stage (GenerateExec, substr, xxhash64) stays inside
+    * whole-stage codegen; building shingle *arrays* with
+    * `transform`/`array_min` higher-order lambdas is evaluated
+    * interpreted (~50M lambda calls at sf0.1). The 32 permuted minima
+    * are 32 codegen'd `min` aggregates under `groupBy(doc_id)` — pure
+    * HashAggregate with map-side partial min, so the shuffle carries one
+    * 32-long signature per doc, not per-shingle data. The distinct
+    * shingle set rides along as a `collect_set` in the same aggregate
+    * (one pass, one shuffle) for downstream exact-Jaccard verification —
+    * measured cheaper than a separate candidates-only semi-join pass,
+    * which serializes extra stages behind the LSH join. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val shingles = charShingles(lower(col("text")), 5)
-    val baseHashes = transform(col("shingles"), x => xxhash64(x))
-    val sig = array(hashParams.map { case (a, b) =>
-      array_min(transform(col("hs"), h => h * lit(a) + lit(b)))
-    }: _*)
-    docs
-      .select(col("doc_id"), shingles.as("shingles"))
-      .where(size(col("shingles")) > 0)
-      .withColumn("hs", baseHashes)
-      .withColumn("sig", sig)
-      .drop("hs")
+    val grams = Engine.rebalance(docs)
+      .select(col("doc_id"),
+        explode(charShingles(lower(col("text")), 5)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val minCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
+      min(col("h") * lit(a) + lit(b)).as(s"m$i") }
+    val aggs = minCols.tail :+ collect_set(col("h")).as("hs")
+    grams.groupBy("doc_id")
+      .agg(minCols.head, aggs: _*)
+      .select(col("doc_id"), col("hs"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** LSH candidate pairs (doc_a < doc_b), deduped across bands. */
+  /** LSH candidate pairs (doc_a < doc_b), deduped across bands, with
+    * signatures + shingle sets re-attached.
+    *
+    * Shuffle discipline (the 100 TB concern): the band self-join carries
+    * ONLY (band, bhash, doc_id) — never the signatures or shingle sets,
+    * which would be duplicated ×8 by the band explode. They are
+    * re-attached afterwards, for the (tiny) surviving candidate set only;
+    * `sigs` should be persisted by the caller so the three consumers
+    * share one computation. */
   def lshCandidates(sigs: DataFrame): DataFrame = {
     val nBands = NumHashes / BandSize
-    val bands = sigs.select(col("doc_id"), col("sig"), col("shingles"),
+    val bands = sigs.select(col("doc_id"),
       posexplode(array((0 until nBands).map { b =>
         xxhash64((0 until BandSize)
           .map(i => col("sig").getItem(b * BandSize + i)): _*)
       }: _*)).as(Seq("band", "bhash")))
-    val l = bands.select(col("band"), col("bhash"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-      col("shingles").as("sh_a"))
-    val r = bands.select(col("band"), col("bhash"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-      col("shingles").as("sh_b"))
-    l.join(r, Seq("band", "bhash"))
+    val l = bands.select(col("band"), col("bhash"), col("doc_id").as("doc_a"))
+    val r = bands.select(col("band"), col("bhash"), col("doc_id").as("doc_b"))
+    val pairs = l.join(r, Seq("band", "bhash"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b", "sh_a", "sh_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("hs").as("sh_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("hs").as("sh_b")), Seq("doc_b"))
   }
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification of the
     * candidates (intersection/union over the 5-gram shingle sets). */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSignatures(t(s, dir, "documents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (a, b) => when(a === b, 1).otherwise(0)),
@@ -112,7 +136,7 @@ object Dedup {
     * least one identical chunk (pigeonhole), so chunk-equality blocking is
     * lossless for the ≤3 threshold. */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = Engine.rebalance(t(s, dir, "documents"))
       .select(col("doc_id"), simhash64(lower(col("text"))).as("sig"))
     val chunks = d.select(col("doc_id"), col("sig"),
       posexplode(array((0 until 4).map(k =>
@@ -138,9 +162,11 @@ object Dedup {
     * lengths differ ≤ bucket width). Quadratic only inside a bucket. */
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
     val bucketWidth = 64
-    val d = t(s, dir, "documents")
+    val d = Engine.rebalance(t(s, dir, "documents"))
       .select(col("doc_id"),
-        charShingles(lower(col("text")), 5).as("sh"),
+        // int64-hashed shingles: set ops compare longs, not strings
+        transform(charShingles(lower(col("text")), 5),
+          x => xxhash64(x)).as("sh"),
         floor(length(col("text")) / bucketWidth).cast("long").as("lb"))
     val exploded = d.select(col("doc_id"), col("sh"),
       explode(array(col("lb"), col("lb") + 1)).as("bucket"))
