@@ -14,9 +14,18 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q01_pricing_summary",      // scan-heavy agg (Q1)
     "q03_shipping_priority_topk", // 3-way join + topk (Q3)
+    "q04_order_priority",       // EXISTS semi-join (Q4)
     "q05_local_supplier_volume", // 6-way star join (Q5)
     "q06_forecast_revenue",     // pure filter-agg (Q6)
+    "q07_volume_shipping",      // nation-pair trade (Q7)
+    "q08_market_share",         // 8-way join + ratio agg (Q8)
+    "q10_returned_items",       // join + topk by revenue (Q10)
+    "q13_customer_distribution", // outer join + double agg (Q13)
+    "q14_promo_revenue",        // conditional ratio agg (Q14)
+    "q15_top_supplier",         // agg + scalar-max reuse (Q15)
+    "q18_large_volume_customer", // big-agg semi filter (Q18)
     "q19_ortree_revenue",       // or-tree join (Q19)
+    "q22_idle_customers",       // anti join + scalar avg (Q22)
     "q_subq_correlated",        // decorrelated Q17 shape
     "q_agg_distinct",           // distinct aggregation
     "q_agg_having",             // shuffled hash agg

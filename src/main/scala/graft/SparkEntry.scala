@@ -18,6 +18,7 @@ object SparkEntry {
 
   private def modules = Seq(
     operators.Relational.queries -> operators.Relational.oracles,
+    operators.TpchSuite.queries -> operators.TpchSuite.oracles,
     operators.Filters.queries -> operators.Filters.oracles,
     operators.Joins.queries -> operators.Joins.oracles,
     operators.Aggregates.queries -> operators.Aggregates.oracles,

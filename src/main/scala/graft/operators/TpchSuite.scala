@@ -1,0 +1,376 @@
+package graft.operators
+
+import graft.Engine
+import graft.operators.Relational.{davg, dsum, sqlDavg, sqlDec, sqlDsum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TPC-H continuation beyond the flagship five in [[Relational]] —
+  * adaptations of Q4, Q7, Q8, Q10, Q13, Q14, Q15, Q18, Q22 to the
+  * driver's TPC-H-ish schema (TESTDATA.md). These mirror the reference's
+  * published benchmark inventory (BASELINE.md lists its per-query SF100
+  * times for Q2-Q21), so the per-round BENCH json lines up query-by-query
+  * with the baseline table.
+  *
+  * Schema adaptations (columns the testdata lacks):
+  *  - Q4: no l_commitdate/l_receiptdate → the EXISTS probes
+  *    `l_shipdate > o_orderdate` instead of late receipts.
+  *  - Q8: p_type is a single word (`ECONOMY`), region ASIA, market-share
+  *    nation NATION_3.
+  *  - Q13: the `o_comment NOT LIKE` filter becomes
+  *    `o_orderpriority <> '1-URGENT'`.
+  *  - Q18: quantity threshold 250 (≈ p99 of per-order quantity sums in
+  *    this data — same selectivity role as 300 in standard TPC-H).
+  *  - Q22: no c_phone country codes → group by c_nationkey; "no orders"
+  *    becomes "no orders since 1999-01-01" (every customer here has some
+  *    order).
+  * Q2/Q9/Q11/Q16/Q20 need partsupp (absent); Q12/Q21 need
+  * shipmode/commit/receipt dates (absent) — noted as out of schema reach.
+  *
+  * Scale shape per query is called out inline: what broadcasts, what
+  * shuffles, and on which key.
+  */
+object TpchSuite {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Engine.table(s, dir, n)
+
+  private val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  private val sqlVol = "l_extendedprice * (1.0 - l_discount)"
+
+  // --- Q4: order priority checking (EXISTS semi-join) ---------------------
+
+  /** Q4 shape: date-windowed orders, EXISTS(lineitem shipped after order
+    * date) → left-semi join on orderkey (+ non-equi residual), count by
+    * priority. The semi join shuffles on orderkey; at 100 TB both sides
+    * are orderkey-partitioned so no row ever crosses twice. */
+  def q04OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01")
+        && col("o_orderdate") < lit("1997-04-01"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, col("o_orderkey") === col("l_orderkey")
+        && col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // --- Q7: volume shipping between two nations ----------------------------
+
+  /** Q7 shape: nation-pair trade volume by ship year over a 4-nation
+    * group (pairs of 2 are empty at the sf0.001 smoke scale). The
+    * two nation lookups broadcast (pre-filtered to the pair, so the fact
+    * stream shrinks at the earliest join); lineitem⋈orders is the only
+    * shuffle, keyed on orderkey. */
+  def q07VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_0", "NATION_1", "NATION_2", "NATION_3")
+    val n1 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1998-01-01"))
+    li.join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("supp_nk"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("cust_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(vol).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q07Sql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  YEAR(l_shipdate) AS l_year,
+      |  ${sqlDsum(sqlVol, "revenue")}
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND n1.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+      |  AND n2.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+      |  AND n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  // --- Q8: national market share ------------------------------------------
+
+  /** Q8 shape: NATION_3's share of ECONOMY-part volume sold into ASIA by
+    * order year. Part pre-filter broadcasts into lineitem, shrinking the
+    * fact stream before the orderkey shuffle; both dsums are exact, so
+    * the final ratio is engine-deterministic. */
+  def q08MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nCust = t(s, dir, "nation")
+      .select(col("n_nationkey").as("cn_nk"), col("n_regionkey").as("cn_rk"))
+    val nSupp = t(s, dir, "nation")
+      .select(col("n_nationkey").as("sn_nk"), col("n_name").as("supp_nation"))
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01")
+        && col("o_orderdate") < lit("1998-01-01"))
+    t(s, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nCust), col("c_nationkey") === col("cn_nk"))
+      .join(broadcast(r), col("cn_rk") === col("r_regionkey"))
+      .join(broadcast(t(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("sn_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((dsum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0.0))) / dsum(vol)).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val q08Sql: String = {
+    // the /10000.0 factors cancel algebraically but NOT in IEEE — the
+    // oracle must mirror Spark's dsum(x)/dsum(y) op-for-op
+    val share = s"(CAST(SUM(${sqlDec(s"CASE WHEN n2.n_name = 'NATION_3' THEN $sqlVol ELSE 0.0 END")}) AS DOUBLE) / 10000.0)" +
+      s" / (CAST(SUM(${sqlDec(sqlVol)}) AS DOUBLE) / 10000.0)"
+    s"""SELECT YEAR(o_orderdate) AS o_year, $share AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+  }
+
+  // --- Q10: returned item reporting ----------------------------------------
+
+  /** Q10 shape: top-20 customers by returned revenue in a quarter.
+    * orders⋈lineitem shuffles on orderkey; customer/nation broadcast;
+    * the limit compiles to TakeOrderedAndProject (top-k heap, no global
+    * sort). */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-10-01")
+        && col("o_orderdate") < lit("1997-01-01"))
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsum(vol).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  ${sqlDsum(sqlVol, "revenue")}
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  // --- Q13: customer order-count distribution ------------------------------
+
+  /** Q13 shape: histogram of per-customer order counts, left outer join so
+    * zero-order customers survive with count 0. Two aggregations: first
+    * keyed on custkey (the join key — no extra shuffle after the join),
+    * then on the tiny count domain. */
+  def q13CustomerDistribution(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+    t(s, dir, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // --- Q14: promotion effect ------------------------------------------------
+
+  /** Q14 shape: promo share of one month's revenue. part broadcasts; the
+    * single global aggregate is a map-side-combined scalar. */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-09-01")
+        && col("l_shipdate") < lit("1997-10-01"))
+    li.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) * dsum(when(col("p_type") === "PROMO", vol)
+          .otherwise(lit(0.0))) / dsum(vol)).as("promo_revenue"))
+  }
+
+  val q14Sql: String = {
+    // mirror Spark's 100.0 * dsum(x) / dsum(y) op-for-op (see q08Sql note)
+    val ratio = s"100.0 * (CAST(SUM(${sqlDec(s"CASE WHEN p_type = 'PROMO' THEN $sqlVol ELSE 0.0 END")}) AS DOUBLE) / 10000.0)" +
+      s" / (CAST(SUM(${sqlDec(sqlVol)}) AS DOUBLE) / 10000.0)"
+    s"""SELECT $ratio AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
+  }
+
+  // --- Q15: top supplier -----------------------------------------------------
+
+  /** Q15 shape: supplier(s) with the quarter's max revenue. The revenue
+    * aggregate is computed once and reused for both the max (scalar, one
+    * row — broadcast) and the equality probe; exact decimal sums make the
+    * `= max` comparison safe on doubles. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01")
+        && col("l_shipdate") < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(vol).as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+    t(s, dir, "supplier")
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15Sql: String =
+    s"""WITH revenue AS (
+      |  SELECT l_suppkey, ${sqlDsum(sqlVol, "total_revenue")}
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // --- Q18: large volume customers -------------------------------------------
+
+  /** Q18 shape (the reference's slowest completed query, 1101.7 s at
+    * SF100 — BASELINE.md): orders whose total quantity exceeds 250.
+    * The heavy per-orderkey aggregate runs FIRST and its survivors (a few
+    * hundred rows) broadcast back into orders⋈customer — the big tables
+    * never shuffle against each other unfiltered. */
+  def q18LargeVolumeCustomer(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    t(s, dir, "orders")
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, ${sqlDsum("l_quantity", "sum_qty")}
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING CAST(SUM(${sqlDec("l_quantity")}) AS DOUBLE) / 10000.0 > 250.0) big
+      |  ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  // --- Q22: global sales opportunity ------------------------------------------
+
+  /** Q22 shape: rich customers (above positive-average balance) with no
+    * recent orders, counted per nation. The average is a broadcast
+    * scalar; the "no recent orders" is a left-anti join on custkey. */
+  def q22IdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1999-01-01"))
+      .select(col("o_custkey"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q22Sql: String = {
+    val avgExpr = s"CAST(SUM(${sqlDec("c_acctbal")}) AS DOUBLE) / 10000.0 / COUNT(c_acctbal)"
+    s"""SELECT c_nationkey, COUNT(*) AS numcust,
+      |  ${sqlDsum("c_acctbal", "totacctbal")}
+      |FROM customer
+      |WHERE c_acctbal > (SELECT $avgExpr FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+  }
+
+  // Registry ---------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q04_order_priority" -> (q04OrderPriority _),
+    "q07_volume_shipping" -> (q07VolumeShipping _),
+    "q08_market_share" -> (q08MarketShare _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q13_customer_distribution" -> (q13CustomerDistribution _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q18_large_volume_customer" -> (q18LargeVolumeCustomer _),
+    "q22_idle_customers" -> (q22IdleCustomers _))
+
+  val oracles: Map[String, String] = Map(
+    "q04_order_priority" -> q04Sql,
+    "q07_volume_shipping" -> q07Sql,
+    "q08_market_share" -> q08Sql,
+    "q10_returned_items" -> q10Sql,
+    "q13_customer_distribution" -> q13Sql,
+    "q14_promo_revenue" -> q14Sql,
+    "q15_top_supplier" -> q15Sql,
+    "q18_large_volume_customer" -> q18Sql,
+    "q22_idle_customers" -> q22Sql)
+}
