@@ -28,7 +28,8 @@ object SparkEntry {
     operators.TextOps.queries -> operators.TextOps.oracles,
     operators.Dedup.queries -> operators.Dedup.oracles,
     operators.Similarity.queries -> operators.Similarity.oracles,
-    operators.Multimodal.queries -> operators.Multimodal.oracles)
+    operators.Multimodal.queries -> operators.Multimodal.oracles,
+    sources.Dml.queries -> sources.Dml.oracles)
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

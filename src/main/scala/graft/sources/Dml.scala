@@ -1,0 +1,181 @@
+package graft.sources
+
+import graft.Engine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch DML parity tier (SURVEY.md §2.11). The reference executes
+  * row-level DML through its delta store and background merge
+  * (handler/ha_tianmu.h:100-102 `write_row/update_row/delete_row`,
+  * thread pools at core/engine.cpp:198-209); its MTR suite pins the SQL
+  * semantics (`replace_into.test`, `insert_on_duplicate_update.test`,
+  * `delete_join.test`, `update_join.test`).
+  *
+  * Spark-first, DML is a *transform*: compute the post-DML table as a
+  * DataFrame (anti/semi/outer joins keyed on the primary key) and commit
+  * it with an atomic overwrite ([[DeltaStore.writeBase]]) or let it feed
+  * downstream lazily. At 100 TB every transform below is one key-partitioned
+  * shuffle of the incoming batch against the base — the base is never
+  * collected, never looped over, and with a bucketed base the shuffle
+  * touches only the incoming side (row-level commit log upgrades would
+  * graduate to a table format like Delta/Iceberg, out of scope per
+  * SURVEY §2.11).
+  */
+object Dml {
+
+  /** MySQL `REPLACE INTO` semantics (replace_into.test): delete any base
+    * row sharing a key with the incoming batch, then insert the batch. */
+  def replaceInto(base: DataFrame, incoming: DataFrame,
+                  keys: Seq[String]): DataFrame =
+    base.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(incoming)
+
+  /** MySQL `INSERT … ON DUPLICATE KEY UPDATE` semantics
+    * (insert_on_duplicate_update.test): rows whose key exists get
+    * `updateCols` overwritten from the incoming row (other columns keep
+    * their base values); new keys are inserted whole. `incoming` must be
+    * key-unique (as the MySQL statement requires of a keyed batch). */
+  def upsert(base: DataFrame, incoming: DataFrame, keys: Seq[String],
+             updateCols: Seq[String]): DataFrame = {
+    val b = base.as("b")
+    val i = incoming.as("i")
+    val joinCond = keys.map(k => col(s"b.$k") === col(s"i.$k")).reduce(_ && _)
+    val untouched =
+      base.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    val updated = b.join(i, joinCond)
+      .select(base.columns.toIndexedSeq.map { c =>
+        (if (updateCols.contains(c)) col(s"i.$c") else col(s"b.$c")).as(c)
+      }: _*)
+    val inserted =
+      incoming.join(base.select(keys.map(col): _*), keys, "left_anti")
+    untouched.unionByName(updated).unionByName(inserted)
+  }
+
+  /** MySQL multi-table `DELETE t FROM t JOIN …` semantics
+    * (delete_join.test): drop every base row with at least one match in
+    * `matchSide` under `cond` — a left-anti join. */
+  def deleteJoin(base: DataFrame, matchSide: DataFrame,
+                 cond: Column): DataFrame =
+    base.join(matchSide, cond, "left_anti")
+
+  /** MySQL multi-table `UPDATE t JOIN u SET …` semantics
+    * (update_join.test): rows with a match in `source` get the `set`
+    * expressions applied (they may reference source columns); unmatched
+    * rows pass through. `source` must be unique on the join key — MySQL
+    * likewise applies one update per target row. */
+  def updateJoin(base: DataFrame, source: DataFrame, cond: Column,
+                 set: Map[String, Column]): DataFrame = {
+    val src = source.withColumn("__matched", lit(true))
+    base.join(src, cond, "left_outer")
+      .select(base.columns.toIndexedSeq.map { c =>
+        (if (set.contains(c)) when(col("__matched"), set(c)).otherwise(col(c))
+         else col(c)).as(c)
+      }: _*)
+  }
+
+  /** CTAS: materialize a query as a new parquet table (the reference's
+    * `CREATE TABLE … AS SELECT`, core/engine_execute.cpp:477). */
+  def ctas(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  // --- driver-gate read views (oracle-checked DML results) -----------------
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Engine.table(s, dir, n)
+
+  /** REPLACE INTO customer: every 100th customer replaced with a bumped
+    * balance and a 'REPLACED' segment; view = post-statement table. */
+  def qDmlReplaceInto(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val batch = c.filter(col("c_custkey") % 100 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+      .withColumn("c_mktsegment", lit("REPLACED"))
+    replaceInto(c, batch, Seq("c_custkey"))
+  }
+
+  val qDmlReplaceIntoSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer WHERE c_custkey % 100 <> 0
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+      |  'REPLACED' AS c_mktsegment
+      |FROM customer WHERE c_custkey % 100 = 0""".stripMargin
+
+  /** INSERT … ON DUPLICATE KEY UPDATE: every 97th customer arrives twice —
+    * once under its own key (→ balance update only) and once under a
+    * shifted key (→ plain insert). */
+  def qDmlUpsert(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val hit = c.filter(col("c_custkey") % 97 === 0)
+    val updates = hit.withColumn("c_acctbal", col("c_acctbal") + 500.0)
+      .withColumn("c_mktsegment", lit("IGNORED")) // not in updateCols
+    val inserts = hit
+      .withColumn("c_custkey", col("c_custkey") + 10000000L)
+      .withColumn("c_name", concat(lit("NEW_"), col("c_name")))
+      .withColumn("c_acctbal", lit(0.0))
+    upsert(c, updates.unionByName(inserts), Seq("c_custkey"),
+      updateCols = Seq("c_acctbal"))
+  }
+
+  val qDmlUpsertSql: String =
+    """SELECT c_custkey, c_name, c_nationkey,
+      |  CASE WHEN c_custkey % 97 = 0 THEN c_acctbal + 500.0 ELSE c_acctbal END
+      |    AS c_acctbal,
+      |  c_mktsegment
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey + 10000000 AS c_custkey, 'NEW_' || c_name AS c_name,
+      |  c_nationkey, 0.0 AS c_acctbal, c_mktsegment
+      |FROM customer WHERE c_custkey % 97 = 0""".stripMargin
+
+  /** DELETE customer FROM customer JOIN orders: drop customers holding an
+    * urgent 1995 order. */
+  def qDmlDeleteJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT"
+        && col("o_orderdate") < lit("1996-01-01"))
+      .select(col("o_custkey"))
+    deleteJoin(c, urgent, col("c_custkey") === col("o_custkey"))
+  }
+
+  val qDmlDeleteJoinSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT'
+      |                    AND o_orderdate < TIMESTAMP '1996-01-01')""".stripMargin
+
+  /** UPDATE customer JOIN nation/region: tag EUROPE customers' segment. */
+  def qDmlUpdateJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val eu = t(s, dir, "nation")
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("n_nationkey"))
+    updateJoin(c, eu, col("c_nationkey") === col("n_nationkey"),
+      Map("c_mktsegment" -> concat(lit("EU_"), col("c_mktsegment"))))
+  }
+
+  val qDmlUpdateJoinSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+      |  CASE WHEN EXISTS (SELECT 1 FROM nation JOIN region
+      |                      ON n_regionkey = r_regionkey
+      |                    WHERE n_nationkey = c_nationkey
+      |                      AND r_name = 'EUROPE')
+      |       THEN 'EU_' || c_mktsegment ELSE c_mktsegment END AS c_mktsegment
+      |FROM customer""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dml_replace_into" -> (qDmlReplaceInto _),
+    "q_dml_upsert" -> (qDmlUpsert _),
+    "q_dml_delete_join" -> (qDmlDeleteJoin _),
+    "q_dml_update_join" -> (qDmlUpdateJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q_dml_replace_into" -> qDmlReplaceIntoSql,
+    "q_dml_upsert" -> qDmlUpsertSql,
+    "q_dml_delete_join" -> qDmlDeleteJoinSql,
+    "q_dml_update_join" -> qDmlUpdateJoinSql)
+}
