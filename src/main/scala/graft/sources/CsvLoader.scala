@@ -48,6 +48,22 @@ object CsvLoader {
     LoadResult(clean, rejects)
   }
 
+  /** `SELECT … INTO OUTFILE` parity (core/engine.h:338
+    * `ResultExportSender`, exporter/export2file.cpp,
+    * exporter/data_exporter_txt.cpp): export a result as delimited text
+    * with configurable delimiter/enclosure/line terminator. Distributed
+    * write — one file per partition, exactly how the export scales past
+    * one node (the reference streams through a single connection). */
+  def export(df: DataFrame, outPath: String, delimiter: String = ",",
+             quote: String = "\"", lineSep: String = "\n",
+             header: Boolean = false): Unit =
+    df.write.mode("overwrite")
+      .option("delimiter", delimiter)
+      .option("quote", quote)
+      .option("lineSep", lineSep)
+      .option("header", header)
+      .csv(outPath)
+
   /** Write with pack-analog tuning: bounded row groups (the 64K-row pack,
     * common/defs.h:47), stats always on, bloom filters for the named
     * columns (RSIndex_Bloom analog — consulted by Parquet readers for

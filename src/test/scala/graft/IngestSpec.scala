@@ -40,6 +40,17 @@ class IngestSpec extends AnyFunSuite {
       === li.filter(col("l_orderkey") === 1).count())
   }
 
+  test("export (INTO OUTFILE analog) roundtrips through load") {
+    val tmp = Files.createTempDirectory("graft_out").toString
+    val nation = Engine.table(spark, sf, "nation")
+    CsvLoader.export(nation, s"$tmp/nation_out", delimiter = "|")
+    val back = CsvLoader.load(spark, s"$tmp/nation_out",
+      nation.schema, delimiter = "|")
+    assert(back.rejects.count() === 0)
+    assert(back.clean.orderBy("n_nationkey").collect().toSeq
+      === nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
   test("delta store: append visible in read view, compact folds it in") {
     val tmp = Files.createTempDirectory("graft_delta").toString
     val c = Engine.table(spark, sf, "customer")
