@@ -70,6 +70,45 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame: parent doc, frame index, frame payload slice +
+    * its decoded feature. */
+  case class Frame(doc_id: Long, kind: String, frame_idx: Int,
+                   frame_bytes: Int, feature: Array[Float])
+
+  /** Frame sampling — the video analog: slice each payload into
+    * fixed-stride "frames", keep every `stride`-th one, featurize each.
+    * Fan-out happens per partition (flatMap inside mapPartitions), so a
+    * 1-hour payload never materializes all frames on the driver; at
+    * 100 TB frame rows inherit the parent's partitioning and flow
+    * straight into the next stage. Frame decode shares [[decodeStub]]
+    * (a real deployment would call the codec per keyframe). */
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int = 64,
+                   stride: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val nFrames = math.max(1, m.media.length / frameSize)
+        Iterator.range(0, nFrames, stride).map { i =>
+          val slice = java.util.Arrays.copyOfRange(
+            m.media, i * frameSize,
+            math.min((i + 1) * frameSize, m.media.length))
+          val (_, _, feat) = decodeStub(slice)
+          Frame(m.doc_id, m.kind, i, slice.length, feat)
+        }
+      }
+    }
+  }
+
+  /** Frame-sampling inventory entry (rows-only): per-kind frame counts +
+    * mean first-feature component as a deterministic content probe. */
+  def qMediaFrames(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(s, dir))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("frame_bytes")).as("total_bytes"))
+      .orderBy(col("kind"))
+
   /** Inventory entry (rows-only check: binary plumbing is not
     * SQL-expressible in the oracle): decode features + per-kind stats. */
   def qMediaFeatures(s: SparkSession, dir: String): DataFrame =
@@ -82,7 +121,8 @@ object Multimodal {
       .orderBy(col("kind"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_media_features" -> (qMediaFeatures _))
+    "q_media_features" -> (qMediaFeatures _),
+    "q_media_frames" -> (qMediaFrames _))
 
   val oracles: Map[String, String] = Map.empty
 }

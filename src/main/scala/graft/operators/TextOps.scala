@@ -59,6 +59,38 @@ object TextOps {
       |  ${sqlR6(s"CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / $sqlTokenCount")} AS avg_word_len
       |FROM documents""".stripMargin
 
+  // --- BPE-ish token estimate ----------------------------------------------
+
+  /** GPT-2-style pre-tokenizer pattern (contractions, letter runs, digit
+    * runs, punctuation runs, space runs — Radford et al. 2019 / public
+    * tiktoken pattern, simplified to ASCII with no lookahead so Java and
+    * RE2 agree). Match count ≈ BPE token count upper bound. */
+  private val BpePattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ']+| +"
+
+  /** Token counting, both tiers the pipeline brief asks for: whitespace
+    * tokens and a BPE-ish regex piece count, plus their ratio (a cheap
+    * "tokens per word" fertility signal). One scan, codegen'd regex. */
+  def qTextTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_ws_tokens"),
+        regexp_count(col("text"), lit(BpePattern)).cast("long")
+          .as("n_bpe_pieces"),
+        r6(regexp_count(col("text"), lit(BpePattern)).cast("double")
+          / tokenCount(col("text"))).as("pieces_per_word"))
+
+  val qTextTokensSql: String = {
+    val p = BpePattern.replace("'", "''") // SQL string-literal escaping
+    s"""SELECT doc_id,
+      |  $sqlTokenCount AS n_ws_tokens,
+      |  CAST(LEN(regexp_extract_all(text, '$p')) AS BIGINT)
+      |    AS n_bpe_pieces,
+      |  ${sqlR6(s"CAST(LEN(regexp_extract_all(text, '$p')) AS DOUBLE) / $sqlTokenCount")}
+      |    AS pieces_per_word
+      |FROM documents""".stripMargin
+  }
+
   // --- quality scoring -----------------------------------------------------
 
   /** Length / alpha-ratio / stopword-ratio quality heuristic, bucketed. */
@@ -147,12 +179,14 @@ object TextOps {
       |GROUP BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> (qTextTokens _),
     "q_text_stats" -> (qTextStats _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_fingerprint" -> (qTextFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_tokens" -> qTextTokensSql,
     "q_text_stats" -> qTextStatsSql,
     "q_text_quality" -> qTextQualitySql,
     "q_text_langid" -> qTextLangidSql,

@@ -86,6 +86,30 @@ class LlmOpsSpec extends AnyFunSuite {
       Engine.table(spark, sf, "documents").count())
   }
 
+  test("frame sampling: stride-correct count per doc, deterministic") {
+    val sp = spark
+    import sp.implicits._
+    val media = Multimodal.mediaTable(sp, sf)
+    val frames = Multimodal.sampleFrames(media, frameSize = 64, stride = 4)
+    val perDoc = frames.groupBy("doc_id").count()
+      .withColumnRenamed("count", "n_frames")
+    val expected = media.map(m => (m.doc_id,
+        (math.max(1, m.media.length / 64) + 3) / 4))
+      .toDF("doc_id", "expect")
+    assert(perDoc.join(expected, "doc_id")
+      .filter($"n_frames" =!= $"expect").count() === 0)
+    val a = Multimodal.qMediaFrames(spark, sf).collect().toSeq
+    val b = Multimodal.qMediaFrames(spark, sf).collect().toSeq
+    assert(a === b)
+  }
+
+  test("BPE-ish piece count bounds whitespace token count from above") {
+    val rows = TextOps.qTextTokens(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("n_bpe_pieces") <
+        org.apache.spark.sql.functions.col("n_ws_tokens")).count()
+    assert(rows === 0)
+  }
+
   test("langid guesses are confined to known labels") {
     val langs = TextOps.qTextLangid(spark, sf)
       .select("lang_guess").distinct().collect().map(_.getString(0)).toSet
