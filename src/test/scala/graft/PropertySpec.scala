@@ -1,0 +1,127 @@
+package graft
+
+import graft.functions.{GroupConcat, MySql}
+import graft.operators.Relational
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the type-edge and MySQL-semantics risks in
+  * SURVEY.md §7's register (decimal fixed-point convention, DIV/MOD sign
+  * rules, time roundtrips, GROUP_CONCAT contract) — the ScalaCheck
+  * replacement for the reference's issueNNNN regression long tail. */
+class PropertySpec extends AnyFunSuite {
+  private def spark = TestSession.spark
+
+  /** Minimal deterministic forAll over ScalaCheck gens (the
+    * scalatest-scalacheck bridge isn't in the offline cache). */
+  private def forAll[A](g: Gen[A], n: Int = 25)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(f)
+    }
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+  private def whenever(c: Boolean)(f: => Unit): Unit = if (c) f
+
+  /** Evaluate scalar column expressions over one generated row. */
+  private def eval1(schema: StructType, row: Row,
+                    exprs: Seq[org.apache.spark.sql.Column]): Row = {
+    val df = spark.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
+    df.select(exprs: _*).head()
+  }
+
+  private val longs = Gen.chooseNum(-1000000L, 1000000L)
+  private val nonZero = longs.suchThat(_ != 0L)
+
+  test("DIV truncates toward zero; MOD takes the dividend's sign (MySQL)") {
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType)))
+    forAll(longs, nonZero) { (a, b) =>
+      val r = eval1(schema, Row(a, b),
+        Seq(MySql.div(col("a"), col("b")).as("d"),
+          MySql.mod(col("a"), col("b")).as("m")))
+      assert(r.getLong(0) === a / b)         // JVM / truncates toward zero
+      assert(r.getLong(1) === a % b)         // JVM % follows dividend sign
+      // invariant: a = b * DIV + MOD
+      assert(a === b * r.getLong(0) + r.getLong(1))
+    }
+  }
+
+  test("TRUNCATE is toward zero at any scale") {
+    val schema = StructType(Seq(StructField("x", DoubleType)))
+    val doubles = Gen.chooseNum(-99999.0, 99999.0)
+    forAll(doubles, Gen.chooseNum(0, 4)) { (x, d) =>
+      val got = eval1(schema, Row(x),
+        Seq(MySql.truncate(col("x"), d).as("t"))).getDouble(0)
+      assert(math.abs(got) <= math.abs(x) + 1e-9)       // never away from zero
+      assert(math.signum(got) * math.signum(x) >= 0.0)  // sign preserved or 0
+      val p = math.pow(10, d)
+      assert(math.abs(got * p - math.rint(got * p)) < 1e-6) // d decimals
+    }
+  }
+
+  test("SEC_TO_TIME / TIME_TO_SEC roundtrip on [0, 86400)") {
+    val schema = StructType(Seq(StructField("s", LongType)))
+    forAll(Gen.chooseNum(0L, 86399L)) { s =>
+      val r = eval1(schema, Row(s),
+        Seq(MySql.timeToSec(MySql.secToTime(col("s"))).as("rt")))
+      assert(r.getLong(0) === s)
+    }
+  }
+
+  test("PERIOD_ADD / PERIOD_DIFF are inverse") {
+    val periods = for {
+      y <- Gen.chooseNum(1990, 2030); m <- Gen.chooseNum(1, 12)
+    } yield y * 100L + m
+    val schema = StructType(Seq(
+      StructField("p", LongType), StructField("n", LongType)))
+    forAll(periods, Gen.chooseNum(-60L, 60L)) { (p, n) =>
+      val r = eval1(schema, Row(p, n),
+        Seq(MySql.periodDiff(MySql.periodAdd(col("p"), col("n")), col("p"))
+          .as("d")))
+      assert(r.getLong(0) === n)
+    }
+  }
+
+  test("fixed-point dsum is permutation-invariant (the oracle convention)") {
+    val amounts = Gen.listOfN(24, Gen.chooseNum(-10000.0, 10000.0))
+    forAll(amounts, 8) { xs =>
+      whenever(xs.nonEmpty) {
+        val sp = spark
+        import sp.implicits._
+        def total(ys: Seq[Double]): java.math.BigDecimal =
+          ys.toDF("v").agg(sum(Relational.dec(col("v"))))
+            .head().getDecimal(0)
+        assert(total(xs) === total(scala.util.Random.shuffle(xs)))
+      }
+    }
+  }
+
+  test("GROUP_CONCAT: distinct dedups, separator joins, max_len truncates") {
+    val words = Gen.listOfN(12,
+      Gen.oneOf("ab", "cd", "ef", "gh", "ij", "kl"))
+    forAll(words, 8) { ws =>
+      whenever(ws.nonEmpty) {
+        val sp = spark
+        import sp.implicits._
+        val df = ws.toDF("w")
+        val plain = df.agg(GroupConcat.groupConcat(col("w"), sep = "|"))
+          .head().getString(0)
+        assert(plain.split('|').sorted.toSeq === ws.sorted)
+        val dist = df.agg(
+          GroupConcat.groupConcat(col("w"), sep = "|", distinct = true))
+          .head().getString(0)
+        assert(dist.split('|').toSeq === ws.distinct.sorted)
+        val cut = df.agg(
+          GroupConcat.groupConcat(col("w"), sep = "|", maxLen = 5))
+          .head().getString(0)
+        assert(cut.length <= 5)
+        assert(plain.startsWith(cut))
+      }
+    }
+  }
+}
