@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale toolkit: the shuffle-discipline primitives the 100 TB mandate
+  * calls for beyond what AQE does automatically — key salting for skew
+  * and bucketed co-located joins. The reference's analogs are its
+  * parallel partitioned hash join (core/parallel_hash_join.cpp splits
+  * build/probe by hash) and its pack-level parallelism; on Spark the
+  * same problems surface as hot shuffle partitions, and these are the
+  * standard remedies when AQE's runtime skew split (enabled in
+  * Engine.configure) isn't applicable — e.g. skewed *aggregation* keys,
+  * which AQE's skew-join handling does not cover.
+  */
+object Scale {
+
+  /** Two-stage aggregation for skewed group keys: stage 1 aggregates
+    * (key, salt) — spreading a hot key over `salts` reducers — stage 2
+    * folds the partials. Correct for any algebraic aggregate expressed as
+    * (partialExprs, finalExprs); the hot key's row volume never lands on
+    * one task. */
+  def saltedCountSum(df: DataFrame, keys: Seq[String], salts: Int,
+                     sumCol: String): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(keys.map(col) :+ spark_partition_id(): _*), lit(salts)))
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__pc"), sum(col(sumCol)).as("__ps"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__pc")).as("n"), sum(col("__ps")).as(s"sum_$sumCol"))
+  }
+
+  /** Skew-salted equi join: the big (skewed) side gets a random-ish but
+    * deterministic salt in [0, salts); the small side is replicated once
+    * per salt value (explode of a literal range). The hot key's probe
+    * rows then spread over `salts` partitions instead of one. Inner join
+    * semantics preserved exactly; output drops the salt. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    val b = big.withColumn("__salt",
+      pmod(xxhash64(col(key), spark_partition_id(),
+        monotonically_increasing_id()), lit(salts)).cast("int"))
+    val s = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write both sides bucketed on the join key so the join is co-located:
+    * no Exchange on either side of the SortMergeJoin (verified in
+    * ScaleSpec). This is the lakehouse analog of the reference keeping
+    * both relations hash-partitioned in its parallel join — at 100 TB
+    * bucket-pruned, shuffle-free joins are the difference between
+    * reading and re-shuffling the fact table. */
+  def bucketedJoin(spark: SparkSession, left: DataFrame, right: DataFrame,
+                   key: String, buckets: Int,
+                   leftName: String, rightName: String): DataFrame = {
+    def save(df: DataFrame, name: String): Unit = {
+      // drop both the catalog entry and any orphaned location (an
+      // in-memory catalog forgets tables across JVMs; the files remain)
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+      df.write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .format("parquet").saveAsTable(name)
+    }
+    save(left, leftName)
+    save(right, rightName)
+    spark.table(leftName).join(spark.table(rightName), key)
+  }
+}

@@ -52,6 +52,17 @@ object EventStream {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n_events"))
 
+  /** Streaming exact dedup on event_id with bounded state: duplicates
+    * arriving within the watermark horizon are dropped, and state for
+    * ids older than the watermark is evicted
+    * (`dropDuplicatesWithinWatermark`) — the streaming twin of
+    * `operators.Dedup.qDedupExact`, and the only way exact dedup stays
+    * O(horizon) instead of O(stream) in state at 100 TB/day. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // --- stateful sessionization ---------------------------------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

