@@ -59,6 +59,50 @@ object Similarity {
         array_sort(collect_list(struct(col("pos"), col("v")))),
         s => s.getField("v")).as("centroid"))
 
+  // --- true IVF: k-means coarse quantizer ---------------------------------
+
+  /** K-means cluster assignment over the embedding column (the real IVF
+    * coarse quantizer — spark.ml Lloyd's with a fixed seed for
+    * deterministic tests). Returns (vec_id, label, embedding, cluster).
+    * At 100 TB: train on a sample, assign in one scan, then write the
+    * table partitioned by `cluster` so probes prune at the file level. */
+  def kmeansAssign(e: DataFrame, k: Int = 8): DataFrame = {
+    val withVec = e.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(42L).setMaxIter(10).setFeaturesCol("features")
+      .fit(withVec)
+    model.transform(withVec)
+      .withColumnRenamed("prediction", "cluster")
+      .drop("features")
+  }
+
+  /** IVF with the k-means quantizer: score the query against the k
+    * centroids (tiny — computed from the assignment), probe the top-4
+    * clusters, exact re-rank inside them. Same plan shape as
+    * [[qSimIvf]], with a learned partition function instead of the label
+    * stand-in. */
+  def qSimIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val assigned = kmeansAssign(t(s, dir, "embeddings"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = queryVec(s, dir)
+    val cents = centroids(assigned.drop("label")
+        .withColumnRenamed("cluster", "label"))
+      .withColumnRenamed("label", "cluster")
+    val probed = cents.crossJoin(broadcast(q))
+      .select(col("cluster"), dot(col("centroid"), col("q_emb")).as("cscore"))
+      .orderBy(col("cscore").desc, col("cluster"))
+      .limit(4)
+      .select(col("cluster"))
+    assigned.join(broadcast(probed), Seq("cluster"))
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"), col("cluster"),
+        r6(dot(col("embedding"), col("q_emb"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+  }
+
   /** IVF search: probe the nprobe=3 closest centroids, exact re-rank
     * inside the probed clusters only. */
   def qSimIvf(s: SparkSession, dir: String): DataFrame = {
@@ -81,7 +125,8 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
-    "q_sim_ivf_topk" -> (qSimIvf _))
+    "q_sim_ivf_topk" -> (qSimIvf _),
+    "q_sim_ivf_kmeans_topk" -> (qSimIvfKmeans _))
 
   /** ANN results are not ANSI-SQL-expressible portably (list ops) —
     * rows-only checks; correctness is covered by SimilaritySpec (IVF

@@ -78,6 +78,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ivf.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("kmeans IVF: deterministic, scores bounded by brute force, recall>0") {
+    val brute = Similarity.qSimBruteForce(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val a = Similarity.qSimIvfKmeans(spark, sf).collect()
+    val b = Similarity.qSimIvfKmeans(spark, sf).collect()
+    assert(a.map(_.getAs[Long]("vec_id")).toSeq
+      === b.map(_.getAs[Long]("vec_id")).toSeq) // fixed seed → deterministic
+    val ivfIds = a.map(_.getAs[Long]("vec_id")).toSet
+    val recall = (brute intersect ivfIds).size.toDouble / brute.size
+    assert(recall >= 0.4, s"kmeans-IVF top-20 recall $recall too low")
+  }
+
   test("media features: deterministic stub, covers all docs") {
     val a = Multimodal.qMediaFeatures(spark, sf).collect()
     val b = Multimodal.qMediaFeatures(spark, sf).collect()
