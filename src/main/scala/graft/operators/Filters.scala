@@ -284,7 +284,36 @@ object Filters {
       |  '00:00:00' AS tod
       |FROM u""".stripMargin
 
+  // --- unsigned BIGINT tier (SURVEY §1.2: u64 → DECIMAL(20,0)) -----------
+
+  /** MySQL unsigned-BIGINT semantics have no 64-bit-unsigned JVM type;
+    * the mapping (SURVEY §1.2) is DECIMAL(20,0). This exercises values
+    * beyond Long.MaxValue: a 2^32-scaled sum (~8e19 at sf0.01) and
+    * arithmetic against the u64 max literal 18446744073709551615 —
+    * exact in both engines' decimal kernels. */
+  def qTypesUnsigned(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val u64 = col("l_orderkey").cast(DecimalType(20, 0))
+    t(s, dir, "lineitem")
+      .agg(
+        sum(u64 * lit(4294967296L).cast(DecimalType(20, 0)))
+          .as("scaled_sum"),
+        (lit("18446744073709551615").cast(DecimalType(20, 0))
+          - max(u64)).as("headroom_below_u64max"),
+        count(lit(1)).as("n"))
+  }
+
+  val qTypesUnsignedSql: String =
+    """SELECT
+      |  SUM(CAST(l_orderkey AS DECIMAL(20,0)) * CAST(4294967296 AS DECIMAL(20,0)))
+      |    AS scaled_sum,
+      |  CAST('18446744073709551615' AS DECIMAL(20,0))
+      |    - MAX(CAST(l_orderkey AS DECIMAL(20,0))) AS headroom_below_u64max,
+      |  COUNT(*) AS n
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_types_unsigned" -> (qTypesUnsigned _),
     "q_mysql_date_shims" -> (qMysqlDateShims _),
     "q_filter_between_in_like" -> (qFilterBetweenInLike _),
     "q_filter_null_logic" -> (qFilterNullLogic _),
@@ -296,6 +325,7 @@ object Filters {
     "q_cast_types" -> (qCastTypes _))
 
   val oracles: Map[String, String] = Map(
+    "q_types_unsigned" -> qTypesUnsignedSql,
     "q_mysql_date_shims" -> qMysqlDateShimsSql,
     "q_filter_between_in_like" -> qFilterBetweenInLikeSql,
     "q_filter_null_logic" -> qFilterNullLogicSql,
