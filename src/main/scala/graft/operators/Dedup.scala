@@ -53,33 +53,32 @@ object Dedup {
     Seq.fill(NumHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
   }
 
-  /** doc_id, sig (array of 32 minhashes).
+  /** doc_id, hs (distinct shingle hashes), sig (array of 32 minhashes).
     *
     * Shape (the 100 TB concern): shingles are exploded to (doc_id, h)
-    * rows — explode a position sequence + substr per position, so the
-    * whole stage (GenerateExec, substr, xxhash64) stays inside
-    * whole-stage codegen; building shingle *arrays* with
-    * `transform`/`array_min` higher-order lambdas is evaluated
-    * interpreted (~50M lambda calls at sf0.1). The 32 permuted minima
-    * are 32 codegen'd `min` aggregates under `groupBy(doc_id)` — pure
-    * HashAggregate with map-side partial min, so the shuffle carries one
-    * 32-long signature per doc, not per-shingle data. The distinct
-    * shingle set rides along as a `collect_set` in the same aggregate
-    * (one pass, one shuffle) for downstream exact-Jaccard verification —
-    * measured cheaper than a separate candidates-only semi-join pass,
-    * which serializes extra stages behind the LSH join. */
+    * rows and all 32 permuted minima fold into ONE custom aggregate
+    * ([[graft.functions.MinHashSigAgg]]) under `groupBy(doc_id)` — a
+    * single 32-long buffer updated in a tight JVM loop, with map-side
+    * partial aggregation, so the shuffle carries one signature per doc,
+    * never per-shingle data, and the plan stays narrow (32 declarative
+    * `min` columns pay seconds of one-shot Janino compile;
+    * `transform`/`array_min` lambdas evaluate interpreted per element —
+    * PLANS.md "measured plan lessons"). The distinct shingle set rides
+    * along as `collect_set` in the same aggregate (one pass, one
+    * shuffle) for downstream exact-Jaccard verification — measured
+    * cheaper than a separate candidates-only semi-join pass, which
+    * serializes extra stages behind the LSH join. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val grams = Engine.rebalance(docs)
       .select(col("doc_id"),
         explode(charShingles(lower(col("text")), 5)).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
-    val minCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
-      min(col("h") * lit(a) + lit(b)).as(s"m$i") }
-    val aggs = minCols.tail :+ collect_set(col("h")).as("hs")
     grams.groupBy("doc_id")
-      .agg(minCols.head, aggs: _*)
-      .select(col("doc_id"), col("hs"),
-        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+      .agg(
+        graft.functions.MinHashSigAgg.minhashSig(col("h"), hashParams)
+          .as("sig"),
+        collect_set(col("h")).as("hs"))
+      .select(col("doc_id"), col("hs"), col("sig"))
   }
 
   /** LSH candidate pairs (doc_a < doc_b), deduped across bands, with
