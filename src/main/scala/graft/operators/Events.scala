@@ -58,6 +58,28 @@ object Events {
       |)
       |GROUP BY event_type""".stripMargin
 
+  /** JSON function surface (the reference evaluates MySQL's JSON_*
+    * functions through its expression layer — cast_json_func.test;
+    * SURVEY §2.9): real JSON-path extraction from `props` with
+    * `get_json_object`, typed cast, aggregated. */
+  def qEventsJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+
+  val qEventsJsonSql: String =
+    """SELECT event_type, COUNT(k) AS n_with_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  COUNT(DISTINCT k) AS n_distinct_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type""".stripMargin
+
   /** Sessionization-style gap analysis in batch: per user, time since the
     * previous event (lag window) — events >30min after the predecessor
     * start a new session; count sessions per user. */
@@ -97,10 +119,12 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_hourly" -> (qEventsHourly _),
     "q_events_props" -> (qEventsProps _),
+    "q_events_json" -> (qEventsJson _),
     "q_events_sessions" -> (qEventsSessions _))
 
   val oracles: Map[String, String] = Map(
     "q_events_hourly" -> qEventsHourlySql,
     "q_events_props" -> qEventsPropsSql,
+    "q_events_json" -> qEventsJsonSql,
     "q_events_sessions" -> qEventsSessionsSql)
 }
