@@ -46,6 +46,16 @@ object Scale {
     b.join(s, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Hive-style partitioned write + pruned read: the directory layout IS
+    * the coarse index (the reference's nearest analog is pack skipping;
+    * at lake scale, partition pruning happens before any file is even
+    * listed into the scan). A filter on the partition column appears as
+    * `PartitionFilters` in the scan, not `PushedFilters` — verified in
+    * ScaleSpec. */
+  def partitionedWrite(df: DataFrame, path: String,
+                       partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
   /** Write both sides bucketed on the join key so the join is co-located:
     * no Exchange on either side of the SortMergeJoin (verified in
     * ScaleSpec). This is the lakehouse analog of the reference keeping

@@ -35,6 +35,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).count() === 0)
   }
 
+  test("partitioned write prunes at the partition level on read") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val ev = Engine.table(spark, sf, "events")
+    Scale.partitionedWrite(ev, s"$tmp/events_p", "event_type")
+    val one = ev.select("event_type").distinct().head().getString(0)
+    val pruned = spark.read.parquet(s"$tmp/events_p")
+      .filter(col("event_type") === one)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_type"), s"expected partition pruning:\n$plan")
+    assert(pruned.count() === ev.filter(col("event_type") === one).count())
+  }
+
   test("bucketed join plans as SortMergeJoin without a shuffle exchange") {
     val sp = spark
     val prevThreshold = sp.conf.get("spark.sql.autoBroadcastJoinThreshold")
