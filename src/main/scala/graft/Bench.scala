@@ -34,10 +34,14 @@ object Bench {
     "q_events_hourly",          // time-bucketed agg
     "q_events_sessions",        // lag/session analytics
     "q_text_quality",           // text scoring scan
+    "q_text_tokens",            // BPE-ish regex token count
     "q_dedup_exact",            // hash dedup
     "q_dedup_minhash",          // LSH near-dup
     "q_sim_bruteforce_topk",    // ANN baseline
-    "q_sim_ivf_topk")           // ANN probe path
+    "q_sim_ivf_topk",           // ANN probe path
+    "q_events_json",            // JSON extraction
+    "q_sample_hashmod",         // deterministic sampling
+    "q_dml_upsert")             // batch upsert view
 
   def runOne(spark: SparkSession, name: String, sfDir: String): Double = {
     val t0 = System.nanoTime()
