@@ -38,10 +38,41 @@ class GroupConcat(sep: String, distinct: Boolean, maxLen: Int)
   override def outputEncoder: Encoder[String] = Encoders.STRING
 }
 
+/** `GROUP_CONCAT(value ORDER BY key [DESC])`: buffers (key, value)
+  * pairs, sorts by the key at finish (ties broken by value for
+  * determinism), emits the joined values. */
+class GroupConcatOrdered(sep: String, desc: Boolean, maxLen: Int)
+    extends Aggregator[(String, String), List[(String, String)], String] {
+  override def zero: List[(String, String)] = Nil
+  override def reduce(b: List[(String, String)],
+                      a: (String, String)): List[(String, String)] =
+    if (a == null || a._2 == null) b else a :: b
+  override def merge(a: List[(String, String)],
+                     b: List[(String, String)]): List[(String, String)] =
+    a ::: b
+  override def finish(r: List[(String, String)]): String = {
+    val sorted = r.sortBy(p => (p._1, p._2))
+    val ordered = if (desc) sorted.reverse else sorted
+    val s = ordered.map(_._2).mkString(sep)
+    if (maxLen > 0 && s.length > maxLen) s.substring(0, maxLen) else s
+  }
+  override def bufferEncoder: Encoder[List[(String, String)]] =
+    ExpressionEncoder[List[(String, String)]]()
+  override def outputEncoder: Encoder[String] = Encoders.STRING
+}
+
 object GroupConcat {
   /** `group_concat(c)` with MySQL-ish defaults (ascending order, no
     * truncation unless maxLen > 0). */
   def groupConcat(c: Column, sep: String = ",", distinct: Boolean = false,
                   maxLen: Int = 0): Column =
     udaf(new GroupConcat(sep, distinct, maxLen)).apply(c)
+
+  /** `group_concat(value ORDER BY key [DESC] SEPARATOR sep)` — the
+    * reference captures the ORDER BY in its SpecialInstruction
+    * (core/temp_table.h:49-52); here the sort key travels in the buffer. */
+  def groupConcatOrderBy(value: Column, orderKey: Column, sep: String = ",",
+                         desc: Boolean = false, maxLen: Int = 0): Column =
+    udaf(new GroupConcatOrdered(sep, desc, maxLen))
+      .apply(orderKey.cast("string"), value.cast("string"))
 }

@@ -8,16 +8,19 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`embedding: array<float>`, unit-normalized → dot = cosine).
   *
-  * Two tiers, per the training-pipeline mandate:
+  * Three tiers, per the training-pipeline mandate:
   *  - brute force: broadcast the query vector, score every row, top-k via
   *    TakeOrderedAndProject — exact, one scan, no shuffle; the baseline
   *    and the in-partition kernel of every ANN scheme.
-  *  - IVF: coarse quantizer = per-cluster centroids (here the `label`
-  *    column stands in for a k-means assignment — the partition/probe
-  *    plumbing is identical); score the query against centroids, probe the
-  *    top-`nprobe` clusters, brute-force only inside them. At 100 TB the
-  *    table is partitioned by cluster id, so a probe reads only its
-  *    clusters' files (partition pruning).
+  *  - IVF (label-blocked): coarse quantizer = per-cluster centroids with
+  *    the `label` column as the partition function; score the query
+  *    against centroids, probe the top-`nprobe` clusters, brute-force
+  *    only inside them.
+  *  - IVF (learned): same probe plan with a real k-means quantizer
+  *    ([[kmeansAssign]], spark.ml, fixed seed).
+  * At 100 TB the table is written partitioned by cluster id, so a probe
+  * reads only its clusters' files (partition pruning — see
+  * Scale.partitionedWrite).
   */
 object Similarity {
 

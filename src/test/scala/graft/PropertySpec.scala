@@ -101,6 +101,18 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("GROUP_CONCAT ORDER BY: values emitted in key order, both directions") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("3", "c"), ("1", "a"), ("2", "b")).toDF("k", "v")
+    val asc = df.agg(GroupConcat.groupConcatOrderBy(col("v"), col("k"),
+      sep = "-")).head().getString(0)
+    assert(asc === "a-b-c")
+    val desc = df.agg(GroupConcat.groupConcatOrderBy(col("v"), col("k"),
+      sep = "-", desc = true)).head().getString(0)
+    assert(desc === "c-b-a")
+  }
+
   test("GROUP_CONCAT: distinct dedups, separator joins, max_len truncates") {
     val words = Gen.listOfN(12,
       Gen.oneOf("ab", "cd", "ef", "gh", "ij", "kl"))
