@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Engine
 import graft.functions.SimHash64.simhash64
-import graft.functions.Vectors.{charShingles, dot}
+import graft.functions.Vectors.dot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -71,8 +71,8 @@ object Dedup {
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val grams = Engine.rebalance(docs)
       .select(col("doc_id"),
-        explode(charShingles(lower(col("text")), 5)).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+        explode(graft.functions.ShingleHash64
+          .shingleHash64(lower(col("text")), 5)).as("h"))
     grams.groupBy("doc_id")
       .agg(
         graft.functions.MinHashSigAgg.minhashSig(col("h"), hashParams)
@@ -163,9 +163,9 @@ object Dedup {
     val bucketWidth = 64
     val d = Engine.rebalance(t(s, dir, "documents"))
       .select(col("doc_id"),
-        // int64-hashed shingles: set ops compare longs, not strings
-        transform(charShingles(lower(col("text")), 5),
-          x => xxhash64(x)).as("sh"),
+        // int64-hashed shingles in one native pass: set ops compare longs
+        graft.functions.ShingleHash64
+          .shingleHash64(lower(col("text")), 5).as("sh"),
         floor(length(col("text")) / bucketWidth).cast("long").as("lb"))
     val exploded = d.select(col("doc_id"), col("sh"),
       explode(array(col("lb"), col("lb") + 1)).as("bucket"))

@@ -46,6 +46,30 @@ object Scale {
     b.join(s, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Banded range join: `l.v BETWEEN r.lo AND r.hi` as an equi join.
+    * Catalyst plans a raw interval predicate as BroadcastNestedLoopJoin —
+    * O(|l|·|r|) and driver-memory-bound — which is exactly the plan shape
+    * that dies at 100 TB. Banding restores an equi key: each left row
+    * lands in one band of width `bandWidth`, each right interval explodes
+    * into the bands it covers, the join shuffles on the band, and the
+    * exact interval check runs as a residual filter. Every (l, r) pair
+    * can only meet in l's single band, so no dedup is needed. Right
+    * explode factor = avg interval width / bandWidth — pick bandWidth
+    * near the typical interval width. (The reference's sort-merge join
+    * for range predicates, optimizer/joiner_sort.h:30, plays this role
+    * single-node.) */
+  def bandedRangeJoin(l: DataFrame, lVal: String, r: DataFrame,
+                      lo: String, hi: String, bandWidth: Long): DataFrame = {
+    val lb = l.withColumn("__band",
+      floor(col(lVal) / bandWidth).cast("long"))
+    val rb = r.withColumn("__band",
+      explode(sequence(floor(col(lo) / bandWidth).cast("long"),
+        floor(col(hi) / bandWidth).cast("long"))))
+    lb.join(rb, Seq("__band"))
+      .where(col(lVal) >= col(lo) && col(lVal) <= col(hi))
+      .drop("__band")
+  }
+
   /** Hive-style partitioned write + pruned read: the directory layout IS
     * the coarse index (the reference's nearest analog is pack skipping;
     * at lake scale, partition pruning happens before any file is even

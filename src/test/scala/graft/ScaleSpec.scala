@@ -35,6 +35,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).count() === 0)
   }
 
+  test("banded range join equals the nested-loop range join") {
+    val sup = Engine.table(spark, sf, "supplier")
+      .select("s_suppkey", "s_acctbal")
+    val ranges = Engine.table(spark, sf, "customer")
+      .filter(col("c_custkey") % 20 === 0)
+      .select(col("c_custkey"),
+        (col("c_acctbal") - 500.0).as("lo"),
+        (col("c_acctbal") + 500.0).as("hi"))
+    val plain = sup.join(ranges,
+      col("s_acctbal") >= col("lo") && col("s_acctbal") <= col("hi"))
+    val banded = Scale.bandedRangeJoin(sup, "s_acctbal", ranges,
+      "lo", "hi", bandWidth = 500L)
+    assert(plain.count() === banded.count())
+    assert(plain.exceptAll(banded).count() === 0)
+    assert(banded.exceptAll(plain).count() === 0)
+  }
+
   test("partitioned write prunes at the partition level on read") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     val ev = Engine.table(spark, sf, "events")
