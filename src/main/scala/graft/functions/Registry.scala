@@ -12,6 +12,8 @@ object Registry {
     // Native Catalyst expression → plain SQL function.
     GraftSqlBridge.registerFunction(spark, "simhash64",
       exprs => SimHash64(exprs.head))
+    GraftSqlBridge.registerFunction(spark, "shingle_hash64",
+      exprs => ShingleHash64(exprs.head, 5))
     // MySQL GROUP_CONCAT defaults (comma separator, sorted, no limit).
     spark.udf.register("group_concat", udaf(new GroupConcat(",", false, 0)))
     spark.udf.register("group_concat_distinct",

@@ -28,7 +28,8 @@ object CsvLoader {
     * `trailingDelimiter`. */
   def load(spark: SparkSession, path: String, schema: StructType,
            delimiter: String = ",", quote: String = "\"",
-           trailingDelimiter: Boolean = false): LoadResult = {
+           trailingDelimiter: Boolean = false,
+           nullValue: String = "\\N"): LoadResult = {
     val readSchema0 =
       if (trailingDelimiter) schema.add("_trailing", "string")
       else schema
@@ -37,6 +38,8 @@ object CsvLoader {
       .schema(readSchema)
       .option("delimiter", delimiter)
       .option("quote", quote)
+      // MySQL LOAD DATA spells NULL as \N (sql/sql_load semantics)
+      .option("nullValue", nullValue)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .csv(path)

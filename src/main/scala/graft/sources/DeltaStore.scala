@@ -53,6 +53,17 @@ class DeltaStore(spark: SparkSession, root: String) {
     fs.delete(new Path(deltaPath), true)
   }
 
+  /** TRUNCATE analog (the reference's TianmuTable::Truncate,
+    * core/tianmu_table.h:76): keep the schema, drop all rows — base is
+    * overwritten with an empty frame, delta cleared. */
+  def truncate(): Unit = {
+    val empty = spark.read.parquet(basePath).limit(0)
+    empty.write.mode("overwrite").parquet(s"$root/_staging")
+    fs.delete(new Path(basePath), true)
+    fs.rename(new Path(s"$root/_staging"), new Path(basePath))
+    fs.delete(new Path(deltaPath), true)
+  }
+
   /** Rows currently sitting in the unmerged delta. */
   def deltaCount(): Long =
     if (exists(deltaPath)) spark.read.parquet(deltaPath).count() else 0L

@@ -40,6 +40,33 @@ class IngestSpec extends AnyFunSuite {
       === li.filter(col("l_orderkey") === 1).count())
   }
 
+  test("load treats \\N as NULL (MySQL LOAD DATA convention)") {
+    val tmp = Files.createTempDirectory("graft_null").toString
+    val f = Paths.get(tmp, "t.csv")
+    Files.write(f, "1|alpha|10\n2|\\N|20\n3|gamma|\\N\n".getBytes)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, name STRING, v INT")
+    val res = CsvLoader.load(spark, f.toString, schema, delimiter = "|")
+    assert(res.rejects.count() === 0)
+    val rows = res.clean.orderBy("id").collect()
+    assert(rows(1).isNullAt(1) && rows(2).isNullAt(2))
+    assert(rows(0).getString(1) === "alpha")
+  }
+
+  test("delta store truncate keeps schema, drops all rows") {
+    val tmp = Files.createTempDirectory("graft_trunc").toString
+    val c = Engine.table(spark, sf, "customer")
+    val store = new DeltaStore(spark, tmp)
+    store.writeBase(c)
+    store.append(c.limit(5))
+    store.truncate()
+    assert(store.read().count() === 0)
+    assert(store.read().schema === c.schema)
+    // still usable after truncate
+    store.append(c.limit(7))
+    assert(store.read().count() === 7)
+  }
+
   test("export (INTO OUTFILE analog) roundtrips through load") {
     val tmp = Files.createTempDirectory("graft_out").toString
     val nation = Engine.table(spark, sf, "nation")
