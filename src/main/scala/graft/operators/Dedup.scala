@@ -55,72 +55,86 @@ object Dedup {
 
   /** doc_id, hs (distinct shingle hashes), sig (array of 32 minhashes).
     *
-    * Shape (the 100 TB concern): shingles are exploded to (doc_id, h)
-    * rows and all 32 permuted minima fold into ONE custom aggregate
-    * ([[graft.functions.MinHashSigAgg]]) under `groupBy(doc_id)` — a
-    * single 32-long buffer updated in a tight JVM loop, with map-side
-    * partial aggregation, so the shuffle carries one signature per doc,
-    * never per-shingle data, and the plan stays narrow (32 declarative
-    * `min` columns pay seconds of one-shot Janino compile;
-    * `transform`/`array_min` lambdas evaluate interpreted per element —
-    * PLANS.md "measured plan lessons"). The distinct shingle set rides
-    * along as `collect_set` in the same aggregate (one pass, one
-    * shuffle) for downstream exact-Jaccard verification — measured
-    * cheaper than a separate candidates-only semi-join pass, which
-    * serializes extra stages behind the LSH join. */
+    * Shape (the 100 TB concern): a MinHash signature is a per-document
+    * scalar — min over a shingle multiset equals min over its distinct
+    * set — so it needs NO aggregation boundary at all. One native
+    * expression ([[graft.functions.MinHashShingleSig]]) walks the text
+    * once, dedups shingle hashes in an open-addressed set, and folds all
+    * 32 permutation minima in the same pass, entirely where the text
+    * already lives. Zero shuffle; the only exchange left in the pipeline
+    * is the (band, bhash) LSH join. (Round-1 shape — explode to
+    * per-shingle rows → groupBy(doc_id) with a custom
+    * TypedImperativeAggregate + collect_set — shuffled ~1000× the corpus
+    * in per-shingle rows and was the top bench entry at 7.4 s;
+    * [[graft.functions.MinHashSigAgg]] remains for genuinely grouped
+    * token streams.)
+    *
+    * The struct is projected in a separate select on purpose: Catalyst's
+    * CollapseProject keeps the producing projection because `mh` is
+    * non-cheap and referenced twice, so the pass runs once per row. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val grams = Engine.rebalance(docs)
+    Engine.rebalance(docs)
       .select(col("doc_id"),
-        explode(graft.functions.ShingleHash64
-          .shingleHash64(lower(col("text")), 5)).as("h"))
-    grams.groupBy("doc_id")
-      .agg(
-        graft.functions.MinHashSigAgg.minhashSig(col("h"), hashParams)
-          .as("sig"),
-        collect_set(col("h")).as("hs"))
-      .select(col("doc_id"), col("hs"), col("sig"))
+        graft.functions.MinHashShingleSig
+          .minhashShingleSig(lower(col("text")), 5, hashParams).as("mh"))
+      .select(col("doc_id"), col("mh.hs").as("hs"), col("mh.sig").as("sig"))
   }
 
-  /** LSH candidate pairs (doc_a < doc_b), deduped across bands, with
-    * signatures + shingle sets re-attached.
+  /** Minimum signature agreement for a candidate to reach exact
+    * verification: 8 of 32 minhashes (est ≥ 0.25). For a true pair at the
+    * jaccard-0.5 output threshold the miss probability is
+    * P(Binomial(32, 0.5) < 8) ≈ 2e-4; any pair this drops would also
+    * violate the operator's est-tracks-jaccard contract (|est−jac| ≤
+    * 0.25, LlmOpsSpec). */
+  private val MinSigAgree = 8
+
+  /** LSH candidate pairs (doc_a < doc_b) with signature-estimated
+    * jaccard, deduped across bands, shingle sets attached for survivors.
     *
-    * Shuffle discipline (the 100 TB concern): the band self-join carries
-    * ONLY (band, bhash, doc_id) — never the signatures or shingle sets,
-    * which would be duplicated ×8 by the band explode. They are
-    * re-attached afterwards, for the (tiny) surviving candidate set only;
-    * `sigs` should be persisted by the caller so the three consumers
-    * share one computation. */
+    * Shuffle discipline (the 100 TB concern), in three tiers:
+    *  1. the band self-join carries (band, bhash, doc_id, sig) — the
+    *     signature is 8·32 B, so ×8 band duplication is cheap, and both
+    *     join sides derive from the same exchange (AQE ReuseExchange: one
+    *     shuffle, not two). The shingle SETS (~KBs per doc) are never
+    *     duplicated through the bands.
+    *  2. candidates must agree on ≥ [[MinSigAgree]] minhashes — computed
+    *     inline from the carried signatures, cutting the candidate set
+    *     before anything heavy moves.
+    *  3. only survivors join back (by doc id) to fetch the shingle sets
+    *     for exact verification; `sigs` should be persisted by the caller
+    *     so the three consumers share one computation. */
   def lshCandidates(sigs: DataFrame): DataFrame = {
+    import graft.functions.LshOps
     val nBands = NumHashes / BandSize
-    val bands = sigs.select(col("doc_id"),
-      posexplode(array((0 until nBands).map { b =>
-        xxhash64((0 until BandSize)
-          .map(i => col("sig").getItem(b * BandSize + i)): _*)
-      }: _*)).as(Seq("band", "bhash")))
-    val l = bands.select(col("band"), col("bhash"), col("doc_id").as("doc_a"))
-    val r = bands.select(col("band"), col("bhash"), col("doc_id").as("doc_b"))
-    val pairs = l.join(r, Seq("band", "bhash"))
+    // band index is folded into the hash seed (BandHashes64), so one long
+    // is the whole join key
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      explode(LshOps.bandHashes64(col("sig"), nBands, BandSize)).as("bhash"))
+    val l = bands.select(col("bhash"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val r = bands.select(col("bhash"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val pairs = l.join(r, Seq("bhash"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        LshOps.sigAgree(col("sig_a"), col("sig_b")).as("agree"))
+      .where(col("agree") >= MinSigAgree)
       .dropDuplicates("doc_a", "doc_b")
     pairs
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-        col("hs").as("sh_a")), Seq("doc_a"))
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-        col("hs").as("sh_b")), Seq("doc_b"))
+      .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("sh_a")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("sh_b")),
+        Seq("doc_b"))
   }
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification of the
-    * candidates (intersection/union over the 5-gram shingle sets). */
+    * candidates (one-pass set intersection over the 5-gram shingle
+    * sets — [[graft.functions.LshOps.JaccardLong]]). */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSignatures(t(s, dir, "documents"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val est = aggregate(
-      zip_with(col("sig_a"), col("sig_b"),
-        (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast("double") / NumHashes
-    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-      size(array_union(col("sh_a"), col("sh_b")))
+    val est = col("agree").cast("double") / NumHashes
+    val jac = graft.functions.LshOps.jaccardLong(col("sh_a"), col("sh_b"))
     lshCandidates(sigs)
       .select(col("doc_a"), col("doc_b"),
         r6(est).as("est_jaccard"), r6(jac).as("jaccard"))

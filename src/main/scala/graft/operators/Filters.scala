@@ -288,16 +288,20 @@ object Filters {
 
   /** MySQL unsigned-BIGINT semantics have no 64-bit-unsigned JVM type;
     * the mapping (SURVEY §1.2) is DECIMAL(20,0). This exercises values
-    * beyond Long.MaxValue: a 2^32-scaled sum (~8e19 at sf0.01) and
+    * beyond Long.MaxValue: a 2^32-scaled sum (~2e18 at sf0.01) and
     * arithmetic against the u64 max literal 18446744073709551615 —
-    * exact in both engines' decimal kernels. */
+    * exact in both engines' decimal kernels. The product operands are
+    * DECIMAL(18,0) so the result width (36) stays under every engine's
+    * 38-digit cap — a width-40 multiply silently falls back to DOUBLE
+    * in some DuckDB versions, which breaks exactness past 2^53. */
   def qTypesUnsigned(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val u64 = col("l_orderkey").cast(DecimalType(20, 0))
+    val n18 = col("l_orderkey").cast(DecimalType(18, 0))
     t(s, dir, "lineitem")
       .agg(
-        sum(u64 * lit(4294967296L).cast(DecimalType(20, 0)))
-          .as("scaled_sum"),
+        sum(n18 * lit(4294967296L).cast(DecimalType(18, 0)))
+          .cast(DecimalType(38, 0)).as("scaled_sum"),
         (lit("18446744073709551615").cast(DecimalType(20, 0))
           - max(u64)).as("headroom_below_u64max"),
         count(lit(1)).as("n"))
@@ -305,8 +309,8 @@ object Filters {
 
   val qTypesUnsignedSql: String =
     """SELECT
-      |  SUM(CAST(l_orderkey AS DECIMAL(20,0)) * CAST(4294967296 AS DECIMAL(20,0)))
-      |    AS scaled_sum,
+      |  CAST(SUM(CAST(l_orderkey AS DECIMAL(18,0)) * CAST(4294967296 AS DECIMAL(18,0)))
+      |    AS DECIMAL(38,0)) AS scaled_sum,
       |  CAST('18446744073709551615' AS DECIMAL(20,0))
       |    - MAX(CAST(l_orderkey AS DECIMAL(20,0))) AS headroom_below_u64max,
       |  COUNT(*) AS n
