@@ -55,6 +55,18 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Per-query protocol: run 3×, report the average — the same protocol
+    * as the reference's published baseline (BASELINE.md: each TPC-H
+    * query run 3×, average reported; tcph-test-report.md:57 of the
+    * reference repo). The first run carries the plan's one-shot Janino
+    * compile; averaging amortizes it exactly as the baseline does. */
+  val RunsPerQuery = 3
+
+  def runAvg(spark: SparkSession, name: String, sfDir: String): Double = {
+    val times = (1 to RunsPerQuery).map(_ => runOne(spark, name, sfDir))
+    if (times.exists(_ < 0)) -1.0 else times.sum / RunsPerQuery
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -65,12 +77,12 @@ object Bench {
     // measure the plan, not classloading.
     runOne(spark, "q06_forecast_revenue", sfDir)
 
-    val results = headline.map(n => n -> runOne(spark, n, sfDir))
+    val results = headline.map(n => n -> runAvg(spark, n, sfDir))
     val qs = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$RunsPerQuery,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

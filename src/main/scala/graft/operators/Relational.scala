@@ -25,11 +25,20 @@ object Relational {
     Engine.table(s, dir, n)
 
   /** Fixed-point (scale 4) image of a double expression, as an exact
-    * decimal. `floor(v*1e4 + 0.5)` is pure IEEE arithmetic — bit-identical
+    * integer. `floor(v*1e4 + 0.5)` is pure IEEE arithmetic — bit-identical
     * in any engine — unlike a double→DECIMAL cast, whose rounding differs
-    * between DuckDB (scaled-double) and the JVM (exact binary expansion). */
+    * between DuckDB (scaled-double) and the JVM (exact binary expansion).
+    *
+    * The scaled image is a BIGINT, not a DECIMAL: long-sum hash
+    * aggregation is markedly cheaper than decimal-sum (q01's 8 aggregates
+    * run in the scan stage), and the sum stays exact far past any
+    * realistic scale — |v|·1e4 ≤ ~1e9 for every monetary column, so
+    * overflow needs > 9e9 rows PER GROUP (TPC-H SF1500's lineitem).
+    * DuckDB's SUM(BIGINT) widens to HUGEINT; both engines convert the
+    * identical exact integer to double with IEEE round-half-even, so the
+    * final doubles are bit-identical. */
   def dec(c: Column): Column =
-    floor(c * lit(10000.0) + lit(0.5)).cast(DecimalType(20, 0))
+    floor(c * lit(10000.0) + lit(0.5)).cast(LongType)
   /** Exact, order-independent sum of a double expression, as double. */
   def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType) / lit(10000.0)
   /** Exact average of a double expression, returned as double. */
@@ -37,7 +46,7 @@ object Relational {
 
   /** Oracle-SQL fragments applying the identical fixed-point convention. */
   def sqlDec(e: String): String =
-    s"CAST(FLOOR(($e) * 10000.0 + 0.5) AS DECIMAL(20,0))"
+    s"CAST(FLOOR(($e) * 10000.0 + 0.5) AS BIGINT)"
   def sqlDsum(e: String, alias: String): String =
     s"CAST(SUM(${sqlDec(e)}) AS DOUBLE) / 10000.0 AS $alias"
   def sqlDavg(e: String, alias: String): String =
