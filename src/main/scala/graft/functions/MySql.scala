@@ -177,6 +177,49 @@ object MySql {
 
   /** MySQL `TIMESTAMPDIFF(unit, a, b)` — complete units from a to b,
     * truncated toward zero. */
+  /** MySQL STRCMP(a, b) → -1/0/1 (string collation compare). */
+  def strcmp(a: Column, b: Column): Column =
+    when(a < b, -1).when(a === b, 0).otherwise(1)
+
+  /** MySQL ELT(n, s1, s2, …): 1-based pick, NULL out of range. */
+  def elt(n: Column, ss: Column*): Column =
+    ss.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (s, i)) => when(n === (i + 1), s).otherwise(acc)
+    }
+
+  /** MySQL FIELD(s, s1, s2, …): 1-based index of s, 0 if absent. */
+  def field(s: Column, ss: Column*): Column =
+    ss.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (c, i)) => when(s === c, i + 1).otherwise(acc)
+    }
+
+  /** MySQL STR_TO_DATE with a %-pattern (date-only patterns). Parsing
+    * uses single-letter Java fields (`d,M,y`), which accept both padded
+    * and unpadded digits the way MySQL does — the format-oriented
+    * translation (`dd,MM`) would reject STR_TO_DATE('01,5,2013', …).
+    * Numeric day/month fields are remapped to their lenient aliases
+    * (%d→%e, %m→%c) and yyyy→y; name fields
+    * (%M/%b/%W/%a) pass through unchanged. */
+  def strToDate(s: Column, mysqlFmt: String): Column = {
+    val parseFmt = mysqlFmt
+      .replace("%d", "%e").replace("%m", "%c").replace("%Y", "%")
+    val javaFmt = mysqlFormatToJava(parseFmt.replace("%", "%y"))
+      .replace("yy", "y")
+    to_date(s, javaFmt)
+  }
+
+  /** MySQL MAKEDATE(year, dayofyear); NULL for dayofyear < 1. */
+  def makedate(year: Column, doy: Column): Column =
+    when(doy >= 1,
+      date_add(make_date(year, lit(1), lit(1)), doy.cast("int") - 1))
+
+  /** Days since year 0 (MySQL TO_DAYS); 719528 = TO_DAYS('1970-01-01'). */
+  val EpochToDays = 719528L
+  def toDays(d: Column): Column =
+    datediff(d, lit("1970-01-01").cast("date")).cast("long") + EpochToDays
+  def fromDays(n: Column): Column =
+    date_add(lit("1970-01-01").cast("date"), (n - EpochToDays).cast("int"))
+
   def timestampDiff(unit: String, a: Column, b: Column): Column = {
     def usDiv(us: Long): Column =
       div(unix_micros(b.cast("timestamp")) - unix_micros(a.cast("timestamp")),

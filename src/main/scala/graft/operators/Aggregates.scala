@@ -137,13 +137,28 @@ object Aggregates {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
 
+  /** CUBE — all grouping-set combinations (surplus vs. reference, which
+    * rejects even ROLLUP to the row engine — core/query_compile.cpp:70). */
+  def qAggCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+
+  val qAggCubeSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  ${sqlDsum("o_totalprice", "sum_price")}
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_stats" -> (qAggStats _),
     "q_agg_bits" -> (qAggBits _),
     "q_agg_group_concat" -> (qAggGroupConcat _),
     "q_agg_having" -> (qAggHaving _),
-    "q_agg_rollup" -> (qAggRollup _))
+    "q_agg_rollup" -> (qAggRollup _),
+    "q_agg_cube" -> (qAggCube _))
 
   val oracles: Map[String, String] = Map(
     "q_agg_distinct" -> qAggDistinctSql,
@@ -151,5 +166,6 @@ object Aggregates {
     "q_agg_bits" -> qAggBitsSql,
     "q_agg_group_concat" -> qAggGroupConcatSql,
     "q_agg_having" -> qAggHavingSql,
-    "q_agg_rollup" -> qAggRollupSql)
+    "q_agg_rollup" -> qAggRollupSql,
+    "q_agg_cube" -> qAggCubeSql)
 }

@@ -284,6 +284,120 @@ object Filters {
       |  '00:00:00' AS tod
       |FROM u""".stripMargin
 
+  // --- bitwise operators (func_bit.test tier, §2.9) ----------------------
+
+  /** Row-level bit algebra: AND/OR/XOR/shifts/BIT_COUNT (MySQL `&,|,^,
+    * <<,>>,BIT_COUNT`; evaluated by the MySQL Item layer in the
+    * reference — SURVEY §2.9). */
+  def qFuncBit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").bitwiseAND(col("l_suppkey")).as("pk_and_sk"),
+        col("l_partkey").bitwiseOR(col("l_suppkey")).as("pk_or_sk"),
+        col("l_partkey").bitwiseXOR(col("l_suppkey")).as("pk_xor_sk"),
+        shiftleft(col("l_linenumber"), 4).as("ln_shl4"),
+        shiftright(col("l_partkey"), 2).as("pk_shr2"),
+        bit_count(col("l_partkey")).as("pk_bits"))
+
+  val qFuncBitSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_partkey & l_suppkey AS pk_and_sk,
+      |  l_partkey | l_suppkey AS pk_or_sk,
+      |  xor(l_partkey, l_suppkey) AS pk_xor_sk,
+      |  CAST(l_linenumber << 4 AS INTEGER) AS ln_shl4,
+      |  CAST(l_partkey >> 2 AS INTEGER) AS pk_shr2,
+      |  CAST(bit_count(CAST(l_partkey AS BIGINT)) AS INTEGER) AS pk_bits
+      |FROM lineitem
+      |WHERE l_orderkey < 100""".stripMargin
+
+  // --- CONV base conversion (convert_conv_func.test tier, §2.9) ----------
+
+  def qFuncConv(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") < 400)
+      .select(
+        col("p_partkey"),
+        conv(col("p_partkey").cast("string"), 10, 16).as("key_hex"),
+        conv(col("p_partkey").cast("string"), 10, 2).as("key_bin"),
+        conv(col("p_size").cast("string"), 10, 8).as("size_oct"),
+        hex(col("p_size")).as("size_hex"))
+
+  val qFuncConvSql: String =
+    """SELECT p_partkey,
+      |  UPPER(to_hex(p_partkey)) AS key_hex,
+      |  bin(p_partkey) AS key_bin,
+      |  to_base(p_size, 8) AS size_oct,
+      |  UPPER(to_hex(p_size)) AS size_hex
+      |FROM part
+      |WHERE p_partkey < 400""".stripMargin
+
+  // --- string function tier 2 (STRCMP/ELT/FIELD/REPEAT/ASCII, §2.9) ------
+
+  def qStringFuncs2(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MySql
+    t(s, dir, "customer")
+      .filter(col("c_custkey") < 150)
+      .select(
+        col("c_custkey"),
+        repeat(substring(col("c_mktsegment"), 1, 2), 3).as("seg_rep"),
+        rpad(col("c_mktsegment"), 12, ".").as("seg_rpad"),
+        ascii(col("c_name")).as("name_ascii"),
+        MySql.strcmp(col("c_mktsegment"), lit("BUILDING")).as("seg_cmp"),
+        MySql.elt((col("c_custkey") % 3).cast("int") + 1,
+          lit("alpha"), lit("beta"), lit("gamma")).as("bucket_name"),
+        MySql.field(col("c_mktsegment"),
+          lit("AUTOMOBILE"), lit("BUILDING"), lit("MACHINERY"))
+          .as("seg_field"))
+  }
+
+  val qStringFuncs2Sql: String =
+    """SELECT c_custkey,
+      |  repeat(substr(c_mktsegment, 1, 2), 3) AS seg_rep,
+      |  rpad(c_mktsegment, 12, '.') AS seg_rpad,
+      |  CAST(ascii(c_name) AS INTEGER) AS name_ascii,
+      |  CASE WHEN c_mktsegment < 'BUILDING' THEN -1
+      |       WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END AS seg_cmp,
+      |  CASE CAST(c_custkey % 3 AS INTEGER) + 1
+      |       WHEN 1 THEN 'alpha' WHEN 2 THEN 'beta' WHEN 3 THEN 'gamma'
+      |  END AS bucket_name,
+      |  CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 1 WHEN 'BUILDING' THEN 2
+      |       WHEN 'MACHINERY' THEN 3 ELSE 0 END AS seg_field
+      |FROM customer
+      |WHERE c_custkey < 150""".stripMargin
+
+  // --- date parse/construct tier (STR_TO_DATE/MAKEDATE/TO_DAYS, §2.9) ----
+
+  def qDateStrFuncs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MySql
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 300)
+      .select(
+        col("o_orderkey"),
+        MySql.strToDate(date_format(col("o_orderdate"), "dd/MM/yyyy"),
+          "%d/%m/%Y").as("roundtrip"),
+        MySql.makedate(year(col("o_orderdate")),
+          dayofyear(col("o_orderdate"))).as("made"),
+        MySql.toDays(col("o_orderdate")).as("to_days"),
+        MySql.fromDays(MySql.toDays(col("o_orderdate")) + 30)
+          .as("plus30_via_days"))
+  }
+
+  val qDateStrFuncsSql: String =
+    """SELECT o_orderkey,
+      |  strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y')::DATE
+      |    AS roundtrip,
+      |  make_date(CAST(year(o_orderdate) AS INTEGER), 1, 1)
+      |    + CAST(dayofyear(o_orderdate) - 1 AS INTEGER) AS made,
+      |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |    + 719528 AS BIGINT) AS to_days,
+      |  DATE '1970-01-01'
+      |    + CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |           + 30 AS INTEGER) AS plus30_via_days
+      |FROM orders
+      |WHERE o_orderkey < 300""".stripMargin
+
   // --- unsigned BIGINT tier (SURVEY §1.2: u64 → DECIMAL(20,0)) -----------
 
   /** MySQL unsigned-BIGINT semantics have no 64-bit-unsigned JVM type;
@@ -326,7 +440,11 @@ object Filters {
     "q_date_funcs" -> (qDateFuncs _),
     "q_math_funcs" -> (qMathFuncs _),
     "q_case_flow" -> (qCaseFlow _),
-    "q_cast_types" -> (qCastTypes _))
+    "q_cast_types" -> (qCastTypes _),
+    "q_func_bit" -> (qFuncBit _),
+    "q_func_conv" -> (qFuncConv _),
+    "q_string_funcs2" -> (qStringFuncs2 _),
+    "q_date_str_funcs" -> (qDateStrFuncs _))
 
   val oracles: Map[String, String] = Map(
     "q_types_unsigned" -> qTypesUnsignedSql,
@@ -338,5 +456,9 @@ object Filters {
     "q_date_funcs" -> qDateFuncsSql,
     "q_math_funcs" -> qMathFuncsSql,
     "q_case_flow" -> qCaseFlowSql,
-    "q_cast_types" -> qCastTypesSql)
+    "q_cast_types" -> qCastTypesSql,
+    "q_func_bit" -> qFuncBitSql,
+    "q_func_conv" -> qFuncConvSql,
+    "q_string_funcs2" -> qStringFuncs2Sql,
+    "q_date_str_funcs" -> qDateStrFuncsSql)
 }

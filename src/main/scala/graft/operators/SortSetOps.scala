@@ -84,17 +84,54 @@ object SortSetOps {
       |UNION
       |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000""".stripMargin
 
+  /** INTERSECT (distinct) — surplus vs. the reference (MySQL 5.7 has only
+    * UNION, SURVEY.md §2.8); Catalyst plans it as a left-semi join over
+    * distinct sides. */
+  def qIntersect(s: SparkSession, dir: String): DataFrame = {
+    val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("custkey"))
+    val active = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey").as("custkey"))
+    rich.intersect(active)
+  }
+
+  val qIntersectSql: String =
+    """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+      |INTERSECT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000""".stripMargin
+
+  /** EXCEPT (distinct) — surplus vs. the reference; plans as left-anti. */
+  def qExcept(s: SparkSession, dir: String): DataFrame = {
+    val building = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val bigSpenders = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 350000)
+      .select(col("o_custkey").as("custkey"))
+    building.except(bigSpenders)
+  }
+
+  val qExceptSql: String =
+    """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 350000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sort_topk" -> (qSortTopk _),
     "q_sort_limit_offset" -> (qSortLimitOffset _),
     "q_distinct" -> (qDistinct _),
     "q_union_all" -> (qUnionAll _),
-    "q_union_distinct" -> (qUnionDistinct _))
+    "q_union_distinct" -> (qUnionDistinct _),
+    "q_intersect" -> (qIntersect _),
+    "q_except" -> (qExcept _))
 
   val oracles: Map[String, String] = Map(
     "q_sort_topk" -> qSortTopkSql,
     "q_sort_limit_offset" -> qSortLimitOffsetSql,
     "q_distinct" -> qDistinctSql,
     "q_union_all" -> qUnionAllSql,
-    "q_union_distinct" -> qUnionDistinctSql)
+    "q_union_distinct" -> qUnionDistinctSql,
+    "q_intersect" -> qIntersectSql,
+    "q_except" -> qExceptSql)
 }

@@ -134,13 +134,46 @@ object Subqueries {
       |FROM orders
       |WHERE o_custkey < 100""".stripMargin
 
+  /** Offset/value/distribution window family: LAG, LEAD, FIRST_VALUE,
+    * NTILE, PERCENT_RANK over per-customer order history (surplus tier —
+    * the reference's MySQL 5.7 dialect has no window functions,
+    * SURVEY.md §2.6). */
+  def qWindowLeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val pr = percent_rank().over(w)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first_value(col("o_orderdate")).over(w).as("first_date"),
+        ntile(4).over(w).as("quartile"),
+        (floor(pr * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+          .as("pct_rank"))
+  }
+
+  val qWindowLeadLagSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  LAG(o_totalprice, 1) OVER w AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price,
+      |  FIRST_VALUE(o_orderdate) OVER w AS first_date,
+      |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+      |  FLOOR((PERCENT_RANK() OVER w) * 1000000.0 + 0.5) / 1000000.0
+      |    AS pct_rank
+      |FROM orders
+      |WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_subq_scalar" -> (qSubqScalar _),
     "q_subq_in" -> (qSubqIn _),
     "q_subq_correlated" -> (qSubqCorrelated _),
     "q_subq_any_all" -> (qSubqAnyAll _),
     "q_window_rank" -> (qWindowRank _),
-    "q_window_running_sum" -> (qWindowRunningSum _))
+    "q_window_running_sum" -> (qWindowRunningSum _),
+    "q_window_lead_lag" -> (qWindowLeadLag _))
 
   val oracles: Map[String, String] = Map(
     "q_subq_scalar" -> qSubqScalarSql,
@@ -148,7 +181,8 @@ object Subqueries {
     "q_subq_correlated" -> qSubqCorrelatedSqlReal,
     "q_subq_any_all" -> qSubqAnyAllSql,
     "q_window_rank" -> qWindowRankSql,
-    "q_window_running_sum" -> qWindowRunningSumSql)
+    "q_window_running_sum" -> qWindowRunningSumSql,
+    "q_window_lead_lag" -> qWindowLeadLagSql)
 
   /** Correlated oracle with the exact per-part fixed-point half-average. */
   lazy val qSubqCorrelatedSqlReal: String =

@@ -105,4 +105,36 @@ class MySqlFuncSpec extends AnyFunSuite {
     assert(eval(MySql.if_(lit(1) > 2, lit("a"), lit("b"))) === "b")
     assert(eval(MySql.ifnull(lit(null).cast("string"), lit("x"))) === "x")
   }
+
+  test("STRCMP sign convention") {
+    assert(eval(MySql.strcmp(lit("text"), lit("text2"))) === -1) // STRCMP('text','text2') = -1
+    assert(eval(MySql.strcmp(lit("text2"), lit("text"))) === 1)
+    assert(eval(MySql.strcmp(lit("text"), lit("text"))) === 0)
+  }
+
+  test("ELT picks 1-based, NULL out of range") {
+    assert(eval(MySql.elt(lit(1), lit("Aa"), lit("Bb"), lit("Cc"))) === "Aa")
+    assert(eval(MySql.elt(lit(4), lit("Aa"), lit("Bb"), lit("Cc"))) === null)
+  }
+
+  test("FIELD returns 1-based index, 0 if absent") {
+    assert(eval(MySql.field(lit("Bb"), lit("Aa"), lit("Bb"), lit("Cc"))) === 2)
+    assert(eval(MySql.field(lit("Gg"), lit("Aa"), lit("Bb"))) === 0)
+  }
+
+  test("STR_TO_DATE %-patterns") {
+    assert(eval(MySql.strToDate(lit("01,5,2013"), "%d,%m,%Y")).toString
+      === "2013-05-01") // STR_TO_DATE('01,5,2013','%d,%m,%Y') = 2013-05-01
+  }
+
+  test("MAKEDATE from year + dayofyear") {
+    assert(eval(MySql.makedate(lit(2011), lit(31))).toString === "2011-01-31")
+    assert(eval(MySql.makedate(lit(2011), lit(32))).toString === "2011-02-01")
+    assert(eval(MySql.makedate(lit(2011), lit(0))) === null) // MAKEDATE(2011,0) = NULL
+  }
+
+  test("TO_DAYS / FROM_DAYS roundtrip + MySQL anchor") {
+    assert(eval(MySql.toDays(lit("2007-10-07").cast("date"))) === 733321L) // TO_DAYS('2007-10-07') = 733321
+    assert(eval(MySql.fromDays(lit(730669L))).toString === "2000-07-03") // FROM_DAYS(730669) = 2000-07-03
+  }
 }
