@@ -30,7 +30,8 @@ object SparkEntry {
     operators.Dedup.queries -> operators.Dedup.oracles,
     operators.Similarity.queries -> operators.Similarity.oracles,
     operators.Multimodal.queries -> operators.Multimodal.oracles,
-    sources.Dml.queries -> sources.Dml.oracles)
+    sources.Dml.queries -> sources.Dml.oracles,
+    sources.StatsSidecar.queries -> sources.StatsSidecar.oracles)
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

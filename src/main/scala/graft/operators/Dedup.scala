@@ -172,23 +172,25 @@ object Dedup {
 
   /** Exact 5-gram Jaccard dedup, blocked by length bucket (near-dups have
     * near-equal length; emitting buckets k and k+1 covers pairs whose
-    * lengths differ ≤ bucket width). Quadratic only inside a bucket. */
+    * lengths differ ≤ bucket width). Quadratic only inside a bucket.
+    * Shingle sets come from the same one-pass distinct-set expression as
+    * the MinHash pipeline (`mh.hs`), and the pairwise Jaccard is the
+    * one-pass native kernel — no array_intersect/union allocations. */
   def qDedupNgram(s: SparkSession, dir: String): DataFrame = {
     val bucketWidth = 64
     val d = Engine.rebalance(t(s, dir, "documents"))
       .select(col("doc_id"),
-        // int64-hashed shingles in one native pass: set ops compare longs
-        graft.functions.ShingleHash64
-          .shingleHash64(lower(col("text")), 5).as("sh"),
+        graft.functions.MinHashShingleSig
+          .minhashShingleSig(lower(col("text")), 5, hashParams).as("mh"),
         floor(length(col("text")) / bucketWidth).cast("long").as("lb"))
+      .select(col("doc_id"), col("mh.hs").as("sh"), col("lb"))
     val exploded = d.select(col("doc_id"), col("sh"),
       explode(array(col("lb"), col("lb") + 1)).as("bucket"))
     val l = exploded.select(col("bucket"), col("doc_id").as("doc_a"),
       col("sh").as("sh_a"))
     val r = exploded.select(col("bucket"), col("doc_id").as("doc_b"),
       col("sh").as("sh_b"))
-    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-      size(array_union(col("sh_a"), col("sh_b")))
+    val jac = graft.functions.LshOps.jaccardLong(col("sh_a"), col("sh_b"))
     l.join(r, Seq("bucket"))
       .where(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")

@@ -1,0 +1,190 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Knowledge-Grid analog: a per-pack stats sidecar + rough (metadata-only)
+  * query answering, mirroring the reference's Data Pack Node design.
+  *
+  * The reference keeps per-64K-row-pack metadata (DPN —
+  * storage/tianmu/data/dpn.h:49-72: numOfRecords/numOfNulls, min_i/max_i
+  * and an int64 sum_i) and answers predicates per pack with a tri-state
+  * RoughCheck → RS_NONE / RS_SOME / RS_ALL
+  * (common/common_definitions.h:168-174, vc/tianmu_attr_exeq_rs.cpp:43):
+  * RS_NONE packs are skipped without decompression, RS_ALL packs are
+  * accepted without re-testing rows, and whole aggregates can be answered
+  * from DPNs alone (core/temp_table_roughquery.cpp).
+  *
+  * Parquet row-group stats already give Spark min/max/null-count pruning
+  * for free (SURVEY.md §1.1), but parquet has NO sum statistic — the one
+  * DPN field with no Parquet analog. This module closes that gap the
+  * Spark-idiomatic way:
+  *
+  *  - a "pack" is a hive partition directory (`_pack=N/`), so pack
+  *    pruning IS Spark partition pruning — `PartitionFilters` in the scan,
+  *    zero files opened for skipped packs;
+  *  - the sidecar is itself a tiny Parquet table, one row per
+  *    (pack, column): n_rows, n_nulls, min/max, and an exact scale-4
+  *    fixed-point int64 sum (the sum_i analog, same convention as
+  *    [[graft.operators.Relational.dec]]);
+  *  - rough aggregates (COUNT/MIN/MAX/SUM) read ONLY the sidecar;
+  *  - range counts run hybrid: RS_ALL packs are answered from the
+  *    sidecar, RS_SOME packs are scanned with partition pruning, RS_NONE
+  *    packs are never touched.
+  *
+  * Scale: the sidecar has (files × columns) rows — ~1e6 at 100 TB with
+  * 1 GB packs — and every rough answer is an aggregation over it, never
+  * over the data. The RS_SOME pack-id list does pass through the driver
+  * (as partition-pruning literals), the same order of magnitude as the
+  * file listing Spark already holds.
+  */
+object StatsSidecar {
+
+  val PackCol = "_pack"
+
+  /** Fixed-point scale for the sum stat (matches Relational.dec). */
+  private val Scale = 10000.0
+
+  def statsPath(path: String): String = s"$path.stats"
+
+  /** Write `df` as a pack-partitioned Parquet table plus its stats
+    * sidecar over `cols` (numeric columns). `packRows` is the pack-size
+    * analog (the reference's 64 Ki rows per pack, common/defs.h:47-49) —
+    * here rows per partition directory. */
+  def writeWithStats(df: DataFrame, path: String, packRows: Int,
+                     cols: Seq[String],
+                     clusterBy: Option[String] = None): Unit = {
+    val n = df.count()
+    val nPacks = math.max(1, math.ceil(n.toDouble / packRows).toInt)
+    // Clustering by the hot filter column is what makes pack skipping
+    // bite (narrow per-pack min/max ranges) — the reason Tianmu's
+    // Knowledge Grid works on naturally ordered loads. Range-partitioning
+    // is the Spark analog of that load order.
+    val parts = clusterBy match {
+      case Some(c) => df.repartitionByRange(nPacks, col(c))
+      case None => df.repartition(nPacks)
+    }
+    parts.withColumn(PackCol, spark_partition_id())
+      .write.mode("overwrite").partitionBy(PackCol).parquet(path)
+
+    // Stats are computed from the WRITTEN files, not the in-memory plan:
+    // re-executing a repartitionByRange plan can re-sample different
+    // range boundaries, which would describe packs that don't match the
+    // files on disk (the DPN must describe the pack it sits next to).
+    val packed = df.sparkSession.read.parquet(path)
+
+    // one aggregation pass builds every per-pack stat; stack() unpivots
+    // to the long (pack, column) layout
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"),
+        sum(floor(col(c) * lit(Scale) + lit(0.5)).cast("long"))
+          .as(s"__sum_$c"))
+    }
+    val wide = packed.groupBy(col(PackCol)).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map { c =>
+      s"'$c', __n_$c, __nulls_$c, __min_$c, __max_$c, __sum_$c"
+    }.mkString(s"stack(${cols.size}, ", ", ",
+      ") as (column, n_rows, n_nulls, min_v, max_v, sum_fp)")
+    wide.select(col(PackCol), expr(stackExpr))
+      .write.mode("overwrite").parquet(statsPath(path))
+  }
+
+  def readStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(statsPath(path))
+
+  /** Rough aggregates over one column — COUNT/nulls/MIN/MAX/SUM answered
+    * from the sidecar alone (temp_table_roughquery.cpp analog; the sum is
+    * exact by the fixed-point convention, not approximate). */
+  def roughAgg(stats: DataFrame, column: String): DataFrame =
+    stats.filter(col("column") === column)
+      .agg(
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("n_nulls")).as("n_nulls"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"),
+        (sum(col("sum_fp")).cast("double") / Scale).as("sum_v"))
+
+  /** Tri-state per-pack classification of `lo <= column <= hi`
+    * (RoughCheck analog): adds `state` ∈ 'NONE' | 'SOME' | 'ALL'. A pack
+    * is ALL only if every row (incl. no NULLs) passes; NONE if no row
+    * can. */
+  def roughCheck(stats: DataFrame, column: String,
+                 lo: Double, hi: Double): DataFrame =
+    stats.filter(col("column") === column)
+      .select(col(PackCol), col("n_rows"),
+        when(col("max_v") < lo || col("min_v") > hi || col("n_rows") === 0,
+          "NONE")
+          .when(col("min_v") >= lo && col("max_v") <= hi
+            && col("n_nulls") === 0, "ALL")
+          .otherwise("SOME").as("state"))
+
+  /** Hybrid rough+exact COUNT of `lo <= column <= hi`: ALL packs counted
+    * from the sidecar, SOME packs scanned with partition pruning (the
+    * `_pack IN (...)` predicate lands in the scan's PartitionFilters),
+    * NONE packs untouched — the ParameterizedFilter::UpdateMultiIndex
+    * two-phase evaluation (rough pass then exact pass on surviving
+    * packs, core/parameterized_filter.cpp:1232-1286) in Spark form. */
+  def countBetween(spark: SparkSession, path: String, column: String,
+                   lo: Double, hi: Double): Long = {
+    val states = roughCheck(readStats(spark, path), column, lo, hi)
+      .groupBy(col("state"))
+      .agg(collect_list(col(PackCol)).as("packs"), sum("n_rows").as("rows"))
+      .collect()
+    val fullRows = states.find(_.getString(0) == "ALL")
+      .map(_.getLong(2)).getOrElse(0L)
+    val somePacks = states.find(_.getString(0) == "SOME")
+      .map(_.getSeq[Int](1)).getOrElse(Seq.empty)
+    val partialRows =
+      if (somePacks.isEmpty) 0L
+      else spark.read.parquet(path)
+        .filter(col(PackCol).isin(somePacks: _*)
+          && col(column) >= lo && col(column) <= hi)
+        .count()
+    fullRows + partialRows
+  }
+
+  // --- gate query ---------------------------------------------------------
+
+  /** Rough-query gate: pack-write lineitem clustered by l_quantity, then
+    * answer COUNT/MIN/MAX/SUM purely from the sidecar and a BETWEEN count
+    * through the tri-state hybrid path. The oracle recomputes all five
+    * from the raw table — rough answers must be EXACT, which is the DPN
+    * contract (rough ≠ approximate; it is metadata-complete). */
+  def qRoughAgg(s: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_rough").toString
+    val li = graft.Engine.table(s, dir, "lineitem")
+      .select(col("l_quantity"), col("l_extendedprice"))
+    writeWithStats(li, s"$scratch/lineitem_packed", 8192,
+      Seq("l_quantity", "l_extendedprice"), clusterBy = Some("l_quantity"))
+    val stats = readStats(s, s"$scratch/lineitem_packed")
+    val nBetween =
+      countBetween(s, s"$scratch/lineitem_packed", "l_quantity", 10.0, 30.0)
+    roughAgg(stats, "l_extendedprice")
+      .select(
+        col("n_rows").as("n"),
+        col("min_v").as("min_price"),
+        col("max_v").as("max_price"),
+        col("sum_v").as("sum_price"),
+        lit(nBetween).as("n_qty_10_30"))
+  }
+
+  val qRoughAggSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+      |  CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+      |  CAST(SUM(CAST(FLOOR(l_extendedprice * 10000.0 + 0.5) AS BIGINT))
+      |    AS DOUBLE) / 10000.0 AS sum_price,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |   WHERE l_quantity BETWEEN 10.0 AND 30.0) AS n_qty_10_30
+      |FROM lineitem""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rough_agg" -> (qRoughAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "q_rough_agg" -> qRoughAggSql)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.sources.StatsSidecar
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Knowledge-Grid analog (sources.StatsSidecar): per-pack DPN stats,
+  * tri-state RoughCheck, metadata-only aggregates, and hybrid pruned
+  * range counts — semantics pinned against exact recomputation. */
+class RoughSpec extends AnyFunSuite {
+  private def spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  private lazy val scratch = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_roughspec")
+    val li = Engine.table(spark, sf, "lineitem")
+      .select(col("l_quantity"), col("l_extendedprice"))
+    StatsSidecar.writeWithStats(li, s"$dir/li", 512,
+      Seq("l_quantity", "l_extendedprice"), clusterBy = Some("l_quantity"))
+    s"$dir/li"
+  }
+
+  test("rough aggregates equal exact aggregates") {
+    val exact = Engine.table(spark, sf, "lineitem")
+      .agg(count(lit(1)), min("l_quantity").cast("double"),
+        max("l_quantity").cast("double"),
+        sum(floor(col("l_quantity") * 10000.0 + 0.5).cast("long"))).first()
+    val rough = StatsSidecar
+      .roughAgg(StatsSidecar.readStats(spark, scratch), "l_quantity").first()
+    assert(rough.getAs[Long]("n_rows") === exact.getLong(0))
+    assert(rough.getAs[Double]("min_v") === exact.getDouble(1))
+    assert(rough.getAs[Double]("max_v") === exact.getDouble(2))
+    assert(rough.getAs[Double]("sum_v") === exact.getLong(3) / 10000.0)
+  }
+
+  test("clustered packs produce all three rough states for a mid range") {
+    val states = StatsSidecar
+      .roughCheck(StatsSidecar.readStats(spark, scratch), "l_quantity",
+        10.0, 30.0)
+      .select("state").distinct().collect().map(_.getString(0)).toSet
+    assert(states.contains("SOME"))
+    assert(states.contains("NONE") || states.contains("ALL"),
+      s"expected skip/accept packs under clustering, got $states")
+  }
+
+  test("hybrid count equals exact count") {
+    val exact = Engine.table(spark, sf, "lineitem")
+      .filter(col("l_quantity").between(10.0, 30.0)).count()
+    assert(StatsSidecar.countBetween(spark, scratch, "l_quantity",
+      10.0, 30.0) === exact)
+  }
+
+  test("SOME-pack scan prunes at the partition level") {
+    val plan = spark.read.parquet(scratch)
+      .filter(col(StatsSidecar.PackCol).isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_pack"),
+      s"expected _pack partition pruning in:\n$plan")
+  }
+}
