@@ -63,6 +63,40 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: join the unbounded stream against a
+    * bounded dimension (customer), broadcast so each micro-batch pays no
+    * shuffle — the streaming face of the reference's map join
+    * (optimizer/joiner_mapped.h:32). The static side is re-resolvable per
+    * micro-batch, so a dimension refresh is picked up without restarting
+    * the query. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      broadcast(dim.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))),
+      Seq("user_id"), "left")
+
+  /** Stream-stream join with watermarks: purchases within 1 hour of a
+    * click by the same user. Both sides are watermarked so the state
+    * store evicts rows once they can no longer match (the time-bound in
+    * the join condition is what makes state finite — unbounded
+    * stream-stream joins are rejected by the planner). */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "3 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   // --- stateful sessionization ---------------------------------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

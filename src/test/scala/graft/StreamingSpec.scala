@@ -78,4 +78,51 @@ class StreamingSpec extends AnyFunSuite {
     // allow the tail withheld by the watermark
     assert(total > 0 && total <= nEvents * 4)
   }
+
+  test("stream-static enrichment matches the batch join, no shuffle added") {
+    val dim = Engine.table(spark, sf, "customer")
+    val q = EventStream.enrich(EventStream.readEvents(spark, sf), dim)
+      .groupBy("segment").count()
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("enriched").collect()
+      .map(r => Option(r.get(0)).map(_.toString).orNull -> r.getLong(1)).toMap
+    val batch = Engine.table(spark, sf, "events")
+      .join(broadcast(dim.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))), Seq("user_id"), "left")
+      .groupBy("segment").count().collect()
+      .map(r => Option(r.get(0)).map(_.toString).orNull -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
+
+  test("stream-stream click->purchase join matches the batch twin") {
+    val q = EventStream.clickToPurchase(EventStream.readEvents(spark, sf))
+      .writeStream.format("memory").queryName("c2p")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("c2p")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty, "expected click->purchase pairs in testdata")
+    val ev = Engine.table(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = clicks.join(purchases,
+      col("user_id") === col("p_user")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // append-mode emits only pairs finalized under the watermark; every
+    // emitted pair must be a true batch pair, and coverage must be
+    // substantial
+    assert(streamed.subsetOf(batch))
+    assert(streamed.size * 10 >= batch.size * 9,
+      s"streamed ${streamed.size} of ${batch.size} batch pairs")
+  }
 }
