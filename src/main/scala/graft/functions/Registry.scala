@@ -18,5 +18,19 @@ object Registry {
     spark.udf.register("group_concat", udaf(new GroupConcat(",", false, 0)))
     spark.udf.register("group_concat_distinct",
       udaf(new GroupConcat(",", true, 0)))
+    // Dedup kernels, wired to the Dedup pipeline's parameters so SQL
+    // users compute the same signatures/verdicts as the operators.
+    val params = graft.operators.Dedup.hashParams
+    GraftSqlBridge.registerFunction(spark, "minhash_shingle_sig",
+      exprs => MinHashShingleSig(exprs.head, 5,
+        params.map(_._1).toArray, params.map(_._2).toArray))
+    GraftSqlBridge.registerFunction(spark, "band_hashes64",
+      exprs => LshOps.BandHashes64(exprs.head,
+        graft.operators.Dedup.NumHashes / graft.operators.Dedup.BandSize,
+        graft.operators.Dedup.BandSize))
+    GraftSqlBridge.registerFunction(spark, "sig_agree",
+      exprs => LshOps.SigAgree(exprs.head, exprs(1)))
+    GraftSqlBridge.registerFunction(spark, "jaccard_long",
+      exprs => LshOps.JaccardLong(exprs.head, exprs(1)))
   }
 }

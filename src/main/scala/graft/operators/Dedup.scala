@@ -46,9 +46,9 @@ object Dedup {
   /** 32 minhash permutations derived from one xxhash64 pass (h·a+b with
     * fixed odd multipliers), banded 8×4 (Broder 1997 / Leskovec-Rajaraman-
     * Ullman ch.3 parameters: j=0.7 → P(candidate)≈0.88). */
-  private val NumHashes = 32
-  private val BandSize = 4
-  private val hashParams: Seq[(Long, Long)] = {
+  val NumHashes = 32
+  val BandSize = 4
+  val hashParams: Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(NumHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
   }

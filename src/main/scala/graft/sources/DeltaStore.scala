@@ -67,4 +67,25 @@ class DeltaStore(spark: SparkSession, root: String) {
   /** Rows currently sitting in the unmerged delta. */
   def deltaCount(): Long =
     if (exists(deltaPath)) spark.read.parquet(deltaPath).count() else 0L
+
+  /** ALTER TABLE … ADD COLUMN analog (TianmuTable add/drop,
+    * core/tianmu_table.h:73-75): rewrite base with the new column
+    * defaulted; pending delta is compacted first so the schema change is
+    * atomic over the whole table. */
+  def alterAddColumn(name: String, default: org.apache.spark.sql.Column): Unit = {
+    compact()
+    val widened = spark.read.parquet(basePath).withColumn(name, default)
+    widened.write.mode("overwrite").parquet(s"$root/_staging")
+    fs.delete(new Path(basePath), true)
+    fs.rename(new Path(s"$root/_staging"), new Path(basePath))
+  }
+
+  /** ALTER TABLE … DROP COLUMN analog. */
+  def alterDropColumn(name: String): Unit = {
+    compact()
+    val narrowed = spark.read.parquet(basePath).drop(name)
+    narrowed.write.mode("overwrite").parquet(s"$root/_staging")
+    fs.delete(new Path(basePath), true)
+    fs.rename(new Path(s"$root/_staging"), new Path(basePath))
+  }
 }

@@ -67,6 +67,22 @@ class IngestSpec extends AnyFunSuite {
     assert(store.read().count() === 7)
   }
 
+  test("ALTER add/drop column rewrites atomically, delta folded first") {
+    val tmp = Files.createTempDirectory("graft_alter").toString
+    val n = Engine.table(spark, sf, "nation")
+    val store = new DeltaStore(spark, tmp)
+    store.writeBase(n.limit(10))
+    store.append(n.filter(col("n_nationkey") >= 10).limit(5))
+    store.alterAddColumn("loaded_at", lit("2026-08-12"))
+    val widened = store.read()
+    assert(widened.columns.contains("loaded_at"))
+    assert(widened.count() === 15) // delta folded in before the rewrite
+    assert(store.deltaCount() === 0)
+    store.alterDropColumn("loaded_at")
+    assert(!store.read().columns.contains("loaded_at"))
+    assert(store.read().count() === 15)
+  }
+
   test("export (INTO OUTFILE analog) roundtrips through load") {
     val tmp = Files.createTempDirectory("graft_out").toString
     val nation = Engine.table(spark, sf, "nation")

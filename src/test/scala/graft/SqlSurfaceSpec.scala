@@ -40,4 +40,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |GROUP BY l_returnflag""".stripMargin).count()
     assert(n > 0)
   }
+
+  test("dedup kernels are SQL-callable and consistent with each other") {
+    Engine.registerAll(spark, sf)
+    val r = spark.sql(
+      """SELECT jaccard_long(mh.hs, mh.hs) AS self_jac,
+        |       sig_agree(mh.sig, mh.sig) AS self_agree,
+        |       size(band_hashes64(mh.sig)) AS n_bands
+        |FROM (SELECT minhash_shingle_sig(lower(text)) AS mh
+        |      FROM documents LIMIT 5)""".stripMargin).collect()
+    r.foreach { row =>
+      assert(row.getAs[Double]("self_jac") === 1.0)
+      assert(row.getAs[Int]("self_agree") === 32)
+      assert(row.getAs[Int]("n_bands") === 8)
+    }
+  }
 }
