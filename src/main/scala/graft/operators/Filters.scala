@@ -398,6 +398,26 @@ object Filters {
       |FROM orders
       |WHERE o_orderkey < 300""".stripMargin
 
+  // --- LIKE … ESCAPE + REGEXP (escape.test / like_not_like.test tier) ----
+
+  /** LIKE with a custom escape character (literal `_` match) and MySQL
+    * REGEXP (`rlike`). The reference evaluates LIKE per pack with a
+    * dedicated kernel (EvaluatePack_Like, vc/tianmu_attr_exqp.cpp) and
+    * can rough-skip packs via the character map index (rsi_cmap.h:53
+    * IsLike); here both land in the scan's pushed filters / codegen. */
+  def qLikeRegexp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        regexp_replace(col("p_name"), " ", "_").as("tag"),
+        col("p_name").rlike("bolt|nut").as("is_fastener"))
+      .where(expr("tag LIKE '%!_b%' ESCAPE '!'"))
+
+  val qLikeRegexpSql: String =
+    """SELECT p_partkey, replace(p_name, ' ', '_') AS tag,
+      |  regexp_matches(p_name, 'bolt|nut') AS is_fastener
+      |FROM part
+      |WHERE replace(p_name, ' ', '_') LIKE '%!_b%' ESCAPE '!'""".stripMargin
+
   // --- unsigned BIGINT tier (SURVEY §1.2: u64 → DECIMAL(20,0)) -----------
 
   /** MySQL unsigned-BIGINT semantics have no 64-bit-unsigned JVM type;
@@ -444,7 +464,8 @@ object Filters {
     "q_func_bit" -> (qFuncBit _),
     "q_func_conv" -> (qFuncConv _),
     "q_string_funcs2" -> (qStringFuncs2 _),
-    "q_date_str_funcs" -> (qDateStrFuncs _))
+    "q_date_str_funcs" -> (qDateStrFuncs _),
+    "q_like_regexp" -> (qLikeRegexp _))
 
   val oracles: Map[String, String] = Map(
     "q_types_unsigned" -> qTypesUnsignedSql,
@@ -460,5 +481,6 @@ object Filters {
     "q_func_bit" -> qFuncBitSql,
     "q_func_conv" -> qFuncConvSql,
     "q_string_funcs2" -> qStringFuncs2Sql,
-    "q_date_str_funcs" -> qDateStrFuncsSql)
+    "q_date_str_funcs" -> qDateStrFuncsSql,
+    "q_like_regexp" -> qLikeRegexpSql)
 }
