@@ -105,4 +105,32 @@ object Scale {
     save(right, rightName)
     spark.table(leftName).join(spark.table(rightName), key)
   }
+
+  /** Z-order-clustered pack write: one clustering order that keeps
+    * per-pack min/max ranges narrow on SEVERAL columns at once, so
+    * StatsSidecar tri-state pruning (and parquet row-group stats) bite
+    * on every z-dimension — multi-column pack skipping, which the
+    * reference's per-column Knowledge Grid only achieves for the load-
+    * order column. Columns are min/max-normalized to 16-bit lattices via
+    * one tiny stats pass; the interleave is a native expression
+    * ([[graft.functions.ZOrder.Interleave16]]). */
+  def zorderPack(df: DataFrame, path: String, packRows: Int,
+                 zCols: Seq[String], statCols: Seq[String]): Unit = {
+    require(zCols.nonEmpty && zCols.size <= 4, "zorderPack takes 1-4 columns")
+    val bounds = df.agg(
+      zCols.flatMap(c => Seq(min(col(c)).cast("double").as(s"lo_$c"),
+        max(col(c)).cast("double").as(s"hi_$c"))).head,
+      zCols.flatMap(c => Seq(min(col(c)).cast("double").as(s"lo_$c"),
+        max(col(c)).cast("double").as(s"hi_$c"))).tail: _*).first()
+    val lattice = zCols.map { c =>
+      val lo = bounds.getAs[Double](s"lo_$c")
+      val hi = bounds.getAs[Double](s"hi_$c")
+      val span = if (hi > lo) hi - lo else 1.0
+      least(greatest(
+        floor((col(c).cast("double") - lit(lo)) / lit(span) * 65535.0)
+          .cast("int"), lit(0)), lit(65535))
+    }
+    graft.sources.StatsSidecar.writeWithStats(df, path, packRows, statCols,
+      clusterBy = Some(graft.functions.ZOrder.interleave16(lattice)))
+  }
 }

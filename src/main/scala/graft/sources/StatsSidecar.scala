@@ -53,15 +53,16 @@ object StatsSidecar {
     * here rows per partition directory. */
   def writeWithStats(df: DataFrame, path: String, packRows: Int,
                      cols: Seq[String],
-                     clusterBy: Option[String] = None): Unit = {
+                     clusterBy: Option[Column] = None): Unit = {
     val n = df.count()
     val nPacks = math.max(1, math.ceil(n.toDouble / packRows).toInt)
-    // Clustering by the hot filter column is what makes pack skipping
-    // bite (narrow per-pack min/max ranges) — the reason Tianmu's
-    // Knowledge Grid works on naturally ordered loads. Range-partitioning
-    // is the Spark analog of that load order.
+    // Clustering by the hot filter column (or a Z-order key over several,
+    // graft.functions.ZOrder) is what makes pack skipping bite (narrow
+    // per-pack min/max ranges) — the reason Tianmu's Knowledge Grid works
+    // on naturally ordered loads. Range-partitioning is the Spark analog
+    // of that load order.
     val parts = clusterBy match {
-      case Some(c) => df.repartitionByRange(nPacks, col(c))
+      case Some(c) => df.repartitionByRange(nPacks, c)
       case None => df.repartition(nPacks)
     }
     parts.withColumn(PackCol, spark_partition_id())
@@ -159,7 +160,8 @@ object StatsSidecar {
     val li = graft.Engine.table(s, dir, "lineitem")
       .select(col("l_quantity"), col("l_extendedprice"))
     writeWithStats(li, s"$scratch/lineitem_packed", 8192,
-      Seq("l_quantity", "l_extendedprice"), clusterBy = Some("l_quantity"))
+      Seq("l_quantity", "l_extendedprice"),
+      clusterBy = Some(col("l_quantity")))
     val stats = readStats(s, s"$scratch/lineitem_packed")
     val nBetween =
       countBetween(s, s"$scratch/lineitem_packed", "l_quantity", 10.0, 30.0)

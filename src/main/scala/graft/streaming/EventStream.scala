@@ -97,6 +97,23 @@ object EventStream {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Streaming ingest into the HTAP delta store — the full write path of
+    * the reference in Spark form: `ha_tianmu::write_row` → RocksDB delta
+    * → background merge (SURVEY.md §3.3) becomes stream → foreachBatch
+    * append to `delta/` → `compact()` folds into base. Readers see
+    * base ∪ delta mid-stream (DeltaIterator analog), so ingest never
+    * blocks queries. Returns the started query; the caller owns
+    * compaction cadence (the `tianmu_sysvar_insert_*threshold` analog). */
+  def ingestToDeltaStore(events: DataFrame,
+                         store: graft.sources.DeltaStore):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        store.append(batch.toDF())
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   // --- stateful sessionization ---------------------------------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

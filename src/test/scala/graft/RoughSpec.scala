@@ -16,7 +16,8 @@ class RoughSpec extends AnyFunSuite {
     val li = Engine.table(spark, sf, "lineitem")
       .select(col("l_quantity"), col("l_extendedprice"))
     StatsSidecar.writeWithStats(li, s"$dir/li", 512,
-      Seq("l_quantity", "l_extendedprice"), clusterBy = Some("l_quantity"))
+      Seq("l_quantity", "l_extendedprice"),
+      clusterBy = Some(col("l_quantity")))
     s"$dir/li"
   }
 
@@ -47,6 +48,35 @@ class RoughSpec extends AnyFunSuite {
     val exact = Engine.table(spark, sf, "lineitem")
       .filter(col("l_quantity").between(10.0, 30.0)).count()
     assert(StatsSidecar.countBetween(spark, scratch, "l_quantity",
+      10.0, 30.0) === exact)
+  }
+
+  test("z-order clustering prunes on BOTH z-dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder")
+    val li = Engine.table(spark, sf, "lineitem")
+      .select(col("l_quantity"), col("l_partkey"))
+    // 128-row packs → ~47 packs at sf0.001, deep enough in the z quadtree
+    // for per-pack per-dimension ranges to narrow below the predicate
+    operators.Scale.zorderPack(li, s"$dir/li_z", 128,
+      Seq("l_quantity", "l_partkey"), Seq("l_quantity", "l_partkey"))
+    val stats = StatsSidecar.readStats(spark, s"$dir/li_z")
+    def skippable(column: String, lo: Double, hi: Double): Double = {
+      val states = StatsSidecar.roughCheck(stats, column, lo, hi)
+        .groupBy("state").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val decided = states.getOrElse("NONE", 0L) + states.getOrElse("ALL", 0L)
+      decided.toDouble / states.values.sum
+    }
+    // a mid-range predicate on EITHER column must rough-decide a
+    // substantial pack fraction — one clustering order, two pruned dims
+    val qFrac = skippable("l_quantity", 10.0, 30.0)
+    val pkMax = li.agg(max("l_partkey")).first().getLong(0).toDouble
+    val pFrac = skippable("l_partkey", pkMax * 0.2, pkMax * 0.6)
+    assert(qFrac > 0.1, s"l_quantity rough-decided only $qFrac")
+    assert(pFrac > 0.1, s"l_partkey rough-decided only $pFrac")
+    // hybrid count stays exact under z-order packing
+    val exact = li.filter(col("l_quantity").between(10.0, 30.0)).count()
+    assert(StatsSidecar.countBetween(spark, s"$dir/li_z", "l_quantity",
       10.0, 30.0) === exact)
   }
 

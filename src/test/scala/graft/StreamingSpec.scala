@@ -79,6 +79,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(total > 0 && total <= nEvents * 4)
   }
 
+  test("streaming ingest lands in the delta store; compact folds to base") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val store = new graft.sources.DeltaStore(spark, tmp)
+    val ev = Engine.table(spark, sf, "events")
+    store.writeBase(ev.limit(0)) // empty base, schema fixed
+    val q = EventStream.ingestToDeltaStore(
+      EventStream.readEvents(spark, sf), store)
+    q.awaitTermination(120000)
+    val n = Engine.table(spark, sf, "events").count()
+    assert(store.deltaCount() === n) // all rows staged in delta
+    assert(store.read().count() === n) // visible before compaction
+    store.compact()
+    assert(store.deltaCount() === 0)
+    assert(store.read().count() === n)
+  }
+
   test("stream-static enrichment matches the batch join, no shuffle added") {
     val dim = Engine.table(spark, sf, "customer")
     val q = EventStream.enrich(EventStream.readEvents(spark, sf), dim)
