@@ -111,6 +111,12 @@ object MySql {
   def addtime(ts: Column, t: Column): Column =
     ts + make_dt_interval(lit(0), lit(0), lit(0), timeToSec(t).cast("double"))
 
+  /** MySQL `TIMEDIFF(a, b)` → '[-]HH:MM:SS' (a − b; hours not wrapped,
+    * same convention as [[secToTime]]). */
+  def timediff(a: Column, b: Column): Column =
+    secToTime(unix_micros(a.cast("timestamp")) / 1000000L
+      - unix_micros(b.cast("timestamp")) / 1000000L)
+
   // --- DATE_FORMAT % patterns ------------------------------------------------
 
   /** Translate a MySQL DATE_FORMAT %-pattern to a java.time pattern

@@ -398,6 +398,28 @@ object Filters {
       |FROM orders
       |WHERE o_orderkey < 300""".stripMargin
 
+  // --- GREATEST / LEAST (unsigned_greatest/least, left_right_func tier) --
+
+  def qFuncGreatestLeast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        least(col("l_tax"), col("l_discount")).as("min_rate"),
+        greatest(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+          .as("max_key"),
+        least(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+          .as("min_key"))
+
+  val qFuncGreatestLeastSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  greatest(l_tax, l_discount) AS max_rate,
+      |  least(l_tax, l_discount) AS min_rate,
+      |  CAST(greatest(l_partkey, l_suppkey, l_orderkey) AS BIGINT) AS max_key,
+      |  CAST(least(l_partkey, l_suppkey, l_orderkey) AS BIGINT) AS min_key
+      |FROM lineitem
+      |WHERE l_orderkey < 200""".stripMargin
+
   // --- LIKE … ESCAPE + REGEXP (escape.test / like_not_like.test tier) ----
 
   /** LIKE with a custom escape character (literal `_` match) and MySQL
@@ -465,7 +487,8 @@ object Filters {
     "q_func_conv" -> (qFuncConv _),
     "q_string_funcs2" -> (qStringFuncs2 _),
     "q_date_str_funcs" -> (qDateStrFuncs _),
-    "q_like_regexp" -> (qLikeRegexp _))
+    "q_like_regexp" -> (qLikeRegexp _),
+    "q_func_greatest_least" -> (qFuncGreatestLeast _))
 
   val oracles: Map[String, String] = Map(
     "q_types_unsigned" -> qTypesUnsignedSql,
@@ -482,5 +505,6 @@ object Filters {
     "q_func_conv" -> qFuncConvSql,
     "q_string_funcs2" -> qStringFuncs2Sql,
     "q_date_str_funcs" -> qDateStrFuncsSql,
-    "q_like_regexp" -> qLikeRegexpSql)
+    "q_like_regexp" -> qLikeRegexpSql,
+    "q_func_greatest_least" -> qFuncGreatestLeastSql)
 }

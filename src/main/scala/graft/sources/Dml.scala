@@ -167,15 +167,51 @@ object Dml {
       |       THEN 'EU_' || c_mktsegment ELSE c_mktsegment END AS c_mktsegment
       |FROM customer""".stripMargin
 
+  /** AUTO_INCREMENT assignment for an incoming keyless batch
+    * (auto_increment / init_auto_increment_value MTR tier): ids continue
+    * from the base table's maximum, assigned in a deterministic order.
+    * Spark-first this is max(base) + row_number() — a window over the
+    * incoming batch only (the base is only aggregated), so at scale the
+    * cost is one pass over the new rows. A single global row_number
+    * window serializes the batch through one partition — acceptable for
+    * typical insert-batch sizes; bulk backfills should switch to
+    * zipWithIndex-style per-partition offsets. */
+  def autoIncrement(base: DataFrame, baseIdCol: String, incoming: DataFrame,
+                    orderBy: Seq[String]): DataFrame = {
+    val start = base.agg(max(col(baseIdCol)).as("max_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(orderBy.map(col): _*)
+    incoming
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(start))
+      .withColumn(baseIdCol, col("max_id") + col("__rn"))
+      .drop("__rn", "max_id")
+  }
+
+  /** Suppliers arrive as a keyless batch and get customer-table ids. */
+  def qDmlAutoIncrement(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val incoming = t(s, dir, "supplier").select(col("s_name"), col("s_suppkey"))
+    autoIncrement(c, "c_custkey", incoming, orderBy = Seq("s_suppkey"))
+      .select(col("c_custkey").as("new_id"), col("s_name"))
+  }
+
+  val qDmlAutoIncrementSql: String =
+    """SELECT (SELECT MAX(c_custkey) FROM customer)
+      |  + ROW_NUMBER() OVER (ORDER BY s_suppkey) AS new_id, s_name
+      |FROM supplier""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dml_replace_into" -> (qDmlReplaceInto _),
     "q_dml_upsert" -> (qDmlUpsert _),
     "q_dml_delete_join" -> (qDmlDeleteJoin _),
-    "q_dml_update_join" -> (qDmlUpdateJoin _))
+    "q_dml_update_join" -> (qDmlUpdateJoin _),
+    "q_dml_auto_increment" -> (qDmlAutoIncrement _))
 
   val oracles: Map[String, String] = Map(
     "q_dml_replace_into" -> qDmlReplaceIntoSql,
     "q_dml_upsert" -> qDmlUpsertSql,
     "q_dml_delete_join" -> qDmlDeleteJoinSql,
-    "q_dml_update_join" -> qDmlUpdateJoinSql)
+    "q_dml_update_join" -> qDmlUpdateJoinSql,
+    "q_dml_auto_increment" -> qDmlAutoIncrementSql)
 }

@@ -133,6 +133,15 @@ class MySqlFuncSpec extends AnyFunSuite {
     assert(eval(MySql.makedate(lit(2011), lit(0))) === null) // MAKEDATE(2011,0) = NULL
   }
 
+  test("TIMEDIFF convention: sign preserved, hours unwrapped") {
+    assert(eval(MySql.timediff(
+      lit("2000-01-01 12:00:30").cast("timestamp"),
+      lit("2000-01-01 10:15:00").cast("timestamp"))) === "01:45:30")
+    assert(eval(MySql.timediff(
+      lit("2000-01-01 10:00:00").cast("timestamp"),
+      lit("2000-01-03 10:00:01").cast("timestamp"))) === "-48:00:01")
+  }
+
   test("TO_DAYS / FROM_DAYS roundtrip + MySQL anchor") {
     assert(eval(MySql.toDays(lit("2007-10-07").cast("date"))) === 733321L) // TO_DAYS('2007-10-07') = 733321
     assert(eval(MySql.fromDays(lit(730669L))).toString === "2000-07-03") // FROM_DAYS(730669) = 2000-07-03

@@ -41,6 +41,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("CREATE VIEW / temp tables work through plain SQL (create_view tier)") {
+    Engine.registerAll(spark, sf)
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW rich_customers AS
+      |SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_acctbal > 5000""".stripMargin)
+    val viaView = spark.sql(
+      "SELECT count(*) FROM rich_customers").first().getLong(0)
+    val direct = Engine.table(spark, sf, "customer")
+      .filter(org.apache.spark.sql.functions.col("c_acctbal") > 5000).count()
+    assert(viaView === direct && viaView > 0)
+    // view composes with joins like a base table
+    val joined = spark.sql("""SELECT count(*) FROM rich_customers r
+      |JOIN orders o ON r.c_custkey = o.o_custkey""".stripMargin)
+      .first().getLong(0)
+    assert(joined > 0)
+  }
+
   test("dedup kernels are SQL-callable and consistent with each other") {
     Engine.registerAll(spark, sf)
     val r = spark.sql(
