@@ -101,8 +101,14 @@ object Dedup {
     *     inline from the carried signatures, cutting the candidate set
     *     before anything heavy moves.
     *  3. only survivors join back (by doc id) to fetch the shingle sets
-    *     for exact verification; `sigs` should be persisted by the caller
-    *     so the three consumers share one computation. */
+    *     for exact verification. `sigs` is consumed three times (bands +
+    *     two reattach sides); since it is a pure scan-side projection
+    *     (zero shuffle), recomputation is a narrow columnar scan and the
+    *     default is to NOT persist — a corpus-sized cache costs more
+    *     than three scans at bench scale (measured) and may not fit at
+    *     100 TB. Callers where the scan dominates (wide rows, remote
+    *     storage) should persist/checkpoint the frame first —
+    *     cache-if-fits is a deployment decision, not a plan property. */
   def lshCandidates(sigs: DataFrame): DataFrame = {
     import graft.functions.LshOps
     val nBands = NumHashes / BandSize
@@ -132,7 +138,6 @@ object Dedup {
     * sets — [[graft.functions.LshOps.JaccardLong]]). */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSignatures(t(s, dir, "documents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val est = col("agree").cast("double") / NumHashes
     val jac = graft.functions.LshOps.jaccardLong(col("sh_a"), col("sh_b"))
     lshCandidates(sigs)
