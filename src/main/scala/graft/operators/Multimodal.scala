@@ -99,6 +99,35 @@ object Multimodal {
     }
   }
 
+  /** A "resized" media row: original identity + target dims + the
+    * transformed payload. */
+  case class ResizedMedia(doc_id: Long, kind: String,
+                          width: Int, height: Int, media: Array[Byte])
+
+  /** Resize transform (stubbed codec, real plumbing): deterministic
+    * nearest-neighbor-style byte decimation to a payload proportional to
+    * the target pixel count — stands in for a real image resize the way
+    * [[decodeStub]] stands in for a decoder. Per-partition, no driver
+    * materialization; output rows inherit the input partitioning. */
+  def resizeMedia(media: Dataset[MediaRow],
+                  targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    val targetLen = math.max(1, (targetW.toLong * targetH / 64).toInt)
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val src = m.media
+        val out = new Array[Byte](math.min(targetLen, math.max(1, src.length)))
+        val step = math.max(1.0, src.length.toDouble / out.length)
+        var i = 0
+        while (i < out.length) {
+          out(i) = src(math.min(src.length - 1, (i * step).toInt))
+          i += 1
+        }
+        ResizedMedia(m.doc_id, m.kind, targetW, targetH, out)
+      }
+    }
+  }
+
   /** Frame-sampling inventory entry (rows-only): per-kind frame counts +
     * mean first-feature component as a deterministic content probe. */
   def qMediaFrames(s: SparkSession, dir: String): DataFrame =

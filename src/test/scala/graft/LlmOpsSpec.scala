@@ -98,6 +98,20 @@ class LlmOpsSpec extends AnyFunSuite {
       Engine.table(spark, sf, "documents").count())
   }
 
+  test("resize: deterministic, payload bounded by target, identity kept") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val a = Multimodal.resizeMedia(media, 128, 128).collect()
+    val b = Multimodal.resizeMedia(media, 128, 128).collect()
+    assert(a.length === media.count())
+    assert(a.map(_.doc_id).sorted.toSeq === b.map(_.doc_id).sorted.toSeq)
+    val byId = b.map(r => r.doc_id -> r).toMap
+    a.foreach { r =>
+      assert(r.width === 128 && r.height === 128)
+      assert(r.media.length <= 128 * 128 / 64 && r.media.length > 0)
+      assert(java.util.Arrays.equals(r.media, byId(r.doc_id).media))
+    }
+  }
+
   test("frame sampling: stride-correct count per doc, deterministic") {
     val sp = spark
     import sp.implicits._
