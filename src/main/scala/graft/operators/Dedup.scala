@@ -147,6 +147,69 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // --- end-to-end corpus dedup (keeper selection) ---------------------------
+
+  /** Connected components over an undirected pair graph by iterative
+    * min-label propagation: every doc starts labeled with itself; each
+    * round a doc takes the minimum label among itself and its neighbors;
+    * fixpoint = components labeled by their minimum doc_id.
+    *
+    * Scale shape: each round is one shuffle of the edge list joined to
+    * the current labels (both keyed by doc id — co-partitioned after the
+    * first round), and rounds needed = graph diameter, which for near-dup
+    * clusters is tiny (pairs form near-cliques). The driver only sees the
+    * per-round changed-count (an aggregate), never the data. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"),
+          Seq("doc_id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** The deduped corpus: one keeper (minimum doc_id) per near-dup
+    * component, all singleton docs kept. Returns (doc_id, keeper,
+    * group_size ≥ 2) for docs in near-dup groups plus (doc_id, doc_id, 1)
+    * for untouched docs — filter `doc_id = keeper` for the kept set. */
+  def qDedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val pairs = qDedupMinhash(s, dir).select("doc_a", "doc_b")
+    val comp = connectedComponents(pairs)
+      .withColumnRenamed("label", "keeper")
+    val sizes = comp.groupBy(col("keeper"))
+      .agg(count(lit(1)).as("group_size"))
+    val grouped = comp.join(sizes, Seq("keeper"))
+    docs.join(grouped, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keeper"), col("doc_id")).as("keeper"),
+        coalesce(col("group_size"), lit(1L)).as("group_size"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- SimHash --------------------------------------------------------------
 
   /** SimHash near-dup pairs: 64-bit signature (custom Catalyst
@@ -229,7 +292,8 @@ object Dedup {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_ngram" -> (qDedupNgram _),
-    "q_dedup_embed" -> (qDedupEmbed _))
+    "q_dedup_embed" -> (qDedupEmbed _),
+    "q_dedup_corpus" -> (qDedupCorpus _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql)

@@ -98,6 +98,35 @@ class LlmOpsSpec extends AnyFunSuite {
       Engine.table(spark, sf, "documents").count())
   }
 
+  test("corpus dedup components equal a driver-side union-find") {
+    val pairs = Dedup.qDedupMinhash(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // reference: union-find over the same pairs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(d => d -> find(d)).toMap
+    val got = Dedup.qDedupCorpus(spark, sf)
+      .filter(col("group_size") > 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper")).toMap
+    assert(got === expected)
+    // every doc appears exactly once, keepers keep themselves
+    val all = Dedup.qDedupCorpus(spark, sf).collect()
+    assert(all.length ===
+      Engine.table(spark, sf, "documents").count())
+    all.filter(r => r.getAs[Long]("group_size") == 1L)
+      .foreach(r => assert(r.getAs[Long]("doc_id") === r.getAs[Long]("keeper")))
+  }
+
   test("resize: deterministic, payload bounded by target, identity kept") {
     val media = Multimodal.mediaTable(spark, sf)
     val a = Multimodal.resizeMedia(media, 128, 128).collect()

@@ -101,6 +101,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MinHashShingleSig ≡ array_distinct(shingleHash64) + per-perm minima") {
+    val texts = Gen.listOfN(8,
+      Gen.choose(0, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(('a' to 'e') :+ ' ')).map(_.mkString)))
+    forAll(texts, 6) { ts =>
+      val sp = spark
+      import sp.implicits._
+      val params = graft.operators.Dedup.hashParams
+      val df = ts.toDF("text").select(
+        graft.functions.MinHashShingleSig
+          .minhashShingleSig(col("text"), 5, params).as("mh"),
+        array_distinct(graft.functions.ShingleHash64
+          .shingleHash64(col("text"), 5)).as("ref_hs"))
+      df.collect().foreach { r =>
+        val hs = r.getStruct(0).getSeq[Long](0)
+        val sig = r.getStruct(0).getSeq[Long](1)
+        val ref = r.getSeq[Long](1)
+        assert(hs.toSet === ref.toSet, "distinct shingle sets differ")
+        params.zipWithIndex.foreach { case ((a, b), i) =>
+          val expect = ref.map(h => h * a + b).min
+          assert(sig(i) === expect, s"perm $i minimum differs")
+        }
+      }
+    }
+  }
+
+  test("JaccardLong equals driver-side set Jaccard on random long sets") {
+    val sets = Gen.zip(
+      Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.distinct),
+      Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.distinct))
+    forAll(sets, 20) { case (a, b) =>
+      val sp = spark
+      import sp.implicits._
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(graft.functions.LshOps.jaccardLong(col("a"), col("b")))
+        .head().getDouble(0)
+      val (sa, sb) = (a.toSet, b.toSet)
+      val expect =
+        if (sa.isEmpty && sb.isEmpty) 1.0
+        else sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(got === expect, s"a=$a b=$b")
+    }
+  }
+
   test("GROUP_CONCAT ORDER BY: values emitted in key order, both directions") {
     val sp = spark
     import sp.implicits._
