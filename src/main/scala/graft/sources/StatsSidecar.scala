@@ -53,7 +53,8 @@ object StatsSidecar {
     * here rows per partition directory. */
   def writeWithStats(df: DataFrame, path: String, packRows: Int,
                      cols: Seq[String],
-                     clusterBy: Option[Column] = None): Unit = {
+                     clusterBy: Option[Column] = None,
+                     strCols: Seq[String] = Nil): Unit = {
     val n = df.count()
     val nPacks = math.max(1, math.ceil(n.toDouble / packRows).toInt)
     // Clustering by the hot filter column (or a Z-order key over several,
@@ -75,7 +76,10 @@ object StatsSidecar {
     val packed = df.sparkSession.read.parquet(path)
 
     // one aggregation pass builds every per-pack stat; stack() unpivots
-    // to the long (pack, column) layout
+    // to the long (pack, column) layout. Numeric columns carry
+    // min/max/sum as doubles + fixed-point long; string columns carry
+    // lexicographic min/max (the CMAP-ish prefix-pruning stats,
+    // rsi_cmap.h:46-53) — each family's other fields are NULL.
     val aggs = cols.flatMap { c =>
       Seq(count(lit(1)).as(s"__n_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
@@ -83,12 +87,28 @@ object StatsSidecar {
         max(col(c)).cast("double").as(s"__max_$c"),
         sum(floor(col(c) * lit(Scale) + lit(0.5)).cast("long"))
           .as(s"__sum_$c"))
+    } ++ strCols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        min(col(c)).as(s"__mins_$c"),
+        max(col(c)).as(s"__maxs_$c"))
     }
     val wide = packed.groupBy(col(PackCol)).agg(aggs.head, aggs.tail: _*)
-    val stackExpr = cols.map { c =>
-      s"'$c', __n_$c, __nulls_$c, __min_$c, __max_$c, __sum_$c"
-    }.mkString(s"stack(${cols.size}, ", ", ",
-      ") as (column, n_rows, n_nulls, min_v, max_v, sum_fp)")
+    def entry(c: String, minV: String, maxV: String, sumFp: String,
+              minS: String, maxS: String): String =
+      s"named_struct('column', '$c', 'n_rows', __n_$c, " +
+        s"'n_nulls', __nulls_$c, 'min_v', $minV, 'max_v', $maxV, " +
+        s"'sum_fp', $sumFp, 'min_s', $minS, 'max_s', $maxS)"
+    val numStack = cols.map { c =>
+      entry(c, s"__min_$c", s"__max_$c", s"__sum_$c",
+        "CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
+    }
+    val strStack = strCols.map { c =>
+      entry(c, "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+        "CAST(NULL AS BIGINT)", s"__mins_$c", s"__maxs_$c")
+    }
+    val stackExpr = (numStack ++ strStack).mkString(
+      "inline(array(", ", ", "))")
     wide.select(col(PackCol), expr(stackExpr))
       .write.mode("overwrite").parquet(statsPath(path))
   }
@@ -147,6 +167,44 @@ object StatsSidecar {
     fullRows + partialRows
   }
 
+  /** Tri-state classification of `column LIKE 'prefix%'` from string
+    * min/max — the CMAP prefix-LIKE rough check (rsi_cmap.h:53 IsLike)
+    * expressed over lexicographic pack bounds: the prefix interval is
+    * [prefix, prefix + U+FFFF), assuming data below U+FFFF (true for
+    * any practical text). */
+  def roughCheckPrefix(stats: DataFrame, column: String,
+                       prefix: String): DataFrame = {
+    val hi = prefix + '￿'
+    stats.filter(col("column") === column)
+      .select(col(PackCol), col("n_rows"),
+        when(col("max_s") < prefix || col("min_s") > hi
+          || col("n_rows") === 0, "NONE")
+          .when(col("min_s") >= prefix && col("max_s") <= hi
+            && col("n_nulls") === 0, "ALL")
+          .otherwise("SOME").as("state"))
+  }
+
+  /** Hybrid rough+exact COUNT of `column LIKE 'prefix%'` (string twin of
+    * [[countBetween]]). */
+  def countPrefix(spark: SparkSession, path: String, column: String,
+                  prefix: String): Long = {
+    val states = roughCheckPrefix(readStats(spark, path), column, prefix)
+      .groupBy(col("state"))
+      .agg(collect_list(col(PackCol)).as("packs"), sum("n_rows").as("rows"))
+      .collect()
+    val fullRows = states.find(_.getString(0) == "ALL")
+      .map(_.getLong(2)).getOrElse(0L)
+    val somePacks = states.find(_.getString(0) == "SOME")
+      .map(_.getSeq[Int](1)).getOrElse(Seq.empty)
+    val partialRows =
+      if (somePacks.isEmpty) 0L
+      else spark.read.parquet(path)
+        .filter(col(PackCol).isin(somePacks: _*)
+          && col(column).startsWith(prefix))
+        .count()
+    fullRows + partialRows
+  }
+
   // --- gate query ---------------------------------------------------------
 
   /** Rough-query gate: pack-write lineitem clustered by l_quantity, then
@@ -184,9 +242,41 @@ object StatsSidecar {
       |   WHERE l_quantity BETWEEN 10.0 AND 30.0) AS n_qty_10_30
       |FROM lineitem""".stripMargin
 
+  /** String-pruning gate: pack-write customer clustered by mktsegment,
+    * answer the segment MIN/MAX from string sidecar stats alone and a
+    * LIKE-prefix count through the hybrid path — all must equal exact
+    * recomputation (the CMAP IsLike contract). */
+  def qRoughPrefix(s: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_roughs").toString
+    val c = graft.Engine.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    writeWithStats(c, s"$scratch/customer_packed", 256, Seq("c_custkey"),
+      clusterBy = Some(col("c_mktsegment")), strCols = Seq("c_mktsegment"))
+    val stats = readStats(s, s"$scratch/customer_packed")
+    val nBuild = countPrefix(s, s"$scratch/customer_packed",
+      "c_mktsegment", "BUILD")
+    stats.filter(col("column") === "c_mktsegment")
+      .agg(
+        sum(col("n_rows")).as("n"),
+        min(col("min_s")).as("min_seg"),
+        max(col("max_s")).as("max_seg"))
+      .withColumn("n_building", lit(nBuild))
+  }
+
+  val qRoughPrefixSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(c_mktsegment) AS min_seg,
+      |  MAX(c_mktsegment) AS max_seg,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+      |   WHERE c_mktsegment LIKE 'BUILD%') AS n_building
+      |FROM customer""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_rough_agg" -> (qRoughAgg _))
+    "q_rough_agg" -> (qRoughAgg _),
+    "q_rough_prefix" -> (qRoughPrefix _))
 
   val oracles: Map[String, String] = Map(
-    "q_rough_agg" -> qRoughAggSql)
+    "q_rough_agg" -> qRoughAggSql,
+    "q_rough_prefix" -> qRoughPrefixSql)
 }

@@ -84,6 +84,24 @@ class RoughSpec extends AnyFunSuite {
       10.0, 30.0) === exact)
   }
 
+  test("string prefix rough check: hybrid LIKE count equals exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_roughstr")
+    val c = Engine.table(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    StatsSidecar.writeWithStats(c, s"$dir/c", 16, Seq("c_custkey"),
+      clusterBy = Some(col("c_mktsegment")), strCols = Seq("c_mktsegment"))
+    val exact = c.filter(col("c_mktsegment").startsWith("M")).count()
+    assert(StatsSidecar.countPrefix(spark, s"$dir/c", "c_mktsegment", "M")
+      === exact)
+    // segment clustering must let the prefix check skip packs entirely
+    val states = StatsSidecar
+      .roughCheckPrefix(StatsSidecar.readStats(spark, s"$dir/c"),
+        "c_mktsegment", "M")
+      .select("state").distinct().collect().map(_.getString(0)).toSet
+    assert(states.contains("NONE") || states.contains("ALL"),
+      s"expected decided packs, got $states")
+  }
+
   test("SOME-pack scan prunes at the partition level") {
     val plan = spark.read.parquet(scratch)
       .filter(col(StatsSidecar.PackCol).isin(0, 1))
