@@ -137,6 +137,22 @@ object Aggregates {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
 
+  /** Approximate aggregates (scale tier, no reference analog): at 100 TB
+    * an exact COUNT(DISTINCT) shuffles every distinct value; the HLL++
+    * sketch and the percentile t-digest shuffle constant-size state per
+    * group. Not oracle-exact by nature (sketch internals differ per
+    * engine) — rows-only gate; AggregateSpec-style error bounds are
+    * pinned in InventorySpec instead. */
+  def qAggApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("apx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("apx_median_price"),
+        count(lit(1)).as("n_rows"))
+
   /** CUBE — all grouping-set combinations (surplus vs. reference, which
     * rejects even ROLLUP to the row engine — core/query_compile.cpp:70). */
   def qAggCube(s: SparkSession, dir: String): DataFrame =
@@ -158,7 +174,8 @@ object Aggregates {
     "q_agg_group_concat" -> (qAggGroupConcat _),
     "q_agg_having" -> (qAggHaving _),
     "q_agg_rollup" -> (qAggRollup _),
-    "q_agg_cube" -> (qAggCube _))
+    "q_agg_cube" -> (qAggCube _),
+    "q_agg_approx" -> (qAggApprox _))
 
   val oracles: Map[String, String] = Map(
     "q_agg_distinct" -> qAggDistinctSql,

@@ -68,7 +68,15 @@ object Similarity {
     * coarse quantizer — spark.ml Lloyd's with a fixed seed for
     * deterministic tests). Returns (vec_id, label, embedding, cluster).
     * At 100 TB: train on a sample, assign in one scan, then write the
-    * table partitioned by `cluster` so probes prune at the file level. */
+    * table partitioned by `cluster` so probes prune at the file level.
+    *
+    * Sizing: k = 8 suits the smoke corpus (5k vectors → ~600/cluster).
+    * Production IVF sizes the cluster count ≈ √N with probes scaled to
+    * the recall target (the standard IVF-flat guideline — Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011) —
+    * at 1e9 vectors that is k ≈ 32768, nprobe 32-128; only these two
+    * numbers change, the plan shape (centroid broadcast → probe →
+    * in-cluster rerank) is scale-invariant. */
   def kmeansAssign(e: DataFrame, k: Int = 8): DataFrame = {
     val withVec = e.withColumn("features",
       org.apache.spark.ml.functions.array_to_vector(col("embedding")))

@@ -43,4 +43,14 @@ class InventorySpec extends AnyFunSuite {
     val df = operators.Aggregates.qAggRollup(spark, sf)
     assert(df.filter("r_name IS NULL AND n_name IS NULL").count() === 1)
   }
+
+  test("approximate aggregates track exact within sketch error bounds") {
+    operators.Aggregates.qAggApprox(spark, sf).collect().foreach { r =>
+      val apx = r.getAs[Long]("apx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(apx - exact) / exact <= 0.10,
+        s"HLL rsd blowout: apx=$apx exact=$exact") // rsd 0.02, 5σ slack
+      assert(r.getAs[Double]("apx_median_price") > 0.0)
+    }
+  }
 }
