@@ -178,17 +178,42 @@ object TextOps {
       |FROM documents
       |GROUP BY source""".stripMargin
 
+  /** Word-repetition ratio (Gopher/C4-style quality signal): the
+    * fraction of word occurrences that are repeats of an earlier word —
+    * high values flag boilerplate/spam for corpus filtering. Pure
+    * builtins (split → size / array_distinct). */
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        size(array_distinct(words)).cast("long").as("n_distinct_words"),
+        r6(lit(1.0) - size(array_distinct(words)).cast("double")
+          / size(words)).as("repetition_ratio"))
+  }
+
+  val qTextRepetitionSql: String =
+    s"""SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |    AS n_distinct_words,
+      |  ${sqlR6("1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)" +
+        " / len(string_split(text, ' '))")} AS repetition_ratio
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens" -> (qTextTokens _),
     "q_text_stats" -> (qTextStats _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),
-    "q_text_fingerprint" -> (qTextFingerprint _))
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_text_repetition" -> (qTextRepetition _))
 
   val oracles: Map[String, String] = Map(
     "q_text_tokens" -> qTextTokensSql,
     "q_text_stats" -> qTextStatsSql,
     "q_text_quality" -> qTextQualitySql,
     "q_text_langid" -> qTextLangidSql,
-    "q_text_fingerprint" -> qTextFingerprintSql)
+    "q_text_fingerprint" -> qTextFingerprintSql,
+    "q_text_repetition" -> qTextRepetitionSql)
 }
