@@ -160,9 +160,12 @@ object Dedup {
     * clusters is tiny (pairs form near-cliques). The driver only sees the
     * per-round changed-count (an aggregate), never the data. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // The edge list is consumed every round — persist it once, or each
+    // iteration re-executes the whole upstream candidate pipeline.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(
         pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
@@ -188,6 +191,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 
