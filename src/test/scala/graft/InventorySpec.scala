@@ -44,6 +44,20 @@ class InventorySpec extends AnyFunSuite {
     assert(df.filter("r_name IS NULL AND n_name IS NULL").count() === 1)
   }
 
+  test("one session serves concurrent queries (multi-client parity)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val names = Seq("q01_pricing_summary", "q06_forecast_revenue",
+      "q_agg_having", "q_sort_topk", "q_join_semi_exists", "q_distinct")
+    val sequential = names.map(n => n -> SparkEntry.queries(n)(spark, sf).count())
+    val concurrent = Await.result(
+      Future.sequence(names.map(n =>
+        Future(n -> SparkEntry.queries(n)(spark, sf).count()))),
+      5.minutes)
+    assert(concurrent.toMap === sequential.toMap)
+  }
+
   test("approximate aggregates track exact within sketch error bounds") {
     operators.Aggregates.qAggApprox(spark, sf).collect().foreach { r =>
       val apx = r.getAs[Long]("apx_parts").toDouble
