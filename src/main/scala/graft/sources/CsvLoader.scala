@@ -29,7 +29,8 @@ object CsvLoader {
   def load(spark: SparkSession, path: String, schema: StructType,
            delimiter: String = ",", quote: String = "\"",
            trailingDelimiter: Boolean = false,
-           nullValue: String = "\\N"): LoadResult = {
+           nullValue: String = "\\N",
+           escape: String = "\\"): LoadResult = {
     val readSchema0 =
       if (trailingDelimiter) schema.add("_trailing", "string")
       else schema
@@ -38,6 +39,8 @@ object CsvLoader {
       .schema(readSchema)
       .option("delimiter", delimiter)
       .option("quote", quote)
+      // MySQL LOAD DATA ESCAPED BY (loader/parsing_strategy.h:53-65)
+      .option("escape", escape)
       // MySQL LOAD DATA spells NULL as \N (sql/sql_load semantics)
       .option("nullValue", nullValue)
       .option("mode", "PERMISSIVE")
@@ -59,10 +62,11 @@ object CsvLoader {
     * one node (the reference streams through a single connection). */
   def export(df: DataFrame, outPath: String, delimiter: String = ",",
              quote: String = "\"", lineSep: String = "\n",
-             header: Boolean = false): Unit =
+             header: Boolean = false, escape: String = "\\"): Unit =
     df.write.mode("overwrite")
       .option("delimiter", delimiter)
       .option("quote", quote)
+      .option("escape", escape)
       .option("lineSep", lineSep)
       .option("header", header)
       .csv(outPath)

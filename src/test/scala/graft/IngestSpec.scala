@@ -67,6 +67,31 @@ class IngestSpec extends AnyFunSuite {
     assert(store.read().count() === 7)
   }
 
+  test("ESCAPED BY roundtrip: quotes, delimiters and escapes in data") {
+    val tmp = Files.createTempDirectory("graft_esc").toString
+    val sp = spark
+    import sp.implicits._
+    val tricky = Seq(
+      (1L, """plain"""),
+      (2L, """has "quotes" inside"""),
+      (3L, "has,commas,and|pipes"),
+      (4L, """trailing backslash \"""),
+      (5L, """mix: "q", comma, \ esc"""))
+      .toDF("id", "s")
+    CsvLoader.export(tricky, s"$tmp/out", delimiter = ",", escape = "\\")
+    val back = CsvLoader.load(spark, s"$tmp/out",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType))),
+      delimiter = ",", escape = "\\")
+    assert(back.rejects.count() === 0)
+    val got = back.clean.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = tricky.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === expect)
+  }
+
   test("ALTER add/drop column rewrites atomically, delta folded first") {
     val tmp = Files.createTempDirectory("graft_alter").toString
     val n = Engine.table(spark, sf, "nation")
