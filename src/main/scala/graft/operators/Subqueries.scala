@@ -134,6 +134,26 @@ object Subqueries {
       |FROM orders
       |WHERE o_custkey < 100""".stripMargin
 
+  /** Derived table (subquery in FROM — derived_table.test): aggregate in
+    * the inner block, filter + join the derived alias outside. Catalyst
+    * inlines it; the gate pins the semantics. */
+  def qSubqDerived(s: SparkSession, dir: String): DataFrame = {
+    val perSeg = t(s, dir, "customer")
+      .groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n_cust"),
+        dsum(col("c_acctbal")).as("seg_bal"))
+    perSeg.filter(col("n_cust") > 10)
+      .select(col("seg"), col("n_cust"),
+        (col("seg_bal") / col("n_cust")).as("avg_bal"))
+  }
+
+  val qSubqDerivedSql: String =
+    s"""SELECT seg, n_cust, seg_bal / n_cust AS avg_bal
+      |FROM (SELECT c_mktsegment AS seg, COUNT(*) AS n_cust,
+      |        ${sqlDsum("c_acctbal", "seg_bal")}
+      |      FROM customer GROUP BY c_mktsegment) t
+      |WHERE n_cust > 10""".stripMargin
+
   /** Offset/value/distribution window family: LAG, LEAD, FIRST_VALUE,
     * NTILE, PERCENT_RANK over per-customer order history (surplus tier —
     * the reference's MySQL 5.7 dialect has no window functions,
@@ -171,6 +191,7 @@ object Subqueries {
     "q_subq_in" -> (qSubqIn _),
     "q_subq_correlated" -> (qSubqCorrelated _),
     "q_subq_any_all" -> (qSubqAnyAll _),
+    "q_subq_derived" -> (qSubqDerived _),
     "q_window_rank" -> (qWindowRank _),
     "q_window_running_sum" -> (qWindowRunningSum _),
     "q_window_lead_lag" -> (qWindowLeadLag _))
@@ -182,7 +203,8 @@ object Subqueries {
     "q_subq_any_all" -> qSubqAnyAllSql,
     "q_window_rank" -> qWindowRankSql,
     "q_window_running_sum" -> qWindowRunningSumSql,
-    "q_window_lead_lag" -> qWindowLeadLagSql)
+    "q_window_lead_lag" -> qWindowLeadLagSql,
+    "q_subq_derived" -> qSubqDerivedSql)
 
   /** Correlated oracle with the exact per-part fixed-point half-average. */
   lazy val qSubqCorrelatedSqlReal: String =
