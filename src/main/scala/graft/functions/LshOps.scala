@@ -42,6 +42,11 @@ object LshOps {
 
     override def nullSafeEval(input: Any): Any = {
       val sig = input.asInstanceOf[ArrayData]
+      // explicit bounds check: UnsafeArrayData.getLong past the end reads
+      // garbage rather than throwing (reachable from SQL via the registry)
+      require(sig.numElements() >= nBands * bandSize,
+        s"band_hashes64 needs a signature of ≥ ${nBands * bandSize} " +
+          s"elements, got ${sig.numElements()}")
       val out = new Array[Long](nBands)
       var b = 0
       while (b < nBands) {

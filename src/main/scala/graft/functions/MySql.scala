@@ -181,8 +181,6 @@ object MySql {
       case u => throw new IllegalArgumentException(s"TIMESTAMPADD unit $u")
     }
 
-  /** MySQL `TIMESTAMPDIFF(unit, a, b)` — complete units from a to b,
-    * truncated toward zero. */
   /** MySQL STRCMP(a, b) → -1/0/1 (string collation compare). */
   def strcmp(a: Column, b: Column): Column =
     when(a < b, -1).when(a === b, 0).otherwise(1)
@@ -203,14 +201,24 @@ object MySql {
     * uses single-letter Java fields (`d,M,y`), which accept both padded
     * and unpadded digits the way MySQL does — the format-oriented
     * translation (`dd,MM`) would reject STR_TO_DATE('01,5,2013', …).
-    * Numeric day/month fields are remapped to their lenient aliases
-    * (%d→%e, %m→%c) and yyyy→y; name fields
-    * (%M/%b/%W/%a) pass through unchanged. */
+    * Numeric day/month fields are remapped to their lenient specifier
+    * aliases (%d→%e, %m→%c) before translation, and the translated
+    * four-digit year field is relaxed to `y`; name fields (%M/%b/%W/%a)
+    * pass through unchanged. */
   def strToDate(s: Column, mysqlFmt: String): Column = {
-    val parseFmt = mysqlFmt
-      .replace("%d", "%e").replace("%m", "%c").replace("%Y", "%")
-    val javaFmt = mysqlFormatToJava(parseFmt.replace("%", "%y"))
-      .replace("yy", "y")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < mysqlFmt.length) {
+      if (mysqlFmt.charAt(i) == '%' && i + 1 < mysqlFmt.length) {
+        sb.append(mysqlFmt.charAt(i + 1) match {
+          case 'd' => "%e" // day: lenient single-letter field
+          case 'm' => "%c" // month: lenient single-letter field
+          case other => s"%$other"
+        })
+        i += 2
+      } else { sb.append(mysqlFmt.charAt(i)); i += 1 }
+    }
+    val javaFmt = mysqlFormatToJava(sb.toString).replace("yyyy", "y")
     to_date(s, javaFmt)
   }
 
@@ -226,6 +234,8 @@ object MySql {
   def fromDays(n: Column): Column =
     date_add(lit("1970-01-01").cast("date"), (n - EpochToDays).cast("int"))
 
+  /** MySQL `TIMESTAMPDIFF(unit, a, b)` — complete units from a to b,
+    * truncated toward zero. */
   def timestampDiff(unit: String, a: Column, b: Column): Column = {
     def usDiv(us: Long): Column =
       div(unix_micros(b.cast("timestamp")) - unix_micros(a.cast("timestamp")),

@@ -22,7 +22,22 @@ object Vectors {
   case class VecDot(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def prettyName: String = "vec_dot"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(e: Expression): Boolean = e.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      }
+      if (ok(left) && ok(right))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"vec_dot requires array<float>/array<double> inputs, got " +
+            s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
 
     private def isFloat(e: Expression): Boolean = e.dataType match {
       case ArrayType(FloatType, _) => true
@@ -32,13 +47,18 @@ object Vectors {
     private lazy val leftFloat = isFloat(left)
     private lazy val rightFloat = isFloat(right)
 
+    /** NULL on length mismatch or any NULL element — the same result the
+      * previous zip_with+aggregate formulation produced, so upstream data
+      * bugs surface as NULL scores instead of silently wrong ones. */
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      val n = a.numElements()
+      if (b.numElements() != n) return null
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
         val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
         val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
         acc += x * y

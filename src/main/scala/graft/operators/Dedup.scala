@@ -158,7 +158,11 @@ object Dedup {
     * the current labels (both keyed by doc id — co-partitioned after the
     * first round), and rounds needed = graph diameter, which for near-dup
     * clusters is tiny (pairs form near-cliques). The driver only sees the
-    * per-round changed-count (an aggregate), never the data. */
+    * per-round changed-count (an aggregate), never the data.
+    *
+    * The returned frame is left persisted (its lineage spans every
+    * iteration — recomputation would replay the whole loop); the caller
+    * owns `unpersist()` once consumers are done. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // The edge list is consumed every round — persist it once, or each
     // iteration re-executes the whole upstream candidate pipeline.
@@ -252,10 +256,11 @@ object Dedup {
     val bucketWidth = 64
     val d = Engine.rebalance(t(s, dir, "documents"))
       .select(col("doc_id"),
-        graft.functions.MinHashShingleSig
-          .minhashShingleSig(lower(col("text")), 5, hashParams).as("mh"),
+        // distinct set only — the signature's 32-permutation fold would
+        // be dead weight here (ngram verifies exactly, never estimates)
+        array_distinct(graft.functions.ShingleHash64
+          .shingleHash64(lower(col("text")), 5)).as("sh"),
         floor(length(col("text")) / bucketWidth).cast("long").as("lb"))
-      .select(col("doc_id"), col("mh.hs").as("sh"), col("lb"))
     val exploded = d.select(col("doc_id"), col("sh"),
       explode(array(col("lb"), col("lb") + 1)).as("bucket"))
     val l = exploded.select(col("bucket"), col("doc_id").as("doc_a"),

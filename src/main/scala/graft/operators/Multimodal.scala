@@ -116,13 +116,18 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { m =>
         val src = m.media
-        val out = new Array[Byte](math.min(targetLen, math.max(1, src.length)))
-        val step = math.max(1.0, src.length.toDouble / out.length)
-        var i = 0
-        while (i < out.length) {
-          out(i) = src(math.min(src.length - 1, (i * step).toInt))
-          i += 1
-        }
+        val out =
+          if (src.isEmpty) Array.emptyByteArray // zero-byte blob: keep empty
+          else {
+            val o = new Array[Byte](math.min(targetLen, src.length))
+            val step = math.max(1.0, src.length.toDouble / o.length)
+            var i = 0
+            while (i < o.length) {
+              o(i) = src(math.min(src.length - 1, (i * step).toInt))
+              i += 1
+            }
+            o
+          }
         ResizedMedia(m.doc_id, m.kind, targetW, targetH, out)
       }
     }

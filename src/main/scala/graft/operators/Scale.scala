@@ -117,11 +117,16 @@ object Scale {
   def zorderPack(df: DataFrame, path: String, packRows: Int,
                  zCols: Seq[String], statCols: Seq[String]): Unit = {
     require(zCols.nonEmpty && zCols.size <= 4, "zorderPack takes 1-4 columns")
-    val bounds = df.agg(
-      zCols.flatMap(c => Seq(min(col(c)).cast("double").as(s"lo_$c"),
-        max(col(c)).cast("double").as(s"hi_$c"))).head,
-      zCols.flatMap(c => Seq(min(col(c)).cast("double").as(s"lo_$c"),
-        max(col(c)).cast("double").as(s"hi_$c"))).tail: _*).first()
+    val boundAggs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"lo_$c"),
+        max(col(c)).cast("double").as(s"hi_$c")))
+    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*).first()
+    // empty (or all-NULL) input: no bounds to normalize against — write
+    // the empty pack table + sidecar without a clustering key
+    if (zCols.exists(c => bounds.isNullAt(bounds.fieldIndex(s"lo_$c")))) {
+      graft.sources.StatsSidecar.writeWithStats(df, path, packRows, statCols)
+      return
+    }
     val lattice = zCols.map { c =>
       val lo = bounds.getAs[Double](s"lo_$c")
       val hi = bounds.getAs[Double](s"hi_$c")

@@ -41,15 +41,26 @@ class DeltaStore(spark: SparkSession, root: String) {
     else base
   }
 
-  /** Fold the delta into the base and clear it (background-merge analog).
-    * Rewrites through a staging dir so a failed compaction never leaves a
-    * half-written base. */
+  /** Staged base rewrite shared by compact/truncate/alter: write the new
+    * base fully, move the old base aside, promote staging, then drop the
+    * old copy. A crash mid-sequence leaves either the old base in place
+    * (before the promote) or a recoverable `_old` copy — never a window
+    * with no data at all (plain delete-then-rename has one). Single-
+    * writer discipline assumed, as in the reference's background merge. */
+  private def rewriteBase(df: DataFrame): Unit = {
+    val staging = new Path(s"$root/_staging")
+    val old = new Path(s"$root/_old")
+    df.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(old, true)
+    fs.rename(new Path(basePath), old)
+    fs.rename(staging, new Path(basePath))
+    fs.delete(old, true)
+  }
+
+  /** Fold the delta into the base and clear it (background-merge analog). */
   def compact(): Unit = {
     if (!exists(deltaPath)) return
-    val staging = s"$root/_staging"
-    read().write.mode("overwrite").parquet(staging)
-    fs.delete(new Path(basePath), true)
-    fs.rename(new Path(staging), new Path(basePath))
+    rewriteBase(read())
     fs.delete(new Path(deltaPath), true)
   }
 
@@ -57,10 +68,7 @@ class DeltaStore(spark: SparkSession, root: String) {
     * core/tianmu_table.h:76): keep the schema, drop all rows — base is
     * overwritten with an empty frame, delta cleared. */
   def truncate(): Unit = {
-    val empty = spark.read.parquet(basePath).limit(0)
-    empty.write.mode("overwrite").parquet(s"$root/_staging")
-    fs.delete(new Path(basePath), true)
-    fs.rename(new Path(s"$root/_staging"), new Path(basePath))
+    rewriteBase(spark.read.parquet(basePath).limit(0))
     fs.delete(new Path(deltaPath), true)
   }
 
@@ -70,22 +78,16 @@ class DeltaStore(spark: SparkSession, root: String) {
 
   /** ALTER TABLE … ADD COLUMN analog (TianmuTable add/drop,
     * core/tianmu_table.h:73-75): rewrite base with the new column
-    * defaulted; pending delta is compacted first so the schema change is
-    * atomic over the whole table. */
+    * defaulted; pending delta is compacted first so the schema change
+    * covers the whole table. */
   def alterAddColumn(name: String, default: org.apache.spark.sql.Column): Unit = {
     compact()
-    val widened = spark.read.parquet(basePath).withColumn(name, default)
-    widened.write.mode("overwrite").parquet(s"$root/_staging")
-    fs.delete(new Path(basePath), true)
-    fs.rename(new Path(s"$root/_staging"), new Path(basePath))
+    rewriteBase(spark.read.parquet(basePath).withColumn(name, default))
   }
 
   /** ALTER TABLE … DROP COLUMN analog. */
   def alterDropColumn(name: String): Unit = {
     compact()
-    val narrowed = spark.read.parquet(basePath).drop(name)
-    narrowed.write.mode("overwrite").parquet(s"$root/_staging")
-    fs.delete(new Path(basePath), true)
-    fs.rename(new Path(s"$root/_staging"), new Path(basePath))
+    rewriteBase(spark.read.parquet(basePath).drop(name))
   }
 }

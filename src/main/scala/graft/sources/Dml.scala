@@ -178,7 +178,10 @@ object Dml {
     * zipWithIndex-style per-partition offsets. */
   def autoIncrement(base: DataFrame, baseIdCol: String, incoming: DataFrame,
                     orderBy: Seq[String]): DataFrame = {
-    val start = base.agg(max(col(baseIdCol)).as("max_id"))
+    // empty base (first insert into a fresh table) starts at 1, the
+    // MySQL AUTO_INCREMENT initial value
+    val start = base.agg(
+      coalesce(max(col(baseIdCol)), lit(0L)).as("max_id"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(orderBy.map(col): _*)
     incoming

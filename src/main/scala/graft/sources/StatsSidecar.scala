@@ -168,21 +168,26 @@ object StatsSidecar {
   }
 
   /** Tri-state classification of `column LIKE 'prefix%'` from string
-    * min/max — the CMAP prefix-LIKE rough check (rsi_cmap.h:53 IsLike)
-    * expressed over lexicographic pack bounds: the prefix interval is
-    * [prefix, prefix + U+FFFF), assuming data below U+FFFF (true for
-    * any practical text). */
+    * min/max — the CMAP prefix-LIKE rough check (rsi_cmap.h:53 IsLike).
+    * In byte order, the strings starting with `prefix` form a contiguous
+    * range, so only prefix comparisons are needed (no sentinel upper
+    * bound — a `prefix + U+FFFF` bound would misclassify text containing
+    * supplementary-plane characters, routine in a web corpus):
+    *  - NONE: the whole pack sorts below the range (max_s < prefix), or
+    *    above it (min_s ≥ prefix and min_s does not start with prefix);
+    *  - ALL: both ends start with prefix (then everything between does),
+    *    and no NULLs. */
   def roughCheckPrefix(stats: DataFrame, column: String,
-                       prefix: String): DataFrame = {
-    val hi = prefix + '￿'
+                       prefix: String): DataFrame =
     stats.filter(col("column") === column)
       .select(col(PackCol), col("n_rows"),
-        when(col("max_s") < prefix || col("min_s") > hi
+        when(col("max_s") < prefix
+          || (col("min_s") >= prefix && !col("min_s").startsWith(prefix))
           || col("n_rows") === 0, "NONE")
-          .when(col("min_s") >= prefix && col("max_s") <= hi
+          .when(col("min_s").startsWith(prefix)
+            && col("max_s").startsWith(prefix)
             && col("n_nulls") === 0, "ALL")
           .otherwise("SOME").as("state"))
-  }
 
   /** Hybrid rough+exact COUNT of `column LIKE 'prefix%'` (string twin of
     * [[countBetween]]). */
