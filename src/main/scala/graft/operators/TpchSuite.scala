@@ -350,6 +350,41 @@ object TpchSuite {
       |ORDER BY c_nationkey""".stripMargin
   }
 
+  /** Q9 SHAPE (product-type profit by nation and year). Exact Q9 needs
+    * partsupp.ps_supplycost (absent — see scaladoc above); this keeps
+    * Q9's join topology and aggregation — lineitem ⋈ orders ⋈ supplier ⋈
+    * nation ⋈ part, revenue aggregated by (nation, order-year) over a
+    * part filter — with profit simplified to the discounted revenue.
+    * Scale shape: part/supplier/nation broadcast; lineitem⋈orders is the
+    * one big shuffle (orderkey), then a narrow (nation, year) agg. */
+  def q09ProfitShape(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val p = t(s, dir, "part").filter(col("p_name").like("%bolt%"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("sum_profit"))
+  }
+
+  val q09Sql: String =
+    s"""SELECT n_name AS nation,
+      |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  ${sqlDsum("l_extendedprice * (1.0 - l_discount)", "sum_profit")}
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%bolt%'
+      |GROUP BY n_name, year(o_orderdate)""".stripMargin
+
   // Registry ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -361,7 +396,8 @@ object TpchSuite {
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q18_large_volume_customer" -> (q18LargeVolumeCustomer _),
-    "q22_idle_customers" -> (q22IdleCustomers _))
+    "q22_idle_customers" -> (q22IdleCustomers _),
+    "q09_profit_shape" -> (q09ProfitShape _))
 
   val oracles: Map[String, String] = Map(
     "q04_order_priority" -> q04Sql,
@@ -372,5 +408,6 @@ object TpchSuite {
     "q14_promo_revenue" -> q14Sql,
     "q15_top_supplier" -> q15Sql,
     "q18_large_volume_customer" -> q18Sql,
-    "q22_idle_customers" -> q22Sql)
+    "q22_idle_customers" -> q22Sql,
+    "q09_profit_shape" -> q09Sql)
 }
