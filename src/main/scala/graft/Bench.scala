@@ -10,9 +10,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Headline set: the TPC-H-shaped core + one representative per
-    * extension family, mirroring BASELINE.md's query mix. */
+    * extension family, mirroring BASELINE.md's query mix. Q1 and the Q9
+    * shape are included although the reference's published run EXCLUDED
+    * them as timeouts (BASELINE.md: Q1, Q9, Q16, Q19, Q22 exceeded the
+    * limit at SF100) — they complete here. */
   val headline: Seq[String] = Seq(
-    "q01_pricing_summary",      // scan-heavy agg (Q1)
+    "q01_pricing_summary",      // scan-heavy agg (Q1; reference: timeout)
+    "q09_profit_shape",         // 5-way join profit (Q9 shape; reference: timeout)
     "q03_shipping_priority_topk", // 3-way join + topk (Q3)
     "q04_order_priority",       // EXISTS semi-join (Q4)
     "q05_local_supplier_volume", // 6-way star join (Q5)
