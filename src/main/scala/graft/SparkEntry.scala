@@ -31,7 +31,8 @@ object SparkEntry {
     operators.Similarity.queries -> operators.Similarity.oracles,
     operators.Multimodal.queries -> operators.Multimodal.oracles,
     sources.Dml.queries -> sources.Dml.oracles,
-    sources.StatsSidecar.queries -> sources.StatsSidecar.oracles)
+    sources.StatsSidecar.queries -> sources.StatsSidecar.oracles,
+    operators.Pipeline.queries -> operators.Pipeline.oracles)
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -27,7 +27,7 @@ object TextOps {
 
   /** Whitespace token count — the texts are single-space tokenised, so
     * `#spaces + 1` is exact and engine-portable. */
-  private def tokenCount(c: Column): Column =
+  private[operators] def tokenCount(c: Column): Column =
     (length(c) - length(regexp_replace(c, " ", "")) + 1).cast("long")
   private val sqlTokenCount =
     "CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)"
