@@ -18,6 +18,14 @@ object Registry {
     spark.udf.register("group_concat", udaf(new GroupConcat(",", false, 0)))
     spark.udf.register("group_concat_distinct",
       udaf(new GroupConcat(",", true, 0)))
+    // GROUP_CONCAT(value ORDER BY key [DESC]) from SQL: the ORDER BY
+    // clause becomes the first argument (the sort key travels in the
+    // buffer — t/group_concat.test shapes). asc/desc are separate names
+    // because a UDAF signature cannot carry the modifier.
+    spark.udf.register("group_concat_order_by",
+      udaf(new GroupConcatOrdered(",", false, 0)))
+    spark.udf.register("group_concat_order_by_desc",
+      udaf(new GroupConcatOrdered(",", true, 0)))
     // Dedup kernels, wired to the Dedup pipeline's parameters so SQL
     // users compute the same signatures/verdicts as the operators.
     val params = graft.operators.Dedup.hashParams

@@ -449,7 +449,14 @@ object Filters {
     * exact in both engines' decimal kernels. The product operands are
     * DECIMAL(18,0) so the result width (36) stays under every engine's
     * 38-digit cap — a width-40 multiply silently falls back to DOUBLE
-    * in some DuckDB versions, which breaks exactness past 2^53. */
+    * in some DuckDB versions, which breaks exactness past 2^53.
+    *
+    * The gate's OUTPUT columns are canonical digit strings: decimal128
+    * physical representations differ across arrow/parquet readers and
+    * tripped the driver's hasher two rounds running even with
+    * bit-identical values. Arithmetic stays decimal internally; only
+    * the final projection is re-expressed (scale-0 positive decimals
+    * print identically in both engines). */
   def qTypesUnsigned(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val u64 = col("l_orderkey").cast(DecimalType(20, 0))
@@ -457,18 +464,22 @@ object Filters {
     t(s, dir, "lineitem")
       .agg(
         sum(n18 * lit(4294967296L).cast(DecimalType(18, 0)))
-          .cast(DecimalType(38, 0)).as("scaled_sum"),
+          .cast(DecimalType(38, 0)).as("scaled_sum_d"),
         (lit("18446744073709551615").cast(DecimalType(20, 0))
-          - max(u64)).as("headroom_below_u64max"),
+          - max(u64)).as("headroom_d"),
         count(lit(1)).as("n"))
+      .select(
+        col("scaled_sum_d").cast("string").as("scaled_sum"),
+        col("headroom_d").cast("string").as("headroom_below_u64max"),
+        col("n"))
   }
 
   val qTypesUnsignedSql: String =
     """SELECT
-      |  CAST(SUM(CAST(l_orderkey AS DECIMAL(18,0)) * CAST(4294967296 AS DECIMAL(18,0)))
-      |    AS DECIMAL(38,0)) AS scaled_sum,
-      |  CAST('18446744073709551615' AS DECIMAL(20,0))
-      |    - MAX(CAST(l_orderkey AS DECIMAL(20,0))) AS headroom_below_u64max,
+      |  CAST(CAST(SUM(CAST(l_orderkey AS DECIMAL(18,0)) * CAST(4294967296 AS DECIMAL(18,0)))
+      |    AS DECIMAL(38,0)) AS VARCHAR) AS scaled_sum,
+      |  CAST(CAST('18446744073709551615' AS DECIMAL(20,0))
+      |    - MAX(CAST(l_orderkey AS DECIMAL(20,0))) AS VARCHAR) AS headroom_below_u64max,
       |  COUNT(*) AS n
       |FROM lineitem""".stripMargin
 

@@ -100,6 +100,68 @@ object Joins {
       |                    AND o_totalprice > 450000)
       |GROUP BY c_nationkey""".stripMargin
 
+  /** RIGHT OUTER join (JO_RIGHT, optimizer/compile/cq_term.h:60; the
+    * reference's joiners handle it by side switching,
+    * joiner_hash.h:100-106 — Catalyst does the same, planning the
+    * preserved side as the build/stream choice it would make for the
+    * mirrored LEFT). Kept as a literal `"right"` join so the semantics
+    * are pinned from this API surface too. */
+  def qJoinRight(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+    o.join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"), "right")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("n_matched"),
+        dsum(coalesce(col("o_totalprice"), lit(0.0))).as("sum_price"))
+  }
+
+  val qJoinRightSql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_rows,
+      |  COUNT(o_orderkey) AS n_matched,
+      |  ${sqlDsum("COALESCE(o_totalprice, 0.0)", "sum_price")}
+      |FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      |RIGHT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** NOT IN over a subquery that may produce NULL — the reference's
+    * O_NOT_IN descriptor (common/common_definitions.h:184-235;
+    * t/in_subquery.test): three-valued semantics make `x NOT IN S`
+    * never TRUE when S contains a NULL (every non-matching comparison
+    * is UNKNOWN), so ONE NULL in the subquery empties the result. The
+    * gate pins both faces in one row: the same NOT IN with and without
+    * a NULL row in S. Expressed through the SQL surface so Catalyst
+    * plans its null-aware anti join (not a plain LEFT ANTI, whose
+    * NOT-EXISTS semantics would wrongly survive the NULL). */
+  def qSubqNotIn(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("graft_notin_customer")
+    t(s, dir, "orders").createOrReplaceTempView("graft_notin_orders")
+    s.sql(
+      """SELECT
+        |  (SELECT COUNT(*) FROM graft_notin_customer
+        |   WHERE c_custkey NOT IN
+        |     (SELECT o_custkey FROM graft_notin_orders
+        |      WHERE o_totalprice > 450000)) AS n_without_null,
+        |  (SELECT COUNT(*) FROM graft_notin_customer
+        |   WHERE c_custkey NOT IN
+        |     (SELECT o_custkey FROM graft_notin_orders
+        |      WHERE o_totalprice > 450000
+        |      UNION ALL SELECT CAST(NULL AS BIGINT))) AS n_with_null
+        |""".stripMargin)
+  }
+
+  val qSubqNotInSql: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM customer
+      |   WHERE c_custkey NOT IN
+      |     (SELECT o_custkey FROM orders
+      |      WHERE o_totalprice > 450000)) AS n_without_null,
+      |  (SELECT COUNT(*) FROM customer
+      |   WHERE c_custkey NOT IN
+      |     (SELECT o_custkey FROM orders
+      |      WHERE o_totalprice > 450000
+      |      UNION ALL SELECT CAST(NULL AS BIGINT))) AS n_with_null""".stripMargin
+
   /** Theta join: equi component (nation) + range residual — the
     * reference's JTYPE_SORT case for `<,>` predicates
     * (optimizer/joiner_sort.h:30). With an equi key present, Spark hashes
@@ -127,6 +189,8 @@ object Joins {
     "q_join_full_outer" -> (qJoinFullOuter _),
     "q_join_semi_exists" -> (qJoinSemiExists _),
     "q_join_anti" -> (qJoinAnti _),
+    "q_join_right_agg" -> (qJoinRight _),
+    "q_subq_not_in" -> (qSubqNotIn _),
     "q_join_theta_acctbal" -> (qJoinThetaAcctbal _))
 
   val oracles: Map[String, String] = Map(
@@ -134,5 +198,7 @@ object Joins {
     "q_join_full_outer" -> qJoinFullOuterSql,
     "q_join_semi_exists" -> qJoinSemiExistsSql,
     "q_join_anti" -> qJoinAntiSql,
+    "q_join_right_agg" -> qJoinRightSql,
+    "q_subq_not_in" -> qSubqNotInSql,
     "q_join_theta_acctbal" -> qJoinThetaAcctbalSql)
 }

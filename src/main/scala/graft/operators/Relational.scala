@@ -114,8 +114,12 @@ object Relational {
       |  AND l_quantity < 24""".stripMargin
 
   /** TPC-H Q19 shape: equi join under a 3-branch OR tree (the reference's
-    * O_OR_TREE descriptors, optimizer/compile/descriptor.h:116). `part` is
-    * a dimension table → broadcast; the OR residual stays in codegen. */
+    * O_OR_TREE descriptors, optimizer/compile/descriptor.h:116). `part`
+    * grows with SF, so no broadcast hint: an explicit hint is honored
+    * regardless of autoBroadcastJoinThreshold and AQE will NOT demote an
+    * oversized hinted broadcast — Catalyst picks BroadcastHashJoin by
+    * size when the side fits, shuffled join when it doesn't. The OR
+    * residual stays in codegen either way. */
   def q19OrTreeRevenue(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val p = t(s, dir, "part")
@@ -126,7 +130,7 @@ object Relational {
         && col("p_size").between(1, 10)) ||
       (col("p_brand") === "Brand#5" && col("l_quantity").between(20, 30)
         && col("p_size").between(1, 15))
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .filter(branches)
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"),
@@ -150,7 +154,7 @@ object Relational {
     val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-07-21"))
     val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-07-21"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"))
@@ -171,9 +175,13 @@ object Relational {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
-  /** TPC-H Q5 shape: 6-way star join. Dimensions (region/nation/customer/
-    * supplier) broadcast; only orders⋈lineitem shuffles — at 100 TB that is
-    * the one unavoidable exchange and it is key-partitioned on orderkey. */
+  /** TPC-H Q5 shape: 6-way star join. Only the bounded dimensions
+    * (region: 5 rows, nation: 25 rows — fixed at every SF) carry a
+    * broadcast hint; customer/supplier grow with SF so Catalyst/AQE
+    * choose their join strategy by measured size (broadcast at small SF,
+    * shuffled at 100 TB where customer is ~15e9 rows). The
+    * orders⋈lineitem shuffle is the one unavoidable exchange, key-
+    * partitioned on orderkey. */
   def q05LocalSupplierVolume(s: SparkSession, dir: String): DataFrame = {
     val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
     val n = t(s, dir, "nation")
@@ -184,8 +192,8 @@ object Relational {
     val li = t(s, dir, "lineitem")
     val sup = t(s, dir, "supplier")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey")
         && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))

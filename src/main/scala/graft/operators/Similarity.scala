@@ -94,8 +94,12 @@ object Similarity {
     * [[qSimIvf]], with a learned partition function instead of the label
     * stand-in. */
   def qSimIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    // no persist: the expensive step (KMeans.fit) is eager and internal
+    // to kmeansAssign; the assignment itself is one narrow scan +
+    // broadcast-model predict, cheaper to recompute for the two
+    // consumers than to cache corpus-wide (and a persist here leaked —
+    // registry callers have no unpersist hook)
     val assigned = kmeansAssign(t(s, dir, "embeddings"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = queryVec(s, dir)
     val cents = centroids(assigned.drop("label")
         .withColumnRenamed("cluster", "label"))

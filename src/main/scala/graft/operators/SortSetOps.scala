@@ -84,6 +84,35 @@ object SortSetOps {
       |UNION
       |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000""".stripMargin
 
+  /** Multi-block UNION under a GLOBAL ORDER BY + LIMIT — the reference
+    * walks UNION units in Engine::HandleSelect (engine_execute.cpp:80)
+    * and applies one TM_TOP over the combined result
+    * (query_compile.cpp:1295). Spark-first this is union → distinct →
+    * orderBy → limit, which compiles to one TakeOrderedAndProject above
+    * the union (heap top-k, no global sort materialization). */
+  def qUnionOrderLimit(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+    val b = t(s, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("v"))
+    a.union(b).distinct()
+      .orderBy(col("v").desc, col("k"))
+      .limit(25)
+  }
+
+  val qUnionOrderLimitSql: String =
+    """SELECT k, v FROM (
+      |  SELECT o_orderkey AS k, o_totalprice AS v
+      |  FROM orders WHERE o_totalprice > 400000
+      |  UNION
+      |  SELECT c_custkey AS k, c_acctbal AS v
+      |  FROM customer WHERE c_acctbal > 9000
+      |)
+      |ORDER BY v DESC, k
+      |LIMIT 25""".stripMargin
+
   /** INTERSECT (distinct) — surplus vs. the reference (MySQL 5.7 has only
     * UNION, SURVEY.md §2.8); Catalyst plans it as a left-semi join over
     * distinct sides. */
@@ -123,6 +152,7 @@ object SortSetOps {
     "q_distinct" -> (qDistinct _),
     "q_union_all" -> (qUnionAll _),
     "q_union_distinct" -> (qUnionDistinct _),
+    "q_union_order_limit" -> (qUnionOrderLimit _),
     "q_intersect" -> (qIntersect _),
     "q_except" -> (qExcept _))
 
@@ -132,6 +162,7 @@ object SortSetOps {
     "q_distinct" -> qDistinctSql,
     "q_union_all" -> qUnionAllSql,
     "q_union_distinct" -> qUnionDistinctSql,
+    "q_union_order_limit" -> qUnionOrderLimitSql,
     "q_intersect" -> qIntersectSql,
     "q_except" -> qExceptSql)
 }

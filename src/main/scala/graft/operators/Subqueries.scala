@@ -66,7 +66,7 @@ object Subqueries {
     val p = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
     val halfAvg = li.groupBy(col("l_partkey").as("hp_partkey"))
       .agg((davg(col("l_quantity")) * 0.5).as("half_avg"))
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .join(halfAvg, col("l_partkey") === col("hp_partkey"))
       .filter(col("l_quantity") < col("half_avg"))
       .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),

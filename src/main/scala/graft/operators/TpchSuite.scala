@@ -69,9 +69,10 @@ object TpchSuite {
   // --- Q7: volume shipping between two nations ----------------------------
 
   /** Q7 shape: nation-pair trade volume by ship year over a 4-nation
-    * group (pairs of 2 are empty at the sf0.001 smoke scale). The
-    * two nation lookups broadcast (pre-filtered to the pair, so the fact
-    * stream shrinks at the earliest join); lineitem⋈orders is the only
+    * group (pairs of 2 are empty at the sf0.001 smoke scale). Only the
+    * two nation lookups (25 rows, fixed at every SF) are hint-broadcast;
+    * supplier/customer grow with SF so their strategy is left to
+    * Catalyst/AQE sizing. lineitem⋈orders is the only mandatory
     * shuffle, keyed on orderkey. */
   def q07VolumeShipping(s: SparkSession, dir: String): DataFrame = {
     val pair = Seq("NATION_0", "NATION_1", "NATION_2", "NATION_3")
@@ -82,11 +83,11 @@ object TpchSuite {
     val li = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01")
         && col("l_shipdate") < lit("1998-01-01"))
-    li.join(broadcast(t(s, dir, "supplier")),
+    li.join(t(s, dir, "supplier"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("supp_nk"))
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, dir, "customer")),
+      .join(t(s, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(n2), col("c_nationkey") === col("cust_nk"))
       .filter(col("supp_nation") =!= col("cust_nation"))
@@ -117,9 +118,11 @@ object TpchSuite {
   // --- Q8: national market share ------------------------------------------
 
   /** Q8 shape: NATION_3's share of ECONOMY-part volume sold into ASIA by
-    * order year. Part pre-filter broadcasts into lineitem, shrinking the
-    * fact stream before the orderkey shuffle; both dsums are exact, so
-    * the final ratio is engine-deterministic. */
+    * order year. The part pre-filter joins into lineitem first, shrinking
+    * the fact stream before the orderkey shuffle; hint-broadcast only the
+    * SF-fixed nation/region lookups and let Catalyst/AQE size
+    * part/customer/supplier (broadcast when small, shuffled at 100 TB).
+    * Both dsums are exact, so the final ratio is engine-deterministic. */
   def q08MarketShare(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
     val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
@@ -131,13 +134,13 @@ object TpchSuite {
       .filter(col("o_orderdate") >= lit("1996-01-01")
         && col("o_orderdate") < lit("1998-01-01"))
     t(s, dir, "lineitem")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, dir, "customer")),
+      .join(t(s, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(nCust), col("c_nationkey") === col("cn_nk"))
       .join(broadcast(r), col("cn_rk") === col("r_regionkey"))
-      .join(broadcast(t(s, dir, "supplier")),
+      .join(t(s, dir, "supplier"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nSupp), col("s_nationkey") === col("sn_nk"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
@@ -170,8 +173,9 @@ object TpchSuite {
   // --- Q10: returned item reporting ----------------------------------------
 
   /** Q10 shape: top-20 customers by returned revenue in a quarter.
-    * orders⋈lineitem shuffles on orderkey; customer/nation broadcast;
-    * the limit compiles to TakeOrderedAndProject (top-k heap, no global
+    * orders⋈lineitem shuffles on orderkey; nation (SF-fixed) is hint-
+    * broadcast, customer's strategy is left to Catalyst/AQE sizing; the
+    * limit compiles to TakeOrderedAndProject (top-k heap, no global
     * sort). */
   def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
@@ -179,7 +183,7 @@ object TpchSuite {
         && col("o_orderdate") < lit("1997-01-01"))
     val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, dir, "customer")),
+      .join(t(s, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")),
         col("c_nationkey") === col("n_nationkey"))
@@ -231,13 +235,14 @@ object TpchSuite {
 
   // --- Q14: promotion effect ------------------------------------------------
 
-  /** Q14 shape: promo share of one month's revenue. part broadcasts; the
-    * single global aggregate is a map-side-combined scalar. */
+  /** Q14 shape: promo share of one month's revenue. part grows with SF
+    * so no broadcast hint (Catalyst sizes it); the single global
+    * aggregate is a map-side-combined scalar. */
   def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1997-09-01")
         && col("l_shipdate") < lit("1997-10-01"))
-    li.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+    li.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .agg((lit(100.0) * dsum(when(col("p_type") === "PROMO", vol)
           .otherwise(lit(0.0))) / dsum(vol)).as("promo_revenue"))
   }
@@ -288,17 +293,21 @@ object TpchSuite {
 
   /** Q18 shape (the reference's slowest completed query, 1101.7 s at
     * SF100 — BASELINE.md): orders whose total quantity exceeds 250.
-    * The heavy per-orderkey aggregate runs FIRST and its survivors (a few
-    * hundred rows) broadcast back into orders⋈customer — the big tables
-    * never shuffle against each other unfiltered. */
+    * The heavy per-orderkey aggregate runs FIRST so its survivors (a few
+    * hundred rows) join back into orders⋈customer — the big tables never
+    * shuffle against each other unfiltered. No broadcast hints: `big`'s
+    * size is data-dependent (a hint would pin a driver-killing broadcast
+    * if the filter passes more than expected) and customer grows with
+    * SF; AQE sees the filtered aggregate's true runtime size and picks
+    * broadcast exactly when it is actually small. */
   def q18LargeVolumeCustomer(s: SparkSession, dir: String): DataFrame = {
     val big = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(dsum(col("l_quantity")).as("sum_qty"))
       .filter(col("sum_qty") > 250.0)
     t(s, dir, "orders")
-      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(t(s, dir, "customer")),
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
@@ -355,8 +364,9 @@ object TpchSuite {
     * Q9's join topology and aggregation — lineitem ⋈ orders ⋈ supplier ⋈
     * nation ⋈ part, revenue aggregated by (nation, order-year) over a
     * part filter — with profit simplified to the discounted revenue.
-    * Scale shape: part/supplier/nation broadcast; lineitem⋈orders is the
-    * one big shuffle (orderkey), then a narrow (nation, year) agg. */
+    * Scale shape: nation (SF-fixed) hint-broadcast; part/supplier sized
+    * by Catalyst/AQE; lineitem⋈orders is the one big shuffle
+    * (orderkey), then a narrow (nation, year) agg. */
   def q09ProfitShape(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
@@ -364,8 +374,8 @@ object TpchSuite {
     val n = t(s, dir, "nation")
     val p = t(s, dir, "part").filter(col("p_name").like("%bolt%"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("o_orderdate")).as("o_year"))

@@ -169,26 +169,47 @@ object Dml {
 
   /** AUTO_INCREMENT assignment for an incoming keyless batch
     * (auto_increment / init_auto_increment_value MTR tier): ids continue
-    * from the base table's maximum, assigned in a deterministic order.
-    * Spark-first this is max(base) + row_number() — a window over the
-    * incoming batch only (the base is only aggregated), so at scale the
-    * cost is one pass over the new rows. A single global row_number
-    * window serializes the batch through one partition — acceptable for
-    * typical insert-batch sizes; bulk backfills should switch to
-    * zipWithIndex-style per-partition offsets. */
+    * from the base table's maximum, assigned in the deterministic order
+    * of `orderBy` — equivalent to max(base) + row_number() but with NO
+    * single-partition window (a global row_number serializes the whole
+    * batch through one task; at a 100 TB backfill that is the driver of
+    * the job, not a detail). Scheme: range-partition + sort on the order
+    * keys, stamp a per-partition row index (monotonically_increasing_id
+    * = pid·2^33 + index-within-partition, evaluated after the sort), and
+    * add cumulative per-partition offsets. The partitioned frame is
+    * local-checkpointed once so the count pass and the assignment pass
+    * see the SAME partitioning (repartitionByRange re-samples per
+    * execution — see PLANS.md); the offset collect is bounded by the
+    * partition count, the same order as Spark's own file listing. */
   def autoIncrement(base: DataFrame, baseIdCol: String, incoming: DataFrame,
                     orderBy: Seq[String]): DataFrame = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
     // empty base (first insert into a fresh table) starts at 1, the
     // MySQL AUTO_INCREMENT initial value
     val start = base.agg(
       coalesce(max(col(baseIdCol)), lit(0L)).as("max_id"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(orderBy.map(col): _*)
-    incoming
-      .withColumn("__rn", row_number().over(w).cast("long"))
+    val ordered = incoming
+      .repartitionByRange(orderBy.map(col): _*)
+      .sortWithinPartitions(orderBy.map(col): _*)
+      .select(incoming.columns.map(col) :+
+        spark_partition_id().cast("long").as("__pid") :+
+        monotonically_increasing_id().as("__mid"): _*)
+      .localCheckpoint(true)
+    val counts = ordered.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("__pid")).collect()
+    var acc = 0L
+    val offsets = counts.map { r =>
+      val o = (r.getLong(0), acc); acc += r.getLong(1); o
+    }.toSeq.toDF("__pid", "__off")
+    ordered
+      .join(broadcast(offsets), Seq("__pid"))
       .crossJoin(broadcast(start))
-      .withColumn(baseIdCol, col("max_id") + col("__rn"))
-      .drop("__rn", "max_id")
+      .withColumn(baseIdCol,
+        col("max_id") + col("__off")
+          + (col("__mid") - col("__pid") * lit(1L << 33)) + lit(1L))
+      .drop("__pid", "__mid", "__off", "max_id")
   }
 
   /** Suppliers arrive as a keyless batch and get customer-table ids. */

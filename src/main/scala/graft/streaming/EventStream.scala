@@ -64,15 +64,17 @@ object EventStream {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-static enrichment: join the unbounded stream against a
-    * bounded dimension (customer), broadcast so each micro-batch pays no
-    * shuffle — the streaming face of the reference's map join
-    * (optimizer/joiner_mapped.h:32). The static side is re-resolvable per
-    * micro-batch, so a dimension refresh is picked up without restarting
-    * the query. */
+    * dimension (customer) — the streaming face of the reference's map
+    * join (optimizer/joiner_mapped.h:32). No broadcast hint: the
+    * dimension grows with SF and a hint is honored unconditionally;
+    * per-micro-batch planning broadcasts it by size when it fits and
+    * falls back to a shuffled join when it doesn't. The static side is
+    * re-resolvable per micro-batch, so a dimension refresh is picked up
+    * without restarting the query. */
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(
-      broadcast(dim.select(col("c_custkey").as("user_id"),
-        col("c_mktsegment").as("segment"))),
+      dim.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment")),
       Seq("user_id"), "left")
 
   /** Stream-stream join with watermarks: purchases within 1 hour of a

@@ -33,12 +33,45 @@ class LlmOpsSpec extends AnyFunSuite {
   }
 
   test("minhash estimate tracks exact jaccard (within 0.25)") {
-    val rows = Dedup.qDedupMinhash(spark, sf).collect()
+    // the estimate no longer leaves the operator (the gate output is
+    // oracle-hashed, agree/32 is not SQL-expressible) — assert the
+    // contract on the candidate stage directly
+    val sigs = Dedup.minhashSignatures(
+      Engine.table(spark, sf, "documents"))
+    val jac = functions.LshOps.jaccardLong(col("sh_a"), col("sh_b"))
+    val rows = Dedup.lshCandidates(sigs)
+      .select((col("agree").cast("double") / Dedup.NumHashes).as("est"),
+        jac.as("jac"))
+      .filter(col("jac") >= 0.5)
+      .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val est = r.getAs[Double]("est_jaccard")
-      val jac = r.getAs[Double]("jaccard")
-      assert(math.abs(est - jac) <= 0.25, s"est=$est jac=$jac")
+      val est = r.getAs[Double]("est")
+      val jc = r.getAs[Double]("jac")
+      assert(math.abs(est - jc) <= 0.25, s"est=$est jac=$jc")
+    }
+  }
+
+  test("kmeans-blocked embed dedup: pairs co-clustered, cos exact, " +
+      "ordered") {
+    val assigned = Similarity.kmeansAssign(
+      Engine.table(spark, sf, "embeddings"))
+      .select("vec_id", "cluster", "embedding").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Float](2).toArray))
+      .toMap
+    val rows = Dedup.qDedupEmbedIvf(spark, sf).collect()
+    assert(rows.length === 20)
+    var prev = Double.MaxValue
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      val cos = r.getAs[Double]("cos")
+      assert(a < b)
+      assert(assigned(a)._1 === assigned(b)._1, s"pair ($a,$b) not co-clustered")
+      val d = assigned(a)._2.zip(assigned(b)._2)
+        .map { case (x, y) => x.toDouble * y.toDouble }.sum
+      assert(math.floor(d * 1e6 + 0.5) / 1e6 === cos)
+      assert(cos <= prev + 1e-12)
+      prev = cos
     }
   }
 
