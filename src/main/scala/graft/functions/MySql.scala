@@ -40,35 +40,76 @@ object MySql {
 
   // --- week numbering ------------------------------------------------------
 
-  /** First Sunday on-or-after Jan 1 of the year containing `d`, shifted
-    * by `yearOffset`. */
-  private def firstSunday(d: Column, yearOffset: Int): Column =
-    next_day(date_sub(make_date(year(d) + yearOffset, lit(1), lit(1)), 1),
-      "SU")
-
-  /** MySQL `WEEK(d, mode)`; modes 0 (default: Sunday-start, week 0 for
-    * days before the year's first Sunday) and 3 (ISO-8601, =
-    * `weekofyear`). */
-  def week(d: Column, mode: Int = 0): Column = mode match {
-    case 0 =>
-      val fs = firstSunday(d, 0)
-      when(d < fs, 0)
-        .otherwise(floor(datediff(d, fs) / 7).cast("int") + 1)
-    case 3 => weekofyear(d)
-    case m => throw new IllegalArgumentException(s"WEEK mode $m not implemented")
+  /** MySQL week-mode flags (sql/tztime-adjacent calc_week convention,
+    * re-derived from the public WEEK() documentation table):
+    *  - bit 0: Monday (vs Sunday) is the first day of the week;
+    *  - bit 1: "week-year" range 1-53 — days before week 1 belong to the
+    *    previous year's last week, and the year's trailing days may
+    *    belong to next year's week 1 (never week 0);
+    *  - week-1 rule: modes 1,3,4,6 use "first week with ≥4 days in this
+    *    year"; modes 0,2,5,7 use "first week fully starting this year"
+    *    (i.e. containing the year's first week-start day). The rule is
+    *    (bit2 set) XOR (Monday-first).
+    */
+  private case class WeekMode(mode: Int) {
+    require(mode >= 0 && mode <= 7, s"WEEK mode $mode out of range 0-7")
+    val mondayFirst: Boolean = (mode & 1) == 1
+    val weekYear: Boolean = (mode & 2) != 0
+    val rule4: Boolean = ((mode & 4) != 0) != mondayFirst
+    /** Spark dayofweek index of the week-start day (1=Sunday, 2=Monday). */
+    val ws: Int = if (mondayFirst) 2 else 1
   }
 
-  /** MySQL `YEARWEEK(d)` (mode 0): YYYYWW; days before the year's first
-    * Sunday belong to the previous year's last week (e.g.
-    * YEARWEEK('2000-01-01') = 199952). */
-  def yearweek(d: Column): Column = {
-    val fs = firstSunday(d, 0)
-    val fsPrev = firstSunday(d, -1)
-    when(d >= fs,
-      year(d) * 100 + (floor(datediff(d, fs) / 7).cast("int") + 1))
-      .otherwise(
-        (year(d) - 1) * 100
-          + (floor(datediff(d, fsPrev) / 7).cast("int") + 1))
+  /** Date when week 1 of year `y` starts under `wm`. */
+  private def week1Start(y: Column, wm: WeekMode): Column = {
+    val jan1 = make_date(y, lit(1), lit(1))
+    // position of Jan 1 within its week (0 = week-start day)
+    val pos = pmod(dayofweek(jan1) - lit(wm.ws), lit(7))
+    val s0 = date_sub(jan1, pos) // week-start on-or-before Jan 1
+    if (wm.rule4) when(pos <= 3, s0).otherwise(date_add(s0, 7))
+    else when(pos === 0, s0).otherwise(date_add(s0, 7))
+  }
+
+  /** (week number, week-year) for `d` under `mode`; `forceWeekYear`
+    * upgrades modes 0,1,4,5 to the 1-53 range (YEARWEEK's behavior). */
+  private def weekParts(d: Column, mode: Int,
+                        forceWeekYear: Boolean): (Column, Column) = {
+    val wm0 = WeekMode(mode)
+    val weekYear = wm0.weekYear || forceWeekYear
+    val y = year(d)
+    val st = week1Start(y, wm0)
+    val wk = (floor(datediff(d, st) / 7) + 1).cast("int")
+    if (!weekYear) {
+      // days before week 1 are week 0; no rollover into next year
+      (when(d < st, 0).otherwise(wk), y)
+    } else {
+      val stPrev = week1Start(y - 1, wm0)
+      val stNext = week1Start(y + 1, wm0)
+      val wkPrev = (floor(datediff(d, stPrev) / 7) + 1).cast("int")
+      val week = when(d < st, wkPrev)
+        .when(d >= stNext, 1)
+        .otherwise(wk)
+      val wyear = when(d < st, y - 1)
+        .when(d >= stNext, y + 1)
+        .otherwise(y)
+      (week, wyear)
+    }
+  }
+
+  /** MySQL `WEEK(d, mode)`, all modes 0-7 (t/week_function.test sweep). */
+  def week(d: Column, mode: Int = 0): Column =
+    weekParts(d, mode, forceWeekYear = false)._1
+
+  /** Year the week belongs to under `mode` with the week-year rule —
+    * the DATE_FORMAT %X/%x companion of [[week]]. */
+  def weekYearOf(d: Column, mode: Int): Column =
+    weekParts(d, mode, forceWeekYear = true)._2
+
+  /** MySQL `YEARWEEK(d, mode)`: YYYYWW with week-year semantics forced
+    * (never week 0; e.g. YEARWEEK('2000-01-01') = 199952). */
+  def yearweek(d: Column, mode: Int = 0): Column = {
+    val (w, wy) = weekParts(d, mode, forceWeekYear = true)
+    wy * 100 + w
   }
 
   // --- periods (YYYYMM ints) ----------------------------------------------
@@ -143,6 +184,10 @@ object MySql {
           case 'T' => "HH:mm:ss"
           case 'r' => "hh:mm:ss a"
           case '%' => "%"
+          case u if WeekSpecifiers.contains(u) =>
+            throw new IllegalArgumentException(
+              s"DATE_FORMAT week specifier %$u has no java.time analog — " +
+                "use MySql.dateFormat, which composes it column-wise")
           case u => throw new IllegalArgumentException(
             s"DATE_FORMAT specifier %$u not implemented")
         })
@@ -157,9 +202,50 @@ object MySql {
     sb.toString
   }
 
-  /** MySQL `DATE_FORMAT(d, '%...')`. */
-  def dateFormat(d: Column, fmt: String): Column =
-    date_format(d, mysqlFormatToJava(fmt))
+  /** MySQL week-number format specifiers: no java.time analog (Java week
+    * fields follow ISO or locale rules, not MySQL's 8 modes), so
+    * [[dateFormat]] splices them in as [[week]]/[[weekYearOf]] columns:
+    * %U=WEEK(d,0), %u=WEEK(d,1), %V=WEEK(d,2), %v=WEEK(d,3), %X/%x = the
+    * week-year paired with %V/%v. */
+  private val WeekSpecifiers: Set[Char] = Set('U', 'u', 'V', 'v', 'X', 'x')
+
+  private def weekSpecColumn(d: Column, spec: Char): Column = spec match {
+    case 'U' => lpad(week(d, 0).cast("string"), 2, "0")
+    case 'u' => lpad(week(d, 1).cast("string"), 2, "0")
+    case 'V' => lpad(week(d, 2).cast("string"), 2, "0")
+    case 'v' => lpad(week(d, 3).cast("string"), 2, "0")
+    case 'X' => lpad(weekYearOf(d, 2).cast("string"), 4, "0")
+    case 'x' => lpad(weekYearOf(d, 3).cast("string"), 4, "0")
+  }
+
+  /** MySQL `DATE_FORMAT(d, '%...')` — full %-pattern support including
+    * the week specifiers (%U/%u/%V/%v/%X/%x), which are composed as
+    * columns around the java.time-formatted segments. */
+  def dateFormat(d: Column, fmt: String): Column = {
+    val hasWeek = fmt.zipWithIndex.exists { case (c, i) =>
+      c == '%' && i + 1 < fmt.length && WeekSpecifiers(fmt.charAt(i + 1)) &&
+        (i == 0 || fmt.charAt(i - 1) != '%')
+    }
+    if (!hasWeek) date_format(d, mysqlFormatToJava(fmt))
+    else {
+      val segs = scala.collection.mutable.ArrayBuffer.empty[Column]
+      val buf = new StringBuilder
+      def flush(): Unit = if (buf.nonEmpty) {
+        segs += date_format(d, mysqlFormatToJava(buf.toString)); buf.clear()
+      }
+      var i = 0
+      while (i < fmt.length) {
+        val c = fmt.charAt(i)
+        if (c == '%' && i + 1 < fmt.length && WeekSpecifiers(fmt.charAt(i + 1))) {
+          flush(); segs += weekSpecColumn(d, fmt.charAt(i + 1)); i += 2
+        } else if (c == '%' && i + 1 < fmt.length) {
+          buf.append(c).append(fmt.charAt(i + 1)); i += 2
+        } else { buf.append(c); i += 1 }
+      }
+      flush()
+      concat(segs.toSeq: _*)
+    }
+  }
 
   /** MySQL `DAYNAME` / `MONTHNAME`. */
   def dayname(d: Column): Column = date_format(d, "EEEE")
@@ -181,9 +267,12 @@ object MySql {
       case u => throw new IllegalArgumentException(s"TIMESTAMPADD unit $u")
     }
 
-  /** MySQL STRCMP(a, b) → -1/0/1 (string collation compare). */
+  /** MySQL STRCMP(a, b) → -1/0/1 (string collation compare); NULL if
+    * either argument is NULL (the bare comparison chain would fall
+    * through to the `otherwise(1)` branch on NULL inputs). */
   def strcmp(a: Column, b: Column): Column =
-    when(a < b, -1).when(a === b, 0).otherwise(1)
+    when(a.isNull || b.isNull, lit(null).cast("int"))
+      .when(a < b, -1).when(a === b, 0).otherwise(1)
 
   /** MySQL ELT(n, s1, s2, …): 1-based pick, NULL out of range. */
   def elt(n: Column, ss: Column*): Column =
@@ -191,11 +280,13 @@ object MySql {
       case (acc, (s, i)) => when(n === (i + 1), s).otherwise(acc)
     }
 
-  /** MySQL FIELD(s, s1, s2, …): 1-based index of s, 0 if absent. */
+  /** MySQL FIELD(s, s1, s2, …): 1-based index of the FIRST match, 0 if
+    * absent (or if s is NULL — MySQL treats NULL as matching nothing).
+    * coalesce-of-whens so duplicates resolve to the first index, not the
+    * last. */
   def field(s: Column, ss: Column*): Column =
-    ss.zipWithIndex.foldLeft(lit(0)) {
-      case (acc, (c, i)) => when(s === c, i + 1).otherwise(acc)
-    }
+    coalesce(ss.zipWithIndex.map { case (c, i) => when(s === c, i + 1) }
+      :+ lit(0): _*)
 
   /** MySQL STR_TO_DATE with a %-pattern (date-only patterns). Parsing
     * uses single-letter Java fields (`d,M,y`), which accept both padded

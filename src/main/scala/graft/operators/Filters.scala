@@ -349,7 +349,14 @@ object Filters {
           lit("alpha"), lit("beta"), lit("gamma")).as("bucket_name"),
         MySql.field(col("c_mktsegment"),
           lit("AUTOMOBILE"), lit("BUILDING"), lit("MACHINERY"))
-          .as("seg_field"))
+          .as("seg_field"),
+        // NULL STRCMP → NULL (not 1), and FIELD duplicates resolve to the
+        // FIRST index — the two MySQL edge cases the advisor flagged
+        MySql.strcmp(nullif(col("c_mktsegment"), lit("BUILDING")),
+          lit("AUTOMOBILE")).as("cmp_nullable"),
+        MySql.field(col("c_mktsegment"),
+          lit("BUILDING"), lit("BUILDING"), lit("MACHINERY"))
+          .as("field_dup"))
   }
 
   val qStringFuncs2Sql: String =
@@ -363,7 +370,13 @@ object Filters {
       |       WHEN 1 THEN 'alpha' WHEN 2 THEN 'beta' WHEN 3 THEN 'gamma'
       |  END AS bucket_name,
       |  CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 1 WHEN 'BUILDING' THEN 2
-      |       WHEN 'MACHINERY' THEN 3 ELSE 0 END AS seg_field
+      |       WHEN 'MACHINERY' THEN 3 ELSE 0 END AS seg_field,
+      |  CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL THEN NULL
+      |       WHEN nullif(c_mktsegment, 'BUILDING') < 'AUTOMOBILE' THEN -1
+      |       WHEN nullif(c_mktsegment, 'BUILDING') = 'AUTOMOBILE' THEN 0
+      |       ELSE 1 END AS cmp_nullable,
+      |  CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'MACHINERY' THEN 3
+      |       ELSE 0 END AS field_dup
       |FROM customer
       |WHERE c_custkey < 150""".stripMargin
 
@@ -483,7 +496,109 @@ object Filters {
       |  COUNT(*) AS n
       |FROM lineitem""".stripMargin
 
+  // --- WEEK modes 0-7 + DATE_FORMAT week specifiers (t/week_function.test,
+  //     t/date_formats_func.test tiers) -----------------------------------
+
+  /** DuckDB SQL expression replicating `MySql.week(d, mode)`: the same
+    * mondayFirst / weekYear / rule4 decomposition of the mode bits, built
+    * on DuckDB's calendar builtins (dayofweek: 0=Sunday; date ± int =
+    * days). Generated per mode so the oracle's calendar arithmetic is
+    * derived from one shared rule set, not hand-copied eight times. */
+  private def weekStartSql(y: String, mode: Int): String = {
+    val mondayFirst = (mode & 1) == 1
+    val rule4 = ((mode & 4) != 0) != mondayFirst
+    val ws = if (mondayFirst) 1 else 0
+    val jan1 = s"make_date($y, 1, 1)"
+    val pos = s"((dayofweek($jan1) - $ws + 7) % 7)"
+    val s0 = s"($jan1 - CAST($pos AS INT))"
+    if (rule4) s"(CASE WHEN $pos <= 3 THEN $s0 ELSE $s0 + 7 END)"
+    else s"(CASE WHEN $pos = 0 THEN $s0 ELSE $s0 + 7 END)"
+  }
+
+  private def weekSqlExpr(d: String, mode: Int, forceWY: Boolean): String = {
+    val weekYear = ((mode & 2) != 0) || forceWY
+    def wk(st: String) =
+      s"(CAST(FLOOR(date_diff('day', $st, $d) / 7) AS INT) + 1)"
+    val y = s"CAST(year($d) AS INT)"
+    val zeroBranch =
+      if (weekYear) wk(weekStartSql(s"($y - 1)", mode)) else "0"
+    val rollover =
+      if (weekYear) s" WHEN $d >= ${weekStartSql(s"($y + 1)", mode)} THEN 1"
+      else ""
+    s"CAST(CASE WHEN $d < ${weekStartSql(y, mode)} THEN $zeroBranch" +
+      s"$rollover ELSE ${wk(weekStartSql(y, mode))} END AS INT)"
+  }
+
+  private def weekYearSqlExpr(d: String, mode: Int): String = {
+    val y = s"CAST(year($d) AS INT)"
+    s"(CASE WHEN $d < ${weekStartSql(y, mode)} THEN $y - 1 " +
+      s"WHEN $d >= ${weekStartSql(s"($y + 1)", mode)} THEN $y + 1 " +
+      s"ELSE $y END)"
+  }
+
+  /** All eight WEEK modes, YEARWEEK under modes 0/1, and the DATE_FORMAT
+    * week specifiers (%X-%V Sunday week-year, %x-%v ISO, %U/%u padded
+    * week numbers) over real order dates — the t/week_function.test sweep
+    * the round-2 verdict flagged as the most-hit missing MySQL-ism. */
+  def qWeekModes(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MySql
+    val d = col("o_orderdate")
+    val weekCols = (0 to 7).map(m => MySql.week(d, m).as(s"w$m"))
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey") +: weekCols :+
+        MySql.yearweek(d, 0).cast("int").as("yw0") :+
+        MySql.yearweek(d, 1).cast("int").as("yw1") :+
+        MySql.dateFormat(d, "%X-%V").as("wk_sun") :+
+        MySql.dateFormat(d, "%x-%v").as("wk_iso") :+
+        MySql.dateFormat(d, "%Y/%U/%u").as("wk_pad"): _*)
+  }
+
+  val qWeekModesSql: String = {
+    val d = "CAST(o_orderdate AS DATE)"
+    val weekCols = (0 to 7)
+      .map(m => s"  ${weekSqlExpr(d, m, forceWY = false)} AS w$m")
+      .mkString(",\n")
+    def yw(m: Int) =
+      s"CAST(${weekYearSqlExpr(d, m)} * 100 + ${weekSqlExpr(d, m, forceWY = true)} AS INT)"
+    def pad(e: String, n: Int) = s"lpad(CAST($e AS VARCHAR), $n, '0')"
+    s"""SELECT o_orderkey,
+      |$weekCols,
+      |  ${yw(0)} AS yw0,
+      |  ${yw(1)} AS yw1,
+      |  ${pad(weekYearSqlExpr(d, 2), 4)} || '-' || ${pad(weekSqlExpr(d, 2, forceWY = false), 2)} AS wk_sun,
+      |  ${pad(weekYearSqlExpr(d, 3), 4)} || '-' || ${pad(weekSqlExpr(d, 3, forceWY = false), 2)} AS wk_iso,
+      |  ${pad(s"year($d)", 4)} || '/' || ${pad(weekSqlExpr(d, 0, forceWY = false), 2)} || '/' || ${pad(weekSqlExpr(d, 1, forceWY = false), 2)} AS wk_pad
+      |FROM orders
+      |WHERE o_orderkey < 1000""".stripMargin
+  }
+
+  // --- zero-date contract (SURVEY §1.2: MySQL 0000-00-00) -----------------
+
+  /** MySQL's `0000-00-00` zero date has no representation in Spark,
+    * Parquet, or DuckDB — the engine's contract (FIXTURES.md) is that
+    * zero dates become NULL at every ingress (CSV load, string cast,
+    * STR_TO_DATE). Literal-based: the contract is data-independent. */
+  def qTypesZeroDate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MySql
+    s.range(1).select(
+      lit(1).as("id"),
+      to_date(lit("0000-00-00")).as("zero_cast"),
+      MySql.strToDate(lit("0000-00-00"), "%Y-%m-%d").as("zero_parsed"),
+      to_date(lit("1996-04-12")).as("valid_cast"),
+      to_date(lit("0000-00-00")).isNull.as("zero_is_null"))
+  }
+
+  val qTypesZeroDateSql: String =
+    """SELECT CAST(1 AS BIGINT) AS id,
+      |  TRY_CAST('0000-00-00' AS DATE) AS zero_cast,
+      |  TRY_CAST('0000-00-00' AS DATE) AS zero_parsed,
+      |  CAST('1996-04-12' AS DATE) AS valid_cast,
+      |  TRY_CAST('0000-00-00' AS DATE) IS NULL AS zero_is_null""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_week_modes" -> (qWeekModes _),
+    "q_types_zero_date" -> (qTypesZeroDate _),
     "q_types_unsigned" -> (qTypesUnsigned _),
     "q_mysql_date_shims" -> (qMysqlDateShims _),
     "q_filter_between_in_like" -> (qFilterBetweenInLike _),
@@ -502,6 +617,8 @@ object Filters {
     "q_func_greatest_least" -> (qFuncGreatestLeast _))
 
   val oracles: Map[String, String] = Map(
+    "q_week_modes" -> qWeekModesSql,
+    "q_types_zero_date" -> qTypesZeroDateSql,
     "q_types_unsigned" -> qTypesUnsignedSql,
     "q_mysql_date_shims" -> qMysqlDateShimsSql,
     "q_filter_between_in_like" -> qFilterBetweenInLikeSql,

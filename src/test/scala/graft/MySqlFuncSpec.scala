@@ -39,6 +39,55 @@ class MySqlFuncSpec extends AnyFunSuite {
     assert(eval(MySql.week(lit("2008-02-20").cast("date"), 3)) === 8)
   }
 
+  test("WEEK all modes (MySQL doc examples + boundary sweep)") {
+    def w(d: String, m: Int) = eval(MySql.week(lit(d).cast("date"), m))
+    // MySQL doc examples
+    assert(w("2008-02-20", 0) === 7)  // WEEK('2008-02-20')   = 7
+    assert(w("2008-02-20", 1) === 8)  // WEEK('2008-02-20',1) = 8
+    assert(w("2008-12-31", 1) === 53) // WEEK('2008-12-31',1) = 53
+    // 2000-01-01 is a Saturday: week 0 under 0-53 modes, previous
+    // year's last week under week-year modes
+    assert(w("2000-01-01", 0) === 0)
+    assert(w("2000-01-01", 1) === 0)
+    assert(w("2000-01-01", 2) === 52)
+    assert(w("2000-01-01", 3) === 52) // ISO 1999-W52
+    assert(w("2000-01-01", 4) === 0)
+    assert(w("2000-01-01", 5) === 0)
+    assert(w("2000-01-01", 6) === 52)
+    assert(w("2000-01-01", 7) === 52)
+    // 2008-12-31 is a Wednesday in ISO 2009-W01 (Monday-start week has
+    // ≥4 days in 2009); the Sunday-start week (Dec 28-Jan 3) keeps 4
+    // days in 2008, so mode 6 stays week 53 of 2008
+    assert(w("2008-12-31", 3) === 1)
+    assert(w("2008-12-31", 6) === 53)
+    assert(w("2008-12-31", 0) === 52)
+    assert(w("2008-12-31", 2) === 52)
+    // 1987-01-01 is a Thursday: ISO week 1 even though mode 0 gives 0
+    assert(w("1987-01-01", 0) === 0)
+    assert(w("1987-01-01", 1) === 1)
+    assert(w("1987-01-01", 3) === 1)
+    intercept[IllegalArgumentException] {
+      MySql.week(lit("2000-01-01").cast("date"), 8)
+    }
+  }
+
+  test("YEARWEEK with explicit modes") {
+    def yw(d: String, m: Int) = eval(MySql.yearweek(lit(d).cast("date"), m))
+    assert(yw("2000-01-01", 0) === 199952)
+    assert(yw("2008-12-31", 3) === 200901) // rolls into next ISO year
+    assert(yw("1987-01-01", 1) === 198701)
+  }
+
+  test("DATE_FORMAT week specifiers %U/%u/%V/%v/%X/%x") {
+    val d = lit("2008-12-31").cast("date")
+    assert(eval(MySql.dateFormat(d, "%X-%V")) === "2008-52")
+    assert(eval(MySql.dateFormat(d, "%x-%v")) === "2009-01")
+    assert(eval(MySql.dateFormat(d, "%Y/%U/%u")) === "2008/52/53")
+    val d2 = lit("1987-01-01").cast("date")
+    assert(eval(MySql.dateFormat(d2, "%X-%V")) === "1986-52")
+    assert(eval(MySql.dateFormat(d2, "%x-%v")) === "1987-01")
+  }
+
   test("YEARWEEK borrows previous year before first Sunday") {
     assert(eval(MySql.yearweek(lit("2000-01-01").cast("date"))) === 199952)
     assert(eval(MySql.yearweek(lit("1987-01-01").cast("date"))) === 198652)
@@ -110,6 +159,9 @@ class MySqlFuncSpec extends AnyFunSuite {
     assert(eval(MySql.strcmp(lit("text"), lit("text2"))) === -1) // STRCMP('text','text2') = -1
     assert(eval(MySql.strcmp(lit("text2"), lit("text"))) === 1)
     assert(eval(MySql.strcmp(lit("text"), lit("text"))) === 0)
+    // NULL argument → NULL, not 1 (the advisor-flagged fallthrough)
+    assert(eval(MySql.strcmp(lit(null).cast("string"), lit("x"))) === null)
+    assert(eval(MySql.strcmp(lit("x"), lit(null).cast("string"))) === null)
   }
 
   test("ELT picks 1-based, NULL out of range") {
@@ -120,6 +172,9 @@ class MySqlFuncSpec extends AnyFunSuite {
   test("FIELD returns 1-based index, 0 if absent") {
     assert(eval(MySql.field(lit("Bb"), lit("Aa"), lit("Bb"), lit("Cc"))) === 2)
     assert(eval(MySql.field(lit("Gg"), lit("Aa"), lit("Bb"))) === 0)
+    // duplicates resolve to the FIRST index; NULL search value → 0
+    assert(eval(MySql.field(lit("Bb"), lit("Bb"), lit("Bb"), lit("Cc"))) === 1)
+    assert(eval(MySql.field(lit(null).cast("string"), lit("Aa"))) === 0)
   }
 
   test("STR_TO_DATE %-patterns") {
