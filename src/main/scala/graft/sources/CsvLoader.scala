@@ -25,15 +25,32 @@ object CsvLoader {
   /** Parse a delimited file against `schema`; rows that fail to parse come
     * back separately (the reject file analog). TPC-H-style trailing
     * delimiters are tolerated via an ignored trailing column when
-    * `trailingDelimiter`. */
+    * `trailingDelimiter`.
+    *
+    * Date/timestamp columns follow MySQL's loose-mode LOAD DATA contract
+    * (SURVEY §1.2, FIXTURES.md): the zero date `0000-00-00` (and zero
+    * timestamp) is a legal FIELD value that becomes NULL — it must not
+    * reject the whole row the way a structural defect (bad numeric,
+    * wrong column count) does. Those columns are therefore parsed as
+    * strings and cast value-level after the row-level reject split; an
+    * unparseable date likewise degrades to NULL (MySQL converts it to
+    * the zero date with a warning rather than failing the load). */
   def load(spark: SparkSession, path: String, schema: StructType,
            delimiter: String = ",", quote: String = "\"",
            trailingDelimiter: Boolean = false,
            nullValue: String = "\\N",
            escape: String = "\\"): LoadResult = {
+    import org.apache.spark.sql.types.{DateType, TimestampType, TimestampNTZType}
+    def isTemporal(f: org.apache.spark.sql.types.StructField) =
+      f.dataType == DateType || f.dataType == TimestampType ||
+        f.dataType == TimestampNTZType
+    val parseSchema = StructType(schema.fields.map(f =>
+      if (isTemporal(f)) f.copy(dataType =
+        org.apache.spark.sql.types.StringType)
+      else f))
     val readSchema0 =
-      if (trailingDelimiter) schema.add("_trailing", "string")
-      else schema
+      if (trailingDelimiter) parseSchema.add("_trailing", "string")
+      else parseSchema
     val readSchema = readSchema0.add(CorruptCol, "string")
     val raw = spark.read
       .schema(readSchema)
@@ -48,7 +65,14 @@ object CsvLoader {
       .csv(path)
       .cache() // one pass parses; clean/reject split reuses it
     val clean = raw.filter(col(CorruptCol).isNull)
-      .select(schema.fieldNames.map(col).toSeq: _*)
+      .select(schema.fields.map { f =>
+        if (isTemporal(f))
+          // zero date/timestamp → NULL, then loose (ANSI-off) cast
+          nullif(nullif(col(f.name), lit("0000-00-00")),
+            lit("0000-00-00 00:00:00"))
+            .cast(f.dataType).as(f.name)
+        else col(f.name)
+      }.toSeq: _*)
     val rejects = raw.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))
     LoadResult(clean, rejects)

@@ -73,7 +73,14 @@ object StatsSidecar {
     // re-executing a repartitionByRange plan can re-sample different
     // range boundaries, which would describe packs that don't match the
     // files on disk (the DPN must describe the pack it sits next to).
-    val packed = df.sparkSession.read.parquet(path)
+    // The schema is passed explicitly: a zero-row partitionBy write
+    // produces no data files, and schema inference over an empty
+    // directory throws — an empty table must still yield a (readable)
+    // empty table plus an empty sidecar.
+    val packedSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        PackCol, org.apache.spark.sql.types.IntegerType))
+    val packed = df.sparkSession.read.schema(packedSchema).parquet(path)
 
     // one aggregation pass builds every per-pack stat; stack() unpivots
     // to the long (pack, column) layout. Numeric columns carry

@@ -53,6 +53,23 @@ class IngestSpec extends AnyFunSuite {
     assert(rows(0).getString(1) === "alpha")
   }
 
+  test("load maps 0000-00-00 zero dates to NULL without rejecting the row") {
+    val tmp = Files.createTempDirectory("graft_zerodate").toString
+    val f = Paths.get(tmp, "t.csv")
+    Files.write(f, ("1|0000-00-00|0000-00-00 00:00:00\n" +
+      "2|1996-04-12|1996-04-12 08:30:00\n" +
+      "not_an_int|1996-04-12|1996-04-12 08:30:00\n").getBytes)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, d DATE, ts TIMESTAMP")
+    val res = CsvLoader.load(spark, f.toString, schema, delimiter = "|")
+    // structural defect (bad numeric) still rejects; zero date does not
+    assert(res.rejects.count() === 1)
+    val rows = res.clean.orderBy("id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2))
+    assert(rows(1).getDate(1).toString === "1996-04-12")
+  }
+
   test("delta store truncate keeps schema, drops all rows") {
     val tmp = Files.createTempDirectory("graft_trunc").toString
     val c = Engine.table(spark, sf, "customer")

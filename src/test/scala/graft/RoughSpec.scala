@@ -84,6 +84,22 @@ class RoughSpec extends AnyFunSuite {
       10.0, 30.0) === exact)
   }
 
+  test("empty input writes a readable empty table + sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_roughempty")
+    val li = Engine.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .filter(col("l_orderkey") < 0) // empty, schema preserved
+    StatsSidecar.writeWithStats(li, s"$dir/li", 512, Seq("l_quantity"))
+    val stats = StatsSidecar.readStats(spark, s"$dir/li")
+    assert(stats.count() === 0)
+    assert(StatsSidecar.countBetween(spark, s"$dir/li", "l_quantity", 0, 100)
+      === 0L)
+    // the z-order path routes empty frames here too (Scale.scala)
+    operators.Scale.zorderPack(li, s"$dir/liz", 512,
+      Seq("l_orderkey", "l_quantity"), Seq("l_quantity"))
+    assert(StatsSidecar.readStats(spark, s"$dir/liz").count() === 0)
+  }
+
   test("string prefix rough check: hybrid LIKE count equals exact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_roughstr")
     val c = Engine.table(spark, sf, "customer")
