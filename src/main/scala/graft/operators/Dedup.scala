@@ -72,8 +72,14 @@ object Dedup {
     * The struct is projected in a separate select on purpose: Catalyst's
     * CollapseProject keeps the producing projection because `mh` is
     * non-cheap and referenced twice, so the pass runs once per row. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    Engine.rebalance(docs)
+  def minhashSignatures(docs: DataFrame,
+                        rebalance: Boolean = true): DataFrame = {
+    // rebalance only applies to raw scans (Engine.rebalance probes the
+    // RDD partition count, which would eagerly execute a joined plan);
+    // callers feeding a post-join frame pass rebalance = false — the
+    // upstream shuffle already spread the rows
+    val base = if (rebalance) Engine.rebalance(docs) else docs
+    base
       .select(col("doc_id"),
         graft.functions.MinHashShingleSig
           .minhashShingleSig(lower(col("text")), 5, hashParams).as("mh"))
@@ -144,27 +150,37 @@ object Dedup {
     * miss probability is (1−0.92⁴)⁸ ≈ 2e-5. The signature-estimate
     * column stays internal (agree/32 is not SQL-expressible); outputs
     * are the verified exact jaccards only. */
-  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(t(s, dir, "documents"))
+  /** Verified near-dup pairs (jaccard ≥ 0.5) for an arbitrary
+    * (doc_id, text) frame — the DataFrame-level operator behind
+    * [[qDedupMinhash]] and the corpus pipeline's near-dup stage. */
+  def minhashPairs(docs: DataFrame, rebalance: Boolean = true): DataFrame = {
+    val sigs = minhashSignatures(docs, rebalance)
     val jac = graft.functions.LshOps.jaccardLong(col("sh_a"), col("sh_b"))
     lshCandidates(sigs)
       .select(col("doc_a"), col("doc_b"), r6(jac).as("jaccard"))
       .where(col("jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(t(s, dir, "documents"))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Shared oracle fragment: per-doc distinct 5-gram shingle sets as
     * strings — the exact mirror of lower→ShingleHash64(5)→distinct
-    * (FNV-1a is injective on these sets modulo 64-bit collisions). */
-  private val shingleCte: String =
-    """  SELECT doc_id,
+    * (FNV-1a is injective on these sets modulo 64-bit collisions).
+    * Parametrized over the source relation so the corpus pipeline's
+    * oracle can shingle its survivor subset with the same rules. */
+  private[operators] def shingleCteFrom(from: String): String =
+    s"""  SELECT doc_id,
       |    CASE WHEN len(lower(text)) < 5 THEN [lower(text)]
       |         ELSE list_distinct(list_transform(
       |           range(1, len(lower(text)) - 3),
       |           i -> substring(lower(text), CAST(i AS INT), 5))) END AS sh
-      |  FROM documents""".stripMargin
+      |  FROM $from""".stripMargin
 
-  private val jaccardExpr: String =
+  private val shingleCte: String = shingleCteFrom("documents")
+
+  private[operators] val jaccardExpr: String =
     """floor( CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |     / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |     * 1000000.0 + 0.5) / 1000000.0""".stripMargin
@@ -256,7 +272,7 @@ object Dedup {
     * accumulate MEMORY_AND_DISK partitions. */
   def qDedupCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"))
-    val pairs = qDedupMinhash(s, dir).select("doc_a", "doc_b")
+    val pairs = minhashPairs(t(s, dir, "documents")).select("doc_a", "doc_b")
     val labels = connectedComponents(pairs)
     val comp = labels.localCheckpoint(true)
       .withColumnRenamed("label", "keeper")
