@@ -5,58 +5,174 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus cleaning — the north-star composition of
-  * the library's tiers into one `DataFrame => DataFrame` pipeline:
+  * the library's tiers into one `DataFrame => DataFrame` pipeline, in
+  * the production (C4/Gopher-style) stage order:
   *
   *   1. quality gate: drop 'low'-band documents
-  *      ([[TextOps.qTextQuality]]'s alpha/stopword/length heuristic);
-  *   2. exact dedup: one keeper (min doc_id) per identical text
-  *      ([[Dedup.qDedupExact]]'s fingerprint groups);
-  *   3. near-dup dedup: one keeper per MinHash-LSH connected component
-  *      ([[Dedup.qDedupCorpus]]);
+  *      ([[TextOps.qualityOf]]'s alpha/stopword/length heuristic);
+  *   2. exact dedup over the SURVIVORS: one keeper (min surviving
+  *      doc_id) per identical text;
+  *   3. near-dup dedup over the exact-unique survivors: one keeper (min
+  *      doc_id) per MinHash-LSH connected component;
   *   4. token accounting for the surviving corpus.
+  *
+  * Stage order is semantic, not just cost: keepers are chosen among the
+  * quality-passing docs, so a content cluster whose minimum doc_id
+  * happens to be low-quality still retains its best surviving
+  * representative (choosing keepers over the full corpus would let the
+  * quality gate delete the keeper and the dedup stages delete every
+  * other copy — the whole cluster would vanish). Every drop is
+  * attributed to exactly one rule in [[auditOf]]'s `drop_reason` column
+  * ('quality' | 'exact_dup' | 'near_dup' | 'kept').
   *
   * Every stage is a join/filter over the operators' own outputs — no
   * stage re-implements another's logic, so the pipeline inherits each
   * operator's scale shape (the quality gate is a scan, both dedups are
-  * the blocked/bucketed plans documented in [[Dedup]]). Order matters
-  * for cost, not correctness: the cheap scan-side quality gate runs
-  * before the near-dup machinery only as a candidate-count reducer in a
-  * production run; here stages filter independently so their effects
-  * are auditable per `drop_reason`.
+  * the blocked/bucketed plans documented in [[Dedup]]), and the quality
+  * gate running first shrinks the candidate set the near-dup machinery
+  * sees.
   */
 object Pipeline {
 
-  /** Kept corpus with accounting: (doc_id, n_tokens, quality) for every
-    * surviving document. */
-  def cleanCorpus(s: SparkSession, dir: String): DataFrame = {
-    val docs = Engine.table(s, dir, "documents")
+  /** Per-document audit: (doc_id, quality, drop_reason) for EVERY input
+    * document, where drop_reason is 'quality' (failed the quality gate),
+    * 'exact_dup' (identical text to a lower surviving doc_id),
+    * 'near_dup' (same LSH connected component as a lower exact-unique
+    * survivor), or 'kept'. */
+  def auditOf(docs: DataFrame): DataFrame = {
+    val q = TextOps.qualityOf(docs)
+    val scored = docs.select(col("doc_id"), col("text"))
+      .join(q, Seq("doc_id"))
 
-    val quality = TextOps.qTextQuality(s, dir)
-      .filter(col("quality_band") =!= "low")
-      .select(col("doc_id"), col("quality"))
+    // stage 1: quality gate
+    val surv = scored.filter(col("quality_band") =!= "low")
 
-    // exact keepers: the representative of each identical-text group
-    val exactKeepers = Dedup.qDedupExact(s, dir)
-      .select(col("keeper").as("doc_id"))
+    // stage 2: exact keepers among survivors (min surviving doc_id per
+    // identical-text group)
+    val fp = surv.select(col("doc_id"), md5(col("text")).as("fp"))
+    val ex = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("ex_keeper"))
+    val exmap = fp.join(ex, Seq("fp")).select(col("doc_id"), col("ex_keeper"))
+    val uniq = surv.join(
+        exmap.filter(col("doc_id") === col("ex_keeper")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
 
-    // near-dup keepers: component representative (singletons keep
-    // themselves)
-    val nearKeepers = Dedup.qDedupCorpus(s, dir)
-      .filter(col("doc_id") === col("keeper"))
-      .select(col("doc_id"))
+    // stage 3: near-dup components among the exact-unique survivors
+    // (rebalance=false — `uniq` sits downstream of a shuffle already).
+    // Same cache hygiene as Dedup.qDedupCorpus: checkpoint the tiny
+    // label frame, release the loop's persisted lineage.
+    val pairs = Dedup.minhashPairs(uniq, rebalance = false)
+      .select("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+    val comp = labels.localCheckpoint(true)
+      .withColumnRenamed("label", "near_keeper")
+    labels.unpersist()
 
-    docs.select(col("doc_id"),
-        TextOps.tokenCount(col("text")).as("n_tokens"))
-      .join(quality, Seq("doc_id"))
-      .join(exactKeepers, Seq("doc_id"), "left_semi")
-      .join(nearKeepers, Seq("doc_id"), "left_semi")
-      .orderBy(col("doc_id"))
+    scored.join(exmap, Seq("doc_id"), "left")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"),
+        when(col("quality_band") === "low", "quality")
+          .when(col("ex_keeper") =!= col("doc_id"), "exact_dup")
+          .when(col("near_keeper").isNotNull
+            && col("near_keeper") =!= col("doc_id"), "near_dup")
+          .otherwise("kept").as("drop_reason"))
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pipeline_clean" -> (cleanCorpus _))
+  /** Kept corpus with accounting: (doc_id, n_tokens, quality) for every
+    * surviving document. */
+  def cleanOf(docs: DataFrame): DataFrame =
+    auditOf(docs).filter(col("drop_reason") === "kept")
+      .join(docs.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .orderBy(col("doc_id"))
 
-  /** Not SQL-expressible (the near-dup stage needs iterative connected
-    * components) — rows-only; PipelineSpec pins the invariants. */
-  val oracles: Map[String, String] = Map.empty
+  def cleanCorpus(s: SparkSession, dir: String): DataFrame =
+    cleanOf(Engine.table(s, dir, "documents"))
+
+  def auditCorpus(s: SparkSession, dir: String): DataFrame =
+    auditOf(Engine.table(s, dir, "documents"))
+      .select(col("doc_id"), col("drop_reason"))
+      .orderBy(col("doc_id"))
+
+  /** Shared oracle CTE chain mirroring the three stages: quality gate →
+    * exact keepers among survivors → recursive-CTE transitive closure
+    * over the TRUE (blocking-free) near-dup pairs of the exact-unique
+    * survivors. Independent of the Spark LSH + label-propagation path on
+    * every axis (candidate generation, components algorithm, stage
+    * wiring) — the gate therefore also pins LSH recall on the survivor
+    * subset, as q_dedup_corpus does on the full corpus. */
+  private val oracleStages: String =
+    s"""q AS (
+      |${TextOps.qTextQualitySql}
+      |),
+      |surv AS (
+      |  SELECT d.doc_id, d.text, q.quality FROM documents d
+      |  JOIN q ON d.doc_id = q.doc_id
+      |  WHERE q.quality_band <> 'low'
+      |),
+      |ex AS (
+      |  SELECT md5(text) AS fp, MIN(doc_id) AS keeper FROM surv GROUP BY 1
+      |),
+      |exmap AS (
+      |  SELECT s.doc_id, ex.keeper FROM surv s JOIN ex ON md5(s.text) = ex.fp
+      |),
+      |uniq AS (
+      |  SELECT s.doc_id, s.text, s.quality FROM surv s
+      |  JOIN ex ON s.doc_id = ex.keeper
+      |),
+      |d AS (
+      |${Dedup.shingleCteFrom("uniq")}
+      |),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |  WHERE ${Dedup.jaccardExpr} >= 0.5
+      |),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM p
+      |  UNION ALL
+      |  SELECT doc_b AS src, doc_a AS dst FROM p
+      |),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      |),
+      |labels AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS keeper
+      |  FROM reach GROUP BY src
+      |)""".stripMargin
+
+  val qPipelineCleanSql: String =
+    s"""WITH RECURSIVE $oracleStages
+      |SELECT u.doc_id,
+      |  ${TextOps.sqlTokenCountOf("u.text")} AS n_tokens,
+      |  u.quality
+      |FROM uniq u
+      |LEFT JOIN labels l ON u.doc_id = l.doc_id
+      |WHERE l.keeper IS NULL OR l.keeper = u.doc_id
+      |ORDER BY u.doc_id""".stripMargin
+
+  val qPipelineAuditSql: String =
+    s"""WITH RECURSIVE $oracleStages
+      |SELECT doc.doc_id,
+      |  CASE WHEN q.quality_band = 'low' THEN 'quality'
+      |       WHEN em.keeper <> doc.doc_id THEN 'exact_dup'
+      |       WHEN l.keeper IS NOT NULL AND l.keeper <> doc.doc_id
+      |         THEN 'near_dup'
+      |       ELSE 'kept' END AS drop_reason
+      |FROM documents doc
+      |JOIN q ON doc.doc_id = q.doc_id
+      |LEFT JOIN exmap em ON doc.doc_id = em.doc_id
+      |LEFT JOIN labels l ON doc.doc_id = l.doc_id
+      |ORDER BY doc.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_clean" -> (cleanCorpus _),
+    "q_pipeline_audit" -> (auditCorpus _))
+
+  val oracles: Map[String, String] = Map(
+    "q_pipeline_clean" -> qPipelineCleanSql,
+    "q_pipeline_audit" -> qPipelineAuditSql)
 }

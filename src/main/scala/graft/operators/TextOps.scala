@@ -29,8 +29,9 @@ object TextOps {
     * `#spaces + 1` is exact and engine-portable. */
   private[operators] def tokenCount(c: Column): Column =
     (length(c) - length(regexp_replace(c, " ", "")) + 1).cast("long")
-  private val sqlTokenCount =
-    "CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)"
+  private[operators] def sqlTokenCountOf(c: String): String =
+    s"CAST(LENGTH($c) - LENGTH(REPLACE($c, ' ', '')) + 1 AS BIGINT)"
+  private val sqlTokenCount = sqlTokenCountOf("text")
 
   /** Occurrences of word `w` (space-delimited) via replace-shrinkage —
     * portable across engines (both scan left-to-right non-overlapping). */
@@ -93,9 +94,10 @@ object TextOps {
 
   // --- quality scoring -----------------------------------------------------
 
-  /** Length / alpha-ratio / stopword-ratio quality heuristic, bucketed. */
-  def qTextQuality(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+  /** Length / alpha-ratio / stopword-ratio quality heuristic, bucketed —
+    * frame-level form so the corpus pipeline (and its adversarial specs)
+    * can score arbitrary (doc_id, text) frames. */
+  def qualityOf(d: DataFrame): DataFrame = {
     val toks = tokenCount(col("text"))
     val alphaRatio =
       length(regexp_replace(lower(col("text")), "[^a-z ]", ""))
@@ -109,6 +111,9 @@ object TextOps {
         when(score >= 0.6, "good").when(score >= 0.45, "ok")
           .otherwise("low").as("quality_band"))
   }
+
+  def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    qualityOf(t(s, dir, "documents"))
 
   val qTextQualitySql: String = {
     val toks = sqlTokenCount

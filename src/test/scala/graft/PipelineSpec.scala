@@ -6,7 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Corpus-cleaning pipeline invariants: the kept set contains no
   * low-quality doc, no two identical texts, and no near-dup pair; every
-  * drop is attributable to exactly one of those rules. */
+  * doc carries exactly one drop_reason; and — the keeper/quality
+  * interaction — a content cluster whose minimum doc_id is low-quality
+  * still keeps its best surviving representative. */
 class PipelineSpec extends AnyFunSuite {
   private def spark = TestSession.spark
   private val sf = TestSession.sf
@@ -14,6 +16,11 @@ class PipelineSpec extends AnyFunSuite {
   private lazy val kept =
     Pipeline.cleanCorpus(spark, sf).collect()
       .map(_.getAs[Long]("doc_id")).toSet
+
+  private lazy val audit =
+    Pipeline.auditCorpus(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("drop_reason"))
+      .toMap
 
   test("pipeline output is deterministic and nonempty") {
     val again = Pipeline.cleanCorpus(spark, sf).collect()
@@ -44,20 +51,81 @@ class PipelineSpec extends AnyFunSuite {
     assert(surviving.isEmpty, s"kept near-dup pairs: ${surviving.take(3)}")
   }
 
-  test("every dropped doc is attributable to a pipeline rule") {
+  test("audit covers every doc, agrees with the kept set, and every " +
+      "reason is consistent") {
     val all = Engine.table(spark, sf, "documents")
       .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(audit.keySet === all)
+    val reasons = Set("kept", "quality", "exact_dup", "near_dup")
+    assert(audit.values.forall(reasons))
+    assert(audit.collect { case (d, "kept") => d }.toSet === kept)
     val low = TextOps.qTextQuality(spark, sf)
       .filter(col("quality_band") === "low")
       .collect().map(_.getAs[Long]("doc_id")).toSet
-    val exactKeepers = Dedup.qDedupExact(spark, sf)
-      .collect().map(_.getAs[Long]("keeper")).toSet
-    val nearKeepers = Dedup.qDedupCorpus(spark, sf)
-      .filter(col("doc_id") === col("keeper"))
-      .collect().map(_.getAs[Long]("doc_id")).toSet
-    (all -- kept).foreach { d =>
-      assert(low(d) || !exactKeepers(d) || !nearKeepers(d),
-        s"doc $d dropped without a rule")
-    }
+    assert(audit.collect { case (d, "quality") => d }.toSet === low)
+  }
+
+  // --- the keeper/quality interaction, adversarially ------------------------
+
+  /** ~30 alpha tokens, stopword-rich → 'good' band. */
+  private val base = "the quick brown fox and the lazy dog of the green " +
+    "meadow run and jump over the fence and the river of light in the " +
+    "morning sun and the evening calm"
+
+  /** Fixture: docs 1-3 form one near-dup content cluster whose MINIMUM
+    * doc_id (1) is low-quality (digit-spam suffix: alpha ratio diluted,
+    * token count pushed past 400); docs 5-6 are an identical-text pair;
+    * doc 4 is an unrelated singleton. */
+  private val fixture = Seq(
+    1L -> (base + " 0000" * 420),
+    2L -> base,
+    3L -> (base + " indeed the meadow waits"),
+    4L -> ("a calm gentle evening with soft tea and the slow hum of wind " +
+      "in tall trees beside the winding water under a wide quiet sky full " +
+      "of small pale stars"),
+    5L -> ("history tells of the long winding road and the many of us who " +
+      "walk it with hope and the will of the heart through every season"),
+    6L -> ("history tells of the long winding road and the many of us who " +
+      "walk it with hope and the will of the heart through every season"))
+
+  private def fixtureDf = {
+    val s = spark
+    import s.implicits._
+    fixture.toDF("doc_id", "text")
+  }
+
+  test("fixture is genuinely adversarial: doc 1 is low-quality AND the " +
+      "min doc_id of a real near-dup cluster") {
+    val bands = TextOps.qualityOf(fixtureDf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("quality_band"))
+      .toMap
+    assert(bands(1L) === "low", s"doc 1 band = ${bands(1L)}")
+    assert((2L to 6L).forall(d => bands(d) != "low"),
+      s"fixture docs 2-6 must pass quality: $bands")
+    // under keeper-over-full-corpus semantics the cluster keeper would
+    // be 1 — which the quality gate then deletes
+    val pairs = Dedup.minhashPairs(fixtureDf, rebalance = false)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 3L)),
+      s"doc 1 must be a near-dup of the cluster; pairs = $pairs")
+    assert(pairs.contains((2L, 3L)), s"docs 2,3 must be near-dups: $pairs")
+  }
+
+  test("a cluster whose min doc_id is low-quality keeps its best " +
+      "surviving representative") {
+    val reasons = Pipeline.auditOf(fixtureDf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("drop_reason"))
+      .toMap
+    assert(reasons === Map(
+      1L -> "quality",   // fails the gate — NOT a keeper that nukes 2,3
+      2L -> "kept",      // cluster representative among survivors
+      3L -> "near_dup",
+      4L -> "kept",
+      5L -> "kept",      // exact-pair representative
+      6L -> "exact_dup"))
+    val cleanIds = Pipeline.cleanOf(fixtureDf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(cleanIds === Set(2L, 4L, 5L))
   }
 }
