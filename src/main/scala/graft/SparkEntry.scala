@@ -20,6 +20,7 @@ object SparkEntry {
     operators.Relational.queries -> operators.Relational.oracles,
     operators.TpchSuite.queries -> operators.TpchSuite.oracles,
     operators.Filters.queries -> operators.Filters.oracles,
+    operators.Collation.queries -> operators.Collation.oracles,
     operators.Joins.queries -> operators.Joins.oracles,
     operators.Aggregates.queries -> operators.Aggregates.oracles,
     operators.SortSetOps.queries -> operators.SortSetOps.oracles,

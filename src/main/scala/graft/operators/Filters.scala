@@ -596,7 +596,29 @@ object Filters {
       |  CAST('1996-04-12' AS DATE) AS valid_cast,
       |  TRY_CAST('0000-00-00' AS DATE) IS NULL AS zero_is_null""".stripMargin
 
+  /** Multi-value row-constructor IN — `(a, b) IN ((x1, y1), (x2, y2))`,
+    * the reference's InSetColumn over tuples
+    * (storage/tianmu/vc/in_set_column.h). Both engines accept the
+    * row-constructor form natively; the NOT-IN face rides on the same
+    * struct in-list. */
+  def qFilterRowIn(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(expr("(o_orderstatus, o_orderpriority) IN " +
+        "(('F', '1-URGENT'), ('O', '2-HIGH'), ('F', '5-LOW'))"))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+
+  val qFilterRowInSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  ${sqlDsum("o_totalprice", "sum_price")}
+      |FROM orders
+      |WHERE (o_orderstatus, o_orderpriority) IN
+      |  (('F', '1-URGENT'), ('O', '2-HIGH'), ('F', '5-LOW'))
+      |GROUP BY o_orderstatus, o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_row_in" -> (qFilterRowIn _),
     "q_week_modes" -> (qWeekModes _),
     "q_types_zero_date" -> (qTypesZeroDate _),
     "q_types_unsigned" -> (qTypesUnsigned _),
@@ -617,6 +639,7 @@ object Filters {
     "q_func_greatest_least" -> (qFuncGreatestLeast _))
 
   val oracles: Map[String, String] = Map(
+    "q_filter_row_in" -> qFilterRowInSql,
     "q_week_modes" -> qWeekModesSql,
     "q_types_zero_date" -> qTypesZeroDateSql,
     "q_types_unsigned" -> qTypesUnsignedSql,

@@ -138,13 +138,68 @@ object Similarity {
       .limit(20)
   }
 
+  /** Oracle fragment: the query vector (embedding of min vec_id) as a
+    * one-row CTE — DuckDB's `list_dot_product` over float→double casts
+    * is IEEE-identical to the native VecDot loop (proven by
+    * q_dedup_embed's hash-exact gate, Dedup.qDedupEmbedSql). */
+  private val qvCte: String =
+    """qv AS (
+      |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+      |  FROM embeddings ORDER BY vec_id LIMIT 1
+      |)""".stripMargin
+
+  val qSimBruteForceSql: String =
+    s"""WITH $qvCte
+      |SELECT e.vec_id, e.label,
+      |  floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.q_emb)
+      |        * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |FROM embeddings e, qv
+      |WHERE e.vec_id <> qv.q_id
+      |ORDER BY cos DESC, e.vec_id
+      |LIMIT 20""".stripMargin
+
+  /** IVF oracle mirrors the plan stage by stage: per-label positional-
+    * mean centroids, probe = top-3 centroid scores, exact re-rank inside
+    * the probed labels. Centroid averaging order differs between engines
+    * at ~1e-16 — it only feeds probe SELECTION (never output values), and
+    * the label scores are far from ties at gate scale. */
+  val qSimIvfSql: String =
+    s"""WITH $qvCte,
+      |pos AS (
+      |  SELECT label,
+      |    UNNEST(CAST(embedding AS DOUBLE[])) AS v,
+      |    UNNEST(range(len(embedding))) AS pos
+      |  FROM embeddings
+      |),
+      |carr AS (
+      |  SELECT label, list(v ORDER BY pos) AS centroid FROM (
+      |    SELECT label, pos, AVG(v) AS v FROM pos GROUP BY label, pos
+      |  ) GROUP BY label
+      |),
+      |probed AS (
+      |  SELECT c.label
+      |  FROM carr c, qv
+      |  ORDER BY list_dot_product(c.centroid, qv.q_emb) DESC, c.label
+      |  LIMIT 3
+      |)
+      |SELECT e.vec_id, e.label,
+      |  floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.q_emb)
+      |        * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |FROM embeddings e
+      |JOIN probed p ON e.label = p.label, qv
+      |WHERE e.vec_id <> qv.q_id
+      |ORDER BY cos DESC, e.vec_id
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
     "q_sim_ivf_topk" -> (qSimIvf _),
     "q_sim_ivf_kmeans_topk" -> (qSimIvfKmeans _))
 
-  /** ANN results are not ANSI-SQL-expressible portably (list ops) —
-    * rows-only checks; correctness is covered by SimilaritySpec (IVF
-    * recall vs. brute force, monotone scores). */
-  val oracles: Map[String, String] = Map.empty
+  /** The learned-quantizer variant stays rows-only (k-means is not
+    * SQL-expressible; its arithmetic is pinned by the two oracles above
+    * plus SimilaritySpec's recall checks). */
+  val oracles: Map[String, String] = Map(
+    "q_sim_bruteforce_topk" -> qSimBruteForceSql,
+    "q_sim_ivf_topk" -> qSimIvfSql)
 }
