@@ -8,24 +8,34 @@ import org.apache.spark.sql.functions.udaf
   * being part of its SQL dialect. Idempotent per session. */
 object Registry {
 
+  /** MySQL default `group_concat_max_len` (chars; MySQL counts bytes but
+    * the dialect surface here is ASCII-safe). */
+  val GroupConcatMaxLen = 1024
+
   def register(spark: SparkSession): Unit = {
     // Native Catalyst expression → plain SQL function.
     GraftSqlBridge.registerFunction(spark, "simhash64",
       exprs => SimHash64(exprs.head))
     GraftSqlBridge.registerFunction(spark, "shingle_hash64",
       exprs => ShingleHash64(exprs.head, 5))
-    // MySQL GROUP_CONCAT defaults (comma separator, sorted, no limit).
-    spark.udf.register("group_concat", udaf(new GroupConcat(",", false, 0)))
+    // MySQL GROUP_CONCAT defaults: comma separator, sorted, and the
+    // group_concat_max_len truncation contract — MySQL's default is
+    // 1024 (the reference's published TPC-H config pins 512; callers
+    // needing another limit use the Scala API's maxLen). An unlimited
+    // default would silently diverge from every reference GROUP_CONCAT
+    // on groups past the limit.
+    spark.udf.register("group_concat",
+      udaf(new GroupConcat(",", false, GroupConcatMaxLen)))
     spark.udf.register("group_concat_distinct",
-      udaf(new GroupConcat(",", true, 0)))
+      udaf(new GroupConcat(",", true, GroupConcatMaxLen)))
     // GROUP_CONCAT(value ORDER BY key [DESC]) from SQL: the ORDER BY
     // clause becomes the first argument (the sort key travels in the
     // buffer — t/group_concat.test shapes). asc/desc are separate names
     // because a UDAF signature cannot carry the modifier.
     spark.udf.register("group_concat_order_by",
-      udaf(new GroupConcatOrdered(",", false, 0)))
+      udaf(new GroupConcatOrdered(",", false, GroupConcatMaxLen)))
     spark.udf.register("group_concat_order_by_desc",
-      udaf(new GroupConcatOrdered(",", true, 0)))
+      udaf(new GroupConcatOrdered(",", true, GroupConcatMaxLen)))
     // Dedup kernels, wired to the Dedup pipeline's parameters so SQL
     // users compute the same signatures/verdicts as the operators.
     val params = graft.operators.Dedup.hashParams

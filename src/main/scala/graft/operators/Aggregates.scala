@@ -102,6 +102,33 @@ object Aggregates {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name""".stripMargin
 
+  /** GROUP_CONCAT truncation at `group_concat_max_len` — every reference
+    * GROUP_CONCAT is governed by it (512 in the published TPC-H bench
+    * config, BASELINE.md; MySQL default 1024; see
+    * mysql-test/suite/tianmu/t/group_concat.test). Customer names per
+    * market segment far exceed 512 chars at sf0.01, so the cut bites;
+    * values are sorted pre-join so the truncated prefix is
+    * deterministic. The oracle mirrors with substr over the untruncated
+    * aggregate. */
+  def qAggGroupConcatTrunc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(groupConcat(col("c_name"), maxLen = 512).as("names_512"),
+        count(lit(1)).as("n_customers"))
+      .select(col("c_mktsegment"), col("names_512"),
+        length(col("names_512")).cast("long").as("len_512"),
+        col("n_customers"))
+
+  val qAggGroupConcatTruncSql: String =
+    """SELECT c_mktsegment,
+      |  SUBSTR(STRING_AGG(c_name, ',' ORDER BY c_name), 1, 512)
+      |    AS names_512,
+      |  LENGTH(SUBSTR(STRING_AGG(c_name, ',' ORDER BY c_name), 1, 512))
+      |    AS len_512,
+      |  COUNT(*) AS n_customers
+      |FROM customer
+      |GROUP BY c_mktsegment""".stripMargin
+
   /** HAVING over a shuffled hash aggregation. */
   def qAggHaving(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -172,6 +199,7 @@ object Aggregates {
     "q_agg_stats" -> (qAggStats _),
     "q_agg_bits" -> (qAggBits _),
     "q_agg_group_concat" -> (qAggGroupConcat _),
+    "q_agg_group_concat_trunc" -> (qAggGroupConcatTrunc _),
     "q_agg_having" -> (qAggHaving _),
     "q_agg_rollup" -> (qAggRollup _),
     "q_agg_cube" -> (qAggCube _),
@@ -182,6 +210,7 @@ object Aggregates {
     "q_agg_stats" -> qAggStatsSql,
     "q_agg_bits" -> qAggBitsSql,
     "q_agg_group_concat" -> qAggGroupConcatSql,
+    "q_agg_group_concat_trunc" -> qAggGroupConcatTruncSql,
     "q_agg_having" -> qAggHavingSql,
     "q_agg_rollup" -> qAggRollupSql,
     "q_agg_cube" -> qAggCubeSql)

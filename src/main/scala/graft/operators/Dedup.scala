@@ -351,6 +351,86 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** SimHash with an md5 token hash — the cross-engine-checkable twin of
+    * [[qDedupSimhash]]. The production kernel hashes tokens with FNV-1a
+    * (a native expression DuckDB cannot mirror: its checked arithmetic
+    * rejects wrap-around multiply), so that gate is rows-only; this
+    * variant derives the 60-bit token hash from md5 (first 15 hex
+    * digits), which both engines compute identically, turning the ENTIRE
+    * simhash algorithm — vote accumulation, sign vector, hamming
+    * distance, and the pigeonhole chunk blocking — into a hash-checked
+    * contract. The oracle is blocking-free all-pairs hamming, so LSH
+    * RECALL is gated too (4×15-bit chunks are lossless for hamming ≤ 3).
+    * Everything here is built-in codegen'd expressions; the FNV kernel
+    * remains the fast path. */
+  def qDedupSimhashMd5(s: SparkSession, dir: String): DataFrame = {
+    val toks = Engine.rebalance(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), " "),
+          x => length(x) > 0)).as("tok"))
+    val th = toks.select(col("doc_id"),
+      conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val voteCols = (0 until 60).map { b =>
+      sum(when(shiftrightunsigned(col("h"), b)
+        .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b")
+    }
+    val votes = th.groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+    val sig = votes.select(col("doc_id"),
+      (0 until 60).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sig"))
+    val chunks = sig.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(k =>
+        shiftrightunsigned(col("sig"), k * 15).bitwiseAND(lit(0x7FFFL))
+      ): _*)).as(Seq("chunk", "cval")))
+    val l = chunks.select(col("chunk"), col("cval"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val r = chunks.select(col("chunk"), col("cval"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk", "cval"))
+      .where(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle: the same md5-simhash built digit-by-digit (bit b of the
+    * 15-hex-digit hash = bit b%4 of digit 15−b/4), then BRUTE-FORCE
+    * all-pairs hamming — no blocking, so the Spark side's chunk-LSH must
+    * find every pair to hash-match. */
+  val qDedupSimhashMd5Sql: String = {
+    val votes = (0 until 60).map { b =>
+      val pos = 15 - b / 4
+      val shift = b % 4
+      s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, $pos, 1)) - 1) >> $shift) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n    ")
+    val sigSum = (0 until 60).map(b =>
+      s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(lower(text), ' '),
+      |                       x -> len(x) > 0)) AS tok
+      |  FROM documents
+      |), th AS (
+      |  SELECT doc_id, md5(tok) AS h FROM toks
+      |), votes AS (
+      |  SELECT doc_id,
+      |    $votes
+      |  FROM th GROUP BY doc_id
+      |), sig AS (
+      |  SELECT doc_id, $sigSum AS sig FROM votes
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // --- exact n-gram Jaccard with length-bucket blocking ----------------------
 
   /** Exact 5-gram Jaccard dedup, blocked by length bucket (near-dups have
@@ -468,6 +548,7 @@ object Dedup {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_simhash_md5" -> (qDedupSimhashMd5 _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_dedup_embed_ivf" -> (qDedupEmbedIvf _),
@@ -476,6 +557,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_dedup_simhash_md5" -> qDedupSimhashMd5Sql,
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_dedup_embed" -> qDedupEmbedSql,
     "q_dedup_corpus" -> qDedupCorpusSql)

@@ -34,9 +34,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale: the sidecar has (files × columns) rows — ~1e6 at 100 TB with
   * 1 GB packs — and every rough answer is an aggregation over it, never
-  * over the data. The RS_SOME pack-id list does pass through the driver
-  * (as partition-pruning literals), the same order of magnitude as the
-  * file listing Spark already holds.
+  * over the data. A selective RS_SOME pack-id list passes through the
+  * driver as partition-pruning literals (same order of magnitude as the
+  * file listing Spark already holds); above [[IsinMaxPacks]] the exact
+  * pass switches to a broadcast pack-id join so a weak rough pass can
+  * never inline ~1e6 literals into the plan.
   */
 object StatsSidecar {
 
@@ -149,30 +151,58 @@ object StatsSidecar {
             && col("n_nulls") === 0, "ALL")
           .otherwise("SOME").as("state"))
 
-  /** Hybrid rough+exact COUNT of `lo <= column <= hi`: ALL packs counted
-    * from the sidecar, SOME packs scanned with partition pruning (the
-    * `_pack IN (...)` predicate lands in the scan's PartitionFilters),
-    * NONE packs untouched — the ParameterizedFilter::UpdateMultiIndex
-    * two-phase evaluation (rough pass then exact pass on surviving
-    * packs, core/parameterized_filter.cpp:1232-1286) in Spark form. */
-  def countBetween(spark: SparkSession, path: String, column: String,
-                   lo: Double, hi: Double): Long = {
-    val states = roughCheck(readStats(spark, path), column, lo, hi)
-      .groupBy(col("state"))
-      .agg(collect_list(col(PackCol)).as("packs"), sum("n_rows").as("rows"))
+  /** Above this many RS_SOME packs the exact pass stops inlining
+    * `_pack IN (...)` literals and joins the scan against the pack-id
+    * frame instead. Literal pruning is ideal for the common case (a
+    * selective rough pass leaves few packs, and the IN list lands in the
+    * scan's static `PartitionFilters`); but at the module's stated scale
+    * (~1e6 packs at 100 TB) a weak rough pass could otherwise inline up
+    * to ~1e6 literals into one filter expression — analyzer/plan-size
+    * blowup, not a graceful degrade. The broadcast join keeps the plan
+    * O(1) in pack count and lets dynamic partition pruning do the
+    * skipping. */
+  val IsinMaxPacks = 256
+
+  /** Shared exact pass for the hybrid counts: sum ALL-pack rows from the
+    * sidecar, scan only SOME packs re-testing `rowPred`. Pack selection
+    * is literal IN below [[IsinMaxPacks]], broadcast-join above. */
+  private def hybridCount(spark: SparkSession, path: String,
+                          states: DataFrame, rowPred: Column): Long = {
+    val byState = states.groupBy(col("state"))
+      .agg(sum("n_rows").as("rows"), count(lit(1)).as("n_packs"))
       .collect()
-    val fullRows = states.find(_.getString(0) == "ALL")
+    val fullRows = byState.find(_.getString(0) == "ALL")
+      .map(_.getLong(1)).getOrElse(0L)
+    val nSome = byState.find(_.getString(0) == "SOME")
       .map(_.getLong(2)).getOrElse(0L)
-    val somePacks = states.find(_.getString(0) == "SOME")
-      .map(_.getSeq[Int](1)).getOrElse(Seq.empty)
     val partialRows =
-      if (somePacks.isEmpty) 0L
-      else spark.read.parquet(path)
-        .filter(col(PackCol).isin(somePacks: _*)
-          && col(column) >= lo && col(column) <= hi)
-        .count()
+      if (nSome == 0L) 0L
+      else if (nSome <= IsinMaxPacks) {
+        val packs = states.filter(col("state") === "SOME")
+          .select(col(PackCol)).collect().map(_.getInt(0)).toSeq
+        spark.read.parquet(path)
+          .filter(col(PackCol).isin(packs: _*) && rowPred).count()
+      } else {
+        val packs = states.filter(col("state") === "SOME")
+          .select(col(PackCol))
+        spark.read.parquet(path)
+          .join(broadcast(packs), Seq(PackCol)).filter(rowPred).count()
+      }
     fullRows + partialRows
   }
+
+  /** Hybrid rough+exact COUNT of `lo <= column <= hi`: ALL packs counted
+    * from the sidecar, SOME packs scanned with partition pruning (the
+    * `_pack IN (...)` predicate lands in the scan's PartitionFilters, or
+    * a broadcast pack-id join above [[IsinMaxPacks]]), NONE packs
+    * untouched — the ParameterizedFilter::UpdateMultiIndex two-phase
+    * evaluation (rough pass then exact pass on surviving packs,
+    * core/parameterized_filter.cpp:1232-1286) in Spark form. */
+  def countBetween(spark: SparkSession, path: String, column: String,
+                   lo: Double, hi: Double): Long =
+    hybridCount(spark, path,
+      roughCheck(readStats(spark, path), column, lo, hi),
+      col(column) >= lo && col(column) <= hi)
 
   /** Tri-state classification of `column LIKE 'prefix%'` from string
     * min/max — the CMAP prefix-LIKE rough check (rsi_cmap.h:53 IsLike).
@@ -199,23 +229,10 @@ object StatsSidecar {
   /** Hybrid rough+exact COUNT of `column LIKE 'prefix%'` (string twin of
     * [[countBetween]]). */
   def countPrefix(spark: SparkSession, path: String, column: String,
-                  prefix: String): Long = {
-    val states = roughCheckPrefix(readStats(spark, path), column, prefix)
-      .groupBy(col("state"))
-      .agg(collect_list(col(PackCol)).as("packs"), sum("n_rows").as("rows"))
-      .collect()
-    val fullRows = states.find(_.getString(0) == "ALL")
-      .map(_.getLong(2)).getOrElse(0L)
-    val somePacks = states.find(_.getString(0) == "SOME")
-      .map(_.getSeq[Int](1)).getOrElse(Seq.empty)
-    val partialRows =
-      if (somePacks.isEmpty) 0L
-      else spark.read.parquet(path)
-        .filter(col(PackCol).isin(somePacks: _*)
-          && col(column).startsWith(prefix))
-        .count()
-    fullRows + partialRows
-  }
+                  prefix: String): Long =
+    hybridCount(spark, path,
+      roughCheckPrefix(readStats(spark, path), column, prefix),
+      col(column).startsWith(prefix))
 
   // --- gate query ---------------------------------------------------------
 

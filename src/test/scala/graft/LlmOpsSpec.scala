@@ -84,6 +84,36 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash chunk blocking is lossless vs brute-force all-pairs") {
+    // empirical pigeonhole check: the 4×16-bit chunk-blocked pair set
+    // must equal an unblocked cross-join hamming scan at spec scale —
+    // recall 1.0 for the hamming ≤ 3 contract (VERDICT r4 stretch item)
+    val sigs = Engine.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(lower(col("text"))).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ida, idb, h)).toSet
+    val blocked = Dedup.qDedupSimhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(blocked === brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("md5-simhash twin agrees with its blocking-free contract") {
+    // the oracle-gated variant: pairs must carry hamming <= 3 and the
+    // pair set must be symmetric-free (a < b) — full recall is pinned by
+    // the DuckDB all-pairs oracle (q_dedup_simhash_md5)
+    val rows = Dedup.qDedupSimhashMd5(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("hamming") <= 3L)
+    }
+  }
+
   test("brute-force top-k matches a driver-side recomputation") {
     val e = Engine.table(spark, sf, "embeddings")
       .select("vec_id", "embedding").collect()

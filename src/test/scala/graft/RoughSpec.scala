@@ -118,6 +118,27 @@ class RoughSpec extends AnyFunSuite {
       s"expected decided packs, got $states")
   }
 
+  test("many SOME packs switch to the broadcast-join path, counts exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_roughwide")
+    val li = Engine.table(spark, sf, "lineitem")
+      .select(col("l_quantity"), col("l_extendedprice"))
+    // unclustered tiny packs: every pack spans the full quantity range,
+    // so a mid-range predicate leaves (nearly) all packs RS_SOME —
+    // the adversarial weak-rough-pass case the literal-IN path must not
+    // inline (IsinMaxPacks guard)
+    StatsSidecar.writeWithStats(li, s"$dir/li", 8,
+      Seq("l_quantity"))
+    val nSome = StatsSidecar
+      .roughCheck(StatsSidecar.readStats(spark, s"$dir/li"),
+        "l_quantity", 10.0, 30.0)
+      .filter(col("state") === "SOME").count()
+    assert(nSome > StatsSidecar.IsinMaxPacks,
+      s"fixture too small to force the join path: $nSome SOME packs")
+    val exact = li.filter(col("l_quantity").between(10.0, 30.0)).count()
+    assert(StatsSidecar.countBetween(spark, s"$dir/li", "l_quantity",
+      10.0, 30.0) === exact)
+  }
+
   test("SOME-pack scan prunes at the partition level") {
     val plan = spark.read.parquet(scratch)
       .filter(col(StatsSidecar.PackCol).isin(0, 1))

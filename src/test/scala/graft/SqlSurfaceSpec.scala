@@ -20,6 +20,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sh.forall(r => r.getLong(0) != 0L))
   }
 
+  test("SQL group_concat truncates at the MySQL default max_len") {
+    Engine.registerAll(spark, sf)
+    val row = spark.sql(
+      """SELECT length(group_concat(c_name)) AS len, count(*) AS n
+        |FROM customer""".stripMargin).first()
+    // all customer names far exceed 1024 chars; the registered SQL
+    // function must apply group_concat_max_len (MySQL default 1024)
+    assert(row.getAs[Long]("n") * 18 > functions.Registry.GroupConcatMaxLen)
+    assert(row.getAs[Int]("len") === functions.Registry.GroupConcatMaxLen)
+  }
+
   test("simhash is stable and near-identical texts collide closely") {
     Engine.registerAll(spark, sf)
     val h = spark.sql(
