@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a production training-data pipeline needs
+  * beyond dedup/quality: benchmark decontamination and PII redaction.
+  * No reference analog (the reference is a SQL OLAP engine); extension
+  * tier like [[TextOps]].
+  *
+  * Scale shape: decontamination is ONE equi-join of exploded n-gram keys
+  * against the (small) benchmark n-gram set — the benchmark side is
+  * broadcast, so the corpus side never shuffles; n-grams travel as
+  * 64-bit hashes, not strings. PII scrub is a pure projection (codegen'd
+  * regexps), single scan, no shuffle.
+  */
+object Curation {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Engine.table(s, dir, n)
+
+  /** N-gram width for contamination checks — 13 tokens, the published
+    * GPT-3/PaLM decontamination convention (Brown et al. 2020, appendix
+    * C): long enough that a shared n-gram means copied text, not chance
+    * word collisions. */
+  val NgramWidth = 13
+
+  /** Deterministic held-out "benchmark" membership for the gate fixture:
+    * every 9th doc plays the eval set. A real deployment passes its own
+    * benchmark frame to [[decontaminate]]. */
+  private val BenchmarkMod = 9
+
+  /** Distinct token-`n`-gram hashes per doc: (doc_id, gh). Docs shorter
+    * than `n` tokens emit nothing (they cannot contain a full n-gram).
+    * The 64-bit hash stands in for the n-gram string — at 100 TB the
+    * join key is 8 bytes, not ~90; a 2^-64 collision rate is far below
+    * the pipeline's noise floor. */
+  private def ngramHashes(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, size(tk) - ${n - 1}), " +
+            s"i -> xxhash64(concat_ws(' ', slice(tk, i, $n))))")))
+          .as("gh"))
+
+  /** Flag every corpus doc sharing a [[NgramWidth]]-token n-gram with
+    * the benchmark frame. Returns one row per corpus doc: n_hits =
+    * distinct contaminated n-grams, contaminated = n_hits > 0.
+    * Benchmark docs are excluded from the corpus side (they ARE the eval
+    * set, not training candidates). */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame): DataFrame = {
+    val benchGrams = ngramHashes(benchmark, NgramWidth)
+      .select(col("gh")).distinct()
+    val hits = ngramHashes(docs, NgramWidth)
+      .join(broadcast(benchGrams), Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.rebalance(t(s, dir, "documents"))
+    val benchmark = docs.where(col("doc_id") % BenchmarkMod === 0)
+    val corpus = docs.where(col("doc_id") % BenchmarkMod =!= 0)
+    decontaminate(corpus, benchmark).orderBy(col("doc_id"))
+  }
+
+  /** Oracle: n-grams as strings (hash-free — independently derived),
+    * same split/slice semantics, blocking-free join. */
+  val qDecontaminateSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), ng AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      range(1, len(tk) - ${NgramWidth - 2}),
+      |      i -> array_to_string(tk[i:i+${NgramWidth - 1}], ' ')))) AS g
+      |  FROM toks WHERE len(tk) >= $NgramWidth
+      |), bng AS (
+      |  SELECT DISTINCT g FROM ng WHERE doc_id % $BenchmarkMod = 0
+      |), hits AS (
+      |  SELECT ng.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      |  FROM ng JOIN bng ON ng.g = bng.g
+      |  WHERE ng.doc_id % $BenchmarkMod <> 0
+      |  GROUP BY ng.doc_id
+      |)
+      |SELECT d.doc_id,
+      |  coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+      |  coalesce(h.n_hits, CAST(0 AS BIGINT)) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % $BenchmarkMod <> 0
+      |ORDER BY d.doc_id""".stripMargin
+
+  // --- PII redaction -------------------------------------------------------
+
+  /** Redaction patterns (Java regex == RE2-compatible subset so both
+    * engines agree): email, NANP-ish phone, URL. Applied URL-first so a
+    * URL containing an @ never half-matches as an email. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?1?-?555-[0-9]{4}"
+  val UrlRe = "https?://[^ ]+"
+
+  /** Redact PII from a text column; adds per-category counts. Pure
+    * codegen'd projection — the 100 TB cost is one scan. */
+  def scrubPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), UrlRe, "<URL>"),
+          EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("text_clean"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(UrlRe)).cast("long").as("n_urls"))
+
+  /** Gate: the synthetic corpus carries no PII, so the fixture plants
+    * deterministic email/phone/URL per doc — built by IDENTICAL string
+    * concatenation on both engines — then the redaction must strip all
+    * of it back out, hash-checked. */
+  def qPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val withPii = Engine.rebalance(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" visit https://example.org/u/"),
+          col("doc_id").cast("string")).as("text"))
+    scrubPii(withPii).orderBy(col("doc_id"))
+  }
+
+  val qPiiScrubSql: String =
+    s"""WITH pii AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |      || '@example.com or +1-555-'
+      |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      || ' visit https://example.org/u/' || CAST(doc_id AS VARCHAR)
+      |      AS text
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(
+      |    text, 'https?://[^ ]+', '<URL>', 'g'),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\\+?1?-?555-[0-9]{4}', '<PHONE>', 'g') AS text_clean,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\\+?1?-?555-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(text,
+      |    'https?://[^ ]+')) AS BIGINT) AS n_urls
+      |FROM pii
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_pii_scrub" -> (qPiiScrub _))
+
+  val oracles: Map[String, String] = Map(
+    "q_decontaminate" -> qDecontaminateSql,
+    "q_pii_scrub" -> qPiiScrubSql)
+}

@@ -114,6 +114,37 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate flags verbatim benchmark overlap, spares the rest") {
+    val s = spark
+    import s.implicits._
+    val phrase = ("w1 " * 20).trim // 20 tokens — contains full 13-grams
+    val bench = Seq((100L, phrase)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"prefix tokens here $phrase suffix"), // copies the phrase
+      (2L, "a completely different set of words repeated " +
+        ("x " * 20).trim)) // no shared 13-gram
+      .toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(1L) === true)
+    assert(out(2L) === false)
+  }
+
+  test("pii scrub removes every planted email/phone/url") {
+    val out = Curation.qPiiScrub(spark, sf)
+    val residue = out.filter(
+      col("text_clean").rlike(Curation.EmailRe) ||
+        col("text_clean").rlike(Curation.PhoneRe) ||
+        col("text_clean").rlike(Curation.UrlRe)).count()
+    assert(residue === 0L)
+    // every doc had exactly one of each planted
+    val counts = out.agg(sum("n_emails"), sum("n_phones"), sum("n_urls"),
+      count(lit(1))).first()
+    assert(counts.getLong(0) === counts.getLong(3))
+    assert(counts.getLong(1) === counts.getLong(3))
+    assert(counts.getLong(2) === counts.getLong(3))
+  }
+
   test("brute-force top-k matches a driver-side recomputation") {
     val e = Engine.table(spark, sf, "embeddings")
       .select("vec_id", "embedding").collect()
