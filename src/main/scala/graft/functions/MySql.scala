@@ -158,6 +158,28 @@ object MySql {
     secToTime(unix_micros(a.cast("timestamp")) / 1000000L
       - unix_micros(b.cast("timestamp")) / 1000000L)
 
+  /** MySQL `SUBTIME(ts, 'HH:MM:SS')` — [[addtime]] with the sign
+    * flipped. */
+  def subtime(ts: Column, t: Column): Column =
+    ts - make_dt_interval(lit(0), lit(0), lit(0), timeToSec(t).cast("double"))
+
+  /** MySQL `MAKETIME(h, m, s)` → 'H:MM:SS' in MySQL; emitted here in the
+    * same zero-padded convention as [[secToTime]] ('HH:MM:SS'). */
+  def maketime(h: Column, m: Column, s: Column): Column =
+    secToTime(h.cast("long") * 3600 + m.cast("long") * 60 + s.cast("long"))
+
+  /** MySQL string `INSERT(str, pos, len, newstr)`: replace `len` chars of
+    * `str` starting at 1-based `pos`; returns `str` unchanged when `pos`
+    * is out of range (the MySQL edge contract,
+    * mysql-test string function tier). */
+  def insertStr(str: Column, pos: Column, len: Column,
+                newstr: Column): Column =
+    when(pos < 1 || pos > length(str), str)
+      .otherwise(concat(
+        substr(str, lit(1), pos - 1),
+        newstr,
+        substr(str, pos + len, length(str))))
+
   // --- DATE_FORMAT % patterns ------------------------------------------------
 
   /** Translate a MySQL DATE_FORMAT %-pattern to a java.time pattern

@@ -167,9 +167,14 @@ object Aggregates {
   /** Approximate aggregates (scale tier, no reference analog): at 100 TB
     * an exact COUNT(DISTINCT) shuffles every distinct value; the HLL++
     * sketch and the percentile t-digest shuffle constant-size state per
-    * group. Not oracle-exact by nature (sketch internals differ per
-    * engine) — rows-only gate; AggregateSpec-style error bounds are
-    * pinned in InventorySpec instead. */
+    * group. Sketch INTERNALS differ per engine, so raw sketch outputs
+    * can never hash-match — instead the gate emits the exact values
+    * (hash-checked) plus within-error-bound BOOLEANS comparing each
+    * sketch to its exact twin inside the query; the oracle recomputes
+    * the exacts and pins the booleans to TRUE. A sketch drifting out of
+    * its published bound (HLL rsd 0.02 → 3σ = 6%; t-digest at 10k
+    * centroids → ~1% on the median) now fails the driver gate, not just
+    * a spec. */
   def qAggApprox(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -178,7 +183,22 @@ object Aggregates {
         countDistinct(col("l_partkey")).as("exact_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
           .as("apx_median_price"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median_price"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+        (abs(col("apx_parts") - col("exact_parts"))
+          .cast("double") / col("exact_parts") <= 0.06).as("hll_ok"),
+        (abs(col("apx_median_price") - col("exact_median_price"))
+          / col("exact_median_price") <= 0.01).as("median_ok"))
+
+  val qAggApproxSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  COUNT(*) AS n_rows,
+      |  TRUE AS hll_ok,
+      |  TRUE AS median_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
 
   /** CUBE — all grouping-set combinations (surplus vs. reference, which
     * rejects even ROLLUP to the row engine — core/query_compile.cpp:70). */
@@ -213,5 +233,6 @@ object Aggregates {
     "q_agg_group_concat_trunc" -> qAggGroupConcatTruncSql,
     "q_agg_having" -> qAggHavingSql,
     "q_agg_rollup" -> qAggRollupSql,
-    "q_agg_cube" -> qAggCubeSql)
+    "q_agg_cube" -> qAggCubeSql,
+    "q_agg_approx" -> qAggApproxSql)
 }

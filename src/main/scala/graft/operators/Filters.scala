@@ -380,6 +380,90 @@ object Filters {
       |FROM customer
       |WHERE c_custkey < 150""".stripMargin
 
+  /** String tier 3 (t/substring_function.test, mid/position/instr/
+    * char_length/oct/unhex MTR families): search/position functions, the
+    * hex roundtrip, whitespace builders/trimmers, and the MySQL string
+    * INSERT() contract incl. its out-of-range identity edge. */
+  def qStringFuncs3(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MySql
+    t(s, dir, "customer")
+      .filter(col("c_custkey") < 150)
+      .select(
+        col("c_custkey"),
+        instr(col("c_name"), "mer").cast("long").as("pos_mer"),
+        expr("locate('Cust', c_name)").cast("long").as("pos_cust"),
+        expr("char_length(c_name)").cast("long").as("n_chars"),
+        conv(col("c_custkey").cast("string"), 10, 8).as("key_oct"),
+        decode(unhex(hex(col("c_name"))), "UTF-8").as("hex_roundtrip"),
+        concat(expr("space(3)"), trim(col("c_mktsegment"))).as("spaced"),
+        ltrim(concat(lit("  "), col("c_mktsegment"))).as("ltrimmed"),
+        rtrim(concat(col("c_mktsegment"), lit("  "))).as("rtrimmed"),
+        MySql.insertStr(col("c_name"), lit(5), lit(3), lit("XYZ"))
+          .as("ins_mid"),
+        MySql.insertStr(col("c_name"), lit(1000), lit(3), lit("XYZ"))
+          .as("ins_oob"))
+  }
+
+  val qStringFuncs3Sql: String =
+    """SELECT c_custkey,
+      |  CAST(instr(c_name, 'mer') AS BIGINT) AS pos_mer,
+      |  CAST(position('Cust' IN c_name) AS BIGINT) AS pos_cust,
+      |  CAST(length(c_name) AS BIGINT) AS n_chars,
+      |  printf('%o', c_custkey) AS key_oct,
+      |  decode(unhex(hex(c_name))) AS hex_roundtrip,
+      |  repeat(' ', 3) || trim(c_mktsegment) AS spaced,
+      |  ltrim('  ' || c_mktsegment) AS ltrimmed,
+      |  rtrim(c_mktsegment || '  ') AS rtrimmed,
+      |  substr(c_name, 1, 4) || 'XYZ' || substr(c_name, 8) AS ins_mid,
+      |  c_name AS ins_oob
+      |FROM customer
+      |WHERE c_custkey < 150""".stripMargin
+
+  /** TIME-function tier (t/AddTime_function.test, timediff/maketime/
+    * func_sec_to_time MTR families). Spark has no TIME type (SURVEY
+    * §1.2), so TIME values live as '[-]HH:MM:SS' strings with the
+    * sec↔time conversions as the bridge — the same representation the
+    * oracle builds from epoch arithmetic. */
+  def qTimeFuncs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MySql
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 300)
+      .select(
+        col("o_orderkey"),
+        MySql.addtime(col("o_orderdate"), lit("01:23:45")).as("plus_t"),
+        MySql.subtime(col("o_orderdate"), lit("01:23:45")).as("minus_t"),
+        MySql.timediff(col("o_orderdate"),
+          lit("1995-06-01 00:00:00").cast("timestamp")).as("tdiff"),
+        MySql.maketime(col("o_orderkey") % 24, col("o_orderkey") % 60,
+          col("o_orderkey") % 60).as("made_t"),
+        MySql.timeToSec(MySql.maketime(col("o_orderkey") % 24,
+          col("o_orderkey") % 60, col("o_orderkey") % 60))
+          .as("made_t_secs"))
+  }
+
+  val qTimeFuncsSql: String =
+    """WITH t AS (
+      |  SELECT o_orderkey, o_orderdate,
+      |    CAST(epoch(o_orderdate) AS BIGINT)
+      |      - CAST(epoch(TIMESTAMP '1995-06-01 00:00:00') AS BIGINT)
+      |      AS dsec,
+      |    (o_orderkey % 24) * 3600 + (o_orderkey % 60) * 60
+      |      + (o_orderkey % 60) AS msec
+      |  FROM orders WHERE o_orderkey < 300
+      |)
+      |SELECT o_orderkey,
+      |  o_orderdate + INTERVAL 5025 SECOND AS plus_t,
+      |  o_orderdate - INTERVAL 5025 SECOND AS minus_t,
+      |  CASE WHEN dsec < 0 THEN '-' ELSE '' END
+      |    || lpad(CAST(abs(dsec) // 3600 AS VARCHAR), 2, '0')
+      |    || ':' || lpad(CAST((abs(dsec) % 3600) // 60 AS VARCHAR), 2, '0')
+      |    || ':' || lpad(CAST(abs(dsec) % 60 AS VARCHAR), 2, '0') AS tdiff,
+      |  lpad(CAST(msec // 3600 AS VARCHAR), 2, '0')
+      |    || ':' || lpad(CAST((msec % 3600) // 60 AS VARCHAR), 2, '0')
+      |    || ':' || lpad(CAST(msec % 60 AS VARCHAR), 2, '0') AS made_t,
+      |  CAST(msec AS BIGINT) AS made_t_secs
+      |FROM t""".stripMargin
+
   // --- date parse/construct tier (STR_TO_DATE/MAKEDATE/TO_DAYS, §2.9) ----
 
   def qDateStrFuncs(s: SparkSession, dir: String): DataFrame = {
@@ -634,6 +718,8 @@ object Filters {
     "q_func_bit" -> (qFuncBit _),
     "q_func_conv" -> (qFuncConv _),
     "q_string_funcs2" -> (qStringFuncs2 _),
+    "q_string_funcs3" -> (qStringFuncs3 _),
+    "q_time_funcs" -> (qTimeFuncs _),
     "q_date_str_funcs" -> (qDateStrFuncs _),
     "q_like_regexp" -> (qLikeRegexp _),
     "q_func_greatest_least" -> (qFuncGreatestLeast _))
@@ -655,6 +741,8 @@ object Filters {
     "q_func_bit" -> qFuncBitSql,
     "q_func_conv" -> qFuncConvSql,
     "q_string_funcs2" -> qStringFuncs2Sql,
+    "q_string_funcs3" -> qStringFuncs3Sql,
+    "q_time_funcs" -> qTimeFuncsSql,
     "q_date_str_funcs" -> qDateStrFuncsSql,
     "q_like_regexp" -> qLikeRegexpSql,
     "q_func_greatest_least" -> qFuncGreatestLeastSql)

@@ -191,15 +191,59 @@ object Similarity {
       |ORDER BY cos DESC, e.vec_id
       |LIMIT 20""".stripMargin
 
+  /** Driver-gated recall certificate for the learned-quantizer IVF. The
+    * k-means assignment itself is not SQL-expressible, so the TOP-K list
+    * stays a rows-only gate — but the CLAIMS about it are checkable:
+    * result count, recall@20 against brute force (bounded in-query, the
+    * q_agg_approx pattern), whether the true nearest neighbor was found,
+    * and the brute-force top score (DuckDB recomputes it exactly). A
+    * quantizer regression (bad seed handling, probe ordering bug,
+    * cluster starvation) now fails the driver gate, not just a spec. */
+  def qSimIvfKmeansRecall(s: SparkSession, dir: String): DataFrame = {
+    val ivf = qSimIvfKmeans(s, dir).select(col("vec_id"), col("cos"))
+    val bf = qSimBruteForce(s, dir).select(col("vec_id"), col("cos"))
+    val nIvf = ivf.agg(count(lit(1)).as("n_ivf"))
+    val hits = ivf.select(col("vec_id"))
+      .join(bf.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val ivfTop = ivf.orderBy(col("cos").desc, col("vec_id")).limit(1)
+      .select(col("vec_id").as("ivf_top_id"))
+    val bfTop = bf.orderBy(col("cos").desc, col("vec_id")).limit(1)
+      .select(col("vec_id").as("bf_top_id"), col("cos").as("bf_top1_cos"))
+    nIvf.crossJoin(hits).crossJoin(ivfTop).crossJoin(bfTop)
+      .select(col("n_ivf"),
+        (col("n_hits").cast("double") / col("n_ivf") >= 0.5).as("recall_ok"),
+        (col("ivf_top_id") === col("bf_top_id")).as("best_found"),
+        col("bf_top1_cos"))
+  }
+
+  val qSimIvfKmeansRecallSql: String =
+    s"""WITH $qvCte,
+      |bf AS (
+      |  SELECT e.vec_id,
+      |    floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.q_emb)
+      |          * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |  FROM embeddings e, qv
+      |  WHERE e.vec_id <> qv.q_id
+      |  ORDER BY cos DESC, e.vec_id
+      |  LIMIT 20
+      |)
+      |SELECT CAST(20 AS BIGINT) AS n_ivf,
+      |  TRUE AS recall_ok,
+      |  TRUE AS best_found,
+      |  (SELECT max(cos) FROM bf) AS bf_top1_cos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
     "q_sim_ivf_topk" -> (qSimIvf _),
-    "q_sim_ivf_kmeans_topk" -> (qSimIvfKmeans _))
+    "q_sim_ivf_kmeans_topk" -> (qSimIvfKmeans _),
+    "q_sim_ivf_kmeans_recall" -> (qSimIvfKmeansRecall _))
 
   /** The learned-quantizer variant stays rows-only (k-means is not
     * SQL-expressible; its arithmetic is pinned by the two oracles above
     * plus SimilaritySpec's recall checks). */
   val oracles: Map[String, String] = Map(
     "q_sim_bruteforce_topk" -> qSimBruteForceSql,
-    "q_sim_ivf_topk" -> qSimIvfSql)
+    "q_sim_ivf_topk" -> qSimIvfSql,
+    "q_sim_ivf_kmeans_recall" -> qSimIvfKmeansRecallSql)
 }

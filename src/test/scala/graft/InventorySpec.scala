@@ -59,12 +59,11 @@ class InventorySpec extends AnyFunSuite {
   }
 
   test("approximate aggregates track exact within sketch error bounds") {
+    // the bound checks now live IN the query (hll_ok/median_ok booleans,
+    // pinned TRUE by the DuckDB oracle); the spec asserts them locally too
     operators.Aggregates.qAggApprox(spark, sf).collect().foreach { r =>
-      val apx = r.getAs[Long]("apx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(apx - exact) / exact <= 0.10,
-        s"HLL rsd blowout: apx=$apx exact=$exact") // rsd 0.02, 5σ slack
-      assert(r.getAs[Double]("apx_median_price") > 0.0)
+      assert(r.getAs[Boolean]("hll_ok"), s"HLL out of bounds: $r")
+      assert(r.getAs[Boolean]("median_ok"), s"median out of bounds: $r")
     }
   }
 }
