@@ -74,12 +74,18 @@ object TextOps {
     * "tokens per word" fertility signal). One scan, codegen'd regex. */
   def qTextTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      // two-step projection on purpose: the BPE regex is the expensive
+      // expression and is referenced twice (count + ratio); a separate
+      // producing projection makes Catalyst evaluate it once per row
+      // (CollapseProject keeps non-cheap multi-referenced projections),
+      // instead of relying on codegen subexpression elimination
       .select(col("doc_id"),
         tokenCount(col("text")).as("n_ws_tokens"),
         regexp_count(col("text"), lit(BpePattern)).cast("long")
-          .as("n_bpe_pieces"),
-        r6(regexp_count(col("text"), lit(BpePattern)).cast("double")
-          / tokenCount(col("text"))).as("pieces_per_word"))
+          .as("n_bpe_pieces"))
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_pieces"),
+        r6(col("n_bpe_pieces").cast("double") / col("n_ws_tokens"))
+          .as("pieces_per_word"))
 
   val qTextTokensSql: String = {
     val p = BpePattern.replace("'", "''") // SQL string-literal escaping
