@@ -47,11 +47,18 @@ object TextOps {
 
   def qTextStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      // strip-spaces regex evaluated once; token count and word length
+      // derive from it arithmetically (tokenCount = chars − nonspace + 1)
       .select(col("doc_id"), col("lang"),
-        tokenCount(col("text")).as("n_tokens"),
         length(col("text")).cast("long").as("n_chars_obs"),
-        r6(length(regexp_replace(col("text"), " ", "")).cast("double")
-          / tokenCount(col("text"))).as("avg_word_len"))
+        length(regexp_replace(col("text"), " ", "")).cast("long")
+          .as("__n_nonspace"))
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars_obs") - col("__n_nonspace") + 1).as("n_tokens"),
+        col("n_chars_obs"),
+        r6(col("__n_nonspace").cast("double")
+          / (col("n_chars_obs") - col("__n_nonspace") + 1))
+          .as("avg_word_len"))
 
   val qTextStatsSql: String =
     s"""SELECT doc_id, lang,
@@ -113,8 +120,13 @@ object TextOps {
         + wordHits(col("text"), "of")) / toks.cast("double")
     val score = r6(alphaRatio * 0.5 + least(stopRatio * lit(2.0), lit(1.0)) * 0.3
       + when(toks.between(10, 400), 0.2).otherwise(0.0))
-    d.select(col("doc_id"), score.as("quality"),
-        when(score >= 0.6, "good").when(score >= 0.45, "ok")
+    // producing projection first: `score` carries four codegen'd regex
+    // passes and feeds both output columns — one evaluation per row
+    // (same CollapseProject reasoning as qTextTokens)
+    d.select(col("doc_id"), score.as("quality"))
+      .select(col("doc_id"), col("quality"),
+        when(col("quality") >= 0.6, "good")
+          .when(col("quality") >= 0.45, "ok")
           .otherwise("low").as("quality_band"))
   }
 
@@ -198,9 +210,10 @@ object TextOps {
     t(s, dir, "documents")
       .select(col("doc_id"),
         size(words).cast("long").as("n_words"),
-        size(array_distinct(words)).cast("long").as("n_distinct_words"),
-        r6(lit(1.0) - size(array_distinct(words)).cast("double")
-          / size(words)).as("repetition_ratio"))
+        size(array_distinct(words)).cast("long").as("n_distinct_words"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        r6(lit(1.0) - col("n_distinct_words").cast("double")
+          / col("n_words")).as("repetition_ratio"))
   }
 
   val qTextRepetitionSql: String =
