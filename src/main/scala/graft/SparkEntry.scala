@@ -27,6 +27,7 @@ object SparkEntry {
     operators.Subqueries.queries -> operators.Subqueries.oracles,
     operators.Events.queries -> operators.Events.oracles,
     operators.TextOps.queries -> operators.TextOps.oracles,
+    operators.Lexicon.queries -> operators.Lexicon.oracles,
     operators.Curation.queries -> operators.Curation.oracles,
     operators.Sampling.queries -> operators.Sampling.oracles,
     operators.Dedup.queries -> operators.Dedup.oracles,

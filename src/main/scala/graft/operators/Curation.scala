@@ -161,11 +161,135 @@ object Curation {
       |FROM pii
       |ORDER BY doc_id""".stripMargin
 
+  // --- repeated-segment (boilerplate) removal ------------------------------
+
+  /** Pseudo-line width for boilerplate detection. The corpus has no
+    * newlines (single-space token streams), so the CCNet "line" unit is a
+    * fixed window of [[SegWidth]] tokens; a trailing partial window is
+    * never a dedup candidate. */
+  val SegWidth = 8
+
+  /** Boilerplate threshold: a segment string is boilerplate when it
+    * appears in more than 1/[[BoilerplateDenom]] of all docs (integer
+    * compare `denom * df > N` — no float boundary). 20 = the 5% cut. */
+  val BoilerplateDenom = 20
+
+  /** One row per full segment: (doc_id, i, seg). */
+  private def segments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("tk"),
+        explode(expr(s"sequence(1, size(tk) div $SegWidth)")).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(s"concat_ws(' ', slice(tk, (i - 1) * $SegWidth + 1, $SegWidth))")
+          .as("seg"))
+
+  /** CCNet-style repeated-line removal over [[SegWidth]]-token segments:
+    * any segment string occurring in > N/[[BoilerplateDenom]] distinct
+    * docs is stripped from every doc; the trailing partial segment always
+    * survives. Returns (doc_id, text_clean, n_segments, n_removed).
+    *
+    * Scale shape: segment frequency is a map-side-combined agg keyed on
+    * the segment's 64-bit hash (8-byte shuffle rows); the boilerplate set
+    * is corpus-frequency-bounded (tiny) and broadcast into an anti-join,
+    * so the corpus is never shuffled to be cleaned — reassembly groups
+    * segments back by doc_id with an order-restoring array_sort, the only
+    * corpus-sized exchange. */
+  def stripBoilerplate(docs: DataFrame): DataFrame = {
+    val segs = segments(docs).withColumn("gh", xxhash64(col("seg")))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val common = segs.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("df") * BoilerplateDenom > col("n_docs"))
+      .select(col("gh"))
+    val kept = segs.join(broadcast(common), Seq("gh"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(struct(i, seg))), x -> x.seg)"), " ")
+          .as("kept_txt"))
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        (size(col("tk")) / SegWidth).cast("long").as("n_segments"),
+        expr(s"concat_ws(' ', slice(tk, (size(tk) div $SegWidth) * $SegWidth + 1, size(tk) - (size(tk) div $SegWidth) * $SegWidth))")
+          .as("tail_txt"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ",
+          when(col("kept_txt") === "", null).otherwise(col("kept_txt")),
+          when(col("tail_txt") === "", null).otherwise(col("tail_txt")))
+          .as("text_clean"),
+        col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
+  /** Boilerplate fixture headers — planted at the START of the text so
+    * they align to segment boundaries (both are exactly [[SegWidth]]
+    * tokens). `HeaderCommon` lands on 1/3 of docs (stripped at the 5%
+    * threshold); `HeaderRare` on 1/50 (kept). */
+  val HeaderCommon = "subscribe to our newsletter for daily updates now"
+  val HeaderRare = "all rights reserved by the site owner today"
+
+  private def plantHeaders(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat_ws(" ",
+        when(col("doc_id") % 3 === 0, HeaderCommon),
+        when(col("doc_id") % 50 === 0, HeaderRare),
+        col("text")).as("text"))
+
+  def qBoilerplate(s: SparkSession, dir: String): DataFrame =
+    stripBoilerplate(plantHeaders(Engine.rebalance(t(s, dir, "documents"))))
+      .orderBy(col("doc_id"))
+
+  /** Oracle recomputes the identical algorithm over segment STRINGS
+    * (hash-free — so the gate also certifies the xxhash64 grouping is
+    * collision-free on this corpus). */
+  val qBoilerplateSql: String =
+    s"""WITH planted AS (
+      |  SELECT doc_id, concat_ws(' ',
+      |    CASE WHEN doc_id % 3 = 0 THEN '$HeaderCommon' END,
+      |    CASE WHEN doc_id % 50 = 0 THEN '$HeaderRare' END,
+      |    text) AS text
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM planted
+      |), segs AS (
+      |  SELECT doc_id, i,
+      |    array_to_string(tk[(i - 1) * $SegWidth + 1 : i * $SegWidth], ' ')
+      |      AS seg
+      |  FROM toks, unnest(range(1, len(tk) // $SegWidth + 1)) AS u(i)
+      |), common AS (
+      |  SELECT seg FROM segs GROUP BY seg
+      |  HAVING COUNT(DISTINCT doc_id) * $BoilerplateDenom
+      |       > (SELECT COUNT(DISTINCT doc_id) FROM toks)
+      |), kept AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    string_agg(seg, ' ' ORDER BY i) AS kept_txt
+      |  FROM segs WHERE seg NOT IN (SELECT seg FROM common)
+      |  GROUP BY doc_id
+      |), base AS (
+      |  SELECT doc_id,
+      |    CAST(len(tk) // $SegWidth AS BIGINT) AS n_segments,
+      |    array_to_string(tk[(len(tk) // $SegWidth) * $SegWidth + 1 : len(tk)], ' ')
+      |      AS tail_txt
+      |  FROM toks
+      |)
+      |SELECT b.doc_id,
+      |  concat_ws(' ', nullif(k.kept_txt, ''), nullif(b.tail_txt, ''))
+      |    AS text_clean,
+      |  b.n_segments,
+      |  b.n_segments - coalesce(k.n_kept, 0) AS n_removed
+      |FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (qDecontaminate _),
-    "q_pii_scrub" -> (qPiiScrub _))
+    "q_pii_scrub" -> (qPiiScrub _),
+    "q_boilerplate" -> (qBoilerplate _))
 
   val oracles: Map[String, String] = Map(
     "q_decontaminate" -> qDecontaminateSql,
-    "q_pii_scrub" -> qPiiScrubSql)
+    "q_pii_scrub" -> qPiiScrubSql,
+    "q_boilerplate" -> qBoilerplateSql)
 }

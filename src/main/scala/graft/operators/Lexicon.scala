@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-lexicon operators: statistics computed over the whole corpus'
+  * vocabulary and re-joined to documents — the unigram language-model
+  * quality score (the cheap KenLM-perplexity analog every production
+  * corpus filter runs) and per-document TF-IDF keyword extraction.
+  * Extension tier like [[TextOps]] (no reference analog; the reference is
+  * a SQL OLAP engine).
+  *
+  * Scale shape (100 TB): the vocabulary aggregate is the classic
+  * map-side-combine win — the shuffle after `explode` carries one row per
+  * DISTINCT (partition, token), not per token occurrence, and the
+  * resulting lexicon frame is tiny (vocab ≪ corpus), so it broadcasts
+  * back for the per-document pass. The corpus itself is scanned twice and
+  * shuffled at most once (TF-IDF's per-(doc,token) partial agg); nothing
+  * corpus-sized ever hits a driver.
+  *
+  * Determinism contract (same as Relational.dec): per-token float scores
+  * are rounded to 1e-6 fixed-point LONGS before any reordering
+  * aggregation, so sums are order-independent and engine-exact; `ln` is
+  * IEEE double on both engines and the 1e-6 floor absorbs sub-ulp library
+  * differences.
+  */
+object Lexicon {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Engine.table(s, dir, n)
+
+  private def r6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+  private def sqlR6(e: String): String =
+    s"FLOOR(($e) * 1000000.0 + 0.5) / 1000000.0"
+
+  /** One row per token occurrence: (doc_id, tok). */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+
+  // --- unigram language-model score ---------------------------------------
+
+  /** Per-document mean negative log-probability under the corpus' own
+    * unigram LM — the scalable stand-in for KenLM perplexity filtering
+    * (low = fluent/common tokens, high = rare-token gibberish). Returned
+    * per doc: token count and `avg_neg_logprob` (nats, 1e-6 fixed point).
+    *
+    * lp6 (per-token fixed-point −ln p) is summed as a LONG, so the
+    * aggregation is order-independent; the final division happens once
+    * per doc.
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val toks = tokens(docs)
+    // lexicon: token -> occurrence count; |vocab| rows (tiny vs corpus)
+    val lexicon = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = lexicon.agg(sum(col("cnt")).as("n_total"))
+    val scored = lexicon.crossJoin(broadcast(total))
+      .select(col("tok"),
+        (-floor(log(col("cnt").cast("double") / col("n_total").cast("double"))
+          * lit(1000000.0) + lit(0.5))).cast("long").as("nlp6"))
+    toks.join(broadcast(scored), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nlp6")).as("sum_nlp6"))
+      .select(col("doc_id"), col("n_tokens"),
+        r6(col("sum_nlp6").cast("double") / lit(1000000.0)
+          / col("n_tokens").cast("double")).as("avg_neg_logprob"))
+  }
+
+  def qUnigramLogprob(s: SparkSession, dir: String): DataFrame =
+    unigramLogprob(Engine.rebalance(t(s, dir, "documents")))
+      .orderBy(col("doc_id"))
+
+  val qUnigramLogprobSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), lexicon AS (
+      |  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+      |), scored AS (
+      |  SELECT tok,
+      |    CAST(-FLOOR(ln(CAST(cnt AS DOUBLE)
+      |      / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM lexicon))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS nlp6
+      |  FROM lexicon
+      |)
+      |SELECT t.doc_id, COUNT(*) AS n_tokens,
+      |  ${sqlR6("CAST(SUM(s.nlp6) AS DOUBLE) / 1000000.0 / COUNT(*)")}
+      |    AS avg_neg_logprob
+      |FROM toks t JOIN scored s ON t.tok = s.tok
+      |GROUP BY t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  // --- TF-IDF keyword extraction ------------------------------------------
+
+  /** Top terms kept per document. */
+  val TopK = 3
+
+  /** Per-document top-[[TopK]] terms by TF-IDF (idf = ln(N/df), the
+    * classic smooth-free form). Ranking compares the 1e-6 fixed-point
+    * score with the term string as tie-break, so the order is total and
+    * engine-exact. Scale: tf is a partial-agg shuffle on (doc_id, tok)
+    * (bounded by per-doc vocab, not doc length); df and N are
+    * lexicon-sized and broadcast; the final top-k is a per-doc window over
+    * rows already co-partitioned by doc_id.
+    */
+  def tfidfTopk(docs: DataFrame): DataFrame = {
+    val tf = tokens(docs).groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df.crossJoin(n)), Seq("tok"))
+      .select(col("doc_id"), col("tok"),
+        floor(col("tf").cast("double")
+          * log(col("n_docs").cast("double") / col("df").cast("double"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("score6"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score6").desc, col("tok").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("doc_id"), col("tok").as("term"), col("rnk"),
+        (col("score6").cast("double") / lit(1000000.0)).as("tfidf"))
+  }
+
+  def qTfidfTopk(s: SparkSession, dir: String): DataFrame =
+    tfidfTopk(Engine.rebalance(t(s, dir, "documents")))
+      .orderBy(col("doc_id"), col("rnk"))
+
+  val qTfidfTopkSql: String =
+    s"""WITH tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY doc_id, tok
+      |), df AS (
+      |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.tok,
+      |    CAST(FLOOR(CAST(tf.tf AS DOUBLE)
+      |      * ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
+      |           / CAST(df.df AS DOUBLE))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS score6
+      |  FROM tf JOIN df ON tf.tok = df.tok
+      |), ranked AS (
+      |  SELECT doc_id, tok, score6,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                       ORDER BY score6 DESC, tok ASC) AS rnk
+      |  FROM scored
+      |)
+      |SELECT doc_id, tok AS term, rnk,
+      |  CAST(score6 AS DOUBLE) / 1000000.0 AS tfidf
+      |FROM ranked WHERE rnk <= $TopK
+      |ORDER BY doc_id, rnk""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unigram_logprob" -> (qUnigramLogprob _),
+    "q_tfidf_topk" -> (qTfidfTopk _))
+
+  val oracles: Map[String, String] = Map(
+    "q_unigram_logprob" -> qUnigramLogprobSql,
+    "q_tfidf_topk" -> qTfidfTopkSql)
+}

@@ -63,11 +63,77 @@ object Sampling {
       |      FROM documents)
       |WHERE rn <= 5""".stripMargin
 
+  /** Fine-grained bucket in [0, 1e6) for rate-proportional acceptance
+    * (same Knuth hash as [[bucket]], more resolution). */
+  private def bucket6(key: org.apache.spark.sql.Column) =
+    pmod(pmod(key * lit(2654435761L), lit(4294967296L)), lit(1000000L))
+  private def sqlBucket6(key: String) =
+    s"(($key * 2654435761) % 4294967296) % 1000000"
+
+  /** Domain-mixture resampling — the training-data "data mixing" step:
+    * given per-source target WEIGHTS, down-sample each source so the
+    * output approximates the target mixture within a total budget of half
+    * the corpus. Every quantity is integer arithmetic (weights, quotas,
+    * acceptance test), so the sample is deterministic and engine-exact;
+    * acceptance is `bucket6(doc_id) * n_source < quota * 1e6`, i.e. a
+    * per-source rate applied by hash — reproducible, join-stable, and a
+    * pure scan-side filter.
+    *
+    * Gate fixture weights: source `srcK` gets weight (K % 4) + 1.
+    *
+    * Scale shape (100 TB): per-source counts are one map-side-combined
+    * agg (|sources| rows); quotas compute on that tiny frame; the corpus
+    * is then filtered in-scan against the broadcast quota map — the data
+    * itself never shuffles. Sources whose quota exceeds their size keep
+    * everything (rate capped at 1 by the bucket range).
+    */
+  def qSampleMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val weighted = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight",
+        pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)) + 1L)
+    val totals = weighted.agg(
+      sum(col("weight")).as("sum_w"), sum(col("n_docs")).as("n_total"))
+    val quotas = weighted.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"),
+        // integral div end-to-end: a double quotient that rounds up to an
+        // integer would truncate differently than floor division
+        expr("(n_total div 2) * weight div sum_w").as("quota"))
+    docs.join(broadcast(quotas), Seq("source"))
+      .where(bucket6(col("doc_id")) * col("n_docs")
+        < col("quota") * lit(1000000L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .join(broadcast(quotas), Seq("source"))
+      .select(col("source"), col("n_docs"), col("quota"), col("n_sampled"))
+  }
+
+  val qSampleMixtureSql: String =
+    s"""WITH weighted AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    (CAST(SUBSTR(source, 4) AS BIGINT) % 4) + 1 AS weight
+      |  FROM documents GROUP BY source
+      |), quotas AS (
+      |  SELECT source, n_docs,
+      |    CAST(CAST((SELECT SUM(n_docs) FROM weighted) // 2 AS BIGINT)
+      |      * weight // (SELECT SUM(weight) FROM weighted) AS BIGINT)
+      |      AS quota
+      |  FROM weighted
+      |)
+      |SELECT q.source, q.n_docs, q.quota,
+      |  COUNT(*) AS n_sampled
+      |FROM documents d JOIN quotas q ON d.source = q.source
+      |WHERE ${sqlBucket6("d.doc_id")} * q.n_docs < q.quota * 1000000
+      |GROUP BY q.source, q.n_docs, q.quota""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hashmod" -> (qSampleHashmod _),
-    "q_sample_per_stratum" -> (qSamplePerStratum _))
+    "q_sample_per_stratum" -> (qSamplePerStratum _),
+    "q_sample_mixture" -> (qSampleMixture _))
 
   val oracles: Map[String, String] = Map(
     "q_sample_hashmod" -> qSampleHashmodSql,
-    "q_sample_per_stratum" -> qSamplePerStratumSql)
+    "q_sample_per_stratum" -> qSamplePerStratumSql,
+    "q_sample_mixture" -> qSampleMixtureSql)
 }

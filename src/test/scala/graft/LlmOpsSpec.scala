@@ -264,4 +264,98 @@ class LlmOpsSpec extends AnyFunSuite {
       .select("lang_guess").distinct().collect().map(_.getString(0)).toSet
     assert(langs.subsetOf(Set("en", "de", "fr", "es", "unknown")))
   }
+
+  test("boilerplate strip: exact removal on a hand-built corpus") {
+    val s = spark
+    import s.implicits._
+    // 24 docs; the 8-token header lands on 6 (25% > 5% threshold);
+    // every other segment is doc-unique (df=1: 20 > 24 is false → kept)
+    val hdr = Curation.HeaderCommon
+    val docs = (1 to 24).map { id =>
+      if (id <= 6) (id.toLong, s"$hdr u$id v$id w$id x$id")
+      else (id.toLong,
+        s"a$id b$id c$id d$id e$id f$id g$id h$id tail$id")
+    }.toDF("doc_id", "text")
+    val out = Curation.stripBoilerplate(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    (1 to 6).foreach { id =>
+      assert(out(id.toLong) === ((s"u$id v$id w$id x$id", 1L, 1L)))
+    }
+    (7 to 24).foreach { id =>
+      assert(out(id.toLong) ===
+        ((s"a$id b$id c$id d$id e$id f$id g$id h$id tail$id", 1L, 0L)))
+    }
+  }
+
+  test("boilerplate gate: common header stripped, rare header kept") {
+    val out = Curation.qBoilerplate(spark, sf)
+    assert(out.filter(col("text_clean")
+      .contains(Curation.HeaderCommon)).count() === 0)
+    val rare = out.filter(col("doc_id") % 50 === 0)
+    assert(rare.count() > 0)
+    assert(rare.filter(!col("text_clean")
+      .contains(Curation.HeaderRare)).count() === 0)
+    // untouched docs come back verbatim (random text has no organic
+    // segment shared by >5% of docs)
+    val untouched = out.filter(col("doc_id") % 3 =!= 0 &&
+      col("doc_id") % 50 =!= 0)
+      .join(Engine.table(spark, sf, "documents"), "doc_id")
+    assert(untouched.filter(col("text_clean") =!= col("text")).count() === 0)
+  }
+
+  test("unigram logprob: exact on a two-doc corpus, rare tokens score " +
+      "higher") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a a a a"), (2L, "a a a b")).toDF("doc_id", "text")
+    // same fixed-point formula, driver-side: counts a=7, b=1, total=8
+    def nlp6(cnt: Long, total: Long): Long =
+      -math.floor(math.log(cnt.toDouble / total) * 1e6 + 0.5).toLong
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect1 = r6(4 * nlp6(7, 8) / 1e6 / 4)
+    val expect2 = r6((3 * nlp6(7, 8) + nlp6(1, 8)) / 1e6 / 4)
+    val got = Lexicon.unigramLogprob(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) === expect1)
+    assert(got(2L) === expect2)
+    assert(got(2L) > got(1L), "rare-token doc must score higher")
+  }
+
+  test("tfidf: corpus-wide tokens get zero weight, rare tokens rank first") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "x q"))
+      .toDF("doc_id", "text")
+    val rows = Lexicon.tfidfTopk(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getDouble(3)))
+    val rank1 = rows.filter(_._3 == 1).map(t => t._1 -> t._2).toMap
+    assert(rank1 === Map(1L -> "y", 2L -> "z", 3L -> "q"))
+    // x appears in every doc: idf = ln(3/3) = 0 exactly
+    rows.filter(_._2 == "x").foreach(t => assert(t._4 === 0.0))
+    assert(rows.groupBy(_._1).values.forall(_.size <= Lexicon.TopK))
+  }
+
+  test("mixture sampling: quotas are exact weight shares, sample tracks " +
+      "quota, deterministic") {
+    val rows = Sampling.qSampleMixture(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val sumW = rows.map { case (src, _, _, _) =>
+      (src.drop(3).toLong % 4) + 1 }.sum
+    val nTotal = rows.map(_._2).sum
+    rows.foreach { case (src, nDocs, quota, nSampled) =>
+      val w = (src.drop(3).toLong % 4) + 1
+      assert(quota === (nTotal / 2) * w / sumW, s"quota mismatch for $src")
+      assert(nSampled <= nDocs)
+    }
+    // rate-based acceptance lands near the quota in aggregate
+    val (q, got) = (rows.map(_._3).sum, rows.map(_._4).sum)
+    assert(math.abs(got - q) <= math.max(10L, q / 3),
+      s"sampled $got vs quota $q")
+    val again = Sampling.qSampleMixture(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
 }
