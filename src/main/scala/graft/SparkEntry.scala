@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Filters.queries -> operators.Filters.oracles,
     operators.Collation.queries -> operators.Collation.oracles,
     operators.Joins.queries -> operators.Joins.oracles,
+    operators.AsofJoin.queries -> operators.AsofJoin.oracles,
     operators.Aggregates.queries -> operators.Aggregates.oracles,
     operators.SortSetOps.queries -> operators.SortSetOps.oracles,
     operators.Subqueries.queries -> operators.Subqueries.oracles,

@@ -337,6 +337,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.groupBy(_._1).values.forall(_.size <= Lexicon.TopK))
   }
 
+  test("asof join: inclusive at equal ts, null before first right row, " +
+      "latest-prior otherwise") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"),
+      (2L, 50L, "d"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (3L, 1L, "r1"))
+      .toDF("k", "t", "rv")
+    val out = AsofJoin.asofJoin(left, right, "k", "t", Seq("rv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3))
+      .toMap
+    assert(out((1L, 10L)) === "r10") // equal ts matches (inclusive)
+    assert(out((1L, 20L)) === "r15") // latest prior, not just any prior
+    assert(out((1L, 5L)) === null)   // before first right row
+    assert(out((2L, 50L)) === null)  // key with no right rows at all
+  }
+
   test("mixture sampling: quotas are exact weight shares, sample tracks " +
       "quota, deterministic") {
     val rows = Sampling.qSampleMixture(spark, sf).collect()
