@@ -154,11 +154,62 @@ object Lexicon {
       |FROM ranked WHERE rnk <= $TopK
       |ORDER BY doc_id, rnk""".stripMargin
 
+  // --- heavy hitters -------------------------------------------------------
+
+  /** Exact corpus-wide top-20 tokens by occurrence count (ties broken by
+    * token). One map-side-combined agg + TakeOrderedAndProject — the
+    * shuffle carries |vocab| rows, the heap carries 20. */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    tokens(Engine.rebalance(t(s, dir, "documents")))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(20)
+      .select(col("tok").as("term"), col("cnt"))
+
+  val qHeavyHittersSql: String =
+    """SELECT tok AS term, COUNT(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok
+      |ORDER BY cnt DESC, tok ASC
+      |LIMIT 20""".stripMargin
+
+  /** Count-min-sketch twin — the 100 TB path when even |vocab| is too
+    * large to shuffle exactly (URLs, n-grams): partition-local sketches
+    * merge associatively into one `eps`-wide summary, then any candidate
+    * set probes it. Deterministic (fixed seed, commutative merge) and
+    * guaranteed to over-estimate: est >= true, est <= true + eps*N with
+    * the configured confidence. Probes the exact top-20 so the spec can
+    * pin both bounds; rows-only gate (the sketch is not SQL-expressible).
+    */
+  def heavyHittersSketch(docs: DataFrame, eps: Double = 0.0001,
+                         confidence: Double = 0.99): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = tokens(docs)
+    val sketch = toks.stat.countMinSketch("tok", eps, confidence, 42)
+    val probes = qProbeTerms(docs)
+    probes.map(term => term -> sketch.estimateCount(term))
+      .toDF("term", "est_cnt")
+  }
+
+  /** Probe set for the sketch gate: the exact top-20 terms. */
+  private def qProbeTerms(docs: DataFrame): Seq[String] =
+    tokens(docs).groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(20)
+      .collect().map(_.getString(0)).toSeq
+
+  def qHeavySketch(s: SparkSession, dir: String): DataFrame =
+    heavyHittersSketch(Engine.rebalance(t(s, dir, "documents")))
+      .orderBy(col("est_cnt").desc, col("term").asc)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_logprob" -> (qUnigramLogprob _),
-    "q_tfidf_topk" -> (qTfidfTopk _))
+    "q_tfidf_topk" -> (qTfidfTopk _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_heavy_sketch" -> (qHeavySketch _))
 
   val oracles: Map[String, String] = Map(
     "q_unigram_logprob" -> qUnigramLogprobSql,
-    "q_tfidf_topk" -> qTfidfTopkSql)
+    "q_tfidf_topk" -> qTfidfTopkSql,
+    "q_heavy_hitters" -> qHeavyHittersSql)
 }

@@ -337,6 +337,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.groupBy(_._1).values.forall(_.size <= Lexicon.TopK))
   }
 
+  test("count-min sketch: over-estimates, within eps*N of exact") {
+    val docs = Engine.table(spark, sf, "documents")
+    val exact = Lexicon.qHeavyHitters(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val eps = 0.0001
+    val nTokens = docs.select(explode(split(col("text"), " ")))
+      .count()
+    val est = Lexicon.heavyHittersSketch(docs, eps).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (term, e) =>
+      assert(e >= exact(term), s"CMS must never under-count ($term)")
+      assert(e <= exact(term) + (eps * nTokens).toLong + 1,
+        s"CMS estimate for $term off by more than eps*N")
+    }
+  }
+
   test("asof join: inclusive at equal ts, null before first right row, " +
       "latest-prior otherwise") {
     val s = spark
