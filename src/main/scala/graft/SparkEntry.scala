@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Collation.queries -> operators.Collation.oracles,
     operators.Joins.queries -> operators.Joins.oracles,
     operators.AsofJoin.queries -> operators.AsofJoin.oracles,
+    operators.Scale.queries -> operators.Scale.oracles,
     operators.Aggregates.queries -> operators.Aggregates.oracles,
     operators.SortSetOps.queries -> operators.SortSetOps.oracles,
     operators.Subqueries.queries -> operators.Subqueries.oracles,

@@ -214,7 +214,87 @@ object Aggregates {
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** Pearson correlation + covariance kernels (surplus tier — neither
+    * MySQL 5.7 nor the reference has them; standard analytics surface).
+    * corr is dimensionless and covariance here is small-magnitude
+    * (quantity × discount), so the rounding grid sits ~6 orders above
+    * aggregation-order noise. */
+  def qAggCorr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        round(corr(col("l_quantity"), col("l_discount")), 6)
+          .as("corr_qty_disc"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 8)
+          .as("cov_qty_disc"),
+        round(covar_pop(col("l_quantity"), col("l_discount")), 8)
+          .as("covp_qty_disc"),
+        count(lit(1)).as("n_rows"))
+
+  val qAggCorrSql: String =
+    """SELECT l_linestatus,
+      |  ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_qty_price,
+      |  ROUND(corr(l_discount, l_quantity), 6) AS corr_qty_disc,
+      |  ROUND(covar_samp(l_discount, l_quantity), 8) AS cov_qty_disc,
+      |  ROUND(covar_pop(l_discount, l_quantity), 8) AS covp_qty_disc,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_linestatus""".stripMargin
+
+  /** EXACT percentiles (vs q_agg_approx's sketch tier): both engines use
+    * the type-7 (n-1)p linear interpolation; columns are small-magnitude
+    * so the 1e-6 rounding grid is far above interpolation ulp noise. */
+  def qAggPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_discount, 0.25)"), 6).as("p25_disc"),
+        round(expr("percentile(l_discount, 0.75)"), 6).as("p75_disc"),
+        count(lit(1)).as("n_rows"))
+
+  val qAggPercentileSql: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+      |  ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+      |  ROUND(quantile_cont(l_discount, 0.25), 6) AS p25_disc,
+      |  ROUND(quantile_cont(l_discount, 0.75), 6) AS p75_disc,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** PIVOT — long-to-wide conditional aggregation (surplus surface; the
+    * oracle expresses it as portable FILTER aggregates). Explicit value
+    * list keeps the output schema static — at scale an implicit pivot
+    * would add a distinct-collect driver pass. */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type",
+        Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
+      .select(col("user_id"), col("click").as("n_click"),
+        col("view").as("n_view"), col("purchase").as("n_purchase"),
+        col("signup").as("n_signup"), col("error").as("n_error"))
+
+  val qPivotSql: String =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (event_type = 'click') AS n_click,
+      |  COUNT(*) FILTER (event_type = 'view') AS n_view,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+      |  COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+      |  COUNT(*) FILTER (event_type = 'error') AS n_error
+      |FROM events
+      |GROUP BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_corr" -> (qAggCorr _),
+    "q_agg_percentile" -> (qAggPercentile _),
+    "q_pivot" -> (qPivot _),
     "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_stats" -> (qAggStats _),
     "q_agg_bits" -> (qAggBits _),
@@ -226,6 +306,9 @@ object Aggregates {
     "q_agg_approx" -> (qAggApprox _))
 
   val oracles: Map[String, String] = Map(
+    "q_agg_corr" -> qAggCorrSql,
+    "q_agg_percentile" -> qAggPercentileSql,
+    "q_pivot" -> qPivotSql,
     "q_agg_distinct" -> qAggDistinctSql,
     "q_agg_stats" -> qAggStatsSql,
     "q_agg_bits" -> qAggBitsSql,

@@ -59,16 +59,81 @@ object Scale {
     * for range predicates, optimizer/joiner_sort.h:30, plays this role
     * single-node.) */
   def bandedRangeJoin(l: DataFrame, lVal: String, r: DataFrame,
-                      lo: String, hi: String, bandWidth: Long): DataFrame = {
+                      lo: String, hi: String, bandWidth: Long,
+                      keys: Seq[String] = Nil): DataFrame = {
     val lb = l.withColumn("__band",
       floor(col(lVal) / bandWidth).cast("long"))
     val rb = r.withColumn("__band",
       explode(sequence(floor(col(lo) / bandWidth).cast("long"),
         floor(col(hi) / bandWidth).cast("long"))))
-    lb.join(rb, Seq("__band"))
+    lb.join(rb, "__band" +: keys)
       .where(col(lVal) >= col(lo) && col(lVal) <= col(hi))
       .drop("__band")
   }
+
+  /** Interval-join gate: every (click → purchase ≤1h later) pair per
+    * user, counted per user with exact µs gap bounds — planned as a
+    * banded equi join on (user, time-band) + residual, NOT the
+    * BroadcastNestedLoopJoin a raw `BETWEEN` predicate would produce
+    * (the plan shape that dies at 100 TB). Oracle is the blocking-free
+    * inequality join. */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Engine.table(s, dir, "events")
+    val hourUs = 3600000000L
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("p_us"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("lo"))
+      .withColumn("hi", col("lo") + hourUs)
+    bandedRangeJoin(purchases, "p_us", clicks, "lo", "hi", hourUs,
+      keys = Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("p_us") - col("lo")).as("min_gap_us"),
+        max(col("p_us") - col("lo")).as("max_gap_us"))
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT p.user_id, COUNT(*) AS n_pairs,
+      |  MIN(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)))
+      |    AS min_gap_us,
+      |  MAX(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)))
+      |    AS max_gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND epoch_us(CAST(p.ts AS TIMESTAMP))
+      |     BETWEEN epoch_us(CAST(c.ts AS TIMESTAMP))
+      |         AND epoch_us(CAST(c.ts AS TIMESTAMP)) + 3600000000
+      |GROUP BY p.user_id""".stripMargin
+
+  /** Salted-aggregation gate: the skewed-group-key remedy, proven
+    * value-identical to a plain GROUP BY (fixed-point long partials make
+    * the two-stage sum order-independent, so salting cannot change the
+    * answer). */
+  def qSaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Engine.table(s, dir, "lineitem")
+      .withColumn("q4", Relational.dec(col("l_quantity")))
+    saltedCountSum(li, Seq("l_returnflag", "l_linestatus"), 8, "q4")
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        (col("sum_q4").cast("double") / 10000.0).as("sum_qty"))
+  }
+
+  val qSaltedAggSql: String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  ${Relational.sqlDsum("l_quantity", "sum_qty")}
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> (qRangeJoin _),
+    "q_salted_agg" -> (qSaltedAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "q_range_join" -> qRangeJoinSql,
+    "q_salted_agg" -> qSaltedAggSql)
 
   /** Hive-style partitioned write + pruned read: the directory layout IS
     * the coarse index (the reference's nearest analog is pack skipping;
