@@ -45,7 +45,12 @@ object Bench {
     "q_sim_ivf_topk",           // ANN probe path
     "q_events_json",            // JSON extraction
     "q_sample_hashmod",         // deterministic sampling
-    "q_dml_upsert")             // batch upsert view
+    "q_dml_upsert",             // batch upsert view
+    "q_asof_join",              // as-of join (union-window single shuffle)
+    "q_range_join",             // banded interval join
+    "q_decontaminate",          // 13-gram benchmark decontamination
+    "q_boilerplate",            // repeated-segment strip
+    "q_tfidf_topk")             // corpus-lexicon TF-IDF
 
   def runOne(spark: SparkSession, name: String, sfDir: String): Double = {
     val t0 = System.nanoTime()
