@@ -35,6 +35,9 @@ object Engine {
 
   /** Apply engine configuration to an existing builder. */
   def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder = b
+    // optimizer extensions (banded range-join rewrite; rules are inert
+    // until their spark.graft.* conf enables them)
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.shuffle.partitions", cores)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
