@@ -174,11 +174,16 @@ object Curation {
     * compare `denom * df > N` — no float boundary). 20 = the 5% cut. */
   val BoilerplateDenom = 20
 
+  /** `sequence(1, n)` with n = 0 must yield [] — a bare sequence(1, 0)
+    * infers step -1 and yields [1, 0]. */
+  private def segIdx: String =
+    s"if(size(tk) < $SegWidth, array(), sequence(1, size(tk) div $SegWidth))"
+
   /** One row per full segment: (doc_id, i, seg). */
   private def segments(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), col("tk"),
-        explode(expr(s"sequence(1, size(tk) div $SegWidth)")).as("i"))
+        explode(expr(segIdx)).as("i"))
       .select(col("doc_id"), col("i"),
         expr(s"concat_ws(' ', slice(tk, (i - 1) * $SegWidth + 1, $SegWidth))")
           .as("seg"))
@@ -189,11 +194,15 @@ object Curation {
     * survives. Returns (doc_id, text_clean, n_segments, n_removed).
     *
     * Scale shape: segment frequency is a map-side-combined agg keyed on
-    * the segment's 64-bit hash (8-byte shuffle rows); the boilerplate set
-    * is corpus-frequency-bounded (tiny) and broadcast into an anti-join,
-    * so the corpus is never shuffled to be cleaned — reassembly groups
-    * segments back by doc_id with an order-restoring array_sort, the only
-    * corpus-sized exchange. */
+    * the segment's 64-bit hash (8-byte shuffle rows) — the ONLY shuffle.
+    * The boilerplate set is inherently bounded (every member needs
+    * > N/[[BoilerplateDenom]] doc-frequency, so there can be at most
+    * [[BoilerplateDenom]] × avg-segments-per-doc of them, independent of
+    * corpus size), so it rides along as one broadcast array and the
+    * cleaning pass is a single scan-side projection: per row, drop the
+    * segments whose hash is in the array, re-join survivors + tail in
+    * place. No anti-join, no reassembly aggregation, nothing corpus-sized
+    * ever shuffles. */
   def stripBoilerplate(docs: DataFrame): DataFrame = {
     val segs = segments(docs).withColumn("gh", xxhash64(col("seg")))
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
@@ -201,26 +210,27 @@ object Curation {
       .agg(countDistinct(col("doc_id")).as("df"))
       .crossJoin(broadcast(nDocs))
       .where(col("df") * BoilerplateDenom > col("n_docs"))
-      .select(col("gh"))
-    val kept = segs.join(broadcast(common), Seq("gh"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(expr("transform(array_sort(collect_list(struct(i, seg))), x -> x.seg)"), " ")
-          .as("kept_txt"))
+      .agg(coalesce(collect_list(col("gh")),
+        lit(Array.empty[Long])).as("bset"))
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"),
-        (size(col("tk")) / SegWidth).cast("long").as("n_segments"),
-        expr(s"concat_ws(' ', slice(tk, (size(tk) div $SegWidth) * $SegWidth + 1, size(tk) - (size(tk) div $SegWidth) * $SegWidth))")
-          .as("tail_txt"))
-      .join(kept, Seq("doc_id"), "left")
+      .crossJoin(broadcast(common))
+      .select(col("doc_id"), split(col("text"), " ").as("tk"), col("bset"))
+      .select(col("doc_id"), col("tk"), col("bset"),
+        expr(s"size(tk) div $SegWidth").as("n_segments"),
+        // indices of surviving full segments, in order
+        expr(s"""filter($segIdx,
+          i -> NOT array_contains(bset,
+            xxhash64(concat_ws(' ', slice(tk, (i - 1) * $SegWidth + 1, $SegWidth)))))""")
+          .as("kept_i"))
       .select(col("doc_id"),
         concat_ws(" ",
-          when(col("kept_txt") === "", null).otherwise(col("kept_txt")),
-          when(col("tail_txt") === "", null).otherwise(col("tail_txt")))
+          when(size(col("kept_i")) === 0, null).otherwise(
+            array_join(expr(s"transform(kept_i, i -> concat_ws(' ', slice(tk, (i - 1) * $SegWidth + 1, $SegWidth)))"), " ")),
+          when(size(col("tk")) - col("n_segments") * SegWidth === 0, null)
+            .otherwise(expr(s"concat_ws(' ', slice(tk, n_segments * $SegWidth + 1, size(tk) - n_segments * $SegWidth))")))
           .as("text_clean"),
-        col("n_segments"),
-        (col("n_segments") - coalesce(col("n_kept"), lit(0L)))
+        col("n_segments").cast("long").as("n_segments"),
+        (col("n_segments") - size(col("kept_i"))).cast("long")
           .as("n_removed"))
   }
 
