@@ -5,15 +5,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a production training-data pipeline needs
-  * beyond dedup/quality: benchmark decontamination and PII redaction.
-  * No reference analog (the reference is a SQL OLAP engine); extension
-  * tier like [[TextOps]].
+  * beyond dedup/quality: benchmark decontamination, PII redaction, and
+  * repeated-line (boilerplate) removal. No reference analog (the
+  * reference is a SQL OLAP engine); extension tier like [[TextOps]].
   *
   * Scale shape: decontamination is ONE equi-join of exploded n-gram keys
   * against the (small) benchmark n-gram set — the benchmark side is
   * broadcast, so the corpus side never shuffles; n-grams travel as
   * 64-bit hashes, not strings. PII scrub is a pure projection (codegen'd
-  * regexps), single scan, no shuffle.
+  * regexps), single scan, no shuffle. Boilerplate removal's only shuffle
+  * is the segment-frequency aggregation; the cleaning itself is a
+  * scan-side projection against a broadcast hash set.
   */
 object Curation {
 
