@@ -78,20 +78,19 @@ class BandedRangeJoinRule(session: SparkSession)
           case LessThanOrEqual(a, b) => (b, a)
           case LessThan(a, b) => (b, a)
         }
+        // upper bounds of v computable ENTIRELY on `side` (the bound
+        // side) — the extraction must be exactly as strict as the guard,
+        // or a mixed-reference bound could end up under the Generate
+        def hiOf(v: Expression, side: LogicalPlan): Option[Expression] =
+          geqs.collectFirst { case (h, v2) if v2.semanticEquals(v) &&
+            integral(h) && refsOnly(h, side) => h }
         val triple = if (hasEqui) None else geqs.collectFirst {
           case (v, lo) if integral(v) && integral(lo) &&
-            geqs.exists { case (hi, v2) =>
-              v2.semanticEquals(v) && integral(hi) &&
-                ((refsOnly(v, left) && refsOnly(lo, right) &&
-                  refsOnly(hi, right)) ||
-                  (refsOnly(v, right) && refsOnly(lo, left) &&
-                    refsOnly(hi, left)))
-            } =>
-            val hi = geqs.collectFirst { case (h, v2)
-              if v2.semanticEquals(v) && integral(h) &&
-                !refsOnly(h, if (refsOnly(v, left)) left else right) => h
-            }.get
-            (v, lo, hi)
+            ((refsOnly(v, left) && refsOnly(lo, right) &&
+              hiOf(v, right).isDefined) ||
+              (refsOnly(v, right) && refsOnly(lo, left) &&
+                hiOf(v, left).isDefined)) =>
+            (v, lo, hiOf(v, if (refsOnly(v, left)) right else left).get)
         }
         triple match {
           case None => j

@@ -70,6 +70,27 @@ class PlanRuleSpec extends AnyFunSuite {
     } finally spark.conf.unset(Width)
   }
 
+  test("a mixed-reference upper bound never lands under the Generate") {
+    // v <= hi + x references BOTH sides — the rewrite must band on the
+    // clean (lo, hi) pair and keep the mixed conjunct as residual only
+    val s = spark
+    import s.implicits._
+    val probes = Seq((1L, 5L, 0L), (2L, 8L, -10L)).toDF("id", "v", "x")
+    val ranges = Seq((10L, 0L, 9L)).toDF("rid", "lo", "hi")
+    def q(): DataFrame = probes.join(ranges,
+      $"v" >= $"lo" && $"v" <= $"hi" && $"v" <= $"hi" + $"x")
+      .select("id", "rid")
+    spark.conf.unset(Width)
+    val expected = rows(q())
+    assert(expected === Seq(Seq(1L, 10L))) // id=2 fails 8 <= 9 + (-10)
+    spark.conf.set(Width, "4")
+    try {
+      val banded = q()
+      assert(rows(banded) === expected)
+      assert(!executedPlanString(banded).contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.unset(Width)
+  }
+
   test("joins that already have an equi key are left alone") {
     val s = spark
     import s.implicits._
