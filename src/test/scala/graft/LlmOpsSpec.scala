@@ -337,6 +337,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.groupBy(_._1).values.forall(_.size <= Lexicon.TopK))
   }
 
+  test("IVF partitioned store: probe prunes at the file level, cluster " +
+      "contents identical") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_store").toString
+    val assigned = Similarity.kmeansAssign(
+      Engine.table(spark, sf, "embeddings"))
+    Scale.partitionedWrite(assigned, dir, "cluster")
+    val probe = spark.read.parquet(dir)
+      .where(col("cluster").isin(1, 3))
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      "probe filter must prune partitions, not scan-and-filter")
+    // the pruned store serves exactly the in-memory clusters' vectors
+    val fromStore = probe.select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val inMem = assigned.where(col("cluster").isin(1, 3))
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(fromStore === inMem && fromStore.nonEmpty)
+  }
+
   test("count-min sketch: over-estimates, within eps*N of exact") {
     val docs = Engine.table(spark, sf, "documents")
     val exact = Lexicon.qHeavyHitters(spark, sf).collect()
