@@ -116,6 +116,38 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  // --- incremental corpus ingest -------------------------------------------
+
+  /** Raw parquet schema of the documents table. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over a testdata dir (documents.parquet only). */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** Incremental corpus ingest: drop every incoming doc whose normalized
+    * content fingerprint already exists in the historical store — the
+    * "never re-ingest known documents" step of a continuously-fed
+    * training corpus, as a stream-static LEFT ANTI join (supported
+    * natively by Structured Streaming; the static side re-reads per
+    * micro-batch, so a growing store is picked up between batches).
+    * At 100 TB the store side is a 16-byte fingerprint column, bucketed
+    * on fp in production so the per-batch anti join co-locates instead
+    * of shuffling the batch. */
+  def ingestNewDocs(incoming: DataFrame, store: DataFrame): DataFrame = {
+    val fps = store.select(md5(lower(col("text"))).as("fp")).distinct()
+    incoming
+      .withColumn("fp", md5(lower(col("text"))))
+      .join(fps, Seq("fp"), "left_anti")
+      .drop("fp")
+  }
+
   // --- stateful sessionization ---------------------------------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -141,4 +141,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size * 10 >= batch.size * 9,
       s"streamed ${streamed.size} of ${batch.size} batch pairs")
   }
+
+  test("incremental ingest drops docs whose content the store already " +
+      "has (stream-static anti join)") {
+    val docs = Engine.table(spark, sf, "documents")
+    val store = docs.where(col("doc_id") % 2 === 0)
+    val stream = EventStream.readDocuments(spark, sf)
+      .where(col("doc_id") % 2 =!= 0)
+    val q = EventStream.ingestNewDocs(stream, store)
+      .writeStream.format("memory").queryName("new_docs")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("new_docs").select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    // batch twin: the same anti join run as a plain batch query
+    val expected = EventStream.ingestNewDocs(
+      docs.where(col("doc_id") % 2 =!= 0), store)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === expected && got.nonEmpty)
+    // and semantics: none of the survivors' fingerprints exist in store
+    val storeFps = store.select(md5(lower(col("text")))).collect()
+      .map(_.getString(0)).toSet
+    val survivorFps = docs.where(col("doc_id").isin(got.map(Long.box): _*))
+      .select(md5(lower(col("text")))).collect().map(_.getString(0)).toSet
+    assert(survivorFps.intersect(storeFps).isEmpty)
+  }
+
 }
