@@ -26,16 +26,19 @@ object AsofJoin {
     Engine.table(s, dir, n)
 
   /** For each row of `left`, the most recent `right` row with
-    * `right.<tsCol> <= left.<tsCol>` sharing `keyCol`. Output: all
-    * `left` columns plus `right`'s `payloadCols` (null when no prior
-    * right row exists).
+    * `right.<tsCol> <= left.<tsCol>` sharing `keyCol` (or, with
+    * `forward = true`, the EARLIEST right row at-or-after — the
+    * symmetric "next event" lookup, same single-shuffle plan with the
+    * sort reversed). Output: all `left` columns plus `right`'s
+    * `payloadCols` (null when no matching right row exists).
     *
     * Requires (keyCol, tsCol) unique within `right` for deterministic
     * output (ties inside `right` would make "the" latest row ambiguous
     * in any engine).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-               tsCol: String, payloadCols: Seq[String]): DataFrame = {
+               tsCol: String, payloadCols: Seq[String],
+               forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val leftCols = left.columns.toSeq
     val payloadType = StructType(payloadCols.map(c => right.schema(c)))
@@ -47,8 +50,11 @@ object AsofJoin {
       lit(1).as("__side"),
       lit(null).cast(payloadType).as("__payload"),
       struct(leftCols.map(col): _*).as("__row"))
+    // at equal ts the right row sorts first in either direction, so the
+    // match is inclusive both ways
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(if (forward) col("__ts").desc else col("__ts").asc,
+        col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = r.unionByName(l)
       .withColumn("__matched", last(col("__payload"), ignoreNulls = true)

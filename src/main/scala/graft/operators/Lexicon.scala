@@ -50,8 +50,14 @@ object Lexicon {
     * lp6 (per-token fixed-point −ln p) is summed as a LONG, so the
     * aggregation is order-independent; the final division happens once
     * per doc.
+    *
+    * `broadcastLexicon`: a WORD vocabulary broadcasts comfortably
+    * (1e7-1e8 entries); pass false when the "token" is open-class
+    * (URLs, n-grams) and the lexicon outgrows a broadcast — the join
+    * then shuffles both sides on tok, everything else is unchanged.
     */
-  def unigramLogprob(docs: DataFrame): DataFrame = {
+  def unigramLogprob(docs: DataFrame,
+                     broadcastLexicon: Boolean = true): DataFrame = {
     val toks = tokens(docs)
     // lexicon: token -> occurrence count; |vocab| rows (tiny vs corpus)
     val lexicon = toks.groupBy(col("tok"))
@@ -61,7 +67,8 @@ object Lexicon {
       .select(col("tok"),
         (-floor(log(col("cnt").cast("double") / col("n_total").cast("double"))
           * lit(1000000.0) + lit(0.5))).cast("long").as("nlp6"))
-    toks.join(broadcast(scored), Seq("tok"))
+    toks.join(if (broadcastLexicon) broadcast(scored) else scored,
+        Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("nlp6")).as("sum_nlp6"))
       .select(col("doc_id"), col("n_tokens"),

@@ -26,12 +26,23 @@ class JoinPropertySpec extends AnyFunSuite {
         .collect()
         .map(r => r.getLong(2) ->
           (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      val gotFwd = AsofJoin.asofJoin(
+        left.toDF("k", "t", "lid"), right.toDF("k", "t", "rv"),
+        "k", "t", Seq("rv"), forward = true)
+        .collect()
+        .map(r => r.getLong(2) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
       val byKey = right.groupBy(_._1)
       left.foreach { case (k, t, lid) =>
         val cand = byKey.getOrElse(k, Nil).filter(_._2 <= t)
         val expect =
           if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3)
         assert(got(lid) === expect, s"seed=$seed lid=$lid key=$k ts=$t")
+        val candF = byKey.getOrElse(k, Nil).filter(_._2 >= t)
+        val expectF =
+          if (candF.isEmpty) None else Some(candF.minBy(_._2)._3)
+        assert(gotFwd(lid) === expectF,
+          s"forward seed=$seed lid=$lid key=$k ts=$t")
       }
     }
   }

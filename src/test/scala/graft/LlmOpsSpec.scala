@@ -391,6 +391,14 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out((1L, 20L)) === "r15") // latest prior, not just any prior
     assert(out((1L, 5L)) === null)   // before first right row
     assert(out((2L, 50L)) === null)  // key with no right rows at all
+    val fwd = AsofJoin.asofJoin(left, right, "k", "t", Seq("rv"),
+        forward = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3))
+      .toMap
+    assert(fwd((1L, 10L)) === "r10") // inclusive at equal ts
+    assert(fwd((1L, 5L)) === "r10")  // earliest at-or-after
+    assert(fwd((1L, 20L)) === null)  // after the last right row
+    assert(fwd((2L, 50L)) === null)
   }
 
   test("mixture sampling: quotas are exact weight shares, sample tracks " +
