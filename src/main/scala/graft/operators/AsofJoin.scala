@@ -42,18 +42,26 @@ object AsofJoin {
     import org.apache.spark.sql.types.StructType
     val leftCols = left.columns.toSeq
     val payloadType = StructType(payloadCols.map(c => right.schema(c)))
-    val r = right.select(col(keyCol), col(tsCol).as("__ts"),
-      lit(0).as("__side"),
-      struct(payloadCols.map(col): _*).as("__payload"),
-      lit(null).cast(StructType(left.schema.fields)).as("__row"))
+    // NULL key or ts on the right can never satisfy the (three-valued)
+    // `r.key = l.key AND r.ts <= l.ts` contract — drop those rows so the
+    // window's groupBy-style NULL partitioning can't fabricate matches
+    val r = right
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), col(tsCol).as("__ts"),
+        lit(0).as("__side"),
+        struct(payloadCols.map(col): _*).as("__payload"),
+        lit(null).cast(StructType(left.schema.fields)).as("__row"))
     val l = left.select(col(keyCol), col(tsCol).as("__ts"),
       lit(1).as("__side"),
       lit(null).cast(payloadType).as("__payload"),
       struct(leftCols.map(col): _*).as("__row"))
     // at equal ts the right row sorts first in either direction, so the
-    // match is inclusive both ways
+    // match is inclusive both ways; NULL-ts left rows sort FIRST in both
+    // directions (before any right row) so they match nothing
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(if (forward) col("__ts").desc else col("__ts").asc,
+      .orderBy(
+        if (forward) col("__ts").desc_nulls_first
+        else col("__ts").asc_nulls_first,
         col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = r.unionByName(l)

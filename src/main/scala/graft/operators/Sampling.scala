@@ -16,13 +16,15 @@ object Sampling {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Engine.table(s, dir, n)
 
-  /** Knuth-multiplicative hash-mod bucket in [0, 100): portable integer
+  /** Knuth-multiplicative hash-mod bucket in [0, mod): portable integer
     * arithmetic (fits int64 for keys < ~3.5e9), identical in any engine —
     * the seedable, join-stable "random" for sampling. */
-  private def bucket(key: org.apache.spark.sql.Column) =
-    pmod(pmod(key * lit(2654435761L), lit(4294967296L)), lit(100L))
-  private def sqlBucket(key: String) =
-    s"(($key * 2654435761) % 4294967296) % 100"
+  private def bucketMod(key: org.apache.spark.sql.Column, mod: Long) =
+    pmod(pmod(key * lit(2654435761L), lit(4294967296L)), lit(mod))
+  private def sqlBucketMod(key: String, mod: Long) =
+    s"(($key * 2654435761) % 4294967296) % $mod"
+  private def bucket(key: org.apache.spark.sql.Column) = bucketMod(key, 100L)
+  private def sqlBucket(key: String) = sqlBucketMod(key, 100L)
 
   /** 10% deterministic document sample with per-source counts — the
     * shape every corpus-downsampling job takes: a scan-side filter (the
@@ -66,9 +68,8 @@ object Sampling {
   /** Fine-grained bucket in [0, 1e6) for rate-proportional acceptance
     * (same Knuth hash as [[bucket]], more resolution). */
   private def bucket6(key: org.apache.spark.sql.Column) =
-    pmod(pmod(key * lit(2654435761L), lit(4294967296L)), lit(1000000L))
-  private def sqlBucket6(key: String) =
-    s"(($key * 2654435761) % 4294967296) % 1000000"
+    bucketMod(key, 1000000L)
+  private def sqlBucket6(key: String) = sqlBucketMod(key, 1000000L)
 
   /** Domain-mixture resampling — the training-data "data mixing" step:
     * given per-source target WEIGHTS, down-sample each source so the
@@ -103,9 +104,10 @@ object Sampling {
     docs.join(broadcast(quotas), Seq("source"))
       .where(bucket6(col("doc_id")) * col("n_docs")
         < col("quota") * lit(1000000L))
-      .groupBy(col("source"))
+      // group by the carried quota columns (as the oracle does) instead
+      // of re-joining quotas — one reference to the per-source agg, not two
+      .groupBy(col("source"), col("n_docs"), col("quota"))
       .agg(count(lit(1)).as("n_sampled"))
-      .join(broadcast(quotas), Seq("source"))
       .select(col("source"), col("n_docs"), col("quota"), col("n_sampled"))
   }
 

@@ -38,8 +38,13 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, LongType, S
 class BandedRangeJoinRule(session: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Malformed values read as 0 (= off): this runs on every plan in the
+    * session, and throwing here would fail unrelated queries with an
+    * optimizer stack trace instead of a config error. */
   private def bandWidth: Long =
-    conf.getConfString("spark.graft.rangeJoin.bandWidth", "0").toLong
+    scala.util.Try(
+      conf.getConfString("spark.graft.rangeJoin.bandWidth", "0").toLong)
+      .getOrElse(0L)
 
   private def integral(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType => true

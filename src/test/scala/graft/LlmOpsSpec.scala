@@ -376,29 +376,37 @@ class LlmOpsSpec extends AnyFunSuite {
   }
 
   test("asof join: inclusive at equal ts, null before first right row, " +
-      "latest-prior otherwise") {
+      "latest-prior otherwise; NULL key/ts never match") {
     val s = spark
     import s.implicits._
-    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"),
-      (2L, 50L, "d"))
+    val left = Seq((Option(1L), Option(10L), "a"),
+      (Option(1L), Option(20L), "b"), (Option(1L), Option(5L), "c"),
+      (Option(2L), Option(50L), "d"),
+      (Option(1L), None, "e"),     // NULL ts on the left
+      (Option.empty[Long], Option(7L), "f")) // NULL key on the left
       .toDF("k", "t", "lv")
-    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (3L, 1L, "r1"))
+    val right = Seq((Option(1L), Option(10L), "r10"),
+      (Option(1L), Option(15L), "r15"), (Option(3L), Option(1L), "r1"),
+      (Option(1L), None, "rNullTs"),          // must never match
+      (Option.empty[Long], Option(1L), "rNullKey")) // must never match
       .toDF("k", "t", "rv")
     val out = AsofJoin.asofJoin(left, right, "k", "t", Seq("rv"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3))
-      .toMap
-    assert(out((1L, 10L)) === "r10") // equal ts matches (inclusive)
-    assert(out((1L, 20L)) === "r15") // latest prior, not just any prior
-    assert(out((1L, 5L)) === null)   // before first right row
-    assert(out((2L, 50L)) === null)  // key with no right rows at all
+      .collect().map(r => r.getString(2) -> r.getString(3)).toMap
+    assert(out("a") === "r10") // equal ts matches (inclusive)
+    assert(out("b") === "r15") // latest prior, not just any prior
+    assert(out("c") === null)  // before first right row
+    assert(out("d") === null)  // key with no right rows at all
+    assert(out("e") === null)  // NULL left ts: three-valued false
+    assert(out("f") === null)  // NULL left key never equals NULL right key
     val fwd = AsofJoin.asofJoin(left, right, "k", "t", Seq("rv"),
         forward = true)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3))
-      .toMap
-    assert(fwd((1L, 10L)) === "r10") // inclusive at equal ts
-    assert(fwd((1L, 5L)) === "r10")  // earliest at-or-after
-    assert(fwd((1L, 20L)) === null)  // after the last right row
-    assert(fwd((2L, 50L)) === null)
+      .collect().map(r => r.getString(2) -> r.getString(3)).toMap
+    assert(fwd("a") === "r10") // inclusive at equal ts
+    assert(fwd("c") === "r10") // earliest at-or-after
+    assert(fwd("b") === null)  // after the last right row
+    assert(fwd("d") === null)
+    assert(fwd("e") === null)
+    assert(fwd("f") === null)
   }
 
   test("mixture sampling: quotas are exact weight shares, sample tracks " +
