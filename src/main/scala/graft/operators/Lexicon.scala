@@ -99,6 +99,78 @@ object Lexicon {
       |GROUP BY t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // --- bigram language-model score ----------------------------------------
+
+  /** One row per bigram occurrence: (doc_id, bg = "a b"). */
+  private def bigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> concat(tk[i-1], ' ', tk[i]))"))
+        .as("bg"))
+
+  /** Per-document mean −ln p(b|a) under the corpus' own bigram LM — the
+    * conditional upgrade of [[unigramLogprob]] (KenLM-style fluency: a
+    * doc of common-but-never-adjacent tokens now scores high). The
+    * denominator is the continuation count (bigrams starting with `a`),
+    * so probabilities condition correctly at document edges; no smoothing
+    * is needed because the corpus scores itself (every doc bigram has
+    * corpus count ≥ 1). Same fixed-point long-sum determinism contract,
+    * same two-agg + broadcast-back scale shape (the bigram lexicon is
+    * vocab²-bounded; pass through a shuffled join instead of broadcast
+    * for open-class vocabularies, as in [[unigramLogprob]]). */
+  def bigramLogprob(docs: DataFrame,
+                    broadcastLexicon: Boolean = true): DataFrame = {
+    val bgs = bigrams(docs)
+    val lexicon = bgs.groupBy(col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+    val firsts = lexicon
+      .groupBy(substring_index(col("bg"), " ", 1).as("a"))
+      .agg(sum(col("cnt")).as("cnt_a"))
+    val scored = lexicon
+      .withColumn("a", substring_index(col("bg"), " ", 1))
+      .join(firsts, Seq("a"))
+      .select(col("bg"),
+        (-floor(log(col("cnt").cast("double") / col("cnt_a").cast("double"))
+          * lit(1000000.0) + lit(0.5))).cast("long").as("nlp6"))
+    bgs.join(if (broadcastLexicon) broadcast(scored) else scored, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nlp6")).as("sum_nlp6"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r6(col("sum_nlp6").cast("double") / lit(1000000.0)
+          / col("n_bigrams").cast("double")).as("avg_neg_logprob2"))
+  }
+
+  def qBigramLogprob(s: SparkSession, dir: String): DataFrame =
+    bigramLogprob(Engine.rebalance(t(s, dir, "documents")))
+      .orderBy(col("doc_id"))
+
+  val qBigramLogprobSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), bgs AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(tk)),
+      |      i -> tk[i] || ' ' || tk[i+1])) AS bg
+      |  FROM toks WHERE len(tk) >= 2
+      |), lexicon AS (
+      |  SELECT bg, COUNT(*) AS cnt FROM bgs GROUP BY bg
+      |), firsts AS (
+      |  SELECT string_split(bg, ' ')[1] AS a, SUM(cnt) AS cnt_a
+      |  FROM lexicon GROUP BY 1
+      |), scored AS (
+      |  SELECT l.bg,
+      |    CAST(-FLOOR(ln(CAST(l.cnt AS DOUBLE) / CAST(f.cnt_a AS DOUBLE))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS nlp6
+      |  FROM lexicon l JOIN firsts f ON string_split(l.bg, ' ')[1] = f.a
+      |)
+      |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |  ${sqlR6("CAST(SUM(s.nlp6) AS DOUBLE) / 1000000.0 / COUNT(*)")}
+      |    AS avg_neg_logprob2
+      |FROM bgs b JOIN scored s ON b.bg = s.bg
+      |GROUP BY b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   // --- TF-IDF keyword extraction ------------------------------------------
 
   /** Top terms kept per document. */
@@ -211,12 +283,14 @@ object Lexicon {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_logprob" -> (qUnigramLogprob _),
+    "q_bigram_logprob" -> (qBigramLogprob _),
     "q_tfidf_topk" -> (qTfidfTopk _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_heavy_sketch" -> (qHeavySketch _))
 
   val oracles: Map[String, String] = Map(
     "q_unigram_logprob" -> qUnigramLogprobSql,
+    "q_bigram_logprob" -> qBigramLogprobSql,
     "q_tfidf_topk" -> qTfidfTopkSql,
     "q_heavy_hitters" -> qHeavyHittersSql)
 }

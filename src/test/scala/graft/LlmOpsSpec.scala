@@ -322,6 +322,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(2L) > got(1L), "rare-token doc must score higher")
   }
 
+  test("bigram logprob: exact on a tiny corpus, conditions on the first " +
+      "token") {
+    val s = spark
+    import s.implicits._
+    // corpus bigrams: "a b" x2, "b a" x1, "a c" x1 -> firsts: a=3, b=1
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    def nlp6(cnt: Long, cntA: Long): Long =
+      -math.floor(math.log(cnt.toDouble / cntA) * 1e6 + 0.5).toLong
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // doc1: [a b]=ln(3/2)... -ln(2/3), [b a]=-ln(1/1)=0, [a b]
+    val expect1 = r6((2 * nlp6(2, 3) + nlp6(1, 1)) / 1e6 / 3)
+    val expect2 = r6(nlp6(1, 3).toDouble / 1e6 / 1)
+    val got = Lexicon.bigramLogprob(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) === ((3L, expect1)))
+    assert(got(2L) === ((1L, expect2)))
+    // "a c" (1 of 3 continuations of a) must score worse than "a b" (2 of 3)
+    assert(got(2L)._2 > r6(nlp6(2, 3).toDouble / 1e6))
+  }
+
   test("tfidf: corpus-wide tokens get zero weight, rare tokens rank first") {
     val s = spark
     import s.implicits._
