@@ -127,13 +127,35 @@ object Scale {
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Salted-join gate: the skewed-join-key remedy (big side salted, small
+    * side replicated once per salt), proven value-identical to the plain
+    * join by aggregating the joined result with the exact fixed-point
+    * convention. */
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val customer = graft.Engine.table(s, dir, "customer")
+    val nation = graft.Engine.table(s, dir, "nation")
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+    saltedJoin(customer, nation, "c_nationkey", 8)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        Relational.dsum(col("c_acctbal")).as("sum_acctbal"))
+  }
+
+  val qSaltedJoinSql: String =
+    s"""SELECT n.n_name, COUNT(*) AS n_cust,
+      |  ${Relational.sqlDsum("c.c_acctbal", "sum_acctbal")}
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> (qRangeJoin _),
-    "q_salted_agg" -> (qSaltedAgg _))
+    "q_salted_agg" -> (qSaltedAgg _),
+    "q_salted_join" -> (qSaltedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_range_join" -> qRangeJoinSql,
-    "q_salted_agg" -> qSaltedAggSql)
+    "q_salted_agg" -> qSaltedAggSql,
+    "q_salted_join" -> qSaltedJoinSql)
 
   /** Hive-style partitioned write + pruned read: the directory layout IS
     * the coarse index (the reference's nearest analog is pack skipping;
