@@ -99,14 +99,22 @@ object Bench {
     runOne(spark, "q06_forecast_revenue", sfDir)
 
     val results = headline.map(n => n -> runMedian(spark, n, sfDir))
-    val qs = results.map { case (k, (med, _)) => s""""$k":$med""" }
+    // Millisecond precision: 9-digit fractions made the r6 line overflow
+    // the driver's output-tail capture window (BENCH_r06 parsed:null).
+    def ms(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, (med, _)) => s""""$k":${ms(med)}""" }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, mn)) => s""""$k":$mn""" }
+    val qsMin = results.map { case (k, (_, mn)) => s""""$k":${ms(mn)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalMin = results.map(_._2._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$RunsPerQuery,"protocol":"median","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
+      s"""{"metric":"total_detail","value":${ms(total)},"unit":"sec","runs_per_query":$RunsPerQuery,"protocol":"median","total_min":${ms(totalMin)},"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
+    // Compact summary printed LAST so the driver's tail capture always
+    // gets a parseable JSON line even if the detail line is truncated.
+    println(
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
