@@ -25,7 +25,17 @@ import org.apache.spark.sql.functions._
   *    becomes "no orders since 1999-01-01" (every customer here has some
   *    order).
   * Q2/Q9/Q11/Q16/Q20 need partsupp (absent); Q12/Q21 need
-  * shipmode/commit/receipt dates (absent) — noted as out of schema reach.
+  * shipmode/commit/receipt dates (absent) — the literal queries are out of
+  * schema reach, so the uncovered *subquery shapes* are gated instead as
+  * documented stand-ins (`q02_*_shape` / `q20_*_shape` / `q21_*_shape`
+  * below): Q2's correlated min-cost subquery with partsupp played by
+  * lineitem(partkey, suppkey, extendedprice); Q20's nested
+  * IN-over-aggregated-subquery with the availqty test played by a
+  * per-(supplier,part) shipped-quantity HAVING; Q21's
+  * multi-EXISTS + NOT-EXISTS self-join with "late" meaning
+  * `l_shipdate > o_orderdate + 90 days` (the Q4 adaptation convention).
+  * BASELINE.md maps query-for-query onto these (Q21 at 567.46 s is the
+  * reference's second-worst completed query).
   *
   * Scale shape per query is called out inline: what broadcasts, what
   * shuffles, and on which key.
@@ -395,6 +405,195 @@ object TpchSuite {
       |WHERE p_name LIKE '%bolt%'
       |GROUP BY n_name, year(o_orderdate)""".stripMargin
 
+  // --- Q2 SHAPE: correlated min-cost subquery ------------------------------
+
+  /** Q2 SHAPE (minimum-cost supplier per part within a region). The exact
+    * Q2 needs partsupp.ps_supplycost (absent); lineitem(l_partkey,
+    * l_suppkey, l_extendedprice) plays partsupp, preserving Q2's defining
+    * structure: a correlated scalar subquery — min cost over the SAME
+    * supplier⋈nation⋈region topology as the outer query — probed with
+    * equality, then top-100 by supplier balance.
+    *
+    * Scale shape: region⋈nation collapses to an SF-fixed broadcast key
+    * set; the offers stream (lineitem pre-pruned to 3 columns + supplier
+    * attrs) is shuffled once on the extracted join key
+    * (partkey, price) to probe the min table; the min table itself is
+    * |parts| rows — its per-part agg plus the re-key onto
+    * (partkey, min) are both narrow relative to the fact stream, and at
+    * AQE sizes it becomes a broadcast, removing the wide shuffle
+    * entirely. The ECONOMY part join happens after min-filtering, so
+    * only surviving offers touch the part table. The LIMIT compiles to
+    * TakeOrderedAndProject (top-k heap, no global sort). Double equality
+    * on `min` is safe: min is order-independent and exact on IEEE
+    * doubles (no summation).
+    * Determinism: sort key (s_acctbal desc, n_name, s_name, p_partkey)
+    * pins a unique (supplier, part) pair; remaining output columns are
+    * functions of it. */
+  def q02MinCostSupplierShape(s: SparkSession, dir: String): DataFrame = {
+    val asiaNations = t(s, dir, "nation")
+      .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val offers = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+    val minPerPart = offers.groupBy(col("l_partkey").as("mp_partkey"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    offers
+      .join(minPerPart, col("l_partkey") === col("mp_partkey")
+        && col("l_extendedprice") === col("min_price"))
+      .join(t(s, dir, "part").filter(col("p_type") === "ECONOMY"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("s_suppkey"), col("min_price"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  val q02Sql: String =
+    """SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey,
+      |       l_extendedprice AS min_price
+      |FROM part, lineitem, supplier, nation, region
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA' AND p_type = 'ECONOMY'
+      |  AND l_extendedprice = (
+      |    SELECT MIN(l2.l_extendedprice)
+      |    FROM lineitem l2, supplier s2, nation n2, region r2
+      |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'ASIA')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  // --- Q20 SHAPE: nested IN over aggregated subquery -----------------------
+
+  /** Q20 SHAPE (suppliers with excess shipments of a part family, by
+    * region). The exact Q20 needs partsupp.ps_availqty (absent); the
+    * structure kept is the defining one: an IN-subquery whose body is an
+    * AGGREGATED, HAVING-filtered group over lineitem, itself containing a
+    * nested IN-subquery over a name-filtered part — two levels of IN with
+    * an aggregate between them.
+    *
+    * Scale shape: the part-name filter runs first and only p_partkey
+    * survives into a semi join (Catalyst/AQE sizes it — broadcast while
+    * small); the (suppkey, partkey) aggregate is map-side combined; the
+    * HAVING uses the fixed-point integer sum (sum(round(q*10⁴)) >
+    * 35·10⁴), so the threshold boundary is engine-deterministic — no
+    * float-sum tie-break risk; the surviving suppkeys are a left-semi
+    * probe into the SF-fixed supplier⋈nation⋈region side. */
+  def q20QualifiedSuppliersShape(s: SparkSession, dir: String): DataFrame = {
+    val boltParts = t(s, dir, "part")
+      .filter(col("p_name").like("%bolt%")).select(col("p_partkey"))
+    val qualified = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01")
+        && col("l_shipdate") < lit("1998-01-01"))
+      .join(boltParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(Relational.dec(col("l_quantity"))).as("qty_fp"))
+      .filter(col("qty_fp") > lit(350000L))
+      .select(col("l_suppkey")).distinct()
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  val q20Sql: String =
+    """SELECT s_name, s_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |              JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part
+      |                        WHERE p_name LIKE '%bolt%')
+      |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |      AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    GROUP BY l_suppkey, l_partkey
+      |    HAVING SUM(CAST(FLOOR(l_quantity * 10000.0 + 0.5) AS BIGINT))
+      |             > 350000)
+      |ORDER BY s_name""".stripMargin
+
+  // --- Q21 SHAPE: multi-EXISTS + NOT-EXISTS self-join ----------------------
+
+  /** Q21 SHAPE (suppliers who alone were late on multi-supplier orders —
+    * the reference's second-worst completed query, 567.46 s at SF100 per
+    * BASELINE.md). The exact Q21 needs l_commitdate/l_receiptdate
+    * (absent); "late" becomes `l_shipdate > o_orderdate + 90 days`. The
+    * defining structure is intact: an EXISTS over a lineitem self-join
+    * (some OTHER supplier on the same order) AND a NOT-EXISTS over the
+    * same self-join restricted to late rows (no OTHER supplier was also
+    * late) — semi + anti join over the same key.
+    *
+    * Scale shape: `late` (lineitem⋈'F'-orders, date residual) is computed
+    * once as a 2-column stream; l1 joins supplier and the SF-fixed
+    * broadcast nation⋈region key set; then BOTH the EXISTS (left-semi vs
+    * all lineitems) and the NOT-EXISTS (left-anti vs late lineitems) key
+    * on l_orderkey — one partitioning carries the row through both
+    * probes, with only the ≠-supplier residual evaluated post-match. The
+    * final agg is over ≤|supplier| groups; count ordering is made total
+    * by the unique s_name tie-break. */
+  def q21WaitingSuppliersShape(s: SparkSession, dir: String): DataFrame = {
+    val ordersF = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val late = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(ordersF, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val afrNations = t(s, dir, "nation")
+      .join(t(s, dir, "region").filter(col("r_name") === "AFRICA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val l1 = late
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(afrNations), col("s_nationkey") === col("n_nationkey"))
+    val l2 = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("l2_orderkey"),
+        col("l_suppkey").as("l2_suppkey"))
+    val l3 = late.select(col("l_orderkey").as("l3_orderkey"),
+      col("l_suppkey").as("l3_suppkey"))
+    l1.join(l2, col("l_orderkey") === col("l2_orderkey")
+        && col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+      .join(l3, col("l_orderkey") === col("l3_orderkey")
+        && col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q21Sql: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation, region
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND o3.o_orderkey = l3.l_orderkey
+      |                    AND o3.o_orderstatus = 'F'
+      |                    AND l3.l_shipdate > o3.o_orderdate
+      |                          + INTERVAL 90 DAY)
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'AFRICA'
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
   // Registry ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -407,7 +606,10 @@ object TpchSuite {
     "q15_top_supplier" -> (q15TopSupplier _),
     "q18_large_volume_customer" -> (q18LargeVolumeCustomer _),
     "q22_idle_customers" -> (q22IdleCustomers _),
-    "q09_profit_shape" -> (q09ProfitShape _))
+    "q09_profit_shape" -> (q09ProfitShape _),
+    "q02_min_cost_supplier_shape" -> (q02MinCostSupplierShape _),
+    "q20_qualified_suppliers_shape" -> (q20QualifiedSuppliersShape _),
+    "q21_waiting_suppliers_shape" -> (q21WaitingSuppliersShape _))
 
   val oracles: Map[String, String] = Map(
     "q04_order_priority" -> q04Sql,
@@ -419,5 +621,8 @@ object TpchSuite {
     "q15_top_supplier" -> q15Sql,
     "q18_large_volume_customer" -> q18Sql,
     "q22_idle_customers" -> q22Sql,
-    "q09_profit_shape" -> q09Sql)
+    "q09_profit_shape" -> q09Sql,
+    "q02_min_cost_supplier_shape" -> q02Sql,
+    "q20_qualified_suppliers_shape" -> q20Sql,
+    "q21_waiting_suppliers_shape" -> q21Sql)
 }
