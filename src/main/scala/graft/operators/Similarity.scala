@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   *    only inside them.
   *  - IVF (learned): same probe plan with a real k-means quantizer
   *    ([[kmeansAssign]], spark.ml, fixed seed).
-  * At 100 TB the table is written partitioned by cluster id, so a probe
-  * reads only its clusters' files (partition pruning — see
-  * Scale.partitionedWrite).
+  *
+  * QUANTIZER BUILD IS OFFLINE: [[buildLabelQuantizer]] /
+  * [[buildKmeansQuantizer]] materialize the centroid table (and, for
+  * k-means, the corpus hive-partitioned by cluster id) once per corpus;
+  * the search queries are probe-only — they read the stored quantizer,
+  * never refit or re-aggregate it. At 100 TB a probe therefore touches
+  * the tiny centroid table plus only the probed clusters' files
+  * (partition pruning — see Scale.partitionedWrite).
   */
 object Similarity {
 
@@ -52,7 +57,10 @@ object Similarity {
 
   /** Per-label centroids via positional explode → elementwise mean →
     * re-assembled array (pure builtins; one shuffle keyed by
-    * (label, pos)). */
+    * (label, pos)). This is the QUANTIZER BUILD computation — called from
+    * the offline [[buildLabelQuantizer]] / [[buildKmeansQuantizer]] store
+    * builders, never from the per-query probe path (a full-corpus
+    * dim×row explode per probe is a scale-killer at 100 TB). */
   def centroids(e: DataFrame): DataFrame =
     e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
@@ -61,6 +69,78 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("v")))),
         s => s.getField("v")).as("centroid"))
+
+  // --- offline quantizer store ---------------------------------------------
+  //
+  // Index build is an OFFLINE step, separate from search: the store is
+  // built once per corpus (atomic directory publish, idempotent,
+  // crash-safe — a half-written staging dir is never visible under the
+  // final path), and every probe query reads the materialized quantizer.
+  // At 100 TB the store lives on the lake next to the corpus and is
+  // refreshed by an ingest-time job; here it keys off the corpus dir in
+  // java.io.tmpdir so driver-run gates stay self-contained — the first
+  // call builds, every later call is probe-only.
+
+  /** Bump when the build computation changes, so probes never read a
+    * store built by older code. */
+  private val StoreVersion = "v1"
+
+  private def storeRoot(dir: String, kind: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft-ivf-$StoreVersion-$tag/$kind"
+  }
+
+  private val buildLock = new Object
+
+  /** Build into a staging dir, then atomically move into place. Loser of
+    * a cross-process race discards its staging copy. */
+  private def ensureBuilt(root: String)(build: String => Unit): Unit =
+    buildLock.synchronized {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val rootPath = Paths.get(root)
+      if (!Files.exists(rootPath)) {
+        Files.createDirectories(rootPath.getParent)
+        val staging = Paths.get(
+          root + ".building-" + ProcessHandle.current().pid())
+        build(staging.toString)
+        try Files.move(staging, rootPath, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            // another process published first — ours is redundant
+            org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+        }
+      }
+    }
+
+  /** OFFLINE BUILD, label quantizer: materialize the per-label centroid
+    * table. Idempotent; returns the store root. */
+  def buildLabelQuantizer(s: SparkSession, dir: String): String = {
+    val root = storeRoot(dir, "label")
+    ensureBuilt(root) { staging =>
+      centroids(t(s, dir, "embeddings"))
+        .coalesce(1).write.parquet(s"$staging/centroids")
+    }
+    root
+  }
+
+  /** OFFLINE BUILD, learned quantizer: fit k-means once, materialize the
+    * centroid table AND the assigned corpus hive-partitioned by cluster
+    * id — the partitioned IVF store, so probes prune unprobed clusters
+    * at the file level (PartitionFilters, verified in LlmOpsSpec).
+    * Idempotent; returns the store root. */
+  def buildKmeansQuantizer(s: SparkSession, dir: String): String = {
+    val root = storeRoot(dir, "kmeans")
+    ensureBuilt(root) { staging =>
+      val assigned = kmeansAssign(t(s, dir, "embeddings")).persist()
+      try {
+        assigned.write.partitionBy("cluster").parquet(s"$staging/assign")
+        centroids(assigned.drop("label").withColumnRenamed("cluster", "label"))
+          .withColumnRenamed("label", "cluster")
+          .coalesce(1).write.parquet(s"$staging/centroids")
+      } finally assigned.unpersist()
+    }
+    root
+  }
 
   // --- true IVF: k-means coarse quantizer ---------------------------------
 
@@ -88,28 +168,28 @@ object Similarity {
       .drop("features")
   }
 
-  /** IVF with the k-means quantizer: score the query against the k
-    * centroids (tiny — computed from the assignment), probe the top-4
-    * clusters, exact re-rank inside them. Same plan shape as
-    * [[qSimIvf]], with a learned partition function instead of the label
-    * stand-in. */
+  /** IVF search with the k-means quantizer, PROBE ONLY: the quantizer
+    * comes from the materialized store ([[buildKmeansQuantizer]] — built
+    * once, offline; the first call in a fresh environment triggers the
+    * build). Probe plan: score the query against the k stored centroids
+    * (tiny scan), pick the top-4 clusters, then exact re-rank reading
+    * ONLY those clusters' files from the cluster-partitioned store —
+    * the probe list is ≤nprobe ids (bounded, like Lexicon's 20-row probe
+    * collect), inlined as a partition filter so pruning happens before
+    * file listing. No KMeans.fit, no corpus-wide shuffle anywhere in the
+    * query path. */
   def qSimIvfKmeans(s: SparkSession, dir: String): DataFrame = {
-    // no persist: the expensive step (KMeans.fit) is eager and internal
-    // to kmeansAssign; the assignment itself is one narrow scan +
-    // broadcast-model predict, cheaper to recompute for the two
-    // consumers than to cache corpus-wide (and a persist here leaked —
-    // registry callers have no unpersist hook)
-    val assigned = kmeansAssign(t(s, dir, "embeddings"))
+    val root = buildKmeansQuantizer(s, dir)
     val q = queryVec(s, dir)
-    val cents = centroids(assigned.drop("label")
-        .withColumnRenamed("cluster", "label"))
-      .withColumnRenamed("label", "cluster")
-    val probed = cents.crossJoin(broadcast(q))
+    val cents = s.read.parquet(s"$root/centroids")
+    val probedIds = cents.crossJoin(broadcast(q))
       .select(col("cluster"), dot(col("centroid"), col("q_emb")).as("cscore"))
       .orderBy(col("cscore").desc, col("cluster"))
       .limit(4)
       .select(col("cluster"))
-    assigned.join(broadcast(probed), Seq("cluster"))
+      .collect().map(_.get(0)).toSeq // ≤nprobe rows — bounded
+    s.read.parquet(s"$root/assign")
+      .where(col("cluster").isin(probedIds: _*))
       .crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("vec_id"), col("cluster"),
@@ -118,18 +198,24 @@ object Similarity {
       .limit(20)
   }
 
-  /** IVF search: probe the nprobe=3 closest centroids, exact re-rank
-    * inside the probed clusters only. */
+  /** IVF search (label quantizer), PROBE ONLY: centroids come from the
+    * materialized store ([[buildLabelQuantizer]]); probe the nprobe=3
+    * closest, exact re-rank inside the probed labels only — the label
+    * list is inlined as a pushed-down scan filter, so parquet row-group
+    * stats skip unprobed labels. The per-probe full-corpus centroid
+    * rebuild this replaced was the r7 scale-killer. */
   def qSimIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+    val root = buildLabelQuantizer(s, dir)
     val q = queryVec(s, dir)
-    val probed = centroids(e)
+    val probedLabels = s.read.parquet(s"$root/centroids")
       .crossJoin(broadcast(q))
       .select(col("label"), dot(col("centroid"), col("q_emb")).as("cscore"))
       .orderBy(col("cscore").desc, col("label"))
       .limit(3)
       .select(col("label"))
-    e.join(broadcast(probed), Seq("label"))
+      .collect().map(_.get(0)).toSeq // ≤nprobe rows — bounded
+    t(s, dir, "embeddings")
+      .where(col("label").isin(probedLabels: _*))
       .crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("vec_id"), col("label"),
