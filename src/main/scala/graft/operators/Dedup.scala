@@ -213,9 +213,14 @@ object Dedup {
     * owns `unpersist()` once consumers are done (see [[qDedupCorpus]]
     * for the checkpoint-then-unpersist pattern). If the loop exits at
     * `maxIter` without converging (a component chain with diameter >
-    * maxIter), labels are WRONG — that is loud (stderr + log), never
-    * silent. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * maxIter), labels are WRONG — so by default that THROWS
+    * (IllegalStateException): an under-merged dup-group assignment must
+    * never flow silently into keeper selection. Callers that prefer the
+    * partial labels (e.g. progressive dedup passes) opt out with
+    * `failOnNonConvergence = false`, which downgrades to a stderr
+    * warning. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          failOnNonConvergence: Boolean = true): DataFrame = {
     // The edge list is consumed every round — persist it once, or each
     // iteration re-executes the whole upstream candidate pipeline.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -234,11 +239,17 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("label")).as("nmin"))
+      // localCheckpoint (not persist): each round references `labels`
+      // twice (neighbor agg + rejoin), so an un-truncated logical plan
+      // DOUBLES per iteration — at diameter ~15 the plan alone is 2^15
+      // nodes and the driver OOMs just stringifying it. Checkpointing
+      // caches the blocks AND cuts the lineage, keeping the driver-side
+      // plan O(1) per round regardless of graph diameter.
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label")))
             .as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"),
           Seq("doc_id"))
         .filter(col("label") =!= col("old")).count()
@@ -253,6 +264,10 @@ object Dedup {
       val msg = s"connectedComponents: NOT converged after $maxIter " +
         "iterations; component labels are incomplete (graph diameter " +
         "exceeds maxIter). Raise maxIter."
+      if (failOnNonConvergence) {
+        labels.unpersist()
+        throw new IllegalStateException(msg)
+      }
       System.err.println(s"[graft] WARNING: $msg")
     }
     labels

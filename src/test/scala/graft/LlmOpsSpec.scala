@@ -221,6 +221,28 @@ class LlmOpsSpec extends AnyFunSuite {
       .foreach(r => assert(r.getAs[Long]("doc_id") === r.getAs[Long]("keeper")))
   }
 
+  test("connected components throw on non-convergence; opt-out returns partial labels") {
+    val ss = spark
+    import ss.implicits._
+    // a 12-node path graph has diameter 11 — min-label propagation cannot
+    // converge in 3 iterations, so the default must refuse to return
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 3)
+    }
+    assert(e.getMessage.contains("NOT converged"))
+    // explicit opt-out: partial labels come back (documented caveat)
+    val partial = Dedup.connectedComponents(chain, maxIter = 3,
+      failOnNonConvergence = false)
+    assert(partial.count() === 12)
+    partial.unpersist()
+    // and a sufficient budget converges to a single component labeled 0
+    val full = Dedup.connectedComponents(chain, maxIter = 15)
+    assert(full.select("label").distinct().collect().map(_.getLong(0)).toSeq
+      === Seq(0L))
+    full.unpersist()
+  }
+
   test("resize: deterministic, payload bounded by target, identity kept") {
     val media = Multimodal.mediaTable(spark, sf)
     val a = Multimodal.resizeMedia(media, 128, 128).collect()
