@@ -345,7 +345,10 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit signature (custom Catalyst
     * expression), blocked on 4×16-bit chunks — hamming ≤ 3 guarantees at
     * least one identical chunk (pigeonhole), so chunk-equality blocking is
-    * lossless for the ≤3 threshold. */
+    * lossless for the ≤3 threshold. Oracle-exact: the FNV-1a kernel is
+    * mirrored in DuckDB with HUGEINT wrap-around arithmetic
+    * ([[qDedupSimhashSql]]), and the oracle is blocking-free all-pairs —
+    * so LSH recall is hash-gated, not just spec-checked. */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val d = Engine.rebalance(t(s, dir, "documents"))
       .select(col("doc_id"), simhash64(lower(col("text"))).as("sig"))
@@ -361,23 +364,74 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+          .cast("long").as("hamming"))
       .where(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** SimHash with an md5 token hash — the cross-engine-checkable twin of
-    * [[qDedupSimhash]]. The production kernel hashes tokens with FNV-1a
-    * (a native expression DuckDB cannot mirror: its checked arithmetic
-    * rejects wrap-around multiply), so that gate is rows-only; this
-    * variant derives the 60-bit token hash from md5 (first 15 hex
-    * digits), which both engines compute identically, turning the ENTIRE
-    * simhash algorithm — vote accumulation, sign vector, hamming
-    * distance, and the pigeonhole chunk blocking — into a hash-checked
-    * contract. The oracle is blocking-free all-pairs hamming, so LSH
-    * RECALL is gated too (4×15-bit chunks are lossless for hamming ≤ 3).
-    * Everything here is built-in codegen'd expressions; the FNV kernel
-    * remains the fast path. */
+  /** Oracle for the FNV fast path: FNV-1a 64 re-implemented in DuckDB
+    * with HUGEINT wrap-around arithmetic — `xor(h, char) * prime mod
+    * 2^64` stays exact because a 64-bit value × the 40-bit FNV prime
+    * fits in a 128-bit HUGEINT, and the explicit `% 2^64` reproduces
+    * Java's long overflow. The per-character fold is a recursive CTE
+    * over (token occurrence, char index); bits are extracted with
+    * division by exact power-of-two literals (never float `pow`). The
+    * pair scan is BRUTE-FORCE all-pairs (no blocking), so the Spark
+    * side's pigeonhole chunk-LSH must find every pair to hash-match.
+    * Text is ASCII (verified), so Java UTF-16 code units ==
+    * `unicode()` code points. */
+  val qDedupSimhashSql: String = {
+    val votes = (0 until 64).map { b =>
+      s"SUM(CASE WHEN (h // CAST('${BigInt(1) << b}' AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n    ")
+    val sigSum = (0 until 64).map(b =>
+      s"(CASE WHEN v$b > 0 THEN CAST('${BigInt(1) << b}' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+      |  SELECT row_number() OVER () AS tid, doc_id, tok FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(string_split(lower(text), ' '),
+      |                         x -> len(x) > 0)) AS tok
+      |    FROM documents)
+      |), fnv AS (
+      |  WITH RECURSIVE f(tid, doc_id, tok, n, i, h) AS (
+      |    SELECT tid, doc_id, tok, len(tok), 0,
+      |      CAST('14695981039346656037' AS HUGEINT) FROM toks
+      |    UNION ALL
+      |    SELECT tid, doc_id, tok, n, i + 1,
+      |      (xor(h, CAST(unicode(substr(tok, i + 1, 1)) AS HUGEINT))
+      |         * 1099511628211)
+      |        % CAST('18446744073709551616' AS HUGEINT)
+      |    FROM f WHERE i < n
+      |  )
+      |  SELECT tid, doc_id, h FROM f WHERE i = n
+      |), votes AS (
+      |  SELECT doc_id,
+      |    $votes
+      |  FROM fnv GROUP BY doc_id
+      |), sig AS (
+      |  SELECT doc_id, $sigSum AS sig FROM votes
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** SimHash with an md5 token hash — the first cross-engine-checkable
+    * twin of [[qDedupSimhash]], kept as an independent second gate (md5
+    * exercises a different token-hash path, and its 60-bit/4×15-chunk
+    * geometry differs from the FNV 64-bit/4×16 one). This variant
+    * derives the token hash from md5 (first 15 hex digits), which both
+    * engines compute identically, turning the ENTIRE simhash algorithm —
+    * vote accumulation, sign vector, hamming distance, and the
+    * pigeonhole chunk blocking — into a hash-checked contract. The
+    * oracle is blocking-free all-pairs hamming, so LSH RECALL is gated
+    * too (4×15-bit chunks are lossless for hamming ≤ 3). Everything here
+    * is built-in codegen'd expressions; the FNV kernel remains the fast
+    * path (and is now itself oracle-exact via [[qDedupSimhashSql]]). */
   def qDedupSimhashMd5(s: SparkSession, dir: String): DataFrame = {
     val toks = Engine.rebalance(t(s, dir, "documents"))
       .select(col("doc_id"),
@@ -572,6 +626,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_simhash_md5" -> qDedupSimhashMd5Sql,
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_dedup_embed" -> qDedupEmbedSql,

@@ -143,8 +143,12 @@ object Multimodal {
         sum(col("frame_bytes")).as("total_bytes"))
       .orderBy(col("kind"))
 
-  /** Inventory entry (rows-only check: binary plumbing is not
-    * SQL-expressible in the oracle): decode features + per-kind stats. */
+  /** Inventory entry: decode features + per-kind stats. ORACLE-EXACT —
+    * the stub's dims are FNV-1a of the payload bytes, and the payload is
+    * the ASCII document text, so DuckDB can recompute the hash with
+    * HUGEINT wrap-around arithmetic (same technique as
+    * Dedup.qDedupSimhashSql) and hash-check every stat. The feature
+    * array (not surfaced here) stays pinned by LlmOpsSpec. */
   def qMediaFeatures(s: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(s, dir))
       .groupBy(col("kind"))
@@ -154,9 +158,37 @@ object Multimodal {
         max(col("height")).as("max_h"))
       .orderBy(col("kind"))
 
+  /** FNV-1a over each doc's full payload as a per-char recursive CTE
+    * with mod-2^64 HUGEINT arithmetic; width = 64 + (h & 0x3ff) and
+    * height = 64 + ((h >>> 10) & 0x3ff) become exact divisions by
+    * power-of-two literals. ASCII payloads make DuckDB's `unicode()`
+    * equal Java's UTF-16 code units. */
+  val qMediaFeaturesSql: String =
+    """WITH RECURSIVE f(doc_id, n, i, h) AS (
+      |  SELECT doc_id, len(text), 0, CAST('14695981039346656037' AS HUGEINT)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT f.doc_id, f.n, f.i + 1,
+      |    (xor(f.h, CAST(unicode(substr(d.text, f.i + 1, 1)) AS HUGEINT))
+      |       * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+      |  FROM f JOIN documents d ON f.doc_id = d.doc_id WHERE f.i < f.n
+      |), hh AS (
+      |  SELECT doc_id, n, h FROM f WHERE i = n
+      |)
+      |SELECT 'media/' || CAST(doc_id % 3 AS VARCHAR) AS kind,
+      |  count(*) AS n_media,
+      |  CAST(sum(n) AS BIGINT) AS total_bytes,
+      |  CAST(min(64 + (h % 1024)) AS INT) AS min_w,
+      |  CAST(max(64 + ((h // 1024) % 1024)) AS INT) AS max_h
+      |FROM hh GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> (qMediaFeatures _),
     "q_media_frames" -> (qMediaFrames _))
 
-  val oracles: Map[String, String] = Map.empty
+  /** q_media_frames stays rows-only: the frame-slice byte plumbing is
+    * genuinely binary-side and not worth a char-level SQL re-simulation;
+    * its counts/strides are pinned by LlmOpsSpec. */
+  val oracles: Map[String, String] = Map(
+    "q_media_features" -> qMediaFeaturesSql)
 }

@@ -80,7 +80,7 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
-      assert(r.getAs[Int]("hamming") <= 3)
+      assert(r.getAs[Long]("hamming") <= 3)
     }
   }
 
@@ -94,11 +94,11 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val brute = (for {
       (ida, sa) <- sigs; (idb, sb) <- sigs if ida < idb
-      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+      h = java.lang.Long.bitCount(sa ^ sb).toLong if h <= 3
     } yield (ida, idb, h)).toSet
     val blocked = Dedup.qDedupSimhash(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
-        r.getAs[Int]("hamming"))).toSet
+        r.getAs[Long]("hamming"))).toSet
     assert(blocked === brute)
     assert(brute.nonEmpty)
   }
