@@ -33,11 +33,20 @@ object Engine {
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
 
-  /** Apply engine configuration to an existing builder. */
-  def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder = b
+  /** Apply engine configuration to an existing builder.
+    *
+    * `spark.sql.extensions`: the Builder API exposes no getter, so a
+    * value already set on `b` cannot be read back and would be silently
+    * clobbered — callers that bring their own extensions (Delta, Iceberg,
+    * …) pass them via `extraExtensions` and both are registered (the conf
+    * accepts a comma-separated list). */
+  def configure(b: SparkSession.Builder, cores: Int,
+                extraExtensions: Seq[String] = Nil): SparkSession.Builder = b
     // optimizer extensions (banded range-join rewrite; rules are inert
     // until their spark.graft.* conf enables them)
-    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.sql.extensions",
+      (extraExtensions :+ "graft.plans.GraftExtensions").distinct
+        .mkString(","))
     .config("spark.sql.shuffle.partitions", cores)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

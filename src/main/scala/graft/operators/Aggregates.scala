@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Engine
 import graft.functions.GroupConcat.groupConcat
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import Relational.{dec, dsum, davg, sqlDec, sqlDsum, sqlDavg}
@@ -218,20 +218,25 @@ object Aggregates {
     * MySQL 5.7 nor the reference has them; standard analytics surface).
     * corr is dimensionless and covariance here is small-magnitude
     * (quantity × discount), so the rounding grid sits ~6 orders above
-    * aggregation-order noise. */
-  def qAggCorr(s: SparkSession, dir: String): DataFrame =
+    * aggregation-order noise. Zero-variance groups: Spark's corr
+    * returns NaN where DuckDB (and SQL convention) return NULL — the
+    * nanvl wrapper adopts the NULL convention so the hash gate cannot
+    * break on a constant-column fixture. */
+  def qAggCorr(s: SparkSession, dir: String): DataFrame = {
+    def nullNaN(c: Column): Column = nanvl(c, lit(null).cast("double"))
     t(s, dir, "lineitem")
       .groupBy(col("l_linestatus"))
       .agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+        round(nullNaN(corr(col("l_quantity"), col("l_extendedprice"))), 6)
           .as("corr_qty_price"),
-        round(corr(col("l_quantity"), col("l_discount")), 6)
+        round(nullNaN(corr(col("l_quantity"), col("l_discount"))), 6)
           .as("corr_qty_disc"),
-        round(covar_samp(col("l_quantity"), col("l_discount")), 8)
+        round(nullNaN(covar_samp(col("l_quantity"), col("l_discount"))), 8)
           .as("cov_qty_disc"),
-        round(covar_pop(col("l_quantity"), col("l_discount")), 8)
+        round(nullNaN(covar_pop(col("l_quantity"), col("l_discount"))), 8)
           .as("covp_qty_disc"),
         count(lit(1)).as("n_rows"))
+  }
 
   val qAggCorrSql: String =
     """SELECT l_linestatus,

@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   * naive `l JOIN r ON l.k = r.k AND r.ts <= l.ts` + argmax plan. Equal
   * timestamps match (right sorts before left at the same ts), mirroring
   * the inclusive ASOF convention.
+  *
+  * Key skew: the keyed window puts each key's full history in ONE task,
+  * so a hot key (one device/user holding a large share of rows) degrades
+  * LATENCY — never correctness (pinned by JoinPropertySpec's 50%-hot-key
+  * fixture); AQE cannot split a window the way it splits skewed joins.
+  * The remedy at scale is salting by time range: sub-partition the hot
+  * key on `(key, floor(ts / W))`, run the window per salt bucket, then
+  * fix up each bucket's first rows against the previous bucket's last
+  * right row — W chosen so one bucket's rows fit a task. Apply it when a
+  * key exceeds task-sized row counts; the default single-window plan is
+  * correct and cheaper everywhere else.
   */
 object AsofJoin {
 
@@ -35,12 +46,25 @@ object AsofJoin {
     * Requires (keyCol, tsCol) unique within `right` for deterministic
     * output (ties inside `right` would make "the" latest row ambiguous
     * in any engine).
-    */
+    *
+    * Name contract (fails fast, never silently collides): the internal
+    * scratch columns `__ts/__side/__payload/__row/__matched` must not
+    * appear in either input, and the output's `r_<payload>` names must
+    * not collide with a `left` column. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, payloadCols: Seq[String],
                forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val leftCols = left.columns.toSeq
+    val reserved = Seq("__ts", "__side", "__payload", "__row", "__matched")
+    val clash = reserved.filter((leftCols ++ right.columns).toSet)
+    require(clash.isEmpty,
+      s"asofJoin: input columns ${clash.mkString(", ")} collide with " +
+        "internal scratch names — rename them before joining")
+    val outClash = payloadCols.map("r_" + _).toSet.intersect(leftCols.toSet)
+    require(outClash.isEmpty,
+      s"asofJoin: output columns ${outClash.mkString(", ")} (r_ + payload " +
+        "name) collide with left columns — rename or drop them first")
     val payloadType = StructType(payloadCols.map(c => right.schema(c)))
     // NULL key or ts on the right can never satisfy the (three-valued)
     // `r.key = l.key AND r.ts <= l.ts` contract — drop those rows so the

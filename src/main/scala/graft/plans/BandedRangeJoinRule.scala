@@ -70,8 +70,14 @@ class BandedRangeJoinRule(session: SparkSession)
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint) =>
         val conjuncts = splitConjunctivePredicates(cond)
+        // EqualNullSafe counts too: a `<=>`-keyed join already hash-
+        // partitions on the key, so banding it would only add a useless
+        // explode + band shuffle on top of a working equi join
         val hasEqui = conjuncts.exists {
           case EqualTo(a, b) =>
+            (refsOnly(a, left) && refsOnly(b, right)) ||
+              (refsOnly(a, right) && refsOnly(b, left))
+          case EqualNullSafe(a, b) =>
             (refsOnly(a, left) && refsOnly(b, right)) ||
               (refsOnly(a, right) && refsOnly(b, left))
           case _ => false

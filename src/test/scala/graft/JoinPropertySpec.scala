@@ -47,6 +47,61 @@ class JoinPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin fails fast on reserved-name and output-prefix collisions") {
+    val s = spark
+    import s.implicits._
+    val okL = Seq((1L, 10L, "x")).toDF("k", "t", "lv")
+    val okR = Seq((1L, 5L, "y")).toDF("k", "t", "rv")
+    // internal scratch name in an input
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(okL.withColumnRenamed("lv", "__side"), okR,
+        "k", "t", Seq("rv"))
+    }
+    assert(e1.getMessage.contains("__side"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(okL, okR.withColumnRenamed("rv", "__payload"),
+        "k", "t", Seq("__payload"))
+    }
+    assert(e2.getMessage.contains("__payload"))
+    // r_<payload> output name already present on the left
+    val e3 = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(okL.withColumnRenamed("lv", "r_rv"), okR,
+        "k", "t", Seq("rv"))
+    }
+    assert(e3.getMessage.contains("r_rv"))
+  }
+
+  test("asofJoin stays correct under heavy key skew (one key = 50% of rows)") {
+    // one hot key holds half of both sides — the single-shuffle window
+    // plan puts that whole key in one task; this pins correctness (and
+    // documents the behavior: skew degrades latency, never results)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val hot = 0L
+    val left = (1 to 4000).map { i =>
+      val k = if (i % 2 == 0) hot else 1L + rnd.nextInt(50).toLong
+      (k, rnd.nextInt(10000).toLong, i.toLong)
+    }
+    val right = (1 to 3000).map { i =>
+      val k = if (i % 2 == 0) hot else 1L + rnd.nextInt(50).toLong
+      (k, rnd.nextInt(10000).toLong, i.toLong * 10)
+    }.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+    val got = AsofJoin.asofJoin(
+      left.toDF("k", "t", "lid"), right.toDF("k", "t", "rv"),
+      "k", "t", Seq("rv"))
+      .collect()
+      .map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val byKey = right.groupBy(_._1)
+    left.foreach { case (k, t, lid) =>
+      val cand = byKey.getOrElse(k, Nil).filter(_._2 <= t)
+      val expect = if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3)
+      assert(got(lid) === expect, s"hot-key fixture lid=$lid key=$k ts=$t")
+    }
+    assert(left.count(_._1 == hot) * 2 >= left.size) // fixture really is skewed
+  }
+
   test("banded range-join rule equals the naive plan on random " +
       "intervals and widths") {
     val s = spark

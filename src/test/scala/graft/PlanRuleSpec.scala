@@ -102,6 +102,13 @@ class PlanRuleSpec extends AnyFunSuite {
       assert(!joined.queryExecution.optimizedPlan.toString
         .contains("__graft_band"))
       assert(rows(joined.select("k", "k2")) === Seq(Seq(1L, 1L)))
+      // null-safe equality is an equi key too — banding on top of a
+      // `<=>`-keyed join would only add a useless explode + band shuffle
+      val nullSafe = l.join(r,
+        $"k" <=> $"k2" && $"v" >= $"lo" && $"v" <= $"hi")
+      assert(!nullSafe.queryExecution.optimizedPlan.toString
+        .contains("__graft_band"))
+      assert(rows(nullSafe.select("k", "k2")) === Seq(Seq(1L, 1L)))
     } finally spark.conf.unset(Width)
   }
 }
