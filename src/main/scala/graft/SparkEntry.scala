@@ -21,6 +21,7 @@ object SparkEntry {
     operators.TpchSuite.queries -> operators.TpchSuite.oracles,
     operators.Filters.queries -> operators.Filters.oracles,
     operators.Collation.queries -> operators.Collation.oracles,
+    operators.Display.queries -> operators.Display.oracles,
     operators.Joins.queries -> operators.Joins.oracles,
     operators.AsofJoin.queries -> operators.AsofJoin.oracles,
     operators.Scale.queries -> operators.Scale.oracles,

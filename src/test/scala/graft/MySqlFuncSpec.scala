@@ -201,4 +201,13 @@ class MySqlFuncSpec extends AnyFunSuite {
     assert(eval(MySql.toDays(lit("2007-10-07").cast("date"))) === 733321L) // TO_DAYS('2007-10-07') = 733321
     assert(eval(MySql.fromDays(lit(730669L))).toString === "2000-07-03") // FROM_DAYS(730669) = 2000-07-03
   }
+
+  test("ZEROFILL pads to width but never truncates wide values") {
+    import graft.operators.Display.zerofill
+    assert(eval(zerofill(lit(1), 8)) === "00000001")        // st1: INT(8)
+    assert(eval(zerofill(lit(1234567), 8)) === "01234567")
+    assert(eval(zerofill(lit(123456789), 8)) === "123456789") // wider: as-is
+    assert(eval(zerofill(lit(12), 10)) === "0000000012")    // st2: TINYINT(10)
+    assert(eval(zerofill(lit(7), 2)) === "07")              // st4: month/day
+  }
 }
