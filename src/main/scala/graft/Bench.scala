@@ -31,6 +31,9 @@ object Bench {
     "q19_ortree_revenue",       // or-tree join (Q19)
     "q22_idle_customers",       // anti join + scalar avg (Q22)
     "q02_min_cost_supplier_shape", // correlated min-cost subquery (Q2 shape)
+    "q11_important_stock_shape", // fraction-of-total HAVING (Q11 shape)
+    "q12_mode_priority_shape",  // conditional counts by category (Q12 shape)
+    "q16_supplier_cnt_shape",   // distinct count + NOT-IN exclusion (Q16 shape)
     "q20_qualified_suppliers_shape", // nested IN-over-aggregate (Q20 shape)
     "q21_waiting_suppliers_shape", // EXISTS + NOT-EXISTS self-join (Q21 shape; reference: 567s, 2nd-worst)
     "q_subq_correlated",        // decorrelated Q17 shape

@@ -26,16 +26,23 @@ import org.apache.spark.sql.functions._
   *    order).
   * Q2/Q9/Q11/Q16/Q20 need partsupp (absent); Q12/Q21 need
   * shipmode/commit/receipt dates (absent) — the literal queries are out of
-  * schema reach, so the uncovered *subquery shapes* are gated instead as
-  * documented stand-ins (`q02_*_shape` / `q20_*_shape` / `q21_*_shape`
-  * below): Q2's correlated min-cost subquery with partsupp played by
-  * lineitem(partkey, suppkey, extendedprice); Q20's nested
-  * IN-over-aggregated-subquery with the availqty test played by a
-  * per-(supplier,part) shipped-quantity HAVING; Q21's
-  * multi-EXISTS + NOT-EXISTS self-join with "late" meaning
-  * `l_shipdate > o_orderdate + 90 days` (the Q4 adaptation convention).
-  * BASELINE.md maps query-for-query onto these (Q21 at 567.46 s is the
-  * reference's second-worst completed query).
+  * schema reach, so every uncovered *query shape* is gated as a
+  * documented stand-in (`qNN_*_shape` below), completing the BASELINE.md
+  * table query-for-query:
+  *  - Q2: correlated min-cost subquery, partsupp played by
+  *    lineitem(partkey, suppkey, extendedprice).
+  *  - Q11: fraction-of-total HAVING over a scalar subquery, inventory
+  *    value played by lineitem price×quantity.
+  *  - Q12: two-way conditional priority counts, l_returnflag playing
+  *    l_shipmode.
+  *  - Q16: distinct-supplier count with NOT-IN exclusion, the partsupp
+  *    catalog played by distinct (l_partkey, l_suppkey) pairs.
+  *  - Q20: nested IN-over-aggregated-subquery, the availqty test played
+  *    by a per-(supplier,part) shipped-quantity HAVING.
+  *  - Q21: multi-EXISTS + NOT-EXISTS self-join (the reference's
+  *    second-worst completed query, 567.46 s at SF100), "late" meaning
+  *    `l_shipdate > o_orderdate + 90 days` (the Q4 adaptation
+  *    convention).
   *
   * Scale shape per query is called out inline: what broadcasts, what
   * shuffles, and on which key.
@@ -594,6 +601,130 @@ object TpchSuite {
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
 
+  // --- Q11 SHAPE: fraction-of-total HAVING over a scalar subquery ----------
+
+  /** Q11 SHAPE (important stock identification). The exact Q11 sums
+    * partsupp cost×qty (absent); lineitem price×quantity plays the
+    * inventory value. The defining structure is intact: a per-part
+    * aggregate over ONE geography's suppliers (a region here — a single
+    * nation holds <1 supplier at the sf0.001 smoke scale), kept only
+    * where it exceeds a FRACTION of the same aggregate's grand total
+    * (scalar subquery), ordered by value.
+    *
+    * Scale shape: the nation filter broadcasts; the one wide shuffle is
+    * the per-partkey agg (map-side combined); the grand total is a
+    * 1-row broadcast re-using the already-aggregated nval (tiny), so the
+    * fact stream is read and shuffled exactly once. The threshold
+    * compare is integer fixed-point cross-multiplied
+    * (val·1000 > total) — no division, no float boundary. */
+  def q11ImportantStockShape(s: SparkSession, dir: String): DataFrame = {
+    val eurNations = t(s, dir, "nation")
+      .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val nval = t(s, dir, "lineitem")
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(eurNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(Relational.dec(col("l_extendedprice") * col("l_quantity")))
+        .as("val_fp"))
+    val total = nval.agg(sum(col("val_fp")).as("total_fp"))
+    nval.crossJoin(broadcast(total))
+      .filter(col("val_fp") * 1000 > col("total_fp"))
+      .select(col("l_partkey"),
+        (col("val_fp").cast("double") / 10000.0).as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  val q11Sql: String =
+    """WITH nval AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(FLOOR(l_extendedprice * l_quantity * 10000.0 + 0.5)
+      |             AS BIGINT)) AS val_fp
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |                JOIN nation ON s_nationkey = n_nationkey
+      |                JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey, CAST(val_fp AS DOUBLE) / 10000.0 AS value
+      |FROM nval
+      |WHERE val_fp * 1000 > (SELECT SUM(val_fp) FROM nval)
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  // --- Q12 SHAPE: two-way conditional counts by category -------------------
+
+  /** Q12 SHAPE (shipping modes and order priority). The testdata has no
+    * l_shipmode (absent along with commit/receipt dates); l_returnflag
+    * plays the mode category. The defining structure is intact: a
+    * date-windowed orders⋈lineitem join aggregated into TWO conditional
+    * counts (urgent-or-high vs the rest) per category.
+    *
+    * Scale shape: one orderkey-keyed shuffle joins the two facts; the
+    * final agg has |categories| groups — map-side combined to nothing. */
+  def q12ModePriorityShape(s: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >= lit("1997-01-01")
+        && col("l_shipdate") < lit("1998-01-01"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi, 1).otherwise(0)).as("high_line_count"),
+        sum(when(hi, 0).otherwise(1)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |           THEN 1 ELSE 0 END) AS high_line_count,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |           THEN 0 ELSE 1 END) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // --- Q16 SHAPE: distinct-count with NOT-IN supplier exclusion ------------
+
+  /** Q16 SHAPE (parts/supplier relationship). The exact Q16 counts
+    * partsupp suppliers (absent); distinct (l_partkey, l_suppkey) pairs
+    * from lineitem play the supplier catalog. The defining structure is
+    * intact: negated brand/type/size filters, a NOT-IN subquery
+    * excluding flagged suppliers (complaints → negative balance here),
+    * and COUNT(DISTINCT supplier) per (brand, type, size).
+    *
+    * Scale shape: the flagged-supplier set is an SF-fixed left-anti
+    * broadcast; part filters cut before the join; the distinct count
+    * shuffles once on the (brand, type, size) group key with partial
+    * dedup map-side. */
+  def q16SupplierCntShape(s: SparkSession, dir: String): DataFrame = {
+    val flagged = t(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val parts = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1"
+        && !col("p_type").like("PROMO%")
+        && col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    t(s, dir, "lineitem")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(flagged, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   // Registry ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -609,7 +740,10 @@ object TpchSuite {
     "q09_profit_shape" -> (q09ProfitShape _),
     "q02_min_cost_supplier_shape" -> (q02MinCostSupplierShape _),
     "q20_qualified_suppliers_shape" -> (q20QualifiedSuppliersShape _),
-    "q21_waiting_suppliers_shape" -> (q21WaitingSuppliersShape _))
+    "q21_waiting_suppliers_shape" -> (q21WaitingSuppliersShape _),
+    "q11_important_stock_shape" -> (q11ImportantStockShape _),
+    "q12_mode_priority_shape" -> (q12ModePriorityShape _),
+    "q16_supplier_cnt_shape" -> (q16SupplierCntShape _))
 
   val oracles: Map[String, String] = Map(
     "q04_order_priority" -> q04Sql,
@@ -624,5 +758,8 @@ object TpchSuite {
     "q09_profit_shape" -> q09Sql,
     "q02_min_cost_supplier_shape" -> q02Sql,
     "q20_qualified_suppliers_shape" -> q20Sql,
-    "q21_waiting_suppliers_shape" -> q21Sql)
+    "q21_waiting_suppliers_shape" -> q21Sql,
+    "q11_important_stock_shape" -> q11Sql,
+    "q12_mode_priority_shape" -> q12Sql,
+    "q16_supplier_cnt_shape" -> q16Sql)
 }
