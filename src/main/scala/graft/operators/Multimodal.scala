@@ -133,8 +133,13 @@ object Multimodal {
     }
   }
 
-  /** Frame-sampling inventory entry (rows-only): per-kind frame counts +
-    * mean first-feature component as a deterministic content probe. */
+  /** Frame-sampling inventory entry. ORACLE-EXACT: the surfaced stats
+    * (frame count, doc count, total sliced bytes) are pure length
+    * arithmetic over the stride-sampling contract — nFrames =
+    * max(1, len/64), indices 0,4,8,…, slice = min(64, len − i·64) — so
+    * DuckDB mirrors them with `range()`/`least`/`greatest` and no hash
+    * simulation at all. The per-frame feature vectors (not surfaced)
+    * stay pinned by LlmOpsSpec. */
   def qMediaFrames(s: SparkSession, dir: String): DataFrame =
     sampleFrames(mediaTable(s, dir))
       .groupBy(col("kind"))
@@ -182,13 +187,27 @@ object Multimodal {
       |  CAST(max(64 + ((h // 1024) % 1024)) AS INT) AS max_h
       |FROM hh GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Frame geometry mirrored as arithmetic (see [[qMediaFrames]]). */
+  val qMediaFramesSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, 'media/' || CAST(doc_id % 3 AS VARCHAR) AS kind,
+      |    len(text) AS n, greatest(1, len(text) // 64) AS nf
+      |  FROM documents
+      |), frames AS (
+      |  SELECT doc_id, kind, n,
+      |    unnest(range(0, CAST(nf AS BIGINT), 4)) AS i
+      |  FROM docs
+      |)
+      |SELECT kind, count(*) AS n_frames, count(DISTINCT doc_id) AS n_docs,
+      |  CAST(sum(least(64, greatest(0, n - i * 64))) AS BIGINT)
+      |    AS total_bytes
+      |FROM frames GROUP BY kind ORDER BY kind""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> (qMediaFeatures _),
     "q_media_frames" -> (qMediaFrames _))
 
-  /** q_media_frames stays rows-only: the frame-slice byte plumbing is
-    * genuinely binary-side and not worth a char-level SQL re-simulation;
-    * its counts/strides are pinned by LlmOpsSpec. */
   val oracles: Map[String, String] = Map(
-    "q_media_features" -> qMediaFeaturesSql)
+    "q_media_features" -> qMediaFeaturesSql,
+    "q_media_frames" -> qMediaFramesSql)
 }

@@ -400,6 +400,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fromStore === inMem && fromStore.nonEmpty)
   }
 
+  test("kmeans IVF gate probes the stored quantizer with partition pruning") {
+    // the REAL gate query (not a synthetic store): its executed plan must
+    // show PartitionFilters on the cluster-partitioned assign store —
+    // proof that quantizer build is offline and the probe reads only the
+    // probed clusters' files
+    val q = Similarity.qSimIvfKmeans(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      "probe must prune the cluster-partitioned store at the file level")
+    // and no trace of the build computation in the query plan: the
+    // centroid posexplode/re-agg pipeline would show as a Generate node
+    assert(!plan.contains("posexplode"),
+      "centroid construction must not run inside the probe plan")
+  }
+
   test("count-min sketch: over-estimates, within eps*N of exact") {
     val docs = Engine.table(spark, sf, "documents")
     val exact = Lexicon.qHeavyHitters(spark, sf).collect()
