@@ -53,6 +53,7 @@ object Bench {
     "q_sample_hashmod",         // deterministic sampling
     "q_dml_upsert",             // batch upsert view
     "q_asof_join",              // as-of join (union-window single shuffle)
+    "q_asof_join_salted",       // skew-hardened as-of (time-bucket salt + carry)
     "q_range_join",             // banded interval join
     "q_decontaminate",          // 13-gram benchmark decontamination
     "q_boilerplate",            // repeated-segment strip

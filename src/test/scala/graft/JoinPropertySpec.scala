@@ -102,6 +102,52 @@ class JoinPropertySpec extends AnyFunSuite {
     assert(left.count(_._1 == hot) * 2 >= left.size) // fixture really is skewed
   }
 
+  test("asofJoinSalted equals plain asofJoin on random data, both directions") {
+    val s = spark
+    import s.implicits._
+    for (seed <- 1 to 4; width <- Seq(3L, 16L, 1000L)) {
+      val rnd = new scala.util.Random(seed)
+      // one hot key (~50%), timestamps spanning many buckets at width 3/16
+      // and ONE bucket at width 1000 (carry never fires / always fires)
+      val left = (1 to 80).map { i =>
+        val k = if (i % 2 == 0) 0L else 1L + rnd.nextInt(4).toLong
+        (k, rnd.nextInt(100).toLong - 20L, i.toLong) // negative ts included
+      }
+      val right = (1 to 50).map { i =>
+        val k = if (i % 2 == 0) 0L else 1L + rnd.nextInt(4).toLong
+        (k, rnd.nextInt(100).toLong - 20L, i.toLong * 10)
+      }.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      val lDf = left.toDF("k", "t", "lid")
+      val rDf = right.toDF("k", "t", "rv")
+      for (fwd <- Seq(false, true)) {
+        def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => r.getLong(2) ->
+            (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+        val plain = toMap(AsofJoin.asofJoin(
+          lDf, rDf, "k", "t", Seq("rv"), forward = fwd))
+        val salted = toMap(AsofJoin.asofJoinSalted(
+          lDf, rDf, "k", "t", Seq("rv"), bucketWidth = width, forward = fwd))
+        assert(salted === plain, s"seed=$seed width=$width forward=$fwd")
+      }
+    }
+  }
+
+  test("asofJoinSalted NULL semantics match the plain operator") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((Option(1L), Option(10L), "a"), (Option(1L), None, "e"),
+      (Option.empty[Long], Option(7L), "f")).toDF("k", "t", "lv")
+    val right = Seq((Option(1L), Option(10L), "r10"),
+      (Option(1L), None, "rNullTs"), (Option.empty[Long], Option(1L), "rNullKey"))
+      .toDF("k", "t", "rv")
+    val out = AsofJoin.asofJoinSalted(left, right, "k", "t", Seq("rv"),
+        bucketWidth = 4L)
+      .collect().map(r => r.getString(2) -> r.getString(3)).toMap
+    assert(out("a") === "r10") // inclusive at equal ts
+    assert(out("e") === null)  // NULL left ts matches nothing
+    assert(out("f") === null)  // NULL left key matches nothing
+  }
+
   test("banded range-join rule equals the naive plan on random " +
       "intervals and widths") {
     val s = spark
