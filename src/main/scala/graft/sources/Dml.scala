@@ -51,6 +51,44 @@ object Dml {
     untouched.unionByName(updated).unionByName(inserted)
   }
 
+  /** PRIMARY-KEY uniqueness enforcement on append — the batch analog of
+    * the reference's PK index rejecting duplicate inserts
+    * (storage/tianmu/index/tianmu_table_index.cpp: InsertIndex returns
+    * DupKey): appends `incoming` to `base` after verifying the keys are
+    * unique WITHIN the batch and ABSENT from the base, throwing
+    * IllegalStateException (with a bounded sample of offending keys)
+    * otherwise. Plan: one map-side-combined count per incoming key plus
+    * one left-semi probe into base — the probe is key-columns-only, so
+    * at 100 TB it rides parquet column pruning and, bucketed on the key,
+    * needs no base shuffle. NULL key components are rejected too (SQL
+    * PKs are NOT NULL by definition). */
+  def appendStrict(base: DataFrame, incoming: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    val sampleN = 5
+    val nullKeyed = incoming
+      .filter(keys.map(col(_).isNull).reduce(_ || _))
+    val nullSample = nullKeyed.limit(sampleN).collect()
+    if (nullSample.nonEmpty)
+      throw new IllegalStateException(
+        s"appendStrict: NULL primary-key component in incoming batch, " +
+          s"e.g. ${nullSample.mkString("; ")}")
+    val dupInBatch = incoming.groupBy(keys.map(col): _*)
+      .count().filter(col("count") > 1)
+      .limit(sampleN).collect()
+    if (dupInBatch.nonEmpty)
+      throw new IllegalStateException(
+        s"appendStrict: duplicate keys within the incoming batch: " +
+          dupInBatch.mkString("; "))
+    val clash = incoming.select(keys.map(col): _*)
+      .join(base.select(keys.map(col): _*), keys, "left_semi")
+      .limit(sampleN).collect()
+    if (clash.nonEmpty)
+      throw new IllegalStateException(
+        s"appendStrict: keys already present in base: " +
+          clash.mkString("; "))
+    base.unionByName(incoming)
+  }
+
   /** MySQL multi-table `DELETE t FROM t JOIN …` semantics
     * (delete_join.test): drop every base row with at least one match in
     * `matchSide` under `cond` — a left-anti join. */
@@ -127,6 +165,25 @@ object Dml {
       |SELECT c_custkey + 10000000 AS c_custkey, 'NEW_' || c_name AS c_name,
       |  c_nationkey, 0.0 AS c_acctbal, c_mktsegment
       |FROM customer WHERE c_custkey % 97 = 0""".stripMargin
+
+  /** PK-enforced append accept path: key-shifted copies of every 101st
+    * customer append cleanly (the reject paths throw and are pinned by
+    * DmlSpec — a throwing gate has no oracle to mirror). */
+  def qDmlAppendStrict(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val batch = c.filter(col("c_custkey") % 101 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 20000000L)
+      .withColumn("c_mktsegment", lit("APPENDED"))
+    appendStrict(c, batch, Seq("c_custkey"))
+  }
+
+  val qDmlAppendStrictSql: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey + 20000000 AS c_custkey, c_name, c_nationkey,
+      |  c_acctbal, 'APPENDED' AS c_mktsegment
+      |FROM customer WHERE c_custkey % 101 = 0""".stripMargin
 
   /** DELETE customer FROM customer JOIN orders: drop customers holding an
     * urgent 1995 order. */
@@ -230,12 +287,14 @@ object Dml {
     "q_dml_upsert" -> (qDmlUpsert _),
     "q_dml_delete_join" -> (qDmlDeleteJoin _),
     "q_dml_update_join" -> (qDmlUpdateJoin _),
-    "q_dml_auto_increment" -> (qDmlAutoIncrement _))
+    "q_dml_auto_increment" -> (qDmlAutoIncrement _),
+    "q_dml_append_strict" -> (qDmlAppendStrict _))
 
   val oracles: Map[String, String] = Map(
     "q_dml_replace_into" -> qDmlReplaceIntoSql,
     "q_dml_upsert" -> qDmlUpsertSql,
     "q_dml_delete_join" -> qDmlDeleteJoinSql,
     "q_dml_update_join" -> qDmlUpdateJoinSql,
-    "q_dml_auto_increment" -> qDmlAutoIncrementSql)
+    "q_dml_auto_increment" -> qDmlAutoIncrementSql,
+    "q_dml_append_strict" -> qDmlAppendStrictSql)
 }

@@ -75,4 +75,32 @@ class DmlSpec extends AnyFunSuite {
       .join(eu, col("c_nationkey") === col("n_nationkey"), "left_semi").count()
     assert(out.filter(col("c_mktsegment").startsWith("EU_")).count() === nEu)
   }
+
+  test("appendStrict enforces PK uniqueness: clean append passes, " +
+      "in-batch dup / base clash / NULL key all throw") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // clean batch appends
+    val ok = Dml.appendStrict(base, Seq((3L, "c"), (4L, "d")).toDF("id", "v"),
+      Seq("id"))
+    assert(ok.count() === 4)
+    // duplicate within the incoming batch
+    val e1 = intercept[IllegalStateException] {
+      Dml.appendStrict(base, Seq((3L, "c"), (3L, "c2")).toDF("id", "v"),
+        Seq("id"))
+    }
+    assert(e1.getMessage.contains("within the incoming batch"))
+    // key already present in base
+    val e2 = intercept[IllegalStateException] {
+      Dml.appendStrict(base, Seq((2L, "x")).toDF("id", "v"), Seq("id"))
+    }
+    assert(e2.getMessage.contains("already present in base"))
+    // NULL key component
+    val e3 = intercept[IllegalStateException] {
+      Dml.appendStrict(base,
+        Seq((Option.empty[Long], "n")).toDF("id", "v"), Seq("id"))
+    }
+    assert(e3.getMessage.contains("NULL primary-key"))
+  }
 }
