@@ -37,6 +37,7 @@ object SparkEntry {
     operators.Similarity.queries -> operators.Similarity.oracles,
     operators.Multimodal.queries -> operators.Multimodal.oracles,
     sources.Dml.queries -> sources.Dml.oracles,
+    sources.MvccStore.queries -> sources.MvccStore.oracles,
     sources.StatsSidecar.queries -> sources.StatsSidecar.oracles,
     operators.Pipeline.queries -> operators.Pipeline.oracles)
 

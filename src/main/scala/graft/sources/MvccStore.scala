@@ -1,0 +1,257 @@
+package graft.sources
+
+import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+import java.util.UUID
+
+import graft.Engine
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MVCC snapshot isolation for the lakehouse store (SURVEY.md §2.11 gap;
+  * the reference versions packs with per-DPN transaction ids
+  * `xmin`/`xmax` — storage/tianmu/data/dpn.h:56-57 — so readers see only
+  * packs committed at or before their transaction and concurrent writers
+  * never tear a scan).
+  *
+  * Spark-first, the same guarantee is a manifest log over immutable
+  * parquet segments — the standard lakehouse commit protocol (Delta
+  * Lake / Iceberg shape, re-derived here over plain files):
+  *
+  *  - `data/seg-*` dirs are immutable once written (a writer stages its
+  *    segment fully before it is referenced anywhere);
+  *  - `_log/v%08d.manifest` lists the exact segment set of version N —
+  *    the batch analog of "xmin ≤ my_tx < xmax" pack visibility;
+  *  - a commit PUBLISHES the next manifest atomically: readers see
+  *    version N or N+1, never a partial state;
+  *  - readers pin a manifest once and read only its segments, so a
+  *    concurrent compaction/append cannot change or tear a running scan
+  *    (old segments are retained until [[vacuum]]);
+  *  - appends are blind inserts and commute: on a version collision the
+  *    writer rebases onto the new head and retries. Rewrites
+  *    (compact/truncate/overwrite) conflict with ANY interleaved commit
+  *    and throw — first-committer-wins, the optimistic analog of the
+  *    reference taking the table write lock for its background merge
+  *    (core/engine.h:210).
+  *
+  * Atomicity of publish: on a local/POSIX filesystem the manifest is
+  * hard-linked into place (`link(2)` fails with EEXIST if the version
+  * was taken — atomic create-if-absent). On HDFS, `create(overwrite =
+  * false)` gives the same single-winner guarantee. Object stores without
+  * atomic create-if-absent (S3) need a coordinating log store, exactly
+  * as Delta Lake documents — out of scope here.
+  *
+  * At 100 TB this is the only design that works: the log is O(versions)
+  * tiny text files, a snapshot read is a plain multi-path parquet scan
+  * (partition pruning and pushdown intact), and no commit ever rewrites
+  * data another transaction is reading.
+  */
+class MvccStore(spark: SparkSession, val root: String) {
+
+  private val logDir = s"$root/_log"
+  private val dataDir = s"$root/data"
+
+  private def fs = new Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(v: Long) =
+    new Path(logDir, f"v$v%08d.manifest")
+
+  /** Latest committed version, or 0 if the store is empty. */
+  def currentVersion(): Long = {
+    val dir = new Path(logDir)
+    if (!fs.exists(dir)) return 0L
+    val vs = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+    if (vs.isEmpty) 0L else vs.max
+  }
+
+  /** Versions still present in the log (time-travel candidates). */
+  def versions(): Seq[Long] = {
+    val dir = new Path(logDir)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+      .sorted.toSeq
+  }
+
+  private def readManifest(v: Long): (String, Seq[String]) = {
+    val p = manifestPath(v)
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"MvccStore: version $v does not exist (vacuumed or never " +
+          s"committed); available: ${versions().mkString(",")}")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    (lines.head.stripPrefix("action="), lines.tail)
+  }
+
+  /** Stage a new immutable segment; returns its log-relative name. */
+  private def stageSegment(df: DataFrame): String = {
+    val seg = s"seg-${UUID.randomUUID().toString}"
+    df.write.mode("overwrite").parquet(s"$dataDir/$seg")
+    seg
+  }
+
+  /** Atomically publish `content` as version `v`. True iff this writer
+    * won the version (create-if-absent semantics). */
+  private def publish(v: Long, action: String, segs: Seq[String]): Boolean = {
+    fs.mkdirs(new Path(logDir))
+    val content = (s"action=$action" +: segs).mkString("\n") + "\n"
+    val tmp = new Path(logDir, s".tmp-${UUID.randomUUID().toString}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val dest = manifestPath(v)
+    val won =
+      if (dest.toUri.getScheme == null || dest.toUri.getScheme == "file") {
+        // POSIX: hard-link = atomic create-if-absent (EEXIST on loss).
+        try {
+          Files.createLink(Paths.get(dest.toUri.getPath),
+            Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: FileAlreadyExistsException => false }
+      } else {
+        // HDFS: create(overwrite=false) is the single-winner primitive.
+        if (fs.exists(dest)) false
+        else try {
+          val o = fs.create(dest, false)
+          try o.write(content.getBytes("UTF-8")) finally o.close()
+          true
+        } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      }
+    fs.delete(tmp, false)
+    won
+  }
+
+  /** Initialize the store (version 1). Fails if already initialized. */
+  def init(df: DataFrame): Long = {
+    val seg = stageSegment(df)
+    if (!publish(1L, "init", Seq(seg)))
+      throw new java.util.ConcurrentModificationException(
+        "MvccStore: store already initialized")
+    1L
+  }
+
+  /** Transactional append (blind insert): stages the segment once, then
+    * publishes against the current head, rebasing and retrying on a
+    * version collision — appends commute, so the rebase is just
+    * "parent segments ∪ mine". Returns the committed version. */
+  def commitAppend(df: DataFrame, maxRetries: Int = 50): Long = {
+    val seg = stageSegment(df)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion()
+      val (_, parentSegs) =
+        if (head == 0) ("init", Seq.empty[String]) else readManifest(head)
+      if (publish(head + 1, "append", parentSegs :+ seg)) return head + 1
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"MvccStore: append lost $maxRetries races; contention too high")
+  }
+
+  /** Transactional whole-table rewrite (compact/overwrite/truncate
+    * share this): stages the replacement, then publishes IFF no other
+    * commit landed since `readVersion` — first-committer-wins, because a
+    * rewrite does NOT commute with interleaved appends (they would be
+    * silently dropped). */
+  private def commitRewrite(df: DataFrame, readVersion: Long,
+                            action: String): Long = {
+    val seg = stageSegment(df)
+    if (!publish(readVersion + 1, action, Seq(seg)))
+      throw new java.util.ConcurrentModificationException(
+        s"MvccStore: $action read version $readVersion but another " +
+          s"transaction committed ${currentVersion()}; retry on the new head")
+    readVersion + 1
+  }
+
+  /** Fold all segments of the current head into one (background-merge
+    * analog under MVCC: readers of older versions are untouched). */
+  def compact(): Long = {
+    val head = currentVersion()
+    commitRewrite(read(Some(head)), head, "compact")
+  }
+
+  /** TRUNCATE under MVCC: schema kept, rows dropped, history intact. */
+  def truncate(): Long = {
+    val head = currentVersion()
+    commitRewrite(read(Some(head)).limit(0), head, "truncate")
+  }
+
+  /** Snapshot read. `version = None` pins the latest committed version
+    * at CALL time — the returned frame keeps reading that snapshot even
+    * if commits land while the query runs (pack-visibility analog). */
+  def read(version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion())
+    if (v == 0)
+      throw new IllegalStateException("MvccStore: empty store (no commits)")
+    val (_, segs) = readManifest(v)
+    spark.read.parquet(segs.map(s => s"$dataDir/$s"): _*)
+  }
+
+  /** Drop segments (and manifests) only reachable from versions older
+    * than the `retain` most recent — the GC that makes snapshot
+    * retention bounded. Readers pinned to a retained version are safe;
+    * time travel past the horizon throws (see [[readManifest]]). */
+  def vacuum(retain: Int = 2): Unit = {
+    val vs = versions()
+    if (vs.size <= retain) return
+    val (drop, keep) = vs.splitAt(vs.size - retain)
+    val live = keep.flatMap(v => readManifest(v)._2).toSet
+    val dataPath = new Path(dataDir)
+    if (fs.exists(dataPath))
+      fs.listStatus(dataPath).map(_.getPath)
+        .filter(p => p.getName.startsWith("seg-") && !live.contains(p.getName))
+        .foreach(p => fs.delete(p, true))
+    drop.foreach(v => fs.delete(manifestPath(v), false))
+  }
+}
+
+/** Driver-gate read views for the MVCC tier. */
+object MvccStore {
+
+  /** Time travel + snapshot isolation, oracle-mirrored: orders arrive in
+    * three version steps (init thirds 0, append thirds 1, append thirds
+    * 2) with a compaction interleaved; the gate reads the v2 snapshot
+    * (pinned BEFORE the later commits) beside the final head and
+    * aggregates both by priority. The oracle reconstructs each snapshot
+    * as a modulo filter — equality proves pinned reads see exactly their
+    * version's rows, before and after compaction rewrote the head. */
+  def qMvccTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val orders = Engine.table(s, dir, "orders")
+    val tmp = Files.createTempDirectory("graft-mvcc-gate").toString
+    val store = new MvccStore(s, tmp)
+    store.init(orders.filter(col("o_orderkey") % 3 === 0))
+    val v2 = store.commitAppend(orders.filter(col("o_orderkey") % 3 === 1))
+    val pinned = store.read(Some(v2))
+    store.compact()
+    store.commitAppend(orders.filter(col("o_orderkey") % 3 === 2))
+    val latest = store.read()
+    def agg(df: DataFrame, tag: String) =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("sum_key"))
+        .withColumn("snap", lit(tag))
+    agg(pinned, "v2").unionByName(agg(latest, "head"))
+      .select("snap", "o_orderpriority", "n_orders", "sum_key")
+  }
+
+  val qMvccTimeTravelSql: String =
+    """SELECT 'v2' AS snap, o_orderpriority, COUNT(*) AS n_orders,
+      |  SUM(o_orderkey) AS sum_key
+      |FROM orders WHERE o_orderkey % 3 < 2 GROUP BY o_orderpriority
+      |UNION ALL
+      |SELECT 'head' AS snap, o_orderpriority, COUNT(*) AS n_orders,
+      |  SUM(o_orderkey) AS sum_key
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mvcc_time_travel" -> (qMvccTimeTravel _))
+
+  val oracles: Map[String, String] = Map(
+    "q_mvcc_time_travel" -> qMvccTimeTravelSql)
+}
