@@ -38,6 +38,7 @@ object SparkEntry {
     operators.Multimodal.queries -> operators.Multimodal.oracles,
     sources.Dml.queries -> sources.Dml.oracles,
     sources.MvccStore.queries -> sources.MvccStore.oracles,
+    sources.Statements.queries -> sources.Statements.oracles,
     sources.StatsSidecar.queries -> sources.StatsSidecar.oracles,
     operators.Pipeline.queries -> operators.Pipeline.oracles)
 

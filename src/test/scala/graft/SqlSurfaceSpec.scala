@@ -83,4 +83,63 @@ class SqlSurfaceSpec extends AnyFunSuite {
       assert(row.getAs[Int]("n_bands") === 8)
     }
   }
+
+  test("statement front-end: LOAD DATA INFILE parses clauses and appends") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_stmt_load").toString
+    val nation = Engine.table(spark, sf, "nation")
+    val lines = nation.orderBy("n_nationkey").collect()
+      .map(_.mkString("\t"))
+    Files.write(Paths.get(tmp, "nation.tsv"),
+      (lines :+ "bad_row\tX").mkString("\n").getBytes)
+    val store = new sources.DeltaStore(spark, s"$tmp/store")
+    store.writeBase(nation.limit(0))
+    val runner = new sources.StatementRunner(spark)
+    runner.attach("stmt_nation", store)
+    val summary = runner.run(
+      s"LOAD DATA INFILE '$tmp/nation.tsv' INTO TABLE stmt_nation " +
+        "FIELDS TERMINATED BY '\\t' LINES TERMINATED BY '\\n'").first()
+    assert(summary.getAs[Long]("rows_loaded") === nation.count())
+    assert(summary.getAs[Long]("rows_rejected") === 1L)
+    // the temp view now serves the loaded rows through plain SQL
+    val back = runner.run("SELECT * FROM stmt_nation ORDER BY n_nationkey")
+    assert(back.collect().toSeq ===
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("statement front-end: SELECT INTO OUTFILE exports, rest passes through") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_stmt_out").toString
+    Engine.registerAll(spark, sf)
+    val runner = new sources.StatementRunner(spark)
+    val summary = runner.run(
+      s"""SELECT r_regionkey, r_name INTO OUTFILE '$tmp/regions'
+         |FIELDS TERMINATED BY ';' FROM region""".stripMargin).first()
+    assert(summary.getAs[Long]("rows_exported") === 5L)
+    val firstLine = scala.io.Source.fromFile(
+      new java.io.File(s"$tmp/regions").listFiles()
+        .filter(_.getName.startsWith("part-")).head).getLines().next()
+    assert(firstLine.count(_ == ';') === 1)
+    // passthrough: an ordinary statement is just spark.sql
+    assert(runner.run("SELECT count(*) AS n FROM region").first()
+      .getLong(0) === 5L)
+  }
+
+  test("statement front-end: unsupported clauses fail fast, loudly") {
+    val runner = new sources.StatementRunner(spark)
+    val store = new sources.DeltaStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_stmt_x").toString)
+    store.writeBase(Engine.table(spark, sf, "region").limit(0))
+    runner.attach("stmt_region_x", store)
+    intercept[UnsupportedOperationException] {
+      runner.run("LOAD DATA INFILE '/tmp/x' REPLACE INTO TABLE stmt_region_x")
+    }
+    intercept[UnsupportedOperationException] {
+      runner.run(
+        "LOAD DATA INFILE '/tmp/x' INTO TABLE stmt_region_x IGNORE 1 LINES")
+    }
+    intercept[IllegalArgumentException] {
+      runner.run("LOAD DATA INFILE '/tmp/x' INTO TABLE never_attached")
+    }
+  }
 }
