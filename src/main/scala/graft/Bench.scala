@@ -57,6 +57,7 @@ object Bench {
     "q_range_join",             // banded interval join
     "q_decontaminate",          // 13-gram benchmark decontamination
     "q_boilerplate",            // repeated-segment strip
+    "q_span_dedup",             // C4 keep-first cross-doc span dedup
     "q_tfidf_topk")             // corpus-lexicon TF-IDF
 
   def runOne(spark: SparkSession, name: String, sfDir: String): Double = {

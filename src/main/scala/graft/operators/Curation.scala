@@ -236,6 +236,105 @@ object Curation {
           .as("n_removed"))
   }
 
+  /** C4-style cross-document span dedup, KEEP-FIRST policy (Raffel et
+    * al. 2020 §2.2 dedupe exactly-repeated spans keeping one
+    * occurrence; RefinedWeb line-dedup is the same shape): every
+    * [[SegWidth]]-token segment string that occurs more than once in
+    * the corpus — even just twice, unlike [[stripBoilerplate]]'s
+    * frequency threshold — survives only at its lexicographically first
+    * occurrence (min (doc_id, i)); all later occurrences, in the same
+    * doc or any other, are removed. Trailing partial segments pass
+    * through. Returns (doc_id, text_clean, n_segments, n_removed).
+    *
+    * Scale shape: the winner per span is a map-side-combined
+    * `min(struct(doc_id, i))` aggregate — a viral span repeated 10M
+    * times collapses inside the scan tasks, so there is no hot-key
+    * window sort (the row_number formulation would put every occurrence
+    * of the hottest span in one task). The occurrence filter is an
+    * equi-join on the segment key that AQE serves from the aggregation's
+    * own exchange; reassembly is one doc_id-keyed agg joined to the
+    * doc-spine on colocated partitions. Nothing is collected, nothing
+    * is broadcast (the winner set is corpus-sized, unlike boilerplate's
+    * bounded set). */
+  def dedupSpansKeepFirst(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val segs = segments(docs)
+    val winners = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("i"))).as("w"))
+    val kept = segs.join(winners, "seg")
+      .filter(struct(col("doc_id"), col("i")) === col("w"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(i, seg))), s -> s.seg), ' ')")
+          .as("kept_txt"))
+    val base = toks.select(col("doc_id"),
+      expr(s"size(tk) div $SegWidth").cast("long").as("n_segments"),
+      expr(s"concat_ws(' ', slice(tk, (size(tk) div $SegWidth) * $SegWidth + 1, size(tk) - (size(tk) div $SegWidth) * $SegWidth))")
+        .as("tail_txt"))
+    base.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", nullif(col("kept_txt"), lit("")),
+          nullif(col("tail_txt"), lit(""))).as("text_clean"),
+        col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed"))
+  }
+
+  /** Span-dedup fixture: an identical [[SegWidth]]-token paragraph
+    * planted at the head of every 4th doc — keep-first must preserve it
+    * in exactly the SMALLEST planted doc_id and strip it everywhere
+    * else (boilerplate, by contrast, strips all copies). */
+  val SpanShared = "click here to read the full original article"
+
+  private def plantSharedSpan(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat_ws(" ",
+        when(col("doc_id") % 4 === 0, SpanShared),
+        col("text")).as("text"))
+
+  def qSpanDedup(s: SparkSession, dir: String): DataFrame =
+    dedupSpansKeepFirst(plantSharedSpan(
+      Engine.rebalance(t(s, dir, "documents")))).orderBy(col("doc_id"))
+
+  /** Oracle mirrors keep-first over segment STRINGS with ROW_NUMBER —
+    * value-identical to the min-struct winner since (doc_id, i) is
+    * unique per occurrence. */
+  val qSpanDedupSql: String =
+    s"""WITH planted AS (
+      |  SELECT doc_id, concat_ws(' ',
+      |    CASE WHEN doc_id % 4 = 0 THEN '$SpanShared' END,
+      |    text) AS text
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM planted
+      |), segs AS (
+      |  SELECT doc_id, i,
+      |    array_to_string(tk[(i - 1) * $SegWidth + 1 : i * $SegWidth], ' ')
+      |      AS seg
+      |  FROM toks, unnest(range(1, len(tk) // $SegWidth + 1)) AS u(i)
+      |), ranked AS (
+      |  SELECT doc_id, i, seg,
+      |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, i) AS rn
+      |  FROM segs
+      |), kept AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    string_agg(seg, ' ' ORDER BY i) AS kept_txt
+      |  FROM ranked WHERE rn = 1 GROUP BY doc_id
+      |), base AS (
+      |  SELECT doc_id,
+      |    CAST(len(tk) // $SegWidth AS BIGINT) AS n_segments,
+      |    array_to_string(tk[(len(tk) // $SegWidth) * $SegWidth + 1 : len(tk)], ' ')
+      |      AS tail_txt
+      |  FROM toks
+      |)
+      |SELECT b.doc_id,
+      |  concat_ws(' ', nullif(k.kept_txt, ''), nullif(b.tail_txt, ''))
+      |    AS text_clean,
+      |  b.n_segments,
+      |  b.n_segments - coalesce(k.n_kept, 0) AS n_removed
+      |FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   /** Boilerplate fixture headers — planted at the START of the text so
     * they align to segment boundaries (both are exactly [[SegWidth]]
     * tokens). `HeaderCommon` lands on 1/3 of docs (stripped at the 5%
@@ -298,10 +397,12 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (qDecontaminate _),
     "q_pii_scrub" -> (qPiiScrub _),
-    "q_boilerplate" -> (qBoilerplate _))
+    "q_boilerplate" -> (qBoilerplate _),
+    "q_span_dedup" -> (qSpanDedup _))
 
   val oracles: Map[String, String] = Map(
     "q_decontaminate" -> qDecontaminateSql,
     "q_pii_scrub" -> qPiiScrubSql,
-    "q_boilerplate" -> qBoilerplateSql)
+    "q_boilerplate" -> qBoilerplateSql,
+    "q_span_dedup" -> qSpanDedupSql)
 }

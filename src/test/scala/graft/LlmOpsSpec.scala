@@ -488,4 +488,29 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
+
+  test("span dedup keep-first: planted span survives only at its first " +
+      "occurrence; boilerplate strips all copies") {
+    import org.apache.spark.sql.functions.col
+    val out = Curation.qSpanDedup(spark, sf)
+      .select("doc_id", "text_clean").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val planted = out.keys.filter(_ % 4 == 0).toSeq.sorted
+    val firstDoc = planted.head
+    assert(out(firstDoc).startsWith(Curation.SpanShared),
+      s"first planted doc $firstDoc must KEEP the shared span")
+    planted.tail.foreach { d =>
+      assert(!out(d).contains(Curation.SpanShared),
+        s"doc $d must have the shared span removed (kept-first elsewhere)")
+    }
+    // un-planted docs: spans unique in the corpus are untouched
+    val docs = Engine.table(spark, sf, "documents")
+    val orig = docs.filter(col("doc_id") % 4 =!= 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val untouched = orig.count { case (d, txt) => out(d) == txt }
+    // word-soup corpora do contain natural repeats; most docs survive
+    assert(untouched * 10 > orig.size * 5,
+      s"only $untouched/${orig.size} unplanted docs unchanged")
+  }
 }
