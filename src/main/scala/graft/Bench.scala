@@ -58,6 +58,8 @@ object Bench {
     "q_decontaminate",          // 13-gram benchmark decontamination
     "q_boilerplate",            // repeated-segment strip
     "q_span_dedup",             // C4 keep-first cross-doc span dedup
+    "q_seq_pack",               // concat-and-chunk sequence packing
+    "q_text_classifier_score",  // hashed linear quality scorer
     "q_tfidf_topk")             // corpus-lexicon TF-IDF
 
   def runOne(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -36,6 +36,7 @@ object SparkEntry {
     operators.Dedup.queries -> operators.Dedup.oracles,
     operators.Similarity.queries -> operators.Similarity.oracles,
     operators.Multimodal.queries -> operators.Multimodal.oracles,
+    operators.Packing.queries -> operators.Packing.oracles,
     sources.Dml.queries -> sources.Dml.oracles,
     sources.MvccStore.queries -> sources.MvccStore.oracles,
     sources.Statements.queries -> sources.Statements.oracles,

@@ -225,7 +225,59 @@ object TextOps {
         " / len(string_split(text, ' '))")} AS repetition_ratio
       |FROM documents""".stripMargin
 
+  /** Hashed linear text classifier scoring (fastText-shaped quality
+    * filter — Joulin et al. 2016: score = Σ_tok w[h(tok) mod D]; the
+    * GPT-3/CCNet pipelines run exactly this shape as their quality
+    * gate, Brown et al. 2020 appendix A). The Spark-side plumbing is
+    * the real contract: per-token bucket via a hash both engines
+    * compute identically (md5 → first 12 hex digits → mod D, the
+    * [[Dedup]] md5-twin idiom), weight lookup as pure arithmetic, and
+    * the per-doc reduction kept in integer micro-units so token order
+    * cannot perturb the sum (the repo's fixed-point convention). The
+    * WEIGHTS are a deterministic stub (Knuth-hash of the bucket id →
+    * [-0.5, 0.5) micro-units) — a trained model would broadcast a real
+    * weight array; swapping it in changes one line. Zero shuffles: the
+    * whole score is a codegen'd projection (aggregate over the token
+    * array inside the row), so at 100 TB this is scan-speed. */
+  val QualityDim = 4096L
+
+  def qualityLinearScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr(
+        s"""aggregate(
+           |  filter(split(lower(text), ' '), x -> length(x) > 0),
+           |  0L,
+           |  (acc, tok) -> acc +
+           |    ((cast(conv(substring(md5(tok), 1, 12), 16, 10) as bigint)
+           |        % $QualityDim)
+           |       * 2654435761L % 1000000L - 500000L),
+           |  acc -> acc)""".stripMargin).as("score_micro"))
+      .select(col("doc_id"),
+        (col("score_micro") / lit(1000000.0)).as("score"),
+        (col("score_micro") > 0L).as("keep"))
+
+  def qTextClassifierScore(s: SparkSession, dir: String): DataFrame =
+    qualityLinearScore(t(s, dir, "documents")).orderBy(col("doc_id"))
+
+  /** Oracle: same bucket/weight arithmetic via list_transform; DuckDB
+    * md5 agrees with Spark's, and the 12-hex-digit prefix (48 bits)
+    * fits BIGINT exactly on both engines. */
+  val qTextClassifierScoreSql: String =
+    s"""WITH scored AS (
+      |  SELECT doc_id,
+      |    COALESCE(list_sum(list_transform(
+      |      list_filter(string_split(lower(text), ' '), x -> len(x) > 0),
+      |      tok -> (CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT)
+      |                % $QualityDim)
+      |               * 2654435761 % 1000000 - 500000)), 0) AS score_micro
+      |  FROM documents
+      |)
+      |SELECT doc_id, score_micro / 1000000.0 AS score,
+      |  score_micro > 0 AS keep
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_classifier_score" -> (qTextClassifierScore _),
     "q_text_tokens" -> (qTextTokens _),
     "q_text_stats" -> (qTextStats _),
     "q_text_quality" -> (qTextQuality _),
@@ -234,6 +286,7 @@ object TextOps {
     "q_text_repetition" -> (qTextRepetition _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_classifier_score" -> qTextClassifierScoreSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_stats" -> qTextStatsSql,
     "q_text_quality" -> qTextQualitySql,

@@ -77,7 +77,10 @@ class MvccStore(spark: SparkSession, val root: String) {
       .sorted.toSeq
   }
 
-  private def readManifest(v: Long): (String, Seq[String]) = {
+  private case class Manifest(action: String, txId: Option[String],
+                              segs: Seq[String])
+
+  private def readManifest(v: Long): Manifest = {
     val p = manifestPath(v)
     if (!fs.exists(p))
       throw new IllegalStateException(
@@ -87,7 +90,9 @@ class MvccStore(spark: SparkSession, val root: String) {
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                finally in.close()
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
-    (lines.head.stripPrefix("action="), lines.tail)
+    Manifest(lines.head.stripPrefix("action="),
+      lines.tail.find(_.startsWith("txid=")).map(_.stripPrefix("txid=")),
+      lines.tail.filterNot(_.startsWith("txid=")))
   }
 
   /** Stage a new immutable segment; returns its log-relative name. */
@@ -99,9 +104,11 @@ class MvccStore(spark: SparkSession, val root: String) {
 
   /** Atomically publish `content` as version `v`. True iff this writer
     * won the version (create-if-absent semantics). */
-  private def publish(v: Long, action: String, segs: Seq[String]): Boolean = {
+  private def publish(v: Long, action: String, segs: Seq[String],
+                      txId: Option[String] = None): Boolean = {
     fs.mkdirs(new Path(logDir))
-    val content = (s"action=$action" +: segs).mkString("\n") + "\n"
+    val content = (s"action=$action" +: txId.map(t => s"txid=$t").toSeq
+      ++: segs).mkString("\n") + "\n"
     val tmp = new Path(logDir, s".tmp-${UUID.randomUUID().toString}")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
@@ -145,13 +152,47 @@ class MvccStore(spark: SparkSession, val root: String) {
     var attempt = 0
     while (attempt < maxRetries) {
       val head = currentVersion()
-      val (_, parentSegs) =
-        if (head == 0) ("init", Seq.empty[String]) else readManifest(head)
+      val parentSegs =
+        if (head == 0) Seq.empty[String] else readManifest(head).segs
       if (publish(head + 1, "append", parentSegs :+ seg)) return head + 1
       attempt += 1
     }
     throw new java.util.ConcurrentModificationException(
       s"MvccStore: append lost $maxRetries races; contention too high")
+  }
+
+  /** Idempotent transactional append — the exactly-once sink primitive:
+    * a commit tagged `txId` that already exists in the log is a no-op
+    * returning the original version, so a RETRIED write (a restarted
+    * streaming micro-batch, a re-run job step) lands once. The txid
+    * check re-runs after every lost race, closing the window where two
+    * retries of the same transaction both think they are first. The
+    * log scan is O(versions) — the same linear tail-scan a lakehouse
+    * commit protocol does; [[vacuum]] bounds it. */
+  def commitAppendOnce(df: DataFrame, txId: String,
+                       maxRetries: Int = 50): Long = {
+    def existing(): Option[Long] =
+      versions().find(v => readManifest(v).txId.contains(txId))
+    existing() match {
+      case Some(v) => return v
+      case None =>
+    }
+    val seg = stageSegment(df)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = currentVersion()
+      val parentSegs =
+        if (head == 0) Seq.empty[String] else readManifest(head).segs
+      if (publish(head + 1, "append", parentSegs :+ seg, Some(txId)))
+        return head + 1
+      existing() match { // a rival retry of the SAME tx may have won
+        case Some(v) => fs.delete(new Path(s"$dataDir/$seg"), true); return v
+        case None =>
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"MvccStore: append($txId) lost $maxRetries races")
   }
 
   /** Transactional whole-table rewrite (compact/overwrite/truncate
@@ -189,8 +230,7 @@ class MvccStore(spark: SparkSession, val root: String) {
     val v = version.getOrElse(currentVersion())
     if (v == 0)
       throw new IllegalStateException("MvccStore: empty store (no commits)")
-    val (_, segs) = readManifest(v)
-    spark.read.parquet(segs.map(s => s"$dataDir/$s"): _*)
+    spark.read.parquet(readManifest(v).segs.map(s => s"$dataDir/$s"): _*)
   }
 
   /** Drop segments (and manifests) only reachable from versions older
@@ -201,7 +241,7 @@ class MvccStore(spark: SparkSession, val root: String) {
     val vs = versions()
     if (vs.size <= retain) return
     val (drop, keep) = vs.splitAt(vs.size - retain)
-    val live = keep.flatMap(v => readManifest(v)._2).toSet
+    val live = keep.flatMap(v => readManifest(v).segs).toSet
     val dataPath = new Path(dataDir)
     if (fs.exists(dataPath))
       fs.listStatus(dataPath).map(_.getPath)

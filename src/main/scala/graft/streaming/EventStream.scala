@@ -116,6 +116,23 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Exactly-once streaming ingest into the MVCC store: each micro-batch
+    * commits under txid `streamId/batchId`, so a batch REPLAYED after a
+    * failure (same batchId, the Structured Streaming retry contract) is
+    * a no-op instead of a duplicate append — idempotent-sink
+    * exactly-once, the same scheme Delta's streaming sink uses
+    * (txnVersion/txnAppId). Snapshot readers never see a torn batch:
+    * the commit is one atomic manifest publish. */
+  def ingestToMvcc(events: DataFrame, store: graft.sources.MvccStore,
+                   streamId: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        store.commitAppendOnce(batch.toDF(), s"$streamId/$id"): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   // --- incremental corpus ingest -------------------------------------------
 
   /** Raw parquet schema of the documents table. */

@@ -489,6 +489,47 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
+  test("sequence packing: every chunk holds exactly the budget except " +
+      "the last; totals conserve the corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = Engine.table(spark, sf, "documents")
+    val plan = operators.Packing.packPlan(docs, operators.Packing.PackBudget)
+      .collect()
+    val b = operators.Packing.PackBudget
+    assert(plan.nonEmpty)
+    // chunk ids are dense 0..K-1
+    assert(plan.map(_.getLong(0)).toSeq === (0L until plan.length).toSeq)
+    // all but the final chunk are exactly full
+    plan.dropRight(1).foreach(r =>
+      assert(r.getAs[Long]("n_tokens") === b, s"chunk ${r.getLong(0)}"))
+    assert(plan.last.getAs[Long]("n_tokens") <= b)
+    // token conservation: chunk tokens sum to the corpus token count
+    val corpusToks = docs
+      .select(org.apache.spark.sql.functions.expr(
+        "sum(size(split(text, ' ')))")).first().getLong(0)
+    assert(plan.map(_.getAs[Long]("n_tokens")).sum === corpusToks)
+    // doc-start conservation: every doc starts in exactly one chunk
+    assert(plan.map(_.getAs[Long]("n_docs_starting")).sum === docs.count())
+    // a doc spanning k chunks is counted in each: n_docs ≥ n_docs_starting
+    plan.foreach(r => assert(
+      r.getAs[Long]("n_docs") >= r.getAs[Long]("n_docs_starting")))
+  }
+
+  test("classifier score: deterministic, zero-shuffle projection, " +
+      "sign threshold splits the corpus") {
+    val a = operators.TextOps.qTextClassifierScore(spark, sf).collect()
+    val b2 = operators.TextOps.qTextClassifierScore(spark, sf).collect()
+    assert(a.toSeq === b2.toSeq)
+    val kept = a.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < a.length,
+      s"degenerate threshold: $kept/${a.length} kept")
+    // no exchange in the plan: the score is a scan-side projection
+    val plan = operators.TextOps.qualityLinearScore(
+      Engine.table(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "classifier score must not shuffle")
+  }
+
   test("span dedup keep-first: planted span survives only at its first " +
       "occurrence; boilerplate strips all copies") {
     import org.apache.spark.sql.functions.col

@@ -113,6 +113,43 @@ class MvccSpec extends AnyFunSuite {
     assert(dataDir.listFiles().count(_.getName.startsWith("seg-")) === 1)
   }
 
+  test("idempotent commits: a retried txid lands exactly once") {
+    val store = freshStore()
+    val n = Engine.table(spark, sf, "nation")
+    store.init(n.filter(col("n_nationkey") < 10))
+    val batch = n.filter(col("n_nationkey") >= 10)
+    val v1 = store.commitAppendOnce(batch, "job-42/batch-0")
+    val v2 = store.commitAppendOnce(batch, "job-42/batch-0") // retry
+    assert(v1 === v2)
+    assert(store.currentVersion() === v1)
+    assert(store.read().count() === n.count()) // no duplicate rows
+    // a different txid is a genuine new commit
+    val v3 = store.commitAppendOnce(batch.limit(1), "job-42/batch-1")
+    assert(v3 === v1 + 1)
+  }
+
+  test("streaming exactly-once: replaying the whole stream adds nothing") {
+    import graft.streaming.EventStream
+    val store = freshStore()
+    store.init(Engine.table(spark, sf, "nation").limit(0))
+    val src = EventStream.readDocuments(spark, sf)
+      .selectExpr("doc_id AS n_nationkey", "lang AS n_name",
+        "n_chars AS n_regionkey")
+    def runOnce(): Unit = {
+      val q = EventStream.ingestToMvcc(src, store, "docs-ingest")
+      q.awaitTermination()
+    }
+    runOnce()
+    val after1 = store.read().count()
+    val v1 = store.currentVersion()
+    assert(after1 === Engine.table(spark, sf, "documents").count())
+    // no checkpoint → the rerun replays identical batchIds; the
+    // txid-keyed commits must all no-op
+    runOnce()
+    assert(store.read().count() === after1)
+    assert(store.currentVersion() === v1)
+  }
+
   test("truncate keeps schema, drops rows, preserves history") {
     val store = freshStore()
     val r = Engine.table(spark, sf, "region")
