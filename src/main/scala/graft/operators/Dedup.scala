@@ -613,7 +613,42 @@ object Dedup {
       .limit(20)
   }
 
+  /** Edit-distance near-duplicate pairs over short entity keys — the
+    * VERIFY stage of entity resolution (record linkage / fuzzy join):
+    * candidate pairs from cheap blocking, then exact Levenshtein ≤ 1 on
+    * the codegen'd built-in (both engines implement classic unit-cost
+    * Levenshtein, so the gate is hash-exact). Blocking here is
+    * equal-length within the supplier-name class — quadratic WITHIN the
+    * block by documented contract (the [[qDedupEmbed]] convention): the
+    * right 100 TB shape for short keys is a bounded block (length ×
+    * prefix class, or a deletion-neighborhood join for distance 1); the
+    * Levenshtein verify itself touches only surviving candidates. */
+  def editDistancePairs(names: DataFrame, keyCol: String, nameCol: String,
+                        maxDist: Int): DataFrame = {
+    val a = names.select(col(keyCol).as("key_a"), col(nameCol).as("name_a"))
+    val b = names.select(col(keyCol).as("key_b"), col(nameCol).as("name_b"))
+    a.join(b, col("key_a") < col("key_b")
+        && length(col("name_a")) === length(col("name_b")))
+      .select(col("key_a"), col("key_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
+  def qDedupEditdist(s: SparkSession, dir: String): DataFrame =
+    editDistancePairs(t(s, dir, "supplier"), "s_suppkey", "s_name", 1)
+      .orderBy(col("key_a"), col("key_b"))
+
+  val qDedupEditdistSql: String =
+    """SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+      |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+      |FROM supplier a JOIN supplier b
+      |  ON a.s_suppkey < b.s_suppkey
+      | AND len(a.s_name) = len(b.s_name)
+      |WHERE levenshtein(a.s_name, b.s_name) <= 1
+      |ORDER BY key_a, key_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_editdist" -> (qDedupEditdist _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -624,6 +659,7 @@ object Dedup {
     "q_dedup_corpus" -> (qDedupCorpus _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_editdist" -> qDedupEditdistSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_simhash" -> qDedupSimhashSql,

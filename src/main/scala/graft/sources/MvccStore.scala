@@ -225,12 +225,28 @@ class MvccStore(spark: SparkSession, val root: String) {
 
   /** Snapshot read. `version = None` pins the latest committed version
     * at CALL time — the returned frame keeps reading that snapshot even
-    * if commits land while the query runs (pack-visibility analog). */
+    * if commits land while the query runs (pack-visibility analog).
+    * Segments may carry EVOLVED schemas (see [[commitAppend]] callers
+    * appending widened frames): `mergeSchema` unions them, so columns
+    * added later read as NULL in older segments — the lakehouse form of
+    * the reference's ALTER-add-column rewrite
+    * (core/tianmu_table.h:73-75), without rewriting history. */
   def read(version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(currentVersion())
     if (v == 0)
       throw new IllegalStateException("MvccStore: empty store (no commits)")
-    spark.read.parquet(readManifest(v).segs.map(s => s"$dataDir/$s"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(readManifest(v).segs.map(s => s"$dataDir/$s"): _*)
+  }
+
+  /** DESCRIBE HISTORY analog: one row per retained version —
+    * (version, action, txid, n_segments). Driver-side O(versions). */
+  def history(): DataFrame = {
+    import spark.implicits._
+    versions().map { v =>
+      val m = readManifest(v)
+      (v, m.action, m.txId.orNull, m.segs.size.toLong)
+    }.toDF("version", "action", "txid", "n_segments")
   }
 
   /** Drop segments (and manifests) only reachable from versions older

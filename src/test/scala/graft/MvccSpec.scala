@@ -131,10 +131,10 @@ class MvccSpec extends AnyFunSuite {
   test("streaming exactly-once: replaying the whole stream adds nothing") {
     import graft.streaming.EventStream
     val store = freshStore()
-    store.init(Engine.table(spark, sf, "nation").limit(0))
+    store.init(Engine.table(spark, sf, "documents")
+      .select("doc_id", "lang", "n_chars").limit(0))
     val src = EventStream.readDocuments(spark, sf)
-      .selectExpr("doc_id AS n_nationkey", "lang AS n_name",
-        "n_chars AS n_regionkey")
+      .select("doc_id", "lang", "n_chars")
     def runOnce(): Unit = {
       val q = EventStream.ingestToMvcc(src, store, "docs-ingest")
       q.awaitTermination()
@@ -148,6 +148,26 @@ class MvccSpec extends AnyFunSuite {
     runOnce()
     assert(store.read().count() === after1)
     assert(store.currentVersion() === v1)
+  }
+
+  test("schema evolution: widened appends merge; history describes the log") {
+    val store = freshStore()
+    val r = Engine.table(spark, sf, "region")
+    store.init(r)
+    // append a frame with an added column — old segments read it as NULL
+    store.commitAppendOnce(
+      r.withColumn("r_score", col("r_regionkey") * 10), "widen-1")
+    val latest = store.read()
+    assert(latest.columns.contains("r_score"))
+    assert(latest.count() === r.count() * 2)
+    assert(latest.filter(col("r_score").isNull).count() === r.count())
+    assert(latest.filter(col("r_score").isNotNull).count() === r.count())
+    // history() describes the log: versions, actions, txids
+    val h = store.history().orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(h.map(_.getString(1)).toSeq === Seq("init", "append"))
+    assert(h(1).getString(2) === "widen-1")
+    assert(h(1).getLong(3) === 2L) // two segments reachable at v2
   }
 
   test("truncate keeps schema, drops rows, preserves history") {
