@@ -250,19 +250,20 @@ object Curation {
     * `min(struct(doc_id, i))` aggregate — a viral span repeated 10M
     * times collapses inside the scan tasks, so there is no hot-key
     * window sort (the row_number formulation would put every occurrence
-    * of the hottest span in one task). The occurrence filter is an
-    * equi-join on the segment key that AQE serves from the aggregation's
-    * own exchange; reassembly is one doc_id-keyed agg joined to the
-    * doc-spine on colocated partitions. Nothing is collected, nothing
-    * is broadcast (the winner set is corpus-sized, unlike boilerplate's
-    * bounded set). */
+    * of the hottest span in one task). The kept set needs NO join back
+    * to the occurrences: the surviving occurrence of each distinct span
+    * IS the winner row itself, so the aggregate's output (one row per
+    * distinct span, tagged with its winning (doc_id, i)) feeds
+    * reassembly directly — ONE corpus-sized shuffle on the span key,
+    * then one doc_id-keyed agg joined to the doc-spine. Nothing is
+    * collected, nothing is broadcast (the winner set is corpus-sized,
+    * unlike boilerplate's bounded set). */
   def dedupSpansKeepFirst(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
     val segs = segments(docs)
-    val winners = segs.groupBy(col("seg"))
+    val kept = segs.groupBy(col("seg"))
       .agg(min(struct(col("doc_id"), col("i"))).as("w"))
-    val kept = segs.join(winners, "seg")
-      .filter(struct(col("doc_id"), col("i")) === col("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.i").as("i"), col("seg"))
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         expr("array_join(transform(array_sort(collect_list(struct(i, seg))), s -> s.seg), ' ')")
