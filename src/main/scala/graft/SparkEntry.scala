@@ -37,6 +37,7 @@ object SparkEntry {
     operators.Similarity.queries -> operators.Similarity.oracles,
     operators.Multimodal.queries -> operators.Multimodal.oracles,
     operators.Packing.queries -> operators.Packing.oracles,
+    operators.Profile.queries -> operators.Profile.oracles,
     sources.Dml.queries -> sources.Dml.oracles,
     sources.MvccStore.queries -> sources.MvccStore.oracles,
     sources.Statements.queries -> sources.Statements.oracles,

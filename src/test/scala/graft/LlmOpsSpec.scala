@@ -530,6 +530,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "classifier score must not shuffle")
   }
 
+  test("profiler: one scan regardless of column count; stats match " +
+      "per-column recomputation") {
+    import org.apache.spark.sql.functions._
+    val orders = Engine.table(spark, sf, "orders")
+    val prof = operators.Profile.profile(orders,
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(plan.split("Scan parquet").length - 1 === 1,
+      "profiling 3 columns must still be a single scan")
+    val rows = prof.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("o_orderkey").getAs[Long]("n_distinct") === orders.count())
+    assert(rows("o_orderstatus").getAs[Long]("n_distinct")
+      === orders.select("o_orderstatus").distinct().count())
+    assert(rows("o_totalprice").getAs[String]("max_value").toDouble
+      === orders.agg(max("o_totalprice")).first().getDouble(0))
+    // histogram buckets partition the rows exactly
+    val hist = operators.Profile.histogram(orders, "o_totalprice", 100000.0)
+      .collect()
+    assert(hist.map(_.getAs[Long]("n_rows")).sum === orders.count())
+    hist.foreach { r =>
+      assert(r.getAs[Double]("lo") >= r.getAs[Long]("bucket") * 100000.0)
+      assert(r.getAs[Double]("hi") < (r.getAs[Long]("bucket") + 1) * 100000.0)
+    }
+  }
+
   test("span dedup keep-first: planted span survives only at its first " +
       "occurrence; boilerplate strips all copies") {
     import org.apache.spark.sql.functions.col
