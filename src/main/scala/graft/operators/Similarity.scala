@@ -178,14 +178,20 @@ object Similarity {
     * collect), inlined as a partition filter so pruning happens before
     * file listing. No KMeans.fit, no corpus-wide shuffle anywhere in the
     * query path. */
-  def qSimIvfKmeans(s: SparkSession, dir: String): DataFrame = {
-    val root = buildKmeansQuantizer(s, dir)
-    val q = queryVec(s, dir)
+  def qSimIvfKmeans(s: SparkSession, dir: String): DataFrame =
+    probeKmeansStore(s, buildKmeansQuantizer(s, dir), queryVec(s, dir))
+
+  /** Probe an existing kmeans IVF store with a 1-row query frame
+    * (q_id, q_emb). Same plan as [[qSimIvfKmeans]] documents; exposed
+    * separately so ad-hoc stores (tests, incremental-ingest jobs) probe
+    * through the identical code path. */
+  def probeKmeansStore(s: SparkSession, root: String, q: DataFrame,
+                       nprobe: Int = 4, topk: Int = 20): DataFrame = {
     val cents = s.read.parquet(s"$root/centroids")
     val probedIds = cents.crossJoin(broadcast(q))
       .select(col("cluster"), dot(col("centroid"), col("q_emb")).as("cscore"))
       .orderBy(col("cscore").desc, col("cluster"))
-      .limit(4)
+      .limit(nprobe)
       .select(col("cluster"))
       .collect().map(_.get(0)).toSeq // ≤nprobe rows — bounded
     s.read.parquet(s"$root/assign")
@@ -195,7 +201,38 @@ object Similarity {
       .select(col("vec_id"), col("cluster"),
         r6(dot(col("embedding"), col("q_emb"))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
-      .limit(20)
+      .limit(topk)
+  }
+
+  /** INCREMENTAL INDEX ADD — keep the IVF store fresh between rebuilds:
+    * assign each incoming vector to its nearest STORED centroid (the
+    * build metric, squared Euclidean) and append it into the
+    * cluster-partitioned assign table. One broadcast of k centroids ×
+    * one scan of the batch — no KMeans.fit, no touch of existing
+    * segments, partition pruning for probes unchanged (appends land as
+    * new files inside the existing cluster=N dirs). Centroids drift as
+    * the corpus grows; the standard IVF regime applies — periodic
+    * offline rebuild, incremental adds in between (the reference's
+    * insert-buffer → background-merge shape, engine.h:210, transposed
+    * to index maintenance). */
+  def appendToKmeansStore(s: SparkSession, root: String,
+                          newVecs: DataFrame): Unit = {
+    val cents = s.read.parquet(s"$root/centroids")
+      .select(col("cluster").as("__c"), col("centroid"))
+    val assigned = newVecs
+      .crossJoin(broadcast(cents))
+      .withColumn("__d", expr(
+        """aggregate(zip_with(embedding, centroid,
+          |  (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+          |  0D, (acc, x) -> acc + x)""".stripMargin))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("__d"), col("__c"))).as("__w"),
+        first(col("label")).as("label"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("__w.__c").as("cluster"))
+    assigned.write.mode("append").partitionBy("cluster")
+      .parquet(s"$root/assign")
   }
 
   /** IVF search (label quantizer), PROBE ONLY: centroids come from the

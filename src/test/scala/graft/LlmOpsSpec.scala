@@ -530,6 +530,49 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "classifier score must not shuffle")
   }
 
+  test("IVF incremental add: appended vectors get the nearest stored " +
+      "centroid and are findable through the standard probe") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_add").toString
+    val e = Engine.table(spark, sf, "embeddings")
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val incoming = e.filter(col("vec_id") % 2 === 1)
+    // private store, build layout = buildKmeansQuantizer's
+    val assigned = operators.Similarity.kmeansAssign(base).persist()
+    assigned.write.partitionBy("cluster").parquet(s"$tmp/assign")
+    operators.Similarity.centroids(
+      assigned.drop("label").withColumnRenamed("cluster", "label"))
+      .withColumnRenamed("label", "cluster")
+      .coalesce(1).write.parquet(s"$tmp/centroids")
+    assigned.unpersist()
+    operators.Similarity.appendToKmeansStore(spark, tmp, incoming)
+    val store = spark.read.parquet(s"$tmp/assign")
+    assert(store.count() === e.count())
+    assert(store.select("vec_id").distinct().count() === e.count())
+    // sampled appended vector: stored cluster == independent argmin
+    val sample = incoming.orderBy("vec_id").limit(1).collect()(0)
+    val sampleId = sample.getLong(0)
+    val emb = sample.getSeq[Float](sample.fieldIndex("embedding"))
+    val cents = spark.read.parquet(s"$tmp/centroids").collect()
+      .map(r => r.getAs[Number]("cluster").longValue() ->
+        r.getSeq[Double](r.fieldIndex("centroid")))
+    val want = cents.map { case (c, cent) =>
+      val d = emb.zip(cent).map { case (a, b) =>
+        (a.toDouble - b) * (a.toDouble - b) }.sum
+      (d, c)
+    }.min._2
+    val got = store.filter(col("vec_id") === sampleId)
+      .select("cluster").first().getInt(0)
+    assert(got.toLong === want, s"vec $sampleId assigned $got, want $want")
+    // findable via the shared probe path (all clusters probed)
+    val q = incoming.orderBy("vec_id").limit(1)
+      .select(lit(-1L).as("q_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+    val hits = operators.Similarity.probeKmeansStore(spark, tmp, q,
+      nprobe = cents.length, topk = store.count().toInt)
+    assert(hits.filter(col("vec_id") === sampleId).count() === 1)
+  }
+
   test("profiler: one scan regardless of column count; stats match " +
       "per-column recomputation") {
     import org.apache.spark.sql.functions._
