@@ -49,6 +49,8 @@ object Bench {
     "q_dedup_minhash",          // LSH near-dup
     "q_sim_bruteforce_topk",    // ANN baseline
     "q_sim_ivf_topk",           // ANN probe path
+    "q_sim_lsh_topk",           // ANN multiprobe LSH bucket path
+    "q_profile_table",          // one-scan column profiler
     "q_events_json",            // JSON extraction
     "q_sample_hashmod",         // deterministic sampling
     "q_dml_upsert",             // batch upsert view

@@ -261,6 +261,93 @@ object Similarity {
       .limit(20)
   }
 
+  // --- LSH-bucketed ANN (sign random projection / hyperplane LSH) ---------
+
+  /** Number of hyperplanes → 2^bits buckets. 6 bits = 64 buckets sizes
+    * the smoke corpus (500-5k vectors → 8-80/bucket); production sizes
+    * bits ≈ log2(N / target_bucket_size) and adds independent tables
+    * for recall (Charikar 2002 sign-random-projection; Indyk-Motwani
+    * LSH framework) — only these constants change, the plan shape is
+    * scale-invariant. */
+  val LshBits = 6
+  private val LshDim = 64
+
+  /** Deterministic pseudo-random hyperplane j: weights in [-1, 1] from
+    * pure integer arithmetic BOTH engines evaluate identically (Knuth
+    * multiplicative constants; products stay ≪ 2^63 so neither engine
+    * overflows). A learned/random matrix would broadcast instead — the
+    * derivation is the deterministic stand-in, the plumbing is real. */
+  private def lshPlane(j: Int): Column =
+    expr(s"transform(sequence(0, ${LshDim - 1}), i -> " +
+      s"CAST((i * 1315423911L + $j * 2654435761L) % 2001 - 1000 AS DOUBLE)" +
+      " / 1000.0)")
+
+  /** 6-bit signature: bit j = sign(v · plane_j). Constant-folded plane
+    * arrays, native VecDot — a pure codegen projection, one scan. */
+  def lshSig(v: Column): Column =
+    (0 until LshBits).map(j =>
+      when(dot(v, lshPlane(j)) > 0.0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** LSH ANN probe, multiprobe hamming ≤ 1: candidates = vectors whose
+    * signature matches the query's bucket or any 1-bit flip (the
+    * standard multiprobe sequence), exact cosine re-rank inside the
+    * candidate set only. Scale shape: signatures are a scan-side
+    * projection; the probe list is bits+1 signatures broadcast as a
+    * tiny join side; with the corpus WRITTEN bucketed by `sig` (the
+    * IVF-store pattern) the rerank scan prunes all unprobed buckets at
+    * the file level. */
+  def qSimLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val sigs = e.select(col("vec_id"), col("embedding"),
+      lshSig(col("embedding")).as("sig"))
+    val q = queryVec(s, dir).withColumn("qsig", lshSig(col("q_emb")))
+    val probes = q.select(col("q_id"), col("q_emb"),
+      explode(array(col("qsig") +: (0 until LshBits).map(b =>
+        col("qsig").bitwiseXOR(lit(1 << b))): _*)).as("sig"))
+    sigs.join(broadcast(probes), "sig")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"), col("sig").cast("long").as("sig"),
+        r6(dot(col("embedding"), col("q_emb"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** Oracle: the identical algorithm — signature arithmetic, multiprobe
+    * list, rerank — in DuckDB; hash-exact, so bucketing AND recall
+    * behavior are both pinned. */
+  val qSimLshSql: String = {
+    def planeSql(j: Int): String =
+      s"list_transform(range(0, $LshDim), i -> " +
+        s"CAST((i * 1315423911 + $j * 2654435761) % 2001 - 1000 AS DOUBLE)" +
+        " / 1000.0)"
+    def sigSql(v: String): String = (0 until LshBits).map(j =>
+      s"(CASE WHEN list_dot_product($v, ${planeSql(j)}) > 0.0 " +
+        s"THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+    val flips = (0 until LshBits).map(b => s"xor(qsig, ${1 << b})")
+      .mkString(", ")
+    s"""WITH qv AS (
+      |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+      |  FROM embeddings ORDER BY vec_id LIMIT 1
+      |), sigs AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    ${sigSql("CAST(embedding AS DOUBLE[])")} AS sig
+      |  FROM embeddings
+      |), qs AS (
+      |  SELECT q_id, q_emb, ${sigSql("q_emb")} AS qsig FROM qv
+      |), probes AS (
+      |  SELECT q_id, q_emb, u.s AS sig
+      |  FROM qs, unnest([qsig, $flips]) AS u(s)
+      |)
+      |SELECT s.vec_id, CAST(s.sig AS BIGINT) AS sig,
+      |  floor(list_dot_product(s.emb, p.q_emb)
+      |        * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |FROM sigs s JOIN probes p ON s.sig = p.sig
+      |WHERE s.vec_id <> p.q_id
+      |ORDER BY cos DESC, s.vec_id
+      |LIMIT 20""".stripMargin
+  }
+
   /** Oracle fragment: the query vector (embedding of min vec_id) as a
     * one-row CTE — DuckDB's `list_dot_product` over float→double casts
     * is IEEE-identical to the native VecDot loop (proven by
@@ -360,7 +447,8 @@ object Similarity {
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
     "q_sim_ivf_topk" -> (qSimIvf _),
     "q_sim_ivf_kmeans_topk" -> (qSimIvfKmeans _),
-    "q_sim_ivf_kmeans_recall" -> (qSimIvfKmeansRecall _))
+    "q_sim_ivf_kmeans_recall" -> (qSimIvfKmeansRecall _),
+    "q_sim_lsh_topk" -> (qSimLsh _))
 
   /** The learned-quantizer variant stays rows-only (k-means is not
     * SQL-expressible; its arithmetic is pinned by the two oracles above
@@ -368,5 +456,6 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "q_sim_bruteforce_topk" -> qSimBruteForceSql,
     "q_sim_ivf_topk" -> qSimIvfSql,
-    "q_sim_ivf_kmeans_recall" -> qSimIvfKmeansRecallSql)
+    "q_sim_ivf_kmeans_recall" -> qSimIvfKmeansRecallSql,
+    "q_sim_lsh_topk" -> qSimLshSql)
 }

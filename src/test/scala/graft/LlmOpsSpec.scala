@@ -530,6 +530,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "classifier score must not shuffle")
   }
 
+  test("LSH ANN: signatures deterministic, candidates bucket-bounded, " +
+      "nontrivial overlap with brute-force top-k") {
+    import org.apache.spark.sql.functions.col
+    val lsh = operators.Similarity.qSimLsh(spark, sf).collect()
+    assert(lsh.length === 20)
+    // every candidate's bucket is within hamming 1 of the query's
+    val sigs = lsh.map(_.getAs[Long]("sig")).distinct
+    val qsig = sigs.head
+    sigs.foreach(s => assert(java.lang.Long.bitCount(s ^ qsig) <= 2,
+      s"buckets $qsig and $s differ by >1 flip each from the query sig"))
+    // deterministic
+    val again = operators.Similarity.qSimLsh(spark, sf).collect()
+    assert(lsh.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
+    // recall floor vs exact top-20 (deterministic fixture — 6-bit
+    // single-table multiprobe is a coarse filter; >0 proves the probe
+    // reaches the true neighborhood, the oracle pins exact behavior)
+    val brute = operators.Similarity.qSimBruteForce(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = lsh.map(_.getLong(0)).count(brute.contains)
+    assert(overlap >= 3, s"LSH found only $overlap of exact top-20")
+  }
+
   test("IVF incremental add: appended vectors get the nearest stored " +
       "centroid and are findable through the standard probe") {
     import org.apache.spark.sql.functions._
