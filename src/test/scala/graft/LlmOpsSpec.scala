@@ -530,6 +530,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "classifier score must not shuffle")
   }
 
+  test("packing invariants hold across budgets; short docs pass through " +
+      "span dedup untouched") {
+    import org.apache.spark.sql.functions._
+    val docs = Engine.table(spark, sf, "documents")
+    for (b <- Seq(64L, 333L, 1000000000L)) {
+      val plan = operators.Packing.packPlan(docs, b).collect()
+      val total = docs.select(expr("sum(size(split(text, ' ')))"))
+        .first().getLong(0)
+      assert(plan.map(_.getAs[Long]("n_tokens")).sum === total, s"budget $b")
+      plan.dropRight(1).foreach(r =>
+        assert(r.getAs[Long]("n_tokens") === b, s"budget $b"))
+      assert(plan.map(_.getAs[Long]("n_docs_starting")).sum === docs.count())
+      if (b == 1000000000L) assert(plan.length === 1) // one giant chunk
+    }
+    // span dedup: a doc shorter than SegWidth has no dedup candidates —
+    // its text survives verbatim (tail-only path), n_segments = 0
+    val sp = spark
+    import sp.implicits._
+    val tiny = Seq((1L, "alpha beta"), (2L, "alpha beta"),
+      (3L, "one two three four five six seven eight nine")).toDF("doc_id", "text")
+    val out = operators.Curation.dedupSpansKeepFirst(tiny)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("text_clean") === "alpha beta")
+    assert(out(1).getAs[String]("text_clean") === "alpha beta") // both kept
+    assert(out(0).getAs[Long]("n_segments") === 0L)
+    assert(out(2).getAs[Long]("n_segments") === 1L)
+    assert(out(2).getAs[String]("text_clean")
+      === "one two three four five six seven eight nine")
+  }
+
   test("LSH ANN: signatures deterministic, candidates bucket-bounded, " +
       "nontrivial overlap with brute-force top-k") {
     import org.apache.spark.sql.functions.col
