@@ -45,6 +45,27 @@ object Profile {
         "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
   }
 
+  /** The 100 TB profiler: identical shape with
+    * `approx_count_distinct` (HLL++, rsd 5% default) — sketch partials
+    * merge in O(1) so the plan loses the Expand row multiplication
+    * entirely; the exact variant remains the oracle-gated one. */
+  def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("__rows")) ++ cols.zipWithIndex.flatMap {
+      case (c, i) => Seq(
+        count(col(c)).as(s"__n$i"),
+        approx_count_distinct(col(c)).as(s"__d$i"),
+        min(col(c)).cast("string").as(s"__mn$i"),
+        max(col(c)).cast("string").as(s"__mx$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"'$c', __rows, __rows - __n$i, __d$i, __mn$i, __mx$i"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
+  }
+
   /** Equi-width histogram of a numeric column: bucket = floor(v /
     * width) (arithmetic both engines share bit-for-bit — no
     * width_bucket dependency), one map-side-combined group-by. NULLs

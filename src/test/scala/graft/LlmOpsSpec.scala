@@ -640,6 +640,16 @@ class LlmOpsSpec extends AnyFunSuite {
       === orders.select("o_orderstatus").distinct().count())
     assert(rows("o_totalprice").getAs[String]("max_value").toDouble
       === orders.agg(max("o_totalprice")).first().getDouble(0))
+    // HLL variant: no Expand in the plan, estimates within rsd of exact
+    val approx = operators.Profile.profileApprox(orders,
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx profiler must not multiply scan rows")
+    val apx = approx.collect().map(r => r.getString(0) -> r).toMap
+    val exactKeys = rows("o_orderkey").getAs[Long]("n_distinct").toDouble
+    val estKeys = apx("o_orderkey").getAs[Long]("n_distinct").toDouble
+    assert(math.abs(estKeys - exactKeys) / exactKeys < 0.10,
+      s"HLL estimate $estKeys vs exact $exactKeys")
     // histogram buckets partition the rows exactly
     val hist = operators.Profile.histogram(orders, "o_totalprice", 100000.0)
       .collect()
