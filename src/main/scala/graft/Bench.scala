@@ -61,6 +61,7 @@ object Bench {
     "q_boilerplate",            // repeated-segment strip
     "q_span_dedup",             // C4 keep-first cross-doc span dedup
     "q_seq_pack",               // concat-and-chunk sequence packing
+    "q_pipeline_train_ready",   // classifier -> span dedup -> packing
     "q_text_classifier_score",  // hashed linear quality scorer
     "q_tfidf_topk")             // corpus-lexicon TF-IDF
 

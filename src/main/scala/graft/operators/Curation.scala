@@ -297,44 +297,54 @@ object Curation {
     dedupSpansKeepFirst(plantSharedSpan(
       Engine.rebalance(t(s, dir, "documents")))).orderBy(col("doc_id"))
 
-  /** Oracle mirrors keep-first over segment STRINGS with ROW_NUMBER —
-    * value-identical to the min-struct winner since (doc_id, i) is
-    * unique per occurrence. */
+  /** Reusable oracle CTE chain for keep-first span dedup over a source
+    * CTE exposing (doc_id, text): mirrors the Spark algorithm over
+    * segment STRINGS with ROW_NUMBER — value-identical to the
+    * min-struct winner since (doc_id, i) is unique per occurrence.
+    * Defines CTEs sdtoks/sdsegs/sdranked/sdkept/sdbase/sdclean; the
+    * composition-facing result is `sdclean(doc_id, text_clean,
+    * n_segments, n_removed)`. */
+  def spanDedupCtes(src: String): String =
+    s"""sdtoks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM $src
+      |), sdsegs AS (
+      |  SELECT doc_id, i,
+      |    array_to_string(tk[(i - 1) * $SegWidth + 1 : i * $SegWidth], ' ')
+      |      AS seg
+      |  FROM sdtoks, unnest(range(1, len(tk) // $SegWidth + 1)) AS u(i)
+      |), sdranked AS (
+      |  SELECT doc_id, i, seg,
+      |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, i) AS rn
+      |  FROM sdsegs
+      |), sdkept AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept,
+      |    string_agg(seg, ' ' ORDER BY i) AS kept_txt
+      |  FROM sdranked WHERE rn = 1 GROUP BY doc_id
+      |), sdbase AS (
+      |  SELECT doc_id,
+      |    CAST(len(tk) // $SegWidth AS BIGINT) AS n_segments,
+      |    array_to_string(tk[(len(tk) // $SegWidth) * $SegWidth + 1 : len(tk)], ' ')
+      |      AS tail_txt
+      |  FROM sdtoks
+      |), sdclean AS (
+      |  SELECT b.doc_id,
+      |    concat_ws(' ', nullif(k.kept_txt, ''), nullif(b.tail_txt, ''))
+      |      AS text_clean,
+      |    b.n_segments,
+      |    b.n_segments - coalesce(k.n_kept, 0) AS n_removed
+      |  FROM sdbase b LEFT JOIN sdkept k ON b.doc_id = k.doc_id
+      |)""".stripMargin
+
   val qSpanDedupSql: String =
     s"""WITH planted AS (
       |  SELECT doc_id, concat_ws(' ',
       |    CASE WHEN doc_id % 4 = 0 THEN '$SpanShared' END,
       |    text) AS text
       |  FROM documents
-      |), toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS tk FROM planted
-      |), segs AS (
-      |  SELECT doc_id, i,
-      |    array_to_string(tk[(i - 1) * $SegWidth + 1 : i * $SegWidth], ' ')
-      |      AS seg
-      |  FROM toks, unnest(range(1, len(tk) // $SegWidth + 1)) AS u(i)
-      |), ranked AS (
-      |  SELECT doc_id, i, seg,
-      |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, i) AS rn
-      |  FROM segs
-      |), kept AS (
-      |  SELECT doc_id, COUNT(*) AS n_kept,
-      |    string_agg(seg, ' ' ORDER BY i) AS kept_txt
-      |  FROM ranked WHERE rn = 1 GROUP BY doc_id
-      |), base AS (
-      |  SELECT doc_id,
-      |    CAST(len(tk) // $SegWidth AS BIGINT) AS n_segments,
-      |    array_to_string(tk[(len(tk) // $SegWidth) * $SegWidth + 1 : len(tk)], ' ')
-      |      AS tail_txt
-      |  FROM toks
-      |)
-      |SELECT b.doc_id,
-      |  concat_ws(' ', nullif(k.kept_txt, ''), nullif(b.tail_txt, ''))
-      |    AS text_clean,
-      |  b.n_segments,
-      |  b.n_segments - coalesce(k.n_kept, 0) AS n_removed
-      |FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
-      |ORDER BY b.doc_id""".stripMargin
+      |), ${spanDedupCtes("planted")}
+      |SELECT doc_id, text_clean, n_segments, n_removed
+      |FROM sdclean
+      |ORDER BY doc_id""".stripMargin
 
   /** Boilerplate fixture headers — planted at the START of the text so
     * they align to segment boundaries (both are exactly [[SegWidth]]

@@ -84,35 +84,43 @@ object Packing {
   def qSeqPack(s: SparkSession, dir: String): DataFrame =
     packPlan(Engine.table(s, dir, "documents"), PackBudget)
 
-  /** Oracle: the same arithmetic over DuckDB's window prefix sum (the
-    * oracle MAY use the global window — it is single-node by design;
-    * equality proves the distributed offset scheme computes the same
-    * prefix sum). */
-  val qSeqPackSql: String =
-    s"""WITH toks AS (
+  /** Reusable oracle CTE chain over a source CTE exposing
+    * (doc_id, text): DuckDB MAY use the global window — it is
+    * single-node by design; equality proves the distributed offset
+    * scheme computes the same prefix sum. Defines
+    * pktoks/pkcum/pkspans/pkx; the final aggregate is
+    * [[packSelectSql]]. */
+  def packCtes(src: String): String =
+    s"""pktoks AS (
       |  SELECT doc_id,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-      |  FROM documents
-      |), cum AS (
+      |  FROM $src
+      |), pkcum AS (
       |  SELECT doc_id, n_tok,
       |    COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
-      |  FROM toks
-      |), spans AS (
+      |  FROM pktoks
+      |), pkspans AS (
       |  SELECT doc_id, st, st + n_tok AS en,
       |    CAST(st // $PackBudget AS BIGINT) AS fc,
       |    CAST((st + n_tok - 1) // $PackBudget AS BIGINT) AS lc
-      |  FROM cum
-      |), x AS (
+      |  FROM pkcum
+      |), pkx AS (
       |  SELECT doc_id, st, en, k AS chunk_id
-      |  FROM spans, unnest(range(fc, lc + 1)) AS u(k)
-      |)
-      |SELECT chunk_id, COUNT(*) AS n_docs,
+      |  FROM pkspans, unnest(range(fc, lc + 1)) AS u(k)
+      |)""".stripMargin
+
+  val packSelectSql: String =
+    s"""SELECT chunk_id, COUNT(*) AS n_docs,
       |  SUM(LEAST(en, (chunk_id + 1) * $PackBudget)
       |    - GREATEST(st, chunk_id * $PackBudget)) AS n_tokens,
       |  SUM(CASE WHEN st >= chunk_id * $PackBudget THEN 1 ELSE 0 END)
       |    AS n_docs_starting
-      |FROM x GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
+      |FROM pkx GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
+
+  val qSeqPackSql: String =
+    s"""WITH ${packCtes("documents")}
+      |$packSelectSql""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seq_pack" -> (qSeqPack _))

@@ -168,11 +168,53 @@ object Pipeline {
       |LEFT JOIN labels l ON doc.doc_id = l.doc_id
       |ORDER BY doc.doc_id""".stripMargin
 
+  /** The train-ready tail of the pipeline — the stages between a
+    * cleaned corpus and tokenized shards, composed from this round's
+    * operators in production order:
+    *
+    *   1. classifier gate: keep docs the hashed linear quality model
+    *      scores positive ([[TextOps.scoreMicro]] — a pure scan
+    *      predicate, no join);
+    *   2. cross-document span dedup, keep-first
+    *      ([[Curation.dedupSpansKeepFirst]]);
+    *   3. sequence packing of the cleaned text
+    *      ([[Packing.packPlan]], 2048-token budget).
+    *
+    * Output is the pack manifest: one row per training sequence. Each
+    * stage is the operator's own code — the pipeline inherits each
+    * plan's scale shape (scan predicate → one span-keyed shuffle →
+    * offset-scheme prefix sum), and the oracle is the composition of
+    * each operator's own CTE mirror, so stage WIRING is hash-checked
+    * too. */
+  def trainReady(docs: DataFrame, budget: Long): DataFrame = {
+    val kept = docs.where(TextOps.scoreMicro("text") > 0L)
+      .select(col("doc_id"), col("text"))
+    val cleaned = Curation.dedupSpansKeepFirst(kept)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    Packing.packPlan(cleaned, budget)
+  }
+
+  def qPipelineTrainReady(s: SparkSession, dir: String): DataFrame =
+    trainReady(Engine.rebalance(
+      Engine.table(s, dir, "documents")), Packing.PackBudget)
+
+  val qPipelineTrainReadySql: String =
+    s"""WITH kept AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE ${TextOps.scoreMicroSql("text")} > 0
+      |), ${Curation.spanDedupCtes("kept")},
+      |cleaned AS (
+      |  SELECT doc_id, text_clean AS text FROM sdclean
+      |), ${Packing.packCtes("cleaned")}
+      |${Packing.packSelectSql}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_clean" -> (cleanCorpus _),
-    "q_pipeline_audit" -> (auditCorpus _))
+    "q_pipeline_audit" -> (auditCorpus _),
+    "q_pipeline_train_ready" -> (qPipelineTrainReady _))
 
   val oracles: Map[String, String] = Map(
     "q_pipeline_clean" -> qPipelineCleanSql,
-    "q_pipeline_audit" -> qPipelineAuditSql)
+    "q_pipeline_audit" -> qPipelineAuditSql,
+    "q_pipeline_train_ready" -> qPipelineTrainReadySql)
 }

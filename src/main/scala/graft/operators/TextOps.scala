@@ -241,17 +241,30 @@ object TextOps {
     * array inside the row), so at 100 TB this is scan-speed. */
   val QualityDim = 4096L
 
+  /** The classifier's integer micro-unit score as a column expression
+    * over a text column — shared by the scoring gate and pipeline
+    * compositions (filtering on it is a pure scan predicate). */
+  def scoreMicro(textCol: String): Column =
+    expr(
+      s"""aggregate(
+         |  filter(split(lower($textCol), ' '), x -> length(x) > 0),
+         |  0L,
+         |  (acc, tok) -> acc +
+         |    ((cast(conv(substring(md5(tok), 1, 12), 16, 10) as bigint)
+         |        % $QualityDim)
+         |       * 2654435761L % 1000000L - 500000L),
+         |  acc -> acc)""".stripMargin)
+
+  /** DuckDB mirror of [[scoreMicro]]. */
+  def scoreMicroSql(textCol: String): String =
+    s"""COALESCE(list_sum(list_transform(
+       |      list_filter(string_split(lower($textCol), ' '), x -> len(x) > 0),
+       |      tok -> (CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT)
+       |                % $QualityDim)
+       |               * 2654435761 % 1000000 - 500000)), 0)""".stripMargin
+
   def qualityLinearScore(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      expr(
-        s"""aggregate(
-           |  filter(split(lower(text), ' '), x -> length(x) > 0),
-           |  0L,
-           |  (acc, tok) -> acc +
-           |    ((cast(conv(substring(md5(tok), 1, 12), 16, 10) as bigint)
-           |        % $QualityDim)
-           |       * 2654435761L % 1000000L - 500000L),
-           |  acc -> acc)""".stripMargin).as("score_micro"))
+    docs.select(col("doc_id"), scoreMicro("text").as("score_micro"))
       .select(col("doc_id"),
         (col("score_micro") / lit(1000000.0)).as("score"),
         (col("score_micro") > 0L).as("keep"))
@@ -264,12 +277,7 @@ object TextOps {
     * fits BIGINT exactly on both engines. */
   val qTextClassifierScoreSql: String =
     s"""WITH scored AS (
-      |  SELECT doc_id,
-      |    COALESCE(list_sum(list_transform(
-      |      list_filter(string_split(lower(text), ' '), x -> len(x) > 0),
-      |      tok -> (CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT)
-      |                % $QualityDim)
-      |               * 2654435761 % 1000000 - 500000)), 0) AS score_micro
+      |  SELECT doc_id, ${scoreMicroSql("text")} AS score_micro
       |  FROM documents
       |)
       |SELECT doc_id, score_micro / 1000000.0 AS score,

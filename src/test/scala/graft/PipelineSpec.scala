@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Pipeline, TextOps}
+import graft.operators.{Curation, Dedup, Pipeline, TextOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -127,5 +127,27 @@ class PipelineSpec extends AnyFunSuite {
     val cleanIds = Pipeline.cleanOf(fixtureDf).collect()
       .map(_.getAs[Long]("doc_id")).toSet
     assert(cleanIds === Set(2L, 4L, 5L))
+  }
+
+  test("train-ready tail: conserves the cleaned corpus, filters strictly") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSession.sf
+    val docs = Engine.table(spark, sf, "documents")
+    val manifest = Pipeline.trainReady(docs, operators.Packing.PackBudget)
+      .collect()
+    val b = operators.Packing.PackBudget
+    // classifier keeps a strict, nonempty subset
+    val nKept = docs.where(TextOps.scoreMicro("text") > 0L).count()
+    assert(nKept > 0 && nKept < docs.count())
+    // every doc surviving the gate starts in exactly one chunk
+    assert(manifest.map(_.getAs[Long]("n_docs_starting")).sum === nKept)
+    // packed tokens = tokens of the span-deduped kept corpus, conserved
+    val cleanedToks = Curation.dedupSpansKeepFirst(
+      docs.where(TextOps.scoreMicro("text") > 0L)
+        .select("doc_id", "text"))
+      .select(expr("sum(size(split(text_clean, ' ')))")).first().getLong(0)
+    assert(manifest.map(_.getAs[Long]("n_tokens")).sum === cleanedToks)
+    manifest.dropRight(1).foreach(r =>
+      assert(r.getAs[Long]("n_tokens") === b))
   }
 }
