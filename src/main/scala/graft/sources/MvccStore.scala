@@ -240,23 +240,37 @@ class MvccStore(spark: SparkSession, val root: String) {
   }
 
   /** DESCRIBE HISTORY analog: one row per retained version —
-    * (version, action, txid, n_segments). Driver-side O(versions). */
+    * (version, action, txid, n_segments, commit_ts). The timestamp is
+    * the manifest file's modification time (set at publish — the log
+    * IS the clock, no separate metadata write). Driver-side
+    * O(versions). */
   def history(): DataFrame = {
     import spark.implicits._
     versions().map { v =>
       val m = readManifest(v)
-      (v, m.action, m.txId.orNull, m.segs.size.toLong)
-    }.toDF("version", "action", "txid", "n_segments")
+      val ts = new java.sql.Timestamp(
+        fs.getFileStatus(manifestPath(v)).getModificationTime)
+      (v, m.action, m.txId.orNull, m.segs.size.toLong, ts)
+    }.toDF("version", "action", "txid", "n_segments", "commit_ts")
   }
 
   /** Drop segments (and manifests) only reachable from versions older
     * than the `retain` most recent — the GC that makes snapshot
-    * retention bounded. Readers pinned to a retained version are safe;
-    * time travel past the horizon throws (see [[readManifest]]). */
-  def vacuum(retain: Int = 2): Unit = {
+    * retention bounded. `retainMillis` additionally KEEPS any version
+    * younger than the age horizon (the `RETAIN n HOURS` convention:
+    * age protects, it never forces a drop below `retain`). Readers
+    * pinned to a retained version are safe; time travel past the
+    * horizon throws (see [[readManifest]]). */
+  def vacuum(retain: Int = 2, retainMillis: Long = 0L): Unit = {
     val vs = versions()
     if (vs.size <= retain) return
-    val (drop, keep) = vs.splitAt(vs.size - retain)
+    val (dropByCount, keepByCount) = vs.splitAt(vs.size - retain)
+    val cutoff = System.currentTimeMillis() - retainMillis
+    val (drop, keptYoung) =
+      if (retainMillis <= 0L) (dropByCount, Seq.empty[Long])
+      else dropByCount.partition(v =>
+        fs.getFileStatus(manifestPath(v)).getModificationTime < cutoff)
+    val keep = keptYoung ++ keepByCount
     val live = keep.flatMap(v => readManifest(v).segs).toSet
     val dataPath = new Path(dataDir)
     if (fs.exists(dataPath))

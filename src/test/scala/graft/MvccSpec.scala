@@ -162,12 +162,20 @@ class MvccSpec extends AnyFunSuite {
     assert(latest.count() === r.count() * 2)
     assert(latest.filter(col("r_score").isNull).count() === r.count())
     assert(latest.filter(col("r_score").isNotNull).count() === r.count())
-    // history() describes the log: versions, actions, txids
+    // history() describes the log: versions, actions, txids, timestamps
     val h = store.history().orderBy("version").collect()
     assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L))
     assert(h.map(_.getString(1)).toSeq === Seq("init", "append"))
     assert(h(1).getString(2) === "widen-1")
     assert(h(1).getLong(3) === 2L) // two segments reachable at v2
+    assert(!h(1).getTimestamp(4).before(h(0).getTimestamp(4)))
+    // age-based retention: everything is younger than an hour, so a
+    // time-protected vacuum drops nothing even with retain = 1
+    store.vacuum(retain = 1, retainMillis = 3600 * 1000L)
+    assert(store.versions() === Seq(1L, 2L))
+    // without age protection the count horizon applies
+    store.vacuum(retain = 1)
+    assert(store.versions() === Seq(2L))
   }
 
   test("truncate keeps schema, drops rows, preserves history") {
