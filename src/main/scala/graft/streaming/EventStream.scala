@@ -188,6 +188,28 @@ object EventStream {
         GroupStateTimeout.NoTimeout)(sessionizeGroup)
   }
 
+  /** Built-in sessionization twin: Spark's native `session_window`
+    * aggregation (dynamic-gap session windows merged by the engine's
+    * own session-merge exec) — the "compose existing ops" counterpart
+    * of the custom [[sessionize]], preferable whenever only session
+    * AGGREGATES are needed (the custom fMGWS path earns its keep when
+    * per-event custom state logic is). StreamingSpec proves both
+    * produce identical sessions on the same input, so the pair also
+    * cross-validates the hand-rolled state machine against the
+    * engine's. Works identically over batch and streaming frames.
+    * Boundary fine print: the custom machine keeps an EXACTLY-gap-apart
+    * pair in one session (`> gap` closes); `session_window` windows are
+    * half-open `[ts, ts+gap)`, so an exactly-gap successor starts a new
+    * session — equal on any input without exact-gap pairs (the spec's
+    * corpus, and any real one at ms precision). */
+  def sessionizeNative(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"))
+
   /** Pure group logic (shared by streaming + batch tests): sort the
     * batch's events, split on gaps, carry open-session state across
     * micro-batches. In a bounded run every session is emitted (final open

@@ -51,6 +51,24 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("native session_window twin produces the same sessions as the " +
+      "custom state machine") {
+    val ss = spark
+    import ss.implicits._
+    val raw = Engine.table(spark, sf, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val custom = EventStream.sessionize(raw.as[EventStream.Event]).collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.n_events)).sorted
+    val native = EventStream.sessionizeNative(raw).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start").getTime,
+        r.getAs[Long]("n_events").toInt)).sorted
+    assert(custom.length === native.length,
+      s"custom ${custom.length} vs native ${native.length} sessions")
+    assert(custom.toSeq === native.toSeq)
+  }
+
   test("streaming dedup drops duplicates within the watermark horizon") {
     // Duplicate the stream source rows by unioning the dir with itself:
     // read the same events twice in one micro-batch run.
