@@ -137,6 +137,8 @@ class BandedRangeJoinRule(session: SparkSession)
 /** `spark.sql.extensions` entry point registering the graft optimizer
   * rules (the standard public extension hook). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(new BandedRangeJoinRule(_))
+    ext.injectOptimizerRule(new EditDistanceBandRule(_))
+  }
 }

@@ -111,4 +111,39 @@ class PlanRuleSpec extends AnyFunSuite {
       assert(rows(nullSafe.select("k", "k2")) === Seq(Seq(1L, 1L)))
     } finally spark.conf.unset(Width)
   }
+
+  test("edit-distance rule: band + threshold kernel injected, results " +
+      "identical with the rule disabled") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "kitten"), (2L, "ab"), (3L, "house"))
+      .toDF("ida", "na")
+    val b = Seq((10L, "sitten"), (20L, "abcdefgh"), (30L, "mouse"))
+      .toDF("idb", "nb")
+    val fuzzy = a.join(b, levenshtein($"na", $"nb") <= 1)
+    val opt = fuzzy.queryExecution.optimizedPlan.toString
+    // band prefilter and 3-arg (thresholded) kernel both present
+    assert(opt.contains("abs((length(na") || opt.contains("abs((length(nb"),
+      s"band missing in:\n$opt")
+    assert(opt.contains("Some(1)"), s"threshold kernel missing in:\n$opt")
+    val got = fuzzy.select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got === Seq((1L, 10L), (3L, 30L)))
+    // rule off → same rows, no band in the plan
+    spark.conf.set("spark.graft.editDistance.band", "false")
+    try {
+      val off = a.join(b, levenshtein($"na", $"nb") <= 1)
+      assert(!off.queryExecution.optimizedPlan.toString.contains("abs((len"))
+      val got2 = off.select("ida", "idb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got2 === got)
+    } finally spark.conf.unset("spark.graft.editDistance.band")
+    // strict < and NULL inputs preserve semantics
+    val withNull = a.union(Seq((4L, null.asInstanceOf[String])).toDF)
+    val strict = withNull.join(b, levenshtein($"na", $"nb") < 2)
+    val got3 = strict.select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got3 === Seq((1L, 10L), (3L, 30L)))
+  }
 }
