@@ -185,7 +185,15 @@ object Pipeline {
     * plan's scale shape (scan predicate → one span-keyed shuffle →
     * offset-scheme prefix sum), and the oracle is the composition of
     * each operator's own CTE mirror, so stage WIRING is hash-checked
-    * too. */
+    * too.
+    *
+    * Lazy-composition fine print: span dedup consumes its input twice
+    * (segments + doc spine), so the classifier predicate evaluates
+    * twice here; packing's own localCheckpoint stops the re-execution
+    * cascade there. A 100 TB run materializes `kept` (and usually
+    * `cleaned`) between stages — production pipelines checkpoint stage
+    * outputs anyway for restartability; pass a materialized frame and
+    * the composition is single-evaluation. */
   def trainReady(docs: DataFrame, budget: Long): DataFrame = {
     val kept = docs.where(TextOps.scoreMicro("text") > 0L)
       .select(col("doc_id"), col("text"))
