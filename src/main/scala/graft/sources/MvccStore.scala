@@ -95,7 +95,14 @@ class MvccStore(spark: SparkSession, val root: String) {
       lines.tail.filterNot(_.startsWith("txid=")))
   }
 
-  /** Stage a new immutable segment; returns its log-relative name. */
+  /** Stage a new immutable segment; returns its log-relative name.
+    * A segment whose commit ultimately LOSES (writer crash, retries
+    * exhausted) stays on disk unreferenced — harmless to correctness
+    * (nothing reads unreferenced segments) and reclaimable by an
+    * age-guarded sweep of unreferenced `seg-*` dirs; [[vacuum]]
+    * deliberately does not touch them, because an in-flight commit's
+    * freshly staged segment is also unreferenced (the tombstone
+    * problem every lakehouse GC carries). */
   private def stageSegment(df: DataFrame): String = {
     val seg = s"seg-${UUID.randomUUID().toString}"
     df.write.mode("overwrite").parquet(s"$dataDir/$seg")
@@ -171,6 +178,8 @@ class MvccStore(spark: SparkSession, val root: String) {
     * commit protocol does; [[vacuum]] bounds it. */
   def commitAppendOnce(df: DataFrame, txId: String,
                        maxRetries: Int = 50): Long = {
+    require(!txId.exists(c => c == '\n' || c == '\r'),
+      "MvccStore: txId must not contain line breaks (manifest format)")
     def existing(): Option[Long] =
       versions().find(v => readManifest(v).txId.contains(txId))
     existing() match {
