@@ -102,6 +102,13 @@ class StatementRunner(spark: SparkSession) {
       if (rest.trim.nonEmpty)
         throw new UnsupportedOperationException(
           s"LOAD DATA: unsupported trailing clause: '${rest.trim.take(60)}'")
+      // Spark's CSV reader auto-detects \n / \r\n on READ but accepts no
+      // custom record terminator — honor the clause or refuse it.
+      if (opts.lineSep != "\n" && opts.lineSep != "\r\n")
+        throw new UnsupportedOperationException(
+          "LOAD DATA: LINES TERMINATED BY supports only '\\n' or '\\r\\n' " +
+            "on the read path (Spark CSV auto-detects these; custom " +
+            "terminators are export-only)")
       val schema = store.read().schema
       val res = CsvLoader.load(spark, path, schema,
         delimiter = opts.delimiter, quote = opts.quote, escape = opts.escape)

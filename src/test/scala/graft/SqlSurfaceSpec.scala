@@ -141,5 +141,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       runner.run("LOAD DATA INFILE '/tmp/x' INTO TABLE never_attached")
     }
+    // custom record terminators are export-only; loading must refuse
+    intercept[UnsupportedOperationException] {
+      runner.run("LOAD DATA INFILE '/tmp/x' INTO TABLE stmt_region_x " +
+        "LINES TERMINATED BY ';'")
+    }
   }
 }
