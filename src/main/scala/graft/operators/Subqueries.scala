@@ -134,6 +134,49 @@ object Subqueries {
       |FROM orders
       |WHERE o_custkey < 100""".stripMargin
 
+  /** NTILE quartiles per nation (window tier completion): customers
+    * bucketed into 4 account-balance quartiles within their nation —
+    * both engines implement the SQL-standard larger-first remainder
+    * distribution, so the gate is hash-exact. */
+  def qWindowNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        ntile(4).over(w).cast("long").as("bal_quartile"))
+  }
+
+  val qWindowNtileSql: String =
+    """SELECT c_custkey, c_nationkey,
+      |  CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+      |                      ORDER BY c_acctbal DESC, c_custkey) AS BIGINT)
+      |    AS bal_quartile
+      |FROM customer""".stripMargin
+
+  /** Explicit GROUPING SETS + GROUPING() id (beyond the rollup/cube
+    * gates): two independent groupings in one pass, with the grouping
+    * id disambiguating which set each row came from. */
+  def qAggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("gs_orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        |  COUNT(*) AS n
+        |FROM gs_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  val qAggGroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   /** Derived table (subquery in FROM — derived_table.test): aggregate in
     * the inner block, filter + join the derived alias outside. Catalyst
     * inlines it; the gate pins the semantics. */
@@ -194,7 +237,9 @@ object Subqueries {
     "q_subq_derived" -> (qSubqDerived _),
     "q_window_rank" -> (qWindowRank _),
     "q_window_running_sum" -> (qWindowRunningSum _),
-    "q_window_lead_lag" -> (qWindowLeadLag _))
+    "q_window_lead_lag" -> (qWindowLeadLag _),
+    "q_window_ntile" -> (qWindowNtile _),
+    "q_agg_grouping_sets" -> (qAggGroupingSets _))
 
   val oracles: Map[String, String] = Map(
     "q_subq_scalar" -> qSubqScalarSql,
@@ -204,6 +249,8 @@ object Subqueries {
     "q_window_rank" -> qWindowRankSql,
     "q_window_running_sum" -> qWindowRunningSumSql,
     "q_window_lead_lag" -> qWindowLeadLagSql,
+    "q_window_ntile" -> qWindowNtileSql,
+    "q_agg_grouping_sets" -> qAggGroupingSetsSql,
     "q_subq_derived" -> qSubqDerivedSql)
 
   /** Correlated oracle with the exact per-part fixed-point half-average. */
