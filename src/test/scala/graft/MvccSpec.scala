@@ -178,6 +178,24 @@ class MvccSpec extends AnyFunSuite {
     assert(store.versions() === Seq(2L))
   }
 
+  test("snapshot reads keep parquet pushdown and column pruning") {
+    val store = freshStore()
+    val c = Engine.table(spark, sf, "customer")
+    store.init(c.filter(col("c_custkey") % 2 === 0))
+    store.commitAppend(c.filter(col("c_custkey") % 2 === 1))
+    val q = store.read()
+      .filter(col("c_custkey") === 42L)
+      .select("c_custkey", "c_acctbal")
+    val plan = q.queryExecution.executedPlan.toString
+    // the manifest read is a plain multi-path parquet scan: the filter
+    // reaches the scan and the schema is pruned to the 2 columns
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)"),
+      s"pushdown missing:\n$plan")
+    assert(plan.contains("ReadSchema") &&
+      !plan.contains("c_mktsegment"), "column pruning missing")
+    assert(q.count() === c.filter(col("c_custkey") === 42L).count())
+  }
+
   test("truncate keeps schema, drops rows, preserves history") {
     val store = freshStore()
     val r = Engine.table(spark, sf, "region")
