@@ -63,7 +63,9 @@ object Bench {
     "q_seq_pack",               // concat-and-chunk sequence packing
     "q_pipeline_train_ready",   // classifier -> span dedup -> packing
     "q_text_classifier_score",  // hashed linear quality scorer
-    "q_tfidf_topk")             // corpus-lexicon TF-IDF
+    "q_tfidf_topk",             // corpus-lexicon TF-IDF
+    "q_chunk_docs",             // context-window chunking (RAG splits)
+    "q_token_budget_select")    // quality-ranked token-budget selection
 
   def runOne(spark: SparkSession, name: String, sfDir: String): Double = {
     val t0 = System.nanoTime()

@@ -33,6 +33,7 @@ object SparkEntry {
     operators.Lexicon.queries -> operators.Lexicon.oracles,
     operators.Curation.queries -> operators.Curation.oracles,
     operators.Sampling.queries -> operators.Sampling.oracles,
+    operators.Corpus.queries -> operators.Corpus.oracles,
     operators.Dedup.queries -> operators.Dedup.oracles,
     operators.Similarity.queries -> operators.Similarity.oracles,
     operators.Multimodal.queries -> operators.Multimodal.oracles,

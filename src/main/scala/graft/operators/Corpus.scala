@@ -1,0 +1,271 @@
+package graft.operators
+
+import graft.Engine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus layout & selection for a training-data pipeline (extension tier —
+  * no reference analog; the pipeline-ops mandate): context-window document
+  * chunking, leakage-safe train/val/test splits, quality-ranked token-budget
+  * selection, and per-source (domain-level) curation stats. Everything is
+  * deterministic integer/fixed-point arithmetic so each gate is oracle-exact
+  * against DuckDB, and every operator is designed scan-side-first: the corpus
+  * text itself never shuffles in any of them.
+  */
+object Corpus {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Engine.table(s, dir, n)
+
+  private def r6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+  private def sqlR6(e: String): String =
+    s"FLOOR(($e) * 1000000.0 + 0.5) / 1000000.0"
+
+  // --- context-window chunking ---------------------------------------------
+
+  /** Chunk size / stride in whitespace tokens (overlap = 64 − 48 = 16) —
+    * the RAG / context-length-split shape. */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** Split each document into overlapping [[ChunkTokens]]-token windows at
+    * [[ChunkStride]] spacing; emit (doc_id, chunk_idx, n_chunk_tokens,
+    * chunk_fp). A document shorter than one window is one chunk.
+    *
+    * Shape (the 100 TB concern): a pure per-row generate — `split` once,
+    * `explode(sequence)` by the per-doc chunk count, `slice` each window
+    * out of the one tokens array. No shuffle at all; output size is the
+    * intrinsic ~1.33× token duplication of the overlap, and the md5
+    * fingerprint keeps the emitted rows narrow (chunk text never leaves
+    * the scan task unless the caller asks for it via [[chunksOf]]).
+    */
+  def chunksOf(docs: DataFrame): DataFrame = {
+    val n = TextOps.tokenCount(col("text"))
+    val nChunks = when(n <= ChunkTokens, lit(1L)).otherwise(
+      // floor-div of positives == ceil((n - chunk) / stride); floor()
+      // because Column./ is double division
+      floor((n - ChunkTokens + (ChunkStride - 1)) / lit(ChunkStride)) + 1L)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"),
+        nChunks.cast("long").as("n_chunks"))
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("tk"), (col("chunk_idx") * ChunkStride + 1).cast("int"),
+          lit(ChunkTokens)).as("chunk_toks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk_toks")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("chunk_toks"), " ")).as("chunk_fp"))
+  }
+
+  def qChunkDocs(s: SparkSession, dir: String): DataFrame =
+    chunksOf(t(s, dir, "documents"))
+
+  val qChunkDocsSql: String = {
+    val n = TextOps.sqlTokenCountOf("text")
+    val nChunks =
+      s"CASE WHEN $n <= $ChunkTokens THEN 1 ELSE ($n - $ChunkTokens + ${ChunkStride - 1}) // $ChunkStride + 1 END"
+    val sliced = s"tk[CAST(chunk_idx * $ChunkStride + 1 AS BIGINT) : CAST(chunk_idx * $ChunkStride + $ChunkTokens AS BIGINT)]"
+    s"""WITH c AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk,
+      |    unnest(range(0, $nChunks)) AS chunk_idx
+      |  FROM documents
+      |)
+      |SELECT doc_id, chunk_idx,
+      |  CAST(len($sliced) AS BIGINT) AS n_chunk_tokens,
+      |  md5(array_to_string($sliced, ' ')) AS chunk_fp
+      |FROM c""".stripMargin
+  }
+
+  // --- leakage-safe split --------------------------------------------------
+
+  /** Train/val/test assignment keyed on the CONTENT fingerprint, not the
+    * doc id: exact duplicates always land in the same split, so a val/test
+    * document can never leak a training duplicate. 80/10/10 by the first
+    * 48 bits of md5(text) mod 100 (uniform, engine-portable, join-stable).
+    */
+  private def splitCol(text: Column): Column = {
+    val bucket = conv(substring(md5(text), 1, 12), 16, 10)
+      .cast("long") % 100
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+  private def sqlSplitOf(c: String): String =
+    s"""CASE WHEN CAST(('0x' || substr(md5($c), 1, 12)) AS BIGINT) % 100 < 80 THEN 'train'
+       |     WHEN CAST(('0x' || substr(md5($c), 1, 12)) AS BIGINT) % 100 < 90 THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
+  /** Frame-level split assignment: (doc_id, source, split). */
+  def splitOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      splitCol(col("text")).as("split"))
+
+  /** Per (split, source) accounting: doc count, distinct content groups,
+    * token total. One scan + one agg shuffle on the (split, source) keys;
+    * the distinct-group count rides the same exchange. */
+  def qSplitLeakfree(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), splitCol(col("text")).as("split"),
+        md5(col("text")).as("fp"),
+        TextOps.tokenCount(col("text")).as("n"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_groups"),
+        sum(col("n")).as("n_tokens"))
+
+  val qSplitLeakfreeSql: String =
+    s"""SELECT split, source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT fp) AS n_groups, CAST(SUM(n) AS BIGINT) AS n_tokens
+      |FROM (SELECT source, ${sqlSplitOf("text")} AS split,
+      |        md5(text) AS fp, ${TextOps.sqlTokenCountOf("text")} AS n
+      |      FROM documents)
+      |GROUP BY split, source""".stripMargin
+
+  // --- token-budget selection ----------------------------------------------
+
+  /** Keep the highest-quality documents until a token budget (half the
+    * corpus) is exhausted — the data-selection step of a token-budgeted
+    * training run. Selection order is (quality DESC, doc_id ASC); a
+    * document is kept iff the inclusive running token total at its
+    * position fits the budget.
+    *
+    * Shape (the 100 TB concern): the naive form — one running sum over
+    * the globally-ordered corpus — is a single-partition window over
+    * every row. Instead the cutoff is found on an aggregate: per-QUALITY
+    * token totals (quality is fixed-point with ≤1e6+1 distinct values, so
+    * this frame is small by construction) carry a running sum that
+    * identifies full buckets and THE one boundary bucket; whole buckets
+    * need no per-row window at all, and only boundary-quality rows flow
+    * through a per-row running sum (partitioned, bounded by one bucket).
+    * The corpus is scanned twice (score+count, then filter) and shuffles
+    * only bucket totals. Equivalence to the naive prefix rule is pinned by
+    * CorpusSpec; the oracle IS the naive form.
+    */
+  /** (doc_id, source, q, n): the selection-ranking frame — quality score
+    * and whitespace token count per document. */
+  def scoredDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      TextOps.qualityScore(col("text")).as("q"),
+      TextOps.tokenCount(col("text")).as("n"))
+
+  def tokenBudgetKept(docs: DataFrame): DataFrame = {
+    val scored = scoredDocs(docs)
+    val perQ = scored.groupBy(col("q"))
+      .agg(sum(col("n")).as("bucket_tokens"))
+    // running total over per-quality buckets: ≤1e6+1 rows by fixed-point
+    // construction, so the unpartitioned window is a bounded frame, not a
+    // corpus-sized one. localCheckpoint(eager) materializes the bucket
+    // frame ONCE: it feeds three consumers (budget, full-bucket filter,
+    // boundary filter) and would otherwise re-run the corpus scoring agg
+    // per consumer (measured: 6 corpus scans → 3).
+    val wq = Window.orderBy(col("q").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = perQ
+      .withColumn("cum", sum(col("bucket_tokens")).over(wq))
+      .withColumn("prev", col("cum") - col("bucket_tokens"))
+      .localCheckpoint(true)
+    // the budget derives from the bucket totals (same integer sum as the
+    // corpus-level sum), so it costs no extra corpus scan
+    val budget = withCum.agg(expr("sum(bucket_tokens) div 2").as("budget"))
+    val cums = withCum.crossJoin(broadcast(budget))
+    val full = cums.filter(col("cum") <= col("budget")).select(col("q"))
+    val boundary = cums
+      .filter(col("prev") <= col("budget") && col("cum") > col("budget"))
+      .select(col("q"), col("prev"), col("budget"))
+    val keptFull = scored.join(broadcast(full), Seq("q"))
+      .select(col("doc_id"), col("source"), col("q"), col("n"))
+    val wd = Window.partitionBy(col("q")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keptBoundary = scored.join(broadcast(boundary), Seq("q"))
+      .withColumn("run", sum(col("n")).over(wd))
+      .filter(col("prev") + col("run") <= col("budget"))
+      .select(col("doc_id"), col("source"), col("q"), col("n"))
+    keptFull.unionByName(keptBoundary)
+  }
+
+  def qTokenBudgetSelect(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetKept(t(s, dir, "documents"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n")).as("tokens_kept"),
+        min(col("q")).as("min_quality_kept"))
+
+  val qTokenBudgetSelectSql: String = {
+    val score = TextOps.sqlQualityScoreOf("text")
+    val n = TextOps.sqlTokenCountOf("text")
+    s"""WITH scored AS (
+      |  SELECT doc_id, source, $score AS q, $n AS n FROM documents
+      |), b AS (SELECT SUM(n) // 2 AS budget FROM scored),
+      |r AS (
+      |  SELECT *, SUM(n) OVER (ORDER BY q DESC, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM scored
+      |)
+      |SELECT source, COUNT(*) AS n_kept, CAST(SUM(n) AS BIGINT) AS tokens_kept,
+      |  MIN(q) AS min_quality_kept
+      |FROM r, b WHERE r.run <= b.budget
+      |GROUP BY source""".stripMargin
+  }
+
+  // --- per-source curation stats -------------------------------------------
+
+  /** Domain-level curation: per source, doc count, distinct-content count,
+    * duplication rate, mean quality and mean length, and a keep/drop
+    * verdict (the RefinedWeb-style domain filter step). One scan + one
+    * per-source agg; quality means go through the scaled-BIGINT sum
+    * convention so they are order-independent and engine-exact. */
+  def qSourceCuration(s: SparkSession, dir: String): DataFrame = {
+    val scaledQ = floor(TextOps.qualityScore(col("text")) * 1000000.0 + 0.5)
+      .cast("long")
+    val agg = t(s, dir, "documents")
+      .select(col("source"), md5(col("text")).as("fp"),
+        scaledQ.as("q6"), TextOps.tokenCount(col("text")).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        sum(col("q6")).as("sum_q6"), sum(col("n")).as("sum_n"))
+    agg.select(col("source"), col("n_docs"), col("n_unique"),
+      r6(lit(1.0) - col("n_unique").cast("double") / col("n_docs"))
+        .as("dup_rate"),
+      r6(col("sum_q6").cast("double") / 1000000.0 / col("n_docs"))
+        .as("mean_quality"),
+      r6(col("sum_n").cast("double") / col("n_docs")).as("mean_tokens"))
+      .withColumn("verdict",
+        when(col("dup_rate") <= 0.2 && col("mean_quality") >= 0.4, "keep")
+          .otherwise("drop"))
+  }
+
+  val qSourceCurationSql: String = {
+    val score = TextOps.sqlQualityScoreOf("text")
+    val n = TextOps.sqlTokenCountOf("text")
+    val dup = sqlR6("1.0 - CAST(n_unique AS DOUBLE) / n_docs")
+    val mq = sqlR6("CAST(sum_q6 AS DOUBLE) / 1000000.0 / n_docs")
+    val mt = sqlR6("CAST(sum_n AS DOUBLE) / n_docs")
+    s"""WITH agg AS (
+      |  SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique,
+      |    SUM(q6) AS sum_q6, SUM(n) AS sum_n
+      |  FROM (SELECT source, md5(text) AS fp,
+      |          CAST(FLOOR(($score) * 1000000.0 + 0.5) AS BIGINT) AS q6,
+      |          $n AS n
+      |        FROM documents)
+      |  GROUP BY source
+      |)
+      |SELECT source, n_docs, n_unique, $dup AS dup_rate,
+      |  $mq AS mean_quality, $mt AS mean_tokens,
+      |  CASE WHEN $dup <= 0.2 AND $mq >= 0.4 THEN 'keep' ELSE 'drop' END
+      |    AS verdict
+      |FROM agg""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_docs" -> (qChunkDocs _),
+    "q_split_leakfree" -> (qSplitLeakfree _),
+    "q_token_budget_select" -> (qTokenBudgetSelect _),
+    "q_source_curation" -> (qSourceCuration _))
+
+  val oracles: Map[String, String] = Map(
+    "q_chunk_docs" -> qChunkDocsSql,
+    "q_split_leakfree" -> qSplitLeakfreeSql,
+    "q_token_budget_select" -> qTokenBudgetSelectSql,
+    "q_source_curation" -> qSourceCurationSql)
+}

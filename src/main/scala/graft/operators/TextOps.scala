@@ -40,8 +40,30 @@ object TextOps {
     (length(padded) - length(regexp_replace(padded, s" ${w} ", " ")))
       .cast("double") / (w.length + 1)
   }
-  private def sqlWordHits(w: String): String =
-    s"CAST(LENGTH(' ' || text || ' ') - LENGTH(REPLACE(' ' || text || ' ', ' $w ', ' ')) AS DOUBLE) / ${w.length + 1}"
+  private def sqlWordHitsOf(c: String, w: String): String =
+    s"CAST(LENGTH(' ' || $c || ' ') - LENGTH(REPLACE(' ' || $c || ' ', ' $w ', ' ')) AS DOUBLE) / ${w.length + 1}"
+  private def sqlWordHits(w: String): String = sqlWordHitsOf("text", w)
+
+  /** The length/alpha-ratio/stopword quality score as a reusable column
+    * expression (and its DuckDB mirror) so downstream selection operators
+    * ([[Corpus]]) rank by exactly the score the quality gate pins. */
+  private[operators] def qualityScore(c: Column): Column = {
+    val toks = tokenCount(c)
+    val alphaRatio =
+      length(regexp_replace(lower(c), "[^a-z ]", ""))
+        .cast("double") / length(c)
+    val stopRatio =
+      (wordHits(c, "the") + wordHits(c, "and") + wordHits(c, "of")) /
+        toks.cast("double")
+    r6(alphaRatio * 0.5 + least(stopRatio * lit(2.0), lit(1.0)) * 0.3
+      + when(toks.between(10, 400), 0.2).otherwise(0.0))
+  }
+  private[operators] def sqlQualityScoreOf(c: String): String = {
+    val toks = sqlTokenCountOf(c)
+    val alpha = s"CAST(LENGTH(REGEXP_REPLACE(LOWER($c), '[^a-z ]', '', 'g')) AS DOUBLE) / LENGTH($c)"
+    val stop = s"(${sqlWordHitsOf(c, "the")} + ${sqlWordHitsOf(c, "and")} + ${sqlWordHitsOf(c, "of")}) / CAST($toks AS DOUBLE)"
+    sqlR6(s"$alpha * 0.5 + LEAST($stop * 2.0, 1.0) * 0.3 + CASE WHEN $toks BETWEEN 10 AND 400 THEN 0.2 ELSE 0.0 END")
+  }
 
   // --- token/char statistics ---------------------------------------------
 
@@ -111,15 +133,7 @@ object TextOps {
     * frame-level form so the corpus pipeline (and its adversarial specs)
     * can score arbitrary (doc_id, text) frames. */
   def qualityOf(d: DataFrame): DataFrame = {
-    val toks = tokenCount(col("text"))
-    val alphaRatio =
-      length(regexp_replace(lower(col("text")), "[^a-z ]", ""))
-        .cast("double") / length(col("text"))
-    val stopRatio =
-      (wordHits(col("text"), "the") + wordHits(col("text"), "and")
-        + wordHits(col("text"), "of")) / toks.cast("double")
-    val score = r6(alphaRatio * 0.5 + least(stopRatio * lit(2.0), lit(1.0)) * 0.3
-      + when(toks.between(10, 400), 0.2).otherwise(0.0))
+    val score = qualityScore(col("text"))
     // producing projection first: `score` carries four codegen'd regex
     // passes and feeds both output columns — one evaluation per row
     // (same CollapseProject reasoning as qTextTokens)
@@ -134,10 +148,7 @@ object TextOps {
     qualityOf(t(s, dir, "documents"))
 
   val qTextQualitySql: String = {
-    val toks = sqlTokenCount
-    val alpha = "CAST(LENGTH(REGEXP_REPLACE(LOWER(text), '[^a-z ]', '', 'g')) AS DOUBLE) / LENGTH(text)"
-    val stop = s"(${sqlWordHits("the")} + ${sqlWordHits("and")} + ${sqlWordHits("of")}) / CAST($toks AS DOUBLE)"
-    val score = sqlR6(s"$alpha * 0.5 + LEAST($stop * 2.0, 1.0) * 0.3 + CASE WHEN $toks BETWEEN 10 AND 400 THEN 0.2 ELSE 0.0 END")
+    val score = sqlQualityScoreOf("text")
     s"""SELECT doc_id, $score AS quality,
       |  CASE WHEN $score >= 0.6 THEN 'good'
       |       WHEN $score >= 0.45 THEN 'ok'

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus layout & selection tier (operators.Corpus): chunk geometry,
+  * leakage-safe splits, token-budget selection equivalence to the naive
+  * prefix rule, source-curation verdict consistency. */
+class CorpusSpec extends AnyFunSuite {
+  import operators._
+  private def spark = TestSession.spark
+  private val sf = TestSession.sf
+
+  private def docs = Engine.table(spark, sf, "documents")
+
+  test("chunking tiles every document exactly: last chunk ends at " +
+      "n_tokens, inner chunks are full-width, stride fixed") {
+    val chunks = Corpus.qChunkDocs(spark, sf)
+    val nTok = TextOps.qTextStats(spark, sf).select("doc_id", "n_tokens")
+    val geo = chunks.groupBy("doc_id").agg(
+      max(col("chunk_idx") * Corpus.ChunkStride + col("n_chunk_tokens"))
+        .as("covered_end"),
+      max("chunk_idx").as("last_idx"),
+      min("n_chunk_tokens").as("min_w"),
+      count(lit(1)).as("n_chunks")).join(nTok, "doc_id")
+    // contiguous cover: the last chunk's end == the doc's token count
+    assert(geo.filter(col("covered_end") =!= col("n_tokens")).count() === 0)
+    // chunk ids are dense 0..n-1
+    assert(geo.filter(col("last_idx") =!= col("n_chunks") - 1).count() === 0)
+    // every non-last chunk is exactly ChunkTokens wide; the last is >
+    // overlap (no chunk fully contained in its predecessor)
+    val widths = chunks.join(geo.select("doc_id", "last_idx"), "doc_id")
+    assert(widths.filter(col("chunk_idx") =!= col("last_idx")
+      && col("n_chunk_tokens") =!= Corpus.ChunkTokens).count() === 0)
+    // (single-chunk docs have no predecessor, so only last_idx > 0 counts)
+    assert(widths.filter(col("last_idx") > 0
+      && col("chunk_idx") === col("last_idx")
+      && col("n_chunk_tokens") <= Corpus.ChunkTokens - Corpus.ChunkStride)
+      .count() === 0)
+  }
+
+  test("leakage-safe split: identical text always lands in the same " +
+      "split, and the split partitions the corpus") {
+    val s = spark
+    import s.implicits._
+    val synth = Seq(
+      (1L, "a", "alpha beta gamma delta"),
+      (2L, "b", "alpha beta gamma delta"), // dup of 1 in another source
+      (3L, "a", "one two three four five"),
+      (4L, "c", "one two three four five"), // dup of 3
+      (5L, "a", "unique text here")).toDF("doc_id", "source", "text")
+    val splits = Corpus.splitOf(synth)
+      .join(synth, Seq("doc_id", "source"))
+    val perText = splits.groupBy("text")
+      .agg(countDistinct("split").as("n_splits"))
+    assert(perText.filter(col("n_splits") =!= 1).count() === 0)
+    // the gate's accounting partitions the real corpus
+    val total = Corpus.qSplitLeakfree(spark, sf)
+      .agg(sum("n_docs")).first().getLong(0)
+    assert(total === docs.count())
+  }
+
+  test("token-budget selection equals the naive global-prefix rule") {
+    val scored = Corpus.scoredDocs(docs)
+    val budget = scored.agg(expr("sum(n) div 2")).first().getLong(0)
+    val w = Window.orderBy(col("q").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = scored.withColumn("run", sum("n").over(w))
+      .filter(col("run") <= budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = Corpus.tokenBudgetKept(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === naive)
+    assert(kept.nonEmpty && kept.size < docs.count())
+  }
+
+  test("token-budget selection never exceeds the budget and cannot add " +
+      "the next-ranked document") {
+    val scored = Corpus.scoredDocs(docs)
+    val budget = scored.agg(expr("sum(n) div 2")).first().getLong(0)
+    val kept = Corpus.tokenBudgetKept(docs)
+    val used = kept.agg(sum("n")).first().getLong(0)
+    assert(used <= budget)
+    // maximality: the best-ranked unselected doc would overflow
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val next = scored.filter(!col("doc_id").isInCollection(keptIds))
+      .orderBy(col("q").desc, col("doc_id").asc)
+      .select("n").head().getLong(0)
+    assert(used + next > budget)
+  }
+
+  test("source curation: verdict matches its own published thresholds") {
+    val cur = Corpus.qSourceCuration(spark, sf)
+    val bad = cur.filter(
+      (col("dup_rate") <= 0.2 && col("mean_quality") >= 0.4
+        && col("verdict") =!= "keep")
+        || ((col("dup_rate") > 0.2 || col("mean_quality") < 0.4)
+          && col("verdict") =!= "drop"))
+    assert(bad.count() === 0)
+    assert(cur.filter(col("dup_rate") < 0 || col("dup_rate") > 1).count() === 0)
+  }
+}
