@@ -65,7 +65,9 @@ object Bench {
     "q_text_classifier_score",  // hashed linear quality scorer
     "q_tfidf_topk",             // corpus-lexicon TF-IDF
     "q_chunk_docs",             // context-window chunking (RAG splits)
-    "q_token_budget_select")    // quality-ranked token-budget selection
+    "q_token_budget_select",    // quality-ranked token-budget selection
+    "q_pipeline_mix",           // domain filter -> budget -> split manifest
+    "q_retrieval_hybrid")       // ANN recall + chunk-level lexical rerank
 
   def runOne(spark: SparkSession, name: String, sfDir: String): Double = {
     val t0 = System.nanoTime()

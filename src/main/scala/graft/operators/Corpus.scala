@@ -30,18 +30,18 @@ object Corpus {
   val ChunkTokens = 64
   val ChunkStride = 48
 
-  /** Split each document into overlapping [[ChunkTokens]]-token windows at
-    * [[ChunkStride]] spacing; emit (doc_id, chunk_idx, n_chunk_tokens,
-    * chunk_fp). A document shorter than one window is one chunk.
+  /** Split each document into overlapping [[ChunkTokens]]-token windows
+    * at [[ChunkStride]] spacing; a document shorter than one window is
+    * one chunk. Emits (doc_id, chunk_idx, chunk_toks) — the raw token
+    * arrays, so downstream consumers (lexical rerank in
+    * [[Similarity.qRetrievalHybrid]]) can score without re-splitting.
     *
     * Shape (the 100 TB concern): a pure per-row generate — `split` once,
     * `explode(sequence)` by the per-doc chunk count, `slice` each window
     * out of the one tokens array. No shuffle at all; output size is the
-    * intrinsic ~1.33× token duplication of the overlap, and the md5
-    * fingerprint keeps the emitted rows narrow (chunk text never leaves
-    * the scan task unless the caller asks for it via [[chunksOf]]).
+    * intrinsic ~1.33× token duplication of the overlap.
     */
-  def chunksOf(docs: DataFrame): DataFrame = {
+  def chunkTokens(docs: DataFrame): DataFrame = {
     val n = TextOps.tokenCount(col("text"))
     val nChunks = when(n <= ChunkTokens, lit(1L)).otherwise(
       // floor-div of positives == ceil((n - chunk) / stride); floor()
@@ -55,29 +55,42 @@ object Corpus {
       .select(col("doc_id"), col("chunk_idx"),
         slice(col("tk"), (col("chunk_idx") * ChunkStride + 1).cast("int"),
           lit(ChunkTokens)).as("chunk_toks"))
+  }
+
+  /** The chunk manifest gate shape: (doc_id, chunk_idx, n_chunk_tokens,
+    * chunk_fp) — the md5 fingerprint keeps emitted rows narrow (chunk
+    * text never leaves the scan task). */
+  def chunksOf(docs: DataFrame): DataFrame =
+    chunkTokens(docs)
       .select(col("doc_id"), col("chunk_idx"),
         size(col("chunk_toks")).cast("long").as("n_chunk_tokens"),
         md5(array_join(col("chunk_toks"), " ")).as("chunk_fp"))
+
+  /** DuckDB mirror of [[chunkTokens]] as a CTE body over `from` (needs
+    * doc_id + text): emits doc_id, chunk_idx, chunk_toks. */
+  private[operators] def sqlChunkTokensFrom(from: String): String = {
+    val n = TextOps.sqlTokenCountOf("text")
+    val nChunks =
+      s"CASE WHEN $n <= $ChunkTokens THEN 1 ELSE ($n - $ChunkTokens + ${ChunkStride - 1}) // $ChunkStride + 1 END"
+    s"""SELECT doc_id,
+       |  unnest(range(0, $nChunks)) AS chunk_idx,
+       |  string_split(text, ' ') AS tk0
+       |FROM $from""".stripMargin
   }
+  private[operators] val sqlChunkSlice: String =
+    s"tk0[CAST(chunk_idx * $ChunkStride + 1 AS BIGINT) : CAST(chunk_idx * $ChunkStride + $ChunkTokens AS BIGINT)]"
 
   def qChunkDocs(s: SparkSession, dir: String): DataFrame =
     chunksOf(t(s, dir, "documents"))
 
-  val qChunkDocsSql: String = {
-    val n = TextOps.sqlTokenCountOf("text")
-    val nChunks =
-      s"CASE WHEN $n <= $ChunkTokens THEN 1 ELSE ($n - $ChunkTokens + ${ChunkStride - 1}) // $ChunkStride + 1 END"
-    val sliced = s"tk[CAST(chunk_idx * $ChunkStride + 1 AS BIGINT) : CAST(chunk_idx * $ChunkStride + $ChunkTokens AS BIGINT)]"
+  val qChunkDocsSql: String =
     s"""WITH c AS (
-      |  SELECT doc_id, string_split(text, ' ') AS tk,
-      |    unnest(range(0, $nChunks)) AS chunk_idx
-      |  FROM documents
+      |${sqlChunkTokensFrom("documents")}
       |)
       |SELECT doc_id, chunk_idx,
-      |  CAST(len($sliced) AS BIGINT) AS n_chunk_tokens,
-      |  md5(array_to_string($sliced, ' ')) AS chunk_fp
+      |  CAST(len($sqlChunkSlice) AS BIGINT) AS n_chunk_tokens,
+      |  md5(array_to_string($sqlChunkSlice, ' ')) AS chunk_fp
       |FROM c""".stripMargin
-  }
 
   // --- leakage-safe split --------------------------------------------------
 
@@ -86,12 +99,12 @@ object Corpus {
     * document can never leak a training duplicate. 80/10/10 by the first
     * 48 bits of md5(text) mod 100 (uniform, engine-portable, join-stable).
     */
-  private def splitCol(text: Column): Column = {
+  private[operators] def splitCol(text: Column): Column = {
     val bucket = conv(substring(md5(text), 1, 12), 16, 10)
       .cast("long") % 100
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
   }
-  private def sqlSplitOf(c: String): String =
+  private[operators] def sqlSplitOf(c: String): String =
     s"""CASE WHEN CAST(('0x' || substr(md5($c), 1, 12)) AS BIGINT) % 100 < 80 THEN 'train'
        |     WHEN CAST(('0x' || substr(md5($c), 1, 12)) AS BIGINT) % 100 < 90 THEN 'val'
        |     ELSE 'test' END""".stripMargin
@@ -124,6 +137,13 @@ object Corpus {
 
   // --- token-budget selection ----------------------------------------------
 
+  /** (doc_id, source, q, n): the selection-ranking frame — quality score
+    * and whitespace token count per document. */
+  def scoredDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      TextOps.qualityScore(col("text")).as("q"),
+      TextOps.tokenCount(col("text")).as("n"))
+
   /** Keep the highest-quality documents until a token budget (half the
     * corpus) is exhausted — the data-selection step of a token-budgeted
     * training run. Selection order is (quality DESC, doc_id ASC); a
@@ -142,13 +162,6 @@ object Corpus {
     * only bucket totals. Equivalence to the naive prefix rule is pinned by
     * CorpusSpec; the oracle IS the naive form.
     */
-  /** (doc_id, source, q, n): the selection-ranking frame — quality score
-    * and whitespace token count per document. */
-  def scoredDocs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("source"),
-      TextOps.qualityScore(col("text")).as("q"),
-      TextOps.tokenCount(col("text")).as("n"))
-
   def tokenBudgetKept(docs: DataFrame): DataFrame = {
     val scored = scoredDocs(docs)
     val perQ = scored.groupBy(col("q"))
@@ -214,10 +227,12 @@ object Corpus {
     * verdict (the RefinedWeb-style domain filter step). One scan + one
     * per-source agg; quality means go through the scaled-BIGINT sum
     * convention so they are order-independent and engine-exact. */
-  def qSourceCuration(s: SparkSession, dir: String): DataFrame = {
+  /** Per-source stats + keep/drop verdict as a reusable frame (the
+    * curated-mix pipeline filters on it; the gate query selects it). */
+  def sourceStats(docs: DataFrame): DataFrame = {
     val scaledQ = floor(TextOps.qualityScore(col("text")) * 1000000.0 + 0.5)
       .cast("long")
-    val agg = t(s, dir, "documents")
+    val agg = docs
       .select(col("source"), md5(col("text")).as("fp"),
         scaledQ.as("q6"), TextOps.tokenCount(col("text")).as("n"))
       .groupBy(col("source"))
@@ -235,13 +250,19 @@ object Corpus {
           .otherwise("drop"))
   }
 
-  val qSourceCurationSql: String = {
+  def qSourceCuration(s: SparkSession, dir: String): DataFrame =
+    sourceStats(t(s, dir, "documents"))
+
+  /** DuckDB mirror of [[sourceStats]] as CTEs ending in `src_verdict`
+    * (source, n_docs, n_unique, dup_rate, mean_quality, mean_tokens,
+    * verdict). */
+  private[operators] val sqlSourceStatsCtes: String = {
     val score = TextOps.sqlQualityScoreOf("text")
     val n = TextOps.sqlTokenCountOf("text")
     val dup = sqlR6("1.0 - CAST(n_unique AS DOUBLE) / n_docs")
     val mq = sqlR6("CAST(sum_q6 AS DOUBLE) / 1000000.0 / n_docs")
     val mt = sqlR6("CAST(sum_n AS DOUBLE) / n_docs")
-    s"""WITH agg AS (
+    s"""src_agg AS (
       |  SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique,
       |    SUM(q6) AS sum_q6, SUM(n) AS sum_n
       |  FROM (SELECT source, md5(text) AS fp,
@@ -249,13 +270,23 @@ object Corpus {
       |          $n AS n
       |        FROM documents)
       |  GROUP BY source
-      |)
-      |SELECT source, n_docs, n_unique, $dup AS dup_rate,
-      |  $mq AS mean_quality, $mt AS mean_tokens,
-      |  CASE WHEN $dup <= 0.2 AND $mq >= 0.4 THEN 'keep' ELSE 'drop' END
-      |    AS verdict
-      |FROM agg""".stripMargin
+      |),
+      |src_verdict AS (
+      |  SELECT source, n_docs, n_unique, dup_rate, mean_quality,
+      |    mean_tokens,
+      |    CASE WHEN dup_rate <= 0.2 AND mean_quality >= 0.4
+      |      THEN 'keep' ELSE 'drop' END AS verdict
+      |  FROM (SELECT source, n_docs, n_unique, $dup AS dup_rate,
+      |          $mq AS mean_quality, $mt AS mean_tokens
+      |        FROM src_agg)
+      |)""".stripMargin
   }
+
+  val qSourceCurationSql: String =
+    s"""WITH $sqlSourceStatsCtes
+      |SELECT source, n_docs, n_unique, dup_rate, mean_quality,
+      |  mean_tokens, verdict
+      |FROM src_verdict""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_docs" -> (qChunkDocs _),

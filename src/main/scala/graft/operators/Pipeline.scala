@@ -216,13 +216,76 @@ object Pipeline {
       |), ${Packing.packCtes("cleaned")}
       |${Packing.packSelectSql}""".stripMargin
 
+  /** The curated-training-mix head of the pipeline — the Corpus-tier
+    * stages between a raw corpus and a training manifest, in production
+    * order:
+    *
+    *   1. domain filter: drop every document from a source whose
+    *      [[Corpus.sourceStats]] verdict is 'drop' (dup-rate / mean-
+    *      quality thresholds);
+    *   2. token-budget selection over the SURVIVORS
+    *      ([[Corpus.tokenBudgetKept]] — budget is recomputed as half the
+    *      surviving corpus, so the two stages compose rather than
+    *      pre-commit to a raw-corpus budget);
+    *   3. leakage-safe split accounting of the selected set
+    *      ([[Corpus.splitCol]] on the content fingerprint).
+    *
+    * Output: (split, source, n_docs, n_tokens) — the mix manifest a
+    * training run consumes. Each stage is the operator's own code; the
+    * verdict frame is |sources| rows and broadcasts, selection inherits
+    * the bucket-cumulative plan, and the split is a scan-side
+    * expression, so the composition adds no new corpus-sized shuffle.
+    * The oracle composes each operator's own CTE mirror — stage WIRING
+    * is hash-checked. */
+  def mixOf(docs: DataFrame): DataFrame = {
+    // |sources|-row verdict frame, materialized once: its lineage is a
+    // corpus-wide agg and it feeds every downstream branch (budget path,
+    // full-bucket probe, boundary probe)
+    val keepSrc = Corpus.sourceStats(docs)
+      .filter(col("verdict") === "keep").select("source")
+      .localCheckpoint(true)
+    val kept = docs.join(broadcast(keepSrc), Seq("source"))
+    val selected = Corpus.tokenBudgetKept(kept)
+    docs.select(col("doc_id"), Corpus.splitCol(col("text")).as("split"))
+      .join(selected, Seq("doc_id"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+  }
+
+  def qPipelineMix(s: SparkSession, dir: String): DataFrame =
+    mixOf(Engine.table(s, dir, "documents"))
+
+  val qPipelineMixSql: String =
+    s"""WITH ${Corpus.sqlSourceStatsCtes},
+      |kept AS (
+      |  SELECT d.* FROM documents d
+      |  JOIN src_verdict v ON d.source = v.source
+      |  WHERE v.verdict = 'keep'
+      |), scored AS (
+      |  SELECT doc_id, source, text,
+      |    ${TextOps.sqlQualityScoreOf("text")} AS q,
+      |    ${TextOps.sqlTokenCountOf("text")} AS n
+      |  FROM kept
+      |), b AS (SELECT SUM(n) // 2 AS budget FROM scored),
+      |r AS (
+      |  SELECT *, SUM(n) OVER (ORDER BY q DESC, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM scored
+      |)
+      |SELECT ${Corpus.sqlSplitOf("r.text")} AS split, r.source,
+      |  COUNT(*) AS n_docs, CAST(SUM(r.n) AS BIGINT) AS n_tokens
+      |FROM r, b WHERE r.run <= b.budget
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_clean" -> (cleanCorpus _),
     "q_pipeline_audit" -> (auditCorpus _),
-    "q_pipeline_train_ready" -> (qPipelineTrainReady _))
+    "q_pipeline_train_ready" -> (qPipelineTrainReady _),
+    "q_pipeline_mix" -> (qPipelineMix _))
 
   val oracles: Map[String, String] = Map(
     "q_pipeline_clean" -> qPipelineCleanSql,
     "q_pipeline_audit" -> qPipelineAuditSql,
-    "q_pipeline_train_ready" -> qPipelineTrainReadySql)
+    "q_pipeline_train_ready" -> qPipelineTrainReadySql,
+    "q_pipeline_mix" -> qPipelineMixSql)
 }

@@ -443,12 +443,100 @@ object Similarity {
       |  TRUE AS best_found,
       |  (SELECT max(cos) FROM bf) AS bf_top1_cos""".stripMargin
 
+  // --- hybrid retrieval (vector recall + lexical rerank) -------------------
+
+  /** The fixed lexical query for the hybrid gate (terms present in the
+    * corpus vocabulary; a real system parameterizes them). */
+  val HybridTerms: Seq[String] = Seq("hash", "join")
+
+  /** Hybrid retrieval — the RAG serving shape: ANN vector recall, then
+    * chunk-level lexical rerank of ONLY the recalled documents.
+    *
+    *   1. vector stage: exact top-10 cosine docs for the query vector
+    *      (brute-force here; [[probeKmeansStore]] / the LSH bucket path
+    *      are drop-in replacements at scale — same output contract);
+    *   2. chunk fan-out on the 10 candidates only (embeddings align
+    *      vec_id = doc_id): [[Corpus.chunkTokens]] behind a broadcast
+    *      join, so the corpus-wide chunk explosion never happens in the
+    *      serving path;
+    *   3. lexical stage: query-term occurrences per chunk
+    *      (`filter(chunk_toks, _ ∈ terms)` — codegen'd array op), best
+    *      chunk per doc by (hits, chunk_idx), hybrid score =
+    *      cos/2 + min(hits/4, 1)/2, fixed-point rounded.
+    *
+    * Scale shape: every stage after the recall operates on k=10 docs —
+    * the only corpus-sized work is the vector scan, which is exactly the
+    * part the IVF/LSH stores already reduce to probed partitions. */
+  def qRetrievalHybrid(s: SparkSession, dir: String): DataFrame = {
+    // 10-row recall result, materialized once: its lineage is the
+    // corpus-sized vector scan and it feeds both the chunk fan-out and
+    // the final score join
+    val cand = qSimBruteForce(s, dir)
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id").as("doc_id"), col("cos"))
+      .localCheckpoint(true)
+    val candDocs = t(s, dir, "documents")
+      .join(broadcast(cand), Seq("doc_id"))
+    val hits = size(filter(col("chunk_toks"),
+      tok => HybridTerms.map(tok === _).reduce(_ || _))).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("term_hits").desc, col("chunk_idx"))
+    Corpus.chunkTokens(candDocs)
+      .select(col("doc_id"), col("chunk_idx"), hits.as("term_hits"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(cand), Seq("doc_id"))
+      .select(col("doc_id"), col("cos"),
+        col("chunk_idx").as("best_chunk"), col("term_hits"),
+        r6(col("cos") * 0.5
+          + least(col("term_hits") / lit(4.0), lit(1.0)) * 0.5)
+          .as("hybrid_score"))
+  }
+
+  val qRetrievalHybridSql: String = {
+    val termList = HybridTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH $qvCte,
+      |cand AS (
+      |  SELECT e.vec_id AS doc_id,
+      |    floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.q_emb)
+      |          * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |  FROM embeddings e, qv
+      |  WHERE e.vec_id <> qv.q_id
+      |  ORDER BY cos DESC, e.vec_id
+      |  LIMIT 10
+      |),
+      |c AS (
+      |${Corpus.sqlChunkTokensFrom(
+        "(SELECT doc_id, text FROM documents JOIN cand USING (doc_id))")}
+      |),
+      |h AS (
+      |  SELECT doc_id, chunk_idx,
+      |    CAST(len(list_filter(${Corpus.sqlChunkSlice},
+      |      x -> x IN ($termList))) AS BIGINT) AS term_hits
+      |  FROM c
+      |),
+      |best AS (
+      |  SELECT doc_id, chunk_idx AS best_chunk, term_hits,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY term_hits DESC, chunk_idx) AS rn
+      |  FROM h
+      |)
+      |SELECT b.doc_id, cand.cos, b.best_chunk, b.term_hits,
+      |  floor((cand.cos * 0.5 + LEAST(b.term_hits / 4.0, 1.0) * 0.5)
+      |        * 1000000.0 + 0.5) / 1000000.0 AS hybrid_score
+      |FROM best b JOIN cand USING (doc_id)
+      |WHERE b.rn = 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
     "q_sim_ivf_topk" -> (qSimIvf _),
     "q_sim_ivf_kmeans_topk" -> (qSimIvfKmeans _),
     "q_sim_ivf_kmeans_recall" -> (qSimIvfKmeansRecall _),
-    "q_sim_lsh_topk" -> (qSimLsh _))
+    "q_sim_lsh_topk" -> (qSimLsh _),
+    "q_retrieval_hybrid" -> (qRetrievalHybrid _))
 
   /** The learned-quantizer variant stays rows-only (k-means is not
     * SQL-expressible; its arithmetic is pinned by the two oracles above
@@ -457,5 +545,6 @@ object Similarity {
     "q_sim_bruteforce_topk" -> qSimBruteForceSql,
     "q_sim_ivf_topk" -> qSimIvfSql,
     "q_sim_ivf_kmeans_recall" -> qSimIvfKmeansRecallSql,
-    "q_sim_lsh_topk" -> qSimLshSql)
+    "q_sim_lsh_topk" -> qSimLshSql,
+    "q_retrieval_hybrid" -> qRetrievalHybridSql)
 }

@@ -90,6 +90,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(used + next > budget)
   }
 
+  test("pipeline mix: no drop-verdict source survives, and the selected " +
+      "token total respects the surviving-corpus budget") {
+    val mix = operators.Pipeline.qPipelineMix(spark, sf)
+    val stats = Corpus.sourceStats(docs)
+    val dropped = stats.filter(col("verdict") === "drop").select("source")
+    assert(mix.join(dropped, Seq("source")).count() === 0)
+    val kept = docs.join(
+      stats.filter(col("verdict") === "keep").select("source"), Seq("source"))
+    val budget = Corpus.scoredDocs(kept)
+      .agg(expr("sum(n) div 2")).first().getLong(0)
+    val used = mix.agg(sum("n_tokens")).first().getLong(0)
+    assert(used <= budget && used > 0)
+  }
+
+  test("hybrid retrieval: candidate set is the brute-force top-10 and " +
+      "the reported chunk maximizes term hits") {
+    val hy = Similarity.qRetrievalHybrid(spark, sf)
+    val rows = hy.collect()
+    assert(rows.length === 10)
+    val bf10 = Similarity.qSimBruteForce(spark, sf)
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet === bf10)
+    // recompute per-chunk hits independently; the reported best must hit
+    // the per-doc maximum
+    val cand = docs.filter(col("doc_id").isInCollection(bf10))
+    val hits = size(filter(col("chunk_toks"),
+      t => Similarity.HybridTerms.map(t === _).reduce(_ || _))).cast("long")
+    val maxHits = Corpus.chunkTokens(cand)
+      .select(col("doc_id"), hits.as("h"))
+      .groupBy("doc_id").agg(max("h").as("max_h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("term_hits") === maxHits(r.getAs[Long]("doc_id")))
+    }
+  }
+
   test("source curation: verdict matches its own published thresholds") {
     val cur = Corpus.qSourceCuration(spark, sf)
     val bad = cur.filter(
