@@ -233,6 +233,109 @@ object Lexicon {
       |FROM ranked WHERE rnk <= $TopK
       |ORDER BY doc_id, rnk""".stripMargin
 
+  // --- Okapi BM25 ranked retrieval -----------------------------------------
+
+  /** BM25 free parameters — the Robertson et al. TREC-3 defaults Lucene
+    * ships (k1 term-frequency saturation, b length normalization). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** The fixed lexical query for the BM25 gate: the hybrid gate's terms
+    * ([[Similarity.HybridTerms]] — spelled out here, not referenced, to
+    * keep object initialization acyclic) plus one more, so document
+    * frequencies differ across terms and the idf weighting is actually
+    * exercised. */
+  val Bm25Terms: Seq[String] = Seq("hash", "join", "scan")
+
+  /** Okapi BM25 top-k over a fixed term set — the production lexical
+    * ranker (idf = ln(1 + (N−df+0.5)/(df+0.5)), the Lucene variant that
+    * never goes negative).
+    *
+    * Scale shape (the 100 TB concern): per-term tf is the replace-
+    * shrinkage counter ([[TextOps.wordHits]]) — a pure scan-side codegen
+    * projection, NO token explode and NO (doc,tok) shuffle anywhere. The
+    * corpus-level stats (N, Σdl, per-term df) are ONE map-side-combined
+    * aggregate producing a single broadcast row; scoring is then a second
+    * scan-side projection and the only ordering work is the
+    * TakeOrderedAndProject top-k heap. Two corpus scans, zero shuffles.
+    *
+    * Determinism contract: per-term partial scores are floored to 1e-6
+    * fixed-point LONGS and summed (order-independent; `ln` sub-ulp
+    * differences absorbed), as everywhere else in this file.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String],
+               topk: Int = 10): DataFrame = {
+    val withTf = docs.select(
+      col("doc_id") +: TextOps.tokenCount(col("text")).as("dl") +:
+        terms.indices.map(i =>
+          TextOps.wordHits(col("text"), terms(i)).as(s"tf$i")): _*)
+    val stats = withTf.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        terms.indices.map(i =>
+          sum((col(s"tf$i") > 0.0).cast("long")).as(s"df$i")): _*)
+    val nD = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nD
+    def part(i: Int): Column = {
+      val idf = log(lit(1.0)
+        + (nD - col(s"df$i").cast("double") + lit(0.5))
+          / (col(s"df$i").cast("double") + lit(0.5)))
+      val norm = col(s"tf$i") * lit(Bm25K1 + 1.0) /
+        (col(s"tf$i") + lit(Bm25K1)
+          * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / avgdl))
+      floor(idf * norm * lit(1000000.0) + lit(0.5)).cast("long")
+    }
+    withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        terms.indices.map(part).reduce(_ + _).as("score6"))
+      .where(col("score6") > 0)
+      .orderBy(col("score6").desc, col("doc_id"))
+      .limit(topk)
+      .select(col("doc_id"), col("dl"),
+        (col("score6").cast("double") / lit(1000000.0)).as("bm25"))
+  }
+
+  def qBm25Topk(s: SparkSession, dir: String): DataFrame =
+    bm25TopK(t(s, dir, "documents"), Bm25Terms)
+
+  /** DuckDB mirror of [[bm25TopK]] as CTEs ending in `bm25ranked`
+    * (doc_id, dl, score6), reused by the RRF fusion oracle. */
+  private[operators] def sqlBm25Ctes(terms: Seq[String]): String = {
+    val tfCols = terms.indices.map(i =>
+      s"${TextOps.sqlWordHitsOf("text", terms(i))} AS tf$i").mkString(",\n    ")
+    val dfCols = terms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n    ")
+    val avgdl = "(CAST(sum_dl AS DOUBLE) / n_docs)"
+    val parts = terms.indices.map { i =>
+      val idf = s"ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5))"
+      val norm = s"tf$i * ${Bm25K1 + 1.0} / (tf$i + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / $avgdl))"
+      s"CAST(FLOOR($idf * $norm * 1000000.0 + 0.5) AS BIGINT)"
+    }.mkString("\n      + ")
+    s"""d AS (
+      |  SELECT doc_id, ${TextOps.sqlTokenCountOf("text")} AS dl,
+      |    $tfCols
+      |  FROM documents
+      |),
+      |st AS (
+      |  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+      |    $dfCols
+      |  FROM d
+      |),
+      |bm25ranked AS (
+      |  SELECT doc_id, dl,
+      |    $parts AS score6
+      |  FROM d, st
+      |)""".stripMargin
+  }
+
+  val qBm25TopkSql: String =
+    s"""WITH ${sqlBm25Ctes(Bm25Terms)}
+      |SELECT doc_id, dl, CAST(score6 AS DOUBLE) / 1000000.0 AS bm25
+      |FROM bm25ranked
+      |WHERE score6 > 0
+      |ORDER BY score6 DESC, doc_id
+      |LIMIT 10""".stripMargin
+
   // --- heavy hitters -------------------------------------------------------
 
   /** Exact corpus-wide top-20 tokens by occurrence count (ties broken by
@@ -285,6 +388,7 @@ object Lexicon {
     "q_unigram_logprob" -> (qUnigramLogprob _),
     "q_bigram_logprob" -> (qBigramLogprob _),
     "q_tfidf_topk" -> (qTfidfTopk _),
+    "q_bm25_topk" -> (qBm25Topk _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_heavy_sketch" -> (qHeavySketch _))
 
@@ -292,5 +396,6 @@ object Lexicon {
     "q_unigram_logprob" -> qUnigramLogprobSql,
     "q_bigram_logprob" -> qBigramLogprobSql,
     "q_tfidf_topk" -> qTfidfTopkSql,
+    "q_bm25_topk" -> qBm25TopkSql,
     "q_heavy_hitters" -> qHeavyHittersSql)
 }

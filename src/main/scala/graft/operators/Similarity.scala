@@ -530,13 +530,89 @@ object Similarity {
       |WHERE b.rn = 1""".stripMargin
   }
 
+  // --- reciprocal-rank fusion (vector list + BM25 list) ---------------------
+
+  /** RRF dampening constant (Cormack, Clarke & Buettcher, SIGIR 2009 —
+    * k=60 is the paper's recommendation and the industry default). */
+  val RrfK = 60
+
+  /** Reciprocal-rank fusion — the OTHER standard hybrid-retrieval
+    * combiner (vs [[qRetrievalHybrid]]'s score mixing): fuse the vector
+    * top-10 and the BM25 top-10 by summed 1/(k + rank), which needs no
+    * score calibration between the two modalities.
+    *
+    * Scale shape: each input list is top-k'd FIRST (vector scan →
+    * TakeOrderedAndProject; BM25's two-scan zero-shuffle plan), so the
+    * rank windows and the full-outer join all run on ≤k-row frames —
+    * nothing after the per-modality recall touches corpus-sized data.
+    * Contributions are fixed-point longs (1e6/(k+rank) floored), so the
+    * fused score is engine-exact. */
+  def qRetrievalRrf(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    def contrib(rank: Column): Column =
+      coalesce(floor(lit(1000000.0) / (lit(RrfK) + rank) + lit(0.5))
+        .cast("long"), lit(0L))
+    val vec = qSimBruteForce(s, dir)
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .select(col("vec_id").as("doc_id"), col("cos"))
+      .withColumn("vec_rank",
+        row_number().over(w.orderBy(col("cos").desc, col("doc_id")))
+          .cast("long"))
+      .drop("cos")
+    val lex = Lexicon.bm25TopK(t(s, dir, "documents"), Lexicon.Bm25Terms)
+      .withColumn("lex_rank",
+        row_number().over(w.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    vec.join(lex, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("vec_rank"), col("lex_rank"),
+        ((contrib(col("vec_rank")) + contrib(col("lex_rank")))
+          .cast("double") / lit(1000000.0)).as("rrf_score"))
+  }
+
+  val qRetrievalRrfSql: String =
+    s"""WITH $qvCte,
+      |${Lexicon.sqlBm25Ctes(Lexicon.Bm25Terms)},
+      |vecscore AS (
+      |  SELECT e.vec_id AS doc_id,
+      |    floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.q_emb)
+      |          * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |  FROM embeddings e, qv
+      |  WHERE e.vec_id <> qv.q_id
+      |  ORDER BY cos DESC, doc_id
+      |  LIMIT 10
+      |),
+      |vec AS (
+      |  SELECT doc_id, CAST(ROW_NUMBER() OVER
+      |    (ORDER BY cos DESC, doc_id) AS BIGINT) AS vec_rank
+      |  FROM vecscore
+      |),
+      |lexlist AS (
+      |  SELECT doc_id, score6 FROM bm25ranked
+      |  WHERE score6 > 0
+      |  ORDER BY score6 DESC, doc_id
+      |  LIMIT 10
+      |),
+      |lex AS (
+      |  SELECT doc_id, CAST(ROW_NUMBER() OVER
+      |    (ORDER BY score6 DESC, doc_id) AS BIGINT) AS lex_rank
+      |  FROM lexlist
+      |)
+      |SELECT COALESCE(v.doc_id, l.doc_id) AS doc_id, v.vec_rank, l.lex_rank,
+      |  CAST(COALESCE(CAST(FLOOR(1000000.0 / ($RrfK + v.vec_rank) + 0.5)
+      |                     AS BIGINT), 0)
+      |     + COALESCE(CAST(FLOOR(1000000.0 / ($RrfK + l.lex_rank) + 0.5)
+      |                     AS BIGINT), 0) AS DOUBLE) / 1000000.0 AS rrf_score
+      |FROM vec v FULL OUTER JOIN lex l ON v.doc_id = l.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
     "q_sim_ivf_topk" -> (qSimIvf _),
     "q_sim_ivf_kmeans_topk" -> (qSimIvfKmeans _),
     "q_sim_ivf_kmeans_recall" -> (qSimIvfKmeansRecall _),
     "q_sim_lsh_topk" -> (qSimLsh _),
-    "q_retrieval_hybrid" -> (qRetrievalHybrid _))
+    "q_retrieval_hybrid" -> (qRetrievalHybrid _),
+    "q_retrieval_rrf" -> (qRetrievalRrf _))
 
   /** The learned-quantizer variant stays rows-only (k-means is not
     * SQL-expressible; its arithmetic is pinned by the two oracles above
@@ -546,5 +622,6 @@ object Similarity {
     "q_sim_ivf_topk" -> qSimIvfSql,
     "q_sim_ivf_kmeans_recall" -> qSimIvfKmeansRecallSql,
     "q_sim_lsh_topk" -> qSimLshSql,
-    "q_retrieval_hybrid" -> qRetrievalHybridSql)
+    "q_retrieval_hybrid" -> qRetrievalHybridSql,
+    "q_retrieval_rrf" -> qRetrievalRrfSql)
 }

@@ -35,12 +35,12 @@ object TextOps {
 
   /** Occurrences of word `w` (space-delimited) via replace-shrinkage —
     * portable across engines (both scan left-to-right non-overlapping). */
-  private def wordHits(c: Column, w: String): Column = {
+  private[operators] def wordHits(c: Column, w: String): Column = {
     val padded = concat(lit(" "), c, lit(" "))
     (length(padded) - length(regexp_replace(padded, s" ${w} ", " ")))
       .cast("double") / (w.length + 1)
   }
-  private def sqlWordHitsOf(c: String, w: String): String =
+  private[operators] def sqlWordHitsOf(c: String, w: String): String =
     s"CAST(LENGTH(' ' || $c || ' ') - LENGTH(REPLACE(' ' || $c || ' ', ' $w ', ' ')) AS DOUBLE) / ${w.length + 1}"
   private def sqlWordHits(w: String): String = sqlWordHitsOf("text", w)
 
