@@ -56,49 +56,56 @@ object Display {
       |ORDER BY o_orderkey""".stripMargin
 
   /** select_precision.test shapes: ROUND at positive, zero, and NEGATIVE
-    * scales over a double column (the t1 ROUND battery), plus the
-    * literal-precision conventions — exact DECIMAL literal arithmetic
-    * ((.1 + .2) = .3 is TRUE in decimal, FALSE in binary double) and
-    * multiplication/division result scales (.01 * .01, .1 / .1).
-    * Doubles round identically in both engines here: ties-away-from-zero
-    * (Spark HALF_UP == C round()), and binary doubles only hit an exact
-    * tie at scale 0/1 where the cents grid makes both engines see the
-    * same representable value. */
-  def qDisplayPrecision(s: SparkSession, dir: String): DataFrame =
+    * scales (the t1 ROUND battery), plus the literal-precision
+    * conventions — exact DECIMAL literal arithmetic ((.1 + .2) = .3 is
+    * TRUE in decimal, FALSE in binary double) and multiplication/
+    * division result scales (.01 * .01, .1 / .1).
+    *
+    * Oracle-robustness convention: every ROUND runs on DECIMAL(12,2)
+    * (the cents grid is exact there), because decimal rounding is
+    * integer arithmetic with ties-away-from-zero in BOTH engines at
+    * every version — double ROUND tie-breaking is library-dependent
+    * (round(1234.5) is a representable tie). Round results and the
+    * dec_mul/dec_div scale probes export as DOUBLE so the driver hashes
+    * one value representation; the decimal-vs-double exactness CLAIM is
+    * carried by the dec_eq/dbl_eq booleans, which stay in-engine. */
+  def qDisplayPrecision(s: SparkSession, dir: String): DataFrame = {
+    val dec = col("l_extendedprice").cast("decimal(12,2)")
     t(s, dir, "lineitem")
       .filter(col("l_orderkey") < 200)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").as("price"),
-        round(col("l_extendedprice")).as("r0"),
-        round(col("l_extendedprice"), 1).as("r1"),
-        round(col("l_extendedprice"), -1).as("rm1"),
-        round(col("l_extendedprice"), -2).as("rm2"),
-        round(col("l_extendedprice"), 3).as("r3"),
+        round(dec).cast("double").as("r0"),
+        round(dec, 1).cast("double").as("r1"),
+        round(dec, -1).cast("double").as("rm1"),
+        round(dec, -2).cast("double").as("rm2"),
+        round(dec, 3).cast("double").as("r3"),
         (expr("CAST(0.1 AS DECIMAL(2,1)) + CAST(0.2 AS DECIMAL(2,1))")
           === expr("CAST(0.3 AS DECIMAL(2,1))")).as("dec_eq"),
         (lit(0.1) + lit(0.2) === lit(0.3)).as("dbl_eq"),
-        expr("CAST(CAST(0.01 AS DECIMAL(3,2)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(6,4))")
+        expr("CAST(CAST(CAST(0.01 AS DECIMAL(3,2)) * CAST(0.01 AS DECIMAL(3,2)) AS DECIMAL(6,4)) AS DOUBLE)")
           .as("dec_mul"),
-        expr("CAST(CAST(0.1 AS DECIMAL(2,1)) / CAST(0.1 AS DECIMAL(2,1)) AS DECIMAL(8,4))")
+        expr("CAST(CAST(CAST(0.1 AS DECIMAL(2,1)) / CAST(0.1 AS DECIMAL(2,1)) AS DECIMAL(8,4)) AS DOUBLE)")
           .as("dec_div"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
 
   val qDisplayPrecisionSql: String =
     """SELECT l_orderkey, l_linenumber,
       |  l_extendedprice AS price,
-      |  round(l_extendedprice) AS r0,
-      |  round(l_extendedprice, 1) AS r1,
-      |  round(l_extendedprice, -1) AS rm1,
-      |  round(l_extendedprice, -2) AS rm2,
-      |  round(l_extendedprice, 3) AS r3,
+      |  CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS r0,
+      |  CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS DOUBLE) AS r1,
+      |  CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)), -1) AS DOUBLE) AS rm1,
+      |  CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)), -2) AS DOUBLE) AS rm2,
+      |  CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)), 3) AS DOUBLE) AS r3,
       |  CAST(0.1 AS DECIMAL(2,1)) + CAST(0.2 AS DECIMAL(2,1))
       |    = CAST(0.3 AS DECIMAL(2,1)) AS dec_eq,
       |  CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE)
       |    = CAST(0.3 AS DOUBLE) AS dbl_eq,
-      |  CAST(CAST(0.01 AS DECIMAL(3,2)) * CAST(0.01 AS DECIMAL(3,2))
-      |       AS DECIMAL(6,4)) AS dec_mul,
-      |  CAST(CAST(0.1 AS DECIMAL(2,1)) / CAST(0.1 AS DECIMAL(2,1))
-      |       AS DECIMAL(8,4)) AS dec_div
+      |  CAST(CAST(CAST(0.01 AS DECIMAL(3,2)) * CAST(0.01 AS DECIMAL(3,2))
+      |       AS DECIMAL(6,4)) AS DOUBLE) AS dec_mul,
+      |  CAST(CAST(CAST(0.1 AS DECIMAL(2,1)) / CAST(0.1 AS DECIMAL(2,1))
+      |       AS DECIMAL(8,4)) AS DOUBLE) AS dec_div
       |FROM lineitem
       |WHERE l_orderkey < 200
       |ORDER BY l_orderkey, l_linenumber""".stripMargin

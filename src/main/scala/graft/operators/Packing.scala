@@ -112,10 +112,10 @@ object Packing {
 
   val packSelectSql: String =
     s"""SELECT chunk_id, COUNT(*) AS n_docs,
-      |  SUM(LEAST(en, (chunk_id + 1) * $PackBudget)
-      |    - GREATEST(st, chunk_id * $PackBudget)) AS n_tokens,
-      |  SUM(CASE WHEN st >= chunk_id * $PackBudget THEN 1 ELSE 0 END)
-      |    AS n_docs_starting
+      |  CAST(SUM(LEAST(en, (chunk_id + 1) * $PackBudget)
+      |    - GREATEST(st, chunk_id * $PackBudget)) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN st >= chunk_id * $PackBudget THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_docs_starting
       |FROM pkx GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
 
   val qSeqPackSql: String =

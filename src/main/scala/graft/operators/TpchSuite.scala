@@ -675,10 +675,10 @@ object TpchSuite {
 
   val q12Sql: String =
     """SELECT l_returnflag,
-      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-      |           THEN 1 ELSE 0 END) AS high_line_count,
-      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-      |           THEN 0 ELSE 1 END) AS low_line_count
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       |  AND l_shipdate < TIMESTAMP '1998-01-01'

@@ -321,11 +321,11 @@ object MvccStore {
 
   val qMvccTimeTravelSql: String =
     """SELECT 'v2' AS snap, o_orderpriority, COUNT(*) AS n_orders,
-      |  SUM(o_orderkey) AS sum_key
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
       |FROM orders WHERE o_orderkey % 3 < 2 GROUP BY o_orderpriority
       |UNION ALL
       |SELECT 'head' AS snap, o_orderpriority, COUNT(*) AS n_orders,
-      |  SUM(o_orderkey) AS sum_key
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
