@@ -46,12 +46,18 @@ object TextOps {
 
   /** The length/alpha-ratio/stopword quality score as a reusable column
     * expression (and its DuckDB mirror) so downstream selection operators
-    * ([[Corpus]]) rank by exactly the score the quality gate pins. */
+    * ([[Corpus]]) rank by exactly the score the quality gate pins.
+    *
+    * Total on every string: tokenCount is ≥ 1 by construction (chars −
+    * nonspace + 1), and the alpha-ratio divisor is floored at 1, so an
+    * empty document scores exactly 0.0 rather than NULL (a NULL q would
+    * silently vanish from downstream bucket equi-joins — see
+    * [[Corpus.tokenBudgetKept]]). */
   private[operators] def qualityScore(c: Column): Column = {
     val toks = tokenCount(c)
     val alphaRatio =
       length(regexp_replace(lower(c), "[^a-z ]", ""))
-        .cast("double") / length(c)
+        .cast("double") / greatest(length(c), lit(1))
     val stopRatio =
       (wordHits(c, "the") + wordHits(c, "and") + wordHits(c, "of")) /
         toks.cast("double")
@@ -60,7 +66,7 @@ object TextOps {
   }
   private[operators] def sqlQualityScoreOf(c: String): String = {
     val toks = sqlTokenCountOf(c)
-    val alpha = s"CAST(LENGTH(REGEXP_REPLACE(LOWER($c), '[^a-z ]', '', 'g')) AS DOUBLE) / LENGTH($c)"
+    val alpha = s"CAST(LENGTH(REGEXP_REPLACE(LOWER($c), '[^a-z ]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH($c), 1)"
     val stop = s"(${sqlWordHitsOf(c, "the")} + ${sqlWordHitsOf(c, "and")} + ${sqlWordHitsOf(c, "of")}) / CAST($toks AS DOUBLE)"
     sqlR6(s"$alpha * 0.5 + LEAST($stop * 2.0, 1.0) * 0.3 + CASE WHEN $toks BETWEEN 10 AND 400 THEN 0.2 ELSE 0.0 END")
   }

@@ -137,4 +137,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(bad.count() === 0)
     assert(cur.filter(col("dup_rate") < 0 || col("dup_rate") > 1).count() === 0)
   }
+
+  test("quality score is total: empty and pathological text scores 0.0, " +
+      "never NULL") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "web", ""),            // zero-length: alpha divisor would be 0
+      (2L, "web", " "),           // whitespace-only
+      (3L, "web", "12345!!!"),    // no alpha, no stopwords
+      (4L, "web", "the and of the and of the and of the quick brown fox")
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.scoredDocs(docs).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(out.values.forall(_.isDefined), s"NULL q would vanish from " +
+      s"tokenBudgetKept's bucket equi-joins: $out")
+    assert(out(1L).get === 0.0)
+    assert(out(4L).get > out(3L).get)
+  }
 }

@@ -684,4 +684,67 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(untouched * 10 > orig.size * 5,
       s"only $untouched/${orig.size} unplanted docs unchanged")
   }
+
+  // BM25/RRF properties asserted INDEPENDENTLY of the DuckDB oracle
+  // (the oracle mirrors the same formula construction, so a shared
+  // formula error would pass both sides — these pin the ranking
+  // semantics on hand-built frames instead).
+
+  test("bm25: all-terms doc outranks partial at equal length; " +
+      "zero-term doc is filtered") {
+    val s = spark
+    import s.implicits._
+    val pad = "filler words here now"  // keeps dl equal across probes
+    val docs = Seq(
+      (1L, s"hash join scan $pad"),
+      (2L, s"hash alpha beta $pad"),
+      (3L, s"alpha beta gamma $pad")).toDF("doc_id", "text")
+    val out = Lexicon.bm25TopK(docs, Seq("hash", "join", "scan"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("bm25")).toMap
+    assert(!out.contains(3L), "doc with no query terms must score 0 and drop")
+    assert(out(1L) > out(2L),
+      s"all-terms doc must outrank single-term doc at equal dl: $out")
+    assert(out.values.forall(_ > 0.0))
+  }
+
+  test("bm25 df monotonicity: rarer term contributes higher idf at " +
+      "equal tf and dl") {
+    val s = spark
+    import s.implicits._
+    // "common" in 8 background docs, "rare" in none; two equal-length
+    // probes each hit exactly one term once
+    val background = (10L to 17L).map(i => (i, s"common text body $i pad"))
+    val docs = (background ++ Seq(
+      (1L, "rare one two three four"),
+      (2L, "common one two three four"))).toDF("doc_id", "text")
+    val out = Lexicon.bm25TopK(docs, Seq("rare", "common"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("bm25")).toMap
+    assert(out(1L) > out(2L),
+      s"df(rare)=1 < df(common)=9 must rank the rare-term probe higher: $out")
+  }
+
+  test("rrf identity: fused score is exactly the sum of fixed-point " +
+      "1/(k+rank) contributions") {
+    val k = Similarity.RrfK
+    def contrib(rank: java.lang.Long): Long =
+      if (rank == null) 0L
+      else math.floor(1000000.0 / (k + rank.longValue) + 0.5).toLong
+    val rows = Similarity.qRetrievalRrf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var both = 0
+    rows.foreach { r =>
+      val vr = r.getAs[java.lang.Long]("vec_rank")
+      val lr = r.getAs[java.lang.Long]("lex_rank")
+      if (vr != null && lr != null) both += 1
+      val expected = (contrib(vr) + contrib(lr)).toDouble / 1000000.0
+      assert(r.getAs[Double]("rrf_score") === expected,
+        s"doc ${r.getAs[Long]("doc_id")}: vr=$vr lr=$lr")
+    }
+    // ranks are 1-based and each list holds 10: a one-list doc scores
+    // at most 1/(k+1), a both-lists doc at least 2/(k+10)
+    rows.foreach { r =>
+      val score = r.getAs[Double]("rrf_score")
+      assert(score > 0.0 && score <= 2.0 / (k + 1) + 1e-9)
+    }
+  }
 }
