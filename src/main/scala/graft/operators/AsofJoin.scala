@@ -170,6 +170,11 @@ object AsofJoin {
     // the same union-window trick — all on the bounded summary frame
     val summary = r.groupBy(col("__k"), col("__bucket"))
       .agg(max_by(col("__payload"), col("__ts")).as("__last"))
+    // probing off inBucket does NOT recompute the big window: the probe
+    // branch references only (__k, __bucket), so ColumnPruning drops the
+    // window operator there and the distinct reads the union's REUSED
+    // exchange — measured faster than re-deriving the probe set from the
+    // left input (which pays a fresh scan + shuffle).
     val probes = inBucket.select(col("__k"), col("__bucket")).distinct()
     val su = summary.select(col("__k"), col("__bucket").as("__b2"),
       lit(0).as("__s2"), col("__last"),

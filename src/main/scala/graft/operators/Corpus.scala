@@ -288,15 +288,135 @@ object Corpus {
       |  mean_tokens, verdict
       |FROM src_verdict""".stripMargin
 
+  // --- DSIR importance weighting (hashed n-gram likelihood ratio) ----------
+
+  /** Feature-hash dimensionality for the DSIR bag models (small on
+    * purpose: the fitted artifact must broadcast as a literal). */
+  val DsirDim = 256
+
+  /** Fit the DSIR bucket models: hashed-unigram counts under the TARGET
+    * distribution (here: `lang = 'en'` documents — "data that looks like
+    * what I want to train on") and the SOURCE distribution (the whole
+    * corpus), reduced to one per-bucket importance contribution
+    * `floor((ln p_target(b) − ln p_source(b)) · 1e6 + 0.5)` with +1
+    * Laplace smoothing (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling", §3 — hashed n-gram features and
+    * the log-likelihood-ratio weight).
+    *
+    * Scale shape: the ONLY corpus-sized work is one exploded-token scan
+    * map-side-combined into a [[DsirDim]]-row aggregate; the collect is
+    * 256 rows (bounded artifact, the Lexicon probe-set precedent). In a
+    * production pipeline this fit is an offline step — the returned
+    * array IS the model, and [[dsirScore]] consumes it as a literal. */
+  def dsirContrib(docs: DataFrame, targetLang: String = "en"): Array[Long] = {
+    val toks = docs.select(col("lang"),
+      explode(expr("filter(split(lower(text), ' '), x -> length(x) > 0)"))
+        .as("tok"))
+    val bucket = (conv(substring(md5(col("tok")), 1, 12), 16, 10)
+      .cast("long") % DsirDim)
+    val bc = toks.groupBy(bucket.as("b"))
+      .agg(sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cs"))
+      .collect()
+    val nt = bc.map(_.getLong(1)).sum.toDouble + DsirDim
+    val ns = bc.map(_.getLong(2)).sum.toDouble + DsirDim
+    val arr = Array.fill(DsirDim)(0L)
+    bc.foreach { r =>
+      // same double→fixed-point convention as the unigram-LM gate; ln is
+      // IEEE libm on both engines (sub-ulp differences absorbed by the
+      // 1e-6 floor, the convention proven by q_unigram_logprob)
+      arr(r.getLong(0).toInt) = math.floor(
+        (math.log((r.getLong(1) + 1.0) / nt)
+          - math.log((r.getLong(2) + 1.0) / ns)) * 1e6 + 0.5).toLong
+    }
+    arr
+  }
+
+  /** Per-document DSIR weight as a scan-side column: sum of the
+    * broadcast per-bucket contributions over the document's tokens —
+    * integer micro-units reduced with `aggregate` (order-independent),
+    * ZERO shuffle. */
+  def dsirScore(contrib: Array[Long], textCol: String): Column = {
+    val arrSql = contrib.mkString("array(", "L,", "L)")
+    expr(
+      s"""aggregate(
+         |  filter(split(lower($textCol), ' '), x -> length(x) > 0),
+         |  0L,
+         |  (acc, tok) -> acc + element_at($arrSql,
+         |    CAST((cast(conv(substring(md5(tok), 1, 12), 16, 10) as bigint)
+         |            % $DsirDim) + 1 AS INT)),
+         |  acc -> acc)""".stripMargin)
+  }
+
+  /** Gate: fit the DSIR models on the corpus, score every document, and
+    * keep the top-20 by importance weight (weight DESC, doc_id ASC) —
+    * the selection shape a target-matched training mix uses. The fit is
+    * recomputed inside the gate only so the gate is self-contained; the
+    * build/score split is the two public functions above. */
+  def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val contrib = dsirContrib(docs)
+    docs.select(col("doc_id"), col("lang"),
+      expr("CAST(size(filter(split(lower(text), ' '), x -> length(x) > 0)) AS BIGINT)")
+        .as("n_toks"),
+      dsirScore(contrib, "text").as("dsir_micro"))
+      .orderBy(col("dsir_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val qDsirSelectSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_filter(string_split(lower(text), ' '),
+      |                       x -> len(x) > 0)) AS tok
+      |  FROM documents
+      |),
+      |btok AS (
+      |  SELECT doc_id, lang,
+      |    (CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % $DsirDim) AS b
+      |  FROM tok
+      |),
+      |bc AS (
+      |  SELECT b,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    COUNT(*) AS cs
+      |  FROM btok GROUP BY b
+      |),
+      |tot AS (
+      |  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cs) AS BIGINT) AS ns
+      |  FROM bc
+      |),
+      |contrib AS (
+      |  SELECT b,
+      |    CAST(FLOOR((ln((ct + 1.0) / (nt + $DsirDim.0))
+      |              - ln((cs + 1.0) / (ns + $DsirDim.0))) * 1000000.0 + 0.5)
+      |         AS BIGINT) AS c
+      |  FROM bc, tot
+      |),
+      |score AS (
+      |  SELECT t.doc_id, CAST(SUM(c.c) AS BIGINT) AS dsir_micro
+      |  FROM btok t JOIN contrib c ON t.b = c.b
+      |  GROUP BY t.doc_id
+      |)
+      |SELECT d.doc_id, d.lang,
+      |  CAST(len(list_filter(string_split(lower(d.text), ' '),
+      |                       x -> len(x) > 0)) AS BIGINT) AS n_toks,
+      |  COALESCE(s.dsir_micro, 0) AS dsir_micro
+      |FROM documents d LEFT JOIN score s ON d.doc_id = s.doc_id
+      |ORDER BY dsir_micro DESC, d.doc_id
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_docs" -> (qChunkDocs _),
     "q_split_leakfree" -> (qSplitLeakfree _),
     "q_token_budget_select" -> (qTokenBudgetSelect _),
-    "q_source_curation" -> (qSourceCuration _))
+    "q_source_curation" -> (qSourceCuration _),
+    "q_dsir_select" -> (qDsirSelect _))
 
   val oracles: Map[String, String] = Map(
     "q_chunk_docs" -> qChunkDocsSql,
     "q_split_leakfree" -> qSplitLeakfreeSql,
     "q_token_budget_select" -> qTokenBudgetSelectSql,
-    "q_source_curation" -> qSourceCurationSql)
+    "q_source_curation" -> qSourceCurationSql,
+    "q_dsir_select" -> qDsirSelectSql)
 }

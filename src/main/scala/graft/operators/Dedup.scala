@@ -340,6 +340,92 @@ object Dedup {
       |LEFT JOIN sizes s ON l.keeper = s.keeper
       |ORDER BY doc.doc_id""".stripMargin
 
+  // --- canonical selection (keep-best per near-dup family) ------------------
+
+  /** Canonical-representative selection: within every near-dup family
+    * ([[connectedComponents]] over the verified minhash pairs), keep the
+    * HIGHEST-QUALITY member instead of the arbitrary min-id keeper — the
+    * SemDeDup stance (Abbas et al. 2023 §3: clusters keep one
+    * representative) combined with a quality criterion, which is what a
+    * production corpus actually wants ("of these 5 mirrors of the same
+    * article, keep the cleanest one").
+    *
+    * Determinism: quality is the fixed-point 1e-6 score
+    * ([[TextOps.qualityScore]]), so the (q DESC, doc_id ASC) argmax is
+    * exact in both engines — implemented shuffle-side as
+    * `max(struct(q, -doc_id))`, a plain map-side-combinable agg (no
+    * window over the corpus).
+    *
+    * Scale shape: the family frame is one (id, label) row per doc in the
+    * pair graph (tiny vs the corpus); scoring is scan-side; the argmax
+    * and the size count ride the SAME family-keyed shuffle, and the
+    * join-back is labels-sized, not corpus-sized. */
+  def qDedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = docs.select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("q"))
+    val labels = connectedComponents(
+      minhashPairs(docs).select("doc_a", "doc_b"))
+    val comp = labels.localCheckpoint(true)
+    labels.unpersist()
+    val fam = scored.join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("q"),
+        coalesce(col("label"), col("doc_id")).as("family"))
+    val best = fam.groupBy(col("family"))
+      .agg(max(struct(col("q").as("q"), (-col("doc_id")).as("nd")))
+        .as("b"), count(lit(1)).as("group_size"))
+      .select(col("family"), (-col("b.nd")).as("canonical"),
+        col("group_size"))
+    fam.join(best, Seq("family"))
+      .select(col("doc_id"), col("canonical"), col("group_size"),
+        (col("doc_id") === col("canonical")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same recursive-closure families as [[qDedupCorpusSql]],
+    * canonical picked by a (q DESC, doc_id) window over each family —
+    * independent of both the LSH candidate path and the argmax-by-struct
+    * trick. */
+  val qDedupCanonicalSql: String =
+    s"""WITH RECURSIVE d AS (
+      |$shingleCte
+      |),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |  WHERE $jaccardExpr >= 0.5
+      |),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM p
+      |  UNION ALL
+      |  SELECT doc_b AS src, doc_a AS dst FROM p
+      |),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      |),
+      |labels AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS keeper
+      |  FROM reach GROUP BY src
+      |),
+      |fam AS (
+      |  SELECT doc.doc_id, coalesce(l.keeper, doc.doc_id) AS family,
+      |    ${TextOps.sqlQualityScoreOf("doc.text")} AS q
+      |  FROM documents doc LEFT JOIN labels l ON doc.doc_id = l.doc_id
+      |),
+      |ranked AS (
+      |  SELECT family, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY family
+      |      ORDER BY q DESC, doc_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY family) AS group_size
+      |  FROM fam
+      |)
+      |SELECT f.doc_id, b.doc_id AS canonical, b.group_size,
+      |  f.doc_id = b.doc_id AS is_canonical
+      |FROM fam f JOIN ranked b ON f.family = b.family AND b.rn = 1
+      |ORDER BY f.doc_id""".stripMargin
+
   // --- SimHash --------------------------------------------------------------
 
   /** SimHash near-dup pairs: 64-bit signature (custom Catalyst
@@ -656,7 +742,8 @@ object Dedup {
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_dedup_embed_ivf" -> (qDedupEmbedIvf _),
-    "q_dedup_corpus" -> (qDedupCorpus _))
+    "q_dedup_corpus" -> (qDedupCorpus _),
+    "q_dedup_canonical" -> (qDedupCanonical _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_editdist" -> qDedupEditdistSql,
@@ -666,5 +753,6 @@ object Dedup {
     "q_dedup_simhash_md5" -> qDedupSimhashMd5Sql,
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_dedup_embed" -> qDedupEmbedSql,
-    "q_dedup_corpus" -> qDedupCorpusSql)
+    "q_dedup_corpus" -> qDedupCorpusSql,
+    "q_dedup_canonical" -> qDedupCanonicalSql)
 }

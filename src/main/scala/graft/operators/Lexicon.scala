@@ -384,18 +384,67 @@ object Lexicon {
     heavyHittersSketch(Engine.rebalance(t(s, dir, "documents")))
       .orderBy(col("est_cnt").desc, col("term").asc)
 
+  // --- BPE merge-pair counting (tokenizer training support) ----------------
+
+  /** The first BPE merge iteration: adjacent character-pair counts,
+    * weighted by word frequency — the statistic a byte-pair-encoding
+    * trainer maximizes at every merge step (Sennrich et al. 2016 §3.2;
+    * GPT-2's tokenizer trains this way over bytes).
+    *
+    * Scale shape (the trick every real BPE trainer uses): pair
+    * statistics are computed over the VOCABULARY (|vocab| distinct
+    * words × word length), not the corpus — the only corpus-sized work
+    * is the word-count aggregate (map-side combined, same plan as
+    * heavy hitters); the pair explode touches |vocab| rows. At 100 TB
+    * the vocab agg is the one shuffle and subsequent merge iterations
+    * would iterate on the vocab frame alone (corpus never re-read). */
+  def bpePairs(docs: DataFrame, topk: Int = 20): DataFrame = {
+    val vocab = tokens(docs)
+      .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
+    vocab.where(length(col("tok")) >= 2)
+      .select(col("tok"), col("wc"),
+        explode(expr("sequence(1, length(tok) - 1)")).as("i"))
+      .select(expr("substring(tok, i, 2)").as("pair"), col("wc"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topk)
+  }
+
+  def qBpePairs(s: SparkSession, dir: String): DataFrame =
+    bpePairs(Engine.rebalance(t(s, dir, "documents")))
+
+  /** Oracle: the same vocab-weighted pair count, pairs generated with
+    * `unnest(range())` over each distinct word. */
+  val qBpePairsSql: String =
+    """WITH vocab AS (
+      |  SELECT tok, COUNT(*) AS wc
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok
+      |),
+      |pairs AS (
+      |  SELECT substring(tok, CAST(i AS INT), 2) AS pair, wc
+      |  FROM vocab, unnest(range(1, len(tok))) AS u(i)
+      |  WHERE len(tok) >= 2
+      |)
+      |SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+      |FROM pairs GROUP BY pair
+      |ORDER BY cnt DESC, pair ASC
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_logprob" -> (qUnigramLogprob _),
     "q_bigram_logprob" -> (qBigramLogprob _),
     "q_tfidf_topk" -> (qTfidfTopk _),
     "q_bm25_topk" -> (qBm25Topk _),
     "q_heavy_hitters" -> (qHeavyHitters _),
-    "q_heavy_sketch" -> (qHeavySketch _))
+    "q_heavy_sketch" -> (qHeavySketch _),
+    "q_bpe_pairs" -> (qBpePairs _))
 
   val oracles: Map[String, String] = Map(
     "q_unigram_logprob" -> qUnigramLogprobSql,
     "q_bigram_logprob" -> qBigramLogprobSql,
     "q_tfidf_topk" -> qTfidfTopkSql,
     "q_bm25_topk" -> qBm25TopkSql,
-    "q_heavy_hitters" -> qHeavyHittersSql)
+    "q_heavy_hitters" -> qHeavyHittersSql,
+    "q_bpe_pairs" -> qBpePairsSql)
 }

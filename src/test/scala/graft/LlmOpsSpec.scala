@@ -747,4 +747,54 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(score > 0.0 && score <= 2.0 / (k + 1) + 1e-9)
     }
   }
+
+  test("canonical selection: exactly one canonical per family, and it " +
+      "maximizes quality (ties to lowest doc_id)") {
+    val out = Dedup.qDedupCanonical(spark, sf).collect()
+    val q = Corpus.scoredDocs(
+      Engine.table(spark, sf, "documents"))
+      .select("doc_id", "q").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val families = out.groupBy(_.getAs[Long]("canonical"))
+    families.foreach { case (canon, members) =>
+      val canonRows = members.filter(_.getAs[Boolean]("is_canonical"))
+      assert(canonRows.length === 1,
+        s"family of $canon: ${canonRows.length} canonical rows")
+      assert(canonRows.head.getAs[Long]("doc_id") === canon)
+      assert(members.forall(_.getAs[Long]("group_size") === members.length))
+      val best = members.map(m => m.getAs[Long]("doc_id"))
+        .minBy(id => (-q(id), id))
+      assert(best === canon,
+        s"family of $canon: argmax-quality member is $best")
+    }
+    // multi-doc families exist in the fixture (planted near-dups)
+    assert(families.exists(_._2.length > 1))
+  }
+
+  test("dsir: target-language docs weigh higher than off-target on " +
+      "average, and the fit is a bounded 256-long artifact") {
+    val docs = Engine.table(spark, sf, "documents")
+    val contrib = Corpus.dsirContrib(docs)
+    assert(contrib.length === Corpus.DsirDim)
+    val scored = docs
+      .select(col("lang"), Corpus.dsirScore(contrib, "text").as("w"),
+        expr("CAST(size(filter(split(lower(text), ' '), x -> length(x) > 0)) AS BIGINT)").as("n"))
+      .where(col("n") > 0)
+      .select(col("lang"), (col("w").cast("double") / col("n")).as("wpt"))
+      .groupBy(col("lang") === "en").agg(avg(col("wpt")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(scored(true) > scored(false),
+      s"per-token importance: en=${scored(true)} other=${scored(false)}")
+  }
+
+  test("bpe pair counts: vocab-weighted adjacent pairs on a hand-built " +
+      "frame") {
+    val s = spark
+    import s.implicits._
+    // vocab: "ab"×3 (pairs: ab), "abc"×1 (ab, bc), "x"×1 (no pairs)
+    val docs = Seq((1L, "ab ab x"), (2L, "ab abc")).toDF("doc_id", "text")
+    val out = Lexicon.bpePairs(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("ab" -> 4L, "bc" -> 1L))
+  }
 }
