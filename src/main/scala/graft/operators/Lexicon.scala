@@ -80,8 +80,10 @@ object Lexicon {
     unigramLogprob(Engine.rebalance(t(s, dir, "documents")))
       .orderBy(col("doc_id"))
 
-  val qUnigramLogprobSql: String =
-    s"""WITH toks AS (
+  /** Shared unigram-LM oracle CTEs (toks → lexicon → scored), reused by
+    * the per-doc gate and the CCNet bucket gate. */
+  private val unigramCtes: String =
+    s"""toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
       |), lexicon AS (
       |  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
@@ -91,13 +93,110 @@ object Lexicon {
       |      / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM lexicon))
       |      * 1000000.0 + 0.5) AS BIGINT) AS nlp6
       |  FROM lexicon
-      |)
+      |)""".stripMargin
+
+  val qUnigramLogprobSql: String =
+    s"""WITH $unigramCtes
       |SELECT t.doc_id, COUNT(*) AS n_tokens,
       |  ${sqlR6("CAST(SUM(s.nlp6) AS DOUBLE) / 1000000.0 / COUNT(*)")}
       |    AS avg_neg_logprob
       |FROM toks t JOIN scored s ON t.tok = s.tok
       |GROUP BY t.doc_id
       |ORDER BY t.doc_id""".stripMargin
+
+  // --- CCNet perplexity bucketing ------------------------------------------
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: each
+    * language's documents split into head/middle/tail by LM score, the
+    * mix knob CCNet pipelines expose): per-language tercile THRESHOLDS
+    * over the unigram-LM score, every doc bucketed by comparison, and
+    * the (lang, bucket) manifest reported.
+    *
+    * Scale shape — NO per-language global sort: the naive ntile is a
+    * one-partition-per-language window over the corpus. Instead the
+    * score is 1e-6 fixed-point (bounded distinct values), so cutoffs
+    * come from a running sum over the per-(lang, score) COUNT frame
+    * (distinct-scores-sized, the tokenBudgetKept trick), and bucketing
+    * is a broadcast-join + comparison on the scan. Ties at a cutoff all
+    * land in the lower bucket (value-based thresholds, the CCNet
+    * semantics) — so bucket sizes are N/3 ± tie mass, deterministic in
+    * both engines. */
+  def qCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.rebalance(t(s, dir, "documents"))
+    val lp = unigramLogprob(docs)
+    val sc = docs.select(col("doc_id"), col("lang"))
+      .join(lp, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor(col("avg_neg_logprob") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("score6"))
+    val perScore = sc.groupBy(col("lang"), col("score6"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("score6"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("lang"))
+    val cuts = perScore
+      .withColumn("run", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wn))
+      .groupBy(col("lang"))
+      .agg(min(when(col("run") * 3 >= col("n"), col("score6"))).as("c1"),
+        min(when(col("run") * 3 >= col("n") * 2, col("score6"))).as("c2"))
+    sc.join(broadcast(cuts), Seq("lang"))
+      .select(col("lang"), col("n_tokens"), col("score6"),
+        when(col("score6") <= col("c1"), "head")
+          .when(col("score6") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        r6(sum(col("score6")).cast("double") / lit(1000000.0)
+          / count(lit(1))).as("mean_nlp"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** Oracle: same thresholds from a window over the distinct-score
+    * frame (DuckDB may window freely — single-node by design). */
+  val qCcnetBucketsSql: String =
+    s"""WITH $unigramCtes,
+      |lp AS (
+      |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+      |    ${sqlR6("CAST(SUM(s.nlp6) AS DOUBLE) / 1000000.0 / COUNT(*)")}
+      |      AS avg_neg_logprob
+      |  FROM toks t JOIN scored s ON t.tok = s.tok
+      |  GROUP BY t.doc_id
+      |),
+      |sc AS (
+      |  SELECT d.doc_id, d.lang, lp.n_tokens,
+      |    CAST(FLOOR(lp.avg_neg_logprob * 1000000.0 + 0.5) AS BIGINT)
+      |      AS score6
+      |  FROM documents d JOIN lp ON d.doc_id = lp.doc_id
+      |),
+      |ps AS (
+      |  SELECT lang, score6, COUNT(*) AS c FROM sc GROUP BY lang, score6
+      |),
+      |runs AS (
+      |  SELECT lang, score6, c,
+      |    SUM(c) OVER (PARTITION BY lang ORDER BY score6
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+      |    SUM(c) OVER (PARTITION BY lang) AS n
+      |  FROM ps
+      |),
+      |cuts AS (
+      |  SELECT lang,
+      |    MIN(CASE WHEN run * 3 >= n THEN score6 END) AS c1,
+      |    MIN(CASE WHEN run * 3 >= n * 2 THEN score6 END) AS c2
+      |  FROM runs GROUP BY lang
+      |)
+      |SELECT s.lang,
+      |  CASE WHEN s.score6 <= c.c1 THEN 'head'
+      |       WHEN s.score6 <= c.c2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens,
+      |  ${sqlR6("CAST(SUM(s.score6) AS DOUBLE) / 1000000.0 / COUNT(*)")}
+      |    AS mean_nlp
+      |FROM sc s JOIN cuts c ON s.lang = c.lang
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
 
   // --- bigram language-model score ----------------------------------------
 
@@ -438,7 +537,8 @@ object Lexicon {
     "q_bm25_topk" -> (qBm25Topk _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_heavy_sketch" -> (qHeavySketch _),
-    "q_bpe_pairs" -> (qBpePairs _))
+    "q_bpe_pairs" -> (qBpePairs _),
+    "q_ccnet_buckets" -> (qCcnetBuckets _))
 
   val oracles: Map[String, String] = Map(
     "q_unigram_logprob" -> qUnigramLogprobSql,
@@ -446,5 +546,6 @@ object Lexicon {
     "q_tfidf_topk" -> qTfidfTopkSql,
     "q_bm25_topk" -> qBm25TopkSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
-    "q_bpe_pairs" -> qBpePairsSql)
+    "q_bpe_pairs" -> qBpePairsSql,
+    "q_ccnet_buckets" -> qCcnetBucketsSql)
 }

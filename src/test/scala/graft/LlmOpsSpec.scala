@@ -787,6 +787,31 @@ class LlmOpsSpec extends AnyFunSuite {
       s"per-token importance: en=${scored(true)} other=${scored(false)}")
   }
 
+  test("ccnet buckets: partition each language completely, ordered " +
+      "head < middle < tail by mean perplexity") {
+    val out = Lexicon.qCcnetBuckets(spark, sf).collect()
+    val perLang = out.groupBy(_.getString(0))
+    val docTotals = Engine.table(spark, sf, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, rows) =>
+      val byBucket = rows.map(r =>
+        r.getString(1) -> (r.getAs[Long]("n_docs"),
+          r.getAs[Double]("mean_nlp"))).toMap
+      assert(byBucket.keySet === Set("head", "middle", "tail"),
+        s"$lang: ${byBucket.keySet}")
+      assert(byBucket.values.map(_._1).sum === docTotals(lang),
+        s"$lang: buckets must partition the language")
+      assert(byBucket("head")._2 < byBucket("middle")._2
+        && byBucket("middle")._2 < byBucket("tail")._2,
+        s"$lang: mean perplexity must increase head->tail: $byBucket")
+      // value-based thresholds: each tercile is N/3 up to tie mass
+      val n = docTotals(lang)
+      assert(byBucket("head")._1 >= n / 3,
+        s"$lang: head holds at least floor(N/3)")
+    }
+  }
+
   test("bpe pair counts: vocab-weighted adjacent pairs on a hand-built " +
       "frame") {
     val s = spark
