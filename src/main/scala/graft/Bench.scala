@@ -70,7 +70,8 @@ object Bench {
     "q_retrieval_hybrid",       // ANN recall + chunk-level lexical rerank
     "q_dsir_select",            // DSIR importance-weight selection
     "q_bpe_pairs",              // BPE merge-pair counting (vocab-weighted)
-    "q_ccnet_buckets")          // CCNet per-lang perplexity terciles
+    "q_ccnet_buckets",          // CCNet per-lang perplexity terciles
+    "q_gopher_rules")           // Gopher quality-rule battery scan
 
   def runOne(spark: SparkSession, name: String, sfDir: String): Double = {
     val t0 = System.nanoTime()

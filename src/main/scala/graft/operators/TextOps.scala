@@ -301,6 +301,77 @@ object TextOps {
       |  score_micro > 0 AS keep
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  // --- Gopher rule battery -------------------------------------------------
+
+  /** Distinct "required stopwords" present — the Gopher rule asks for at
+    * least 2 of a small closed set (Rae et al. 2021, A1.1). */
+  private val GopherStops = Seq("the", "and", "of", "to", "in")
+
+  /** The Gopher quality-rule battery (Rae et al. 2021, Table A1 — the
+    * MassiveWeb filter heuristics), restricted to the rules this
+    * corpus's shape exercises (word-soup text has no line structure, so
+    * the bullet/ellipsis-line rules are vacuous here and omitted):
+    * word count in [50, 100000]; mean word length in [3, 10]; fraction
+    * of words containing an alphabetic character ≥ 0.8; at least 2 of
+    * {the, and, of, to, in} present; symbol-to-word ratio (`#`) ≤ 0.1.
+    * `keep` is the conjunction.
+    *
+    * Scale shape: one scan, pure codegen'd projections (the same
+    * replace-shrinkage counters as [[qualityScore]] plus one
+    * filter-lambda word pass); zero shuffles — the gate's only exchange
+    * is the presentation sort. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val nWords = tokenCount(col("text"))
+    val meanWl = r6(length(regexp_replace(col("text"), " ", ""))
+      .cast("double") / nWords)
+    val alphaWords = expr(
+      "CAST(size(filter(split(lower(text), ' '), x -> x rlike '[a-z]')) AS BIGINT)")
+    val nStops = GopherStops.map(w =>
+      (wordHits(lower(col("text")), w) > 0.0).cast("int"))
+      .reduce(_ + _)
+    val hashHits = (length(col("text"))
+      - length(regexp_replace(col("text"), "#", ""))).cast("double")
+    docs
+      .select(col("doc_id"), nWords.as("n_words"), meanWl.as("mean_wl"),
+        r6(alphaWords.cast("double") / nWords).as("alpha_frac"),
+        nStops.as("n_stops"),
+        r6(hashHits / nWords).as("symbol_ratio"))
+      .select(col("doc_id"), col("n_words"), col("mean_wl"),
+        col("alpha_frac"), col("n_stops"), col("symbol_ratio"),
+        (col("n_words").between(50, 100000)
+          && col("mean_wl").between(3.0, 10.0)
+          && col("alpha_frac") >= 0.8
+          && col("n_stops") >= 2
+          && col("symbol_ratio") <= 0.1).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qGopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRules(t(s, dir, "documents"))
+
+  val qGopherRulesSql: String = {
+    val nW = sqlTokenCountOf("text")
+    val stops = GopherStops.map(w =>
+      s"CASE WHEN ${sqlWordHitsOf("lower(text)", w)} > 0.0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, $nW AS n_words,
+      |  ${sqlR6(s"CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / $nW")}
+      |    AS mean_wl,
+      |  ${sqlR6(s"CAST(len(list_filter(string_split(lower(text), ' '), x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / $nW")}
+      |    AS alpha_frac,
+      |  $stops AS n_stops,
+      |  ${sqlR6(s"CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', '')) AS DOUBLE) / $nW")}
+      |    AS symbol_ratio,
+      |  ($nW BETWEEN 50 AND 100000)
+      |    AND (${sqlR6(s"CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / $nW")} BETWEEN 3.0 AND 10.0)
+      |    AND ${sqlR6(s"CAST(len(list_filter(string_split(lower(text), ' '), x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / $nW")} >= 0.8
+      |    AND ($stops) >= 2
+      |    AND ${sqlR6(s"CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', '')) AS DOUBLE) / $nW")} <= 0.1
+      |    AS keep
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_classifier_score" -> (qTextClassifierScore _),
     "q_text_tokens" -> (qTextTokens _),
@@ -308,7 +379,8 @@ object TextOps {
     "q_text_quality" -> (qTextQuality _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_fingerprint" -> (qTextFingerprint _),
-    "q_text_repetition" -> (qTextRepetition _))
+    "q_text_repetition" -> (qTextRepetition _),
+    "q_gopher_rules" -> (qGopherRules _))
 
   val oracles: Map[String, String] = Map(
     "q_text_classifier_score" -> qTextClassifierScoreSql,
@@ -317,5 +389,6 @@ object TextOps {
     "q_text_quality" -> qTextQualitySql,
     "q_text_langid" -> qTextLangidSql,
     "q_text_fingerprint" -> qTextFingerprintSql,
-    "q_text_repetition" -> qTextRepetitionSql)
+    "q_text_repetition" -> qTextRepetitionSql,
+    "q_gopher_rules" -> qGopherRulesSql)
 }

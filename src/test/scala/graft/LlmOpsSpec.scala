@@ -812,6 +812,24 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("gopher rules: each rule rejects its own violation on hand-built " +
+      "fixtures") {
+    val s = spark
+    import s.implicits._
+    val good = (("the and of to in " * 10) + ("solid words here " * 12)).trim
+    val docs = Seq(
+      (1L, good),                                   // passes all rules
+      (2L, "the and of too few words"),             // word count < 50
+      (3L, ("a b c d e the and of " * 8).trim),     // mean word len < 3
+      (4L, good.replace("solid", "#####")),         // symbol ratio + alpha
+      (5L, ("lorem ipsum dolor sit amet " * 12).trim) // < 2 required stops
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false))
+  }
+
   test("bpe pair counts: vocab-weighted adjacent pairs on a hand-built " +
       "frame") {
     val s = spark
