@@ -100,6 +100,81 @@ object Curation {
       |WHERE d.doc_id % $BenchmarkMod <> 0
       |ORDER BY d.doc_id""".stripMargin
 
+  // --- contamination overlap ratio -----------------------------------------
+
+  /** Overlap-threshold decontamination: the FRACTION of each document's
+    * distinct [[NgramWidth]]-grams that hit the benchmark set, with the
+    * threshold verdict ('clean' = 0, 'review' < 0.2, 'drop' ≥ 0.2) —
+    * the graded variant of [[decontaminate]]'s boolean (binary
+    * any-overlap flags boilerplate-heavy docs too aggressively; overlap
+    * thresholds are the production convention).
+    *
+    * Scale shape: ONE gram scan — the benchmark set broadcasts, a LEFT
+    * join tags hits in-scan, and totals + hits ride the same per-doc
+    * aggregate (no second scan, no second shuffle). */
+  def decontaminationRatio(docs: DataFrame,
+                           benchmark: DataFrame): DataFrame = {
+    val benchGrams = ngramHashes(benchmark, NgramWidth)
+      .select(col("gh")).distinct().withColumn("__hit", lit(1))
+    val perDoc = ngramHashes(docs, NgramWidth)
+      .join(broadcast(benchGrams), Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
+    val frac = floor(col("n_hits").cast("double")
+      / col("n_grams") * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(frac, lit(0.0)).as("overlap_frac"))
+      .withColumn("verdict",
+        when(col("overlap_frac") >= 0.2, "drop")
+          .when(col("overlap_frac") > 0.0, "review")
+          .otherwise("clean"))
+  }
+
+  def qDecontaminateFrac(s: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.rebalance(t(s, dir, "documents"))
+    val benchmark = docs.where(col("doc_id") % BenchmarkMod === 0)
+    val corpus = docs.where(col("doc_id") % BenchmarkMod =!= 0)
+    decontaminationRatio(corpus, benchmark).orderBy(col("doc_id"))
+  }
+
+  /** Oracle: string n-grams (hash-free), same one-sided split. */
+  val qDecontaminateFracSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |), ng AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      range(1, len(tk) - ${NgramWidth - 2}),
+      |      i -> array_to_string(tk[i:i+${NgramWidth - 1}], ' ')))) AS g
+      |  FROM toks WHERE len(tk) >= $NgramWidth
+      |), bng AS (
+      |  SELECT DISTINCT g FROM ng WHERE doc_id % $BenchmarkMod = 0
+      |), perdoc AS (
+      |  SELECT ng.doc_id, COUNT(*) AS n_grams,
+      |    CAST(COUNT(bng.g) AS BIGINT) AS n_hits
+      |  FROM ng LEFT JOIN bng ON ng.g = bng.g
+      |  WHERE ng.doc_id % $BenchmarkMod <> 0
+      |  GROUP BY ng.doc_id
+      |), scored AS (
+      |  SELECT d.doc_id,
+      |    coalesce(p.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+      |    coalesce(p.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+      |    coalesce(FLOOR(CAST(p.n_hits AS DOUBLE) / p.n_grams
+      |      * 1000000.0 + 0.5) / 1000000.0, 0.0) AS overlap_frac
+      |  FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+      |  WHERE d.doc_id % $BenchmarkMod <> 0
+      |)
+      |SELECT doc_id, n_grams, n_hits, overlap_frac,
+      |  CASE WHEN overlap_frac >= 0.2 THEN 'drop'
+      |       WHEN overlap_frac > 0.0 THEN 'review'
+      |       ELSE 'clean' END AS verdict
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin
+
   // --- PII redaction -------------------------------------------------------
 
   /** Redaction patterns (Java regex == RE2-compatible subset so both
@@ -407,12 +482,14 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_frac" -> (qDecontaminateFrac _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_span_dedup" -> (qSpanDedup _))
 
   val oracles: Map[String, String] = Map(
     "q_decontaminate" -> qDecontaminateSql,
+    "q_decontaminate_frac" -> qDecontaminateFracSql,
     "q_pii_scrub" -> qPiiScrubSql,
     "q_boilerplate" -> qBoilerplateSql,
     "q_span_dedup" -> qSpanDedupSql)

@@ -812,6 +812,22 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination ratio: bounded, and its zero/nonzero split agrees " +
+      "with the binary decontaminate gate") {
+    val frac = Curation.qDecontaminateFrac(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_hits"), r.getAs[Double]("overlap_frac"))).toMap
+    val binary = Curation.qDecontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("contaminated")).toMap
+    assert(frac.keySet === binary.keySet)
+    frac.foreach { case (id, (grams, hits, f)) =>
+      assert(hits <= grams && f >= 0.0 && f <= 1.0, s"doc $id")
+      assert((f > 0.0) === binary(id),
+        s"doc $id: frac=$f vs binary=${binary(id)}")
+    }
+    assert(frac.values.exists(_._3 > 0.0), "fixture plants contamination")
+  }
+
   test("gopher rules: each rule rejects its own violation on hand-built " +
       "fixtures") {
     val s = spark
