@@ -605,7 +605,59 @@ object Similarity {
       |                     AS BIGINT), 0) AS DOUBLE) / 1000000.0 AS rrf_score
       |FROM vec v FULL OUTER JOIN lex l ON v.doc_id = l.doc_id""".stripMargin
 
+  // --- int8 scalar quantization (embedding storage compression) ------------
+
+  /** Symmetric per-vector int8 scalar quantization — the 4× storage
+    * compression an embedding store applies before ANN at 100 TB
+    * (per-vector scale = max|v|/127; code = round-half-up of v/scale;
+    * reconstruction = code·scale). The gate reports per vector the
+    * scale, the cosine between original and reconstruction, and the max
+    * absolute reconstruction error — the numbers a deployment uses to
+    * accept the compression.
+    *
+    * Pure scan-side projection (zero shuffles; the only exchange is the
+    * presentation sort). Element order is identical in both engines, so
+    * the ordered double summations match bit-for-bit (the
+    * qSimBruteForce precedent). Assumes nonzero vectors (the table's
+    * unit-norm contract); an all-zero vector would null its scale. */
+  def qEmbedQuantize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("sc", expr("array_max(transform(v, x -> abs(x))) / 127.0"))
+      .withColumn("r", expr("transform(v, x -> floor(x / sc + 0.5) * sc)"))
+      .select(col("vec_id"),
+        r6(col("sc")).as("scale"),
+        r6(expr("aggregate(zip_with(v, r, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+          / sqrt(expr("aggregate(zip_with(r, r, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")))
+          .as("recon_cos"),
+        r6(expr("array_max(zip_with(v, r, (a, b) -> abs(a - b)))"))
+          .as("max_err"))
+      .orderBy(col("vec_id"))
+
+  val qEmbedQuantizeSql: String =
+    s"""WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), sc AS (
+      |  SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+      |  FROM e
+      |), q AS (
+      |  SELECT vec_id, v, sc,
+      |    list_transform(v, x -> FLOOR(x / sc + 0.5) * sc) AS r
+      |  FROM sc
+      |)
+      |SELECT vec_id,
+      |  FLOOR(sc * 1000000.0 + 0.5) / 1000000.0 AS scale,
+      |  FLOOR(list_dot_product(v, r) / sqrt(list_dot_product(r, r))
+      |        * 1000000.0 + 0.5) / 1000000.0 AS recon_cos,
+      |  FLOOR(list_max(list_transform(range(1, len(v) + 1),
+      |          i -> abs(v[CAST(i AS INT)] - r[CAST(i AS INT)])))
+      |        * 1000000.0 + 0.5) / 1000000.0 AS max_err
+      |FROM q
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_quantize" -> (qEmbedQuantize _),
     "q_sim_bruteforce_topk" -> (qSimBruteForce _),
     "q_sim_ivf_topk" -> (qSimIvf _),
     "q_sim_ivf_kmeans_topk" -> (qSimIvfKmeans _),
@@ -618,6 +670,7 @@ object Similarity {
     * SQL-expressible; its arithmetic is pinned by the two oracles above
     * plus SimilaritySpec's recall checks). */
   val oracles: Map[String, String] = Map(
+    "q_embed_quantize" -> qEmbedQuantizeSql,
     "q_sim_bruteforce_topk" -> qSimBruteForceSql,
     "q_sim_ivf_topk" -> qSimIvfSql,
     "q_sim_ivf_kmeans_recall" -> qSimIvfKmeansRecallSql,

@@ -812,6 +812,21 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: reconstruction error bounded by scale/2 and " +
+      "cosine stays near 1") {
+    val rows = Similarity.qEmbedQuantize(spark, sf).collect()
+    assert(rows.length === Engine.table(spark, sf, "embeddings").count())
+    rows.foreach { r =>
+      val (sc, cos, err) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(sc > 0.0)
+      // |v - round(v/s)*s| <= s/2 by construction (+1e-6 for the
+      // fixed-point rounding of both reported columns)
+      assert(err <= sc / 2 + 1e-6, s"vec ${r.getLong(0)}: err=$err sc=$sc")
+      assert(cos > 0.99 && cos <= 1.0 + 1e-6,
+        s"vec ${r.getLong(0)}: recon cos=$cos")
+    }
+  }
+
   test("contamination ratio: bounded, and its zero/nonzero split agrees " +
       "with the binary decontaminate gate") {
     val frac = Curation.qDecontaminateFrac(spark, sf).collect()
