@@ -426,6 +426,110 @@ object Dedup {
       |FROM fam f JOIN ranked b ON f.family = b.family AND b.rn = 1
       |ORDER BY f.doc_id""".stripMargin
 
+  // --- winnowing fingerprints (MOSS) ----------------------------------------
+
+  /** Winnowing parameters (Schleimer, Wilkerson & Aiken 2003, §4): k-gram
+    * width and window size — any match of length ≥ w + k − 1 characters
+    * is GUARANTEED to share a fingerprint (the paper's coverage
+    * theorem), with expected density 2/(w+1). */
+  val WinnowK = 8
+  val WinnowW = 4
+
+  /** Per-doc winnowed fingerprint set: 40-bit md5 k-gram hashes, each
+    * window of [[WinnowW]] consecutive hashes contributing its RIGHTMOST
+    * minimum (the paper's robust-winnowing tie-break, encoded as
+    * `hash·2^20 + (2^20−1−pos)` so one `array_min` picks it — doc length
+    * is capped at 2^20 chars by the encoding, far above this corpus).
+    * One scan, pure lambda projections; output is (doc_id, fph)
+    * exploded-distinct. The md5-derived hash is the engine-portable
+    * choice (the scoreMicro precedent) — xxhash64 has no DuckDB twin. */
+  def winnowFingerprints(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), lower(col("text")).as("tk"))
+      .where(length(col("tk")) >= WinnowK + WinnowW - 1)
+      .withColumn("kh", expr(
+        s"""transform(sequence(1, length(tk) - ${WinnowK - 1}),
+           |  i -> cast(conv(substring(md5(substring(tk, i, $WinnowK)), 1, 10),
+           |                 16, 10) as bigint))""".stripMargin))
+      // `div`, not `/`: Spark `/` on BIGINT is DOUBLE division, and the
+      // encoded values (~2^60) are beyond double's 2^53 exact range
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(
+           |  sequence(1, size(kh) - ${WinnowW - 1}),
+           |  j -> array_min(transform(sequence(0, ${WinnowW - 1}),
+           |         d -> element_at(kh, cast(j + d as int)) * 1048576
+           |              + 1048575 - (j + d))) div 1048576))"""
+          .stripMargin)).as("fph"))
+      .distinct()
+
+  /** Ubiquity cap: fingerprints appearing in more than this many docs
+    * are dropped before pairing — MOSS's "ignore frequent k-grams"
+    * step. Without it a corpus-wide common phrase is a HUB fingerprint
+    * whose pair fan-out is |docs|² — the skew bomb at 100 TB; with it
+    * the per-fingerprint join fan-out is bounded at MaxDf². */
+  val WinnowMaxDf = 10
+
+  /** Document pairs sharing ≥ `minShared` rare winnowed fingerprints —
+    * the MOSS match-candidate report. Matches are LOCAL: a long shared
+    * run pairs two documents even when their global jaccard is low (the
+    * plagiarism/quotation shape global near-dup passes miss), while the
+    * ubiquity cap deliberately ignores corpus-common content. The
+    * doc-frequency cap rides the same fingerprint-keyed exchange as the
+    * pair join (one corpus shuffle on the 8-byte key); pair counting is
+    * map-side combined. */
+  def winnowPairs(docs: DataFrame, minShared: Int = 5): DataFrame = {
+    val fp = winnowFingerprints(docs)
+    val rare = fp.groupBy(col("fph"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= WinnowMaxDf)
+      .select(col("fph"))
+    val kept = fp.join(rare, Seq("fph"))
+    val l = kept.select(col("fph"), col("doc_id").as("doc_a"))
+    val r = kept.select(col("fph"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("fph"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def qDedupWinnow(s: SparkSession, dir: String): DataFrame =
+    winnowPairs(Engine.rebalance(t(s, dir, "documents")))
+
+  /** Oracle: the same construction in DuckDB list arithmetic — 1-based
+    * list indexing mirrors `element_at`, integer division recovers the
+    * hash from the rightmost-min encoding. */
+  val qDedupWinnowSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, lower(text) AS tk FROM documents
+      |  WHERE len(lower(text)) >= ${WinnowK + WinnowW - 1}
+      |), kh AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(tk) - ${WinnowK - 2}),
+      |      i -> CAST(('0x' || substr(md5(substring(tk, CAST(i AS INT), $WinnowK)), 1, 10))
+      |                AS BIGINT)) AS kh
+      |  FROM d
+      |), fp AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      range(1, len(kh) - ${WinnowW - 2}),
+      |      j -> list_min(list_transform(range(0, $WinnowW),
+      |             d -> kh[CAST(j + d AS INT)] * 1048576
+      |                  + 1048575 - (j + d))) // 1048576))) AS fph
+      |  FROM kh
+      |), rare AS (
+      |  SELECT fph FROM fp GROUP BY fph HAVING COUNT(*) <= $WinnowMaxDf
+      |), kept AS (
+      |  SELECT fp.doc_id, fp.fph FROM fp JOIN rare ON fp.fph = rare.fph
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  COUNT(*) AS n_shared
+      |FROM kept a JOIN kept b ON a.fph = b.fph AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) >= 5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // --- SimHash --------------------------------------------------------------
 
   /** SimHash near-dup pairs: 64-bit signature (custom Catalyst
@@ -743,7 +847,8 @@ object Dedup {
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_dedup_embed_ivf" -> (qDedupEmbedIvf _),
     "q_dedup_corpus" -> (qDedupCorpus _),
-    "q_dedup_canonical" -> (qDedupCanonical _))
+    "q_dedup_canonical" -> (qDedupCanonical _),
+    "q_dedup_winnow" -> (qDedupWinnow _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_editdist" -> qDedupEditdistSql,
@@ -754,5 +859,6 @@ object Dedup {
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_dedup_embed" -> qDedupEmbedSql,
     "q_dedup_corpus" -> qDedupCorpusSql,
-    "q_dedup_canonical" -> qDedupCanonicalSql)
+    "q_dedup_canonical" -> qDedupCanonicalSql,
+    "q_dedup_winnow" -> qDedupWinnowSql)
 }

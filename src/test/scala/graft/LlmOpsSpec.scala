@@ -812,6 +812,34 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing: a long unique shared run pairs two docs; unrelated " +
+      "docs never pair; a ubiquitous run is ignored") {
+    val s = spark
+    import s.implicits._
+    val shared = "zq1 wx2 vj3 kp4 mh5 gt6 rb7 nc8 ld9 fy0 zq1b wx2b"
+    // tokens "<p>z<i>q<p>": across different prefixes the longest common
+    // substring is "z<i>q" (<= 5 chars), below the k=8 gram width — so
+    // noise blocks never share a fingerprint
+    def noise(p: String) = (1 to 20).map(i => s"${p}z${i}q$p").mkString(" ")
+    val common = "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp"
+    // 1 & 2 embed the same 50-char unique run in different contexts;
+    // 3 is unrelated; 4..20 all carry `common`, pushing its
+    // fingerprints past the ubiquity cap
+    val docs = (Seq(
+      (1L, s"${noise("ka")} $shared ${noise("kb")}"),
+      (2L, s"${noise("kc")} $shared ${noise("kd")}"),
+      (3L, s"${noise("ke")} ${noise("kf")}")) ++
+      (4L to 20L).map(i => (i, s"${noise(s"m${('a' + i.toInt - 4).toChar}")} $common")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // coverage theorem: every match >= w+k-1 = 11 chars shares a
+    // fingerprint; the ~50-char run yields >> 5 shared rare prints
+    assert(pairs === Set((1L, 2L)), s"got $pairs")
+    // and the gate output on the real corpus is nonempty + oracle-shaped
+    assert(Dedup.qDedupWinnow(spark, sf).count() > 0)
+  }
+
   test("int8 quantization: reconstruction error bounded by scale/2 and " +
       "cosine stays near 1") {
     val rows = Similarity.qEmbedQuantize(spark, sf).collect()
