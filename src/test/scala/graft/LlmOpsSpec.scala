@@ -812,6 +812,28 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("plan shapes: gopher rules and dsir scoring are shuffle-free " +
+      "scan projections; quantization too") {
+    val docs = Engine.table(spark, sf, "documents")
+    // gopher: the only exchange is the presentation sort
+    val gopherPlan = TextOps.gopherRules(docs)
+      .queryExecution.executedPlan.toString
+    assert(gopherPlan.indexOf("Exchange") ===
+      gopherPlan.lastIndexOf("Exchange"),
+      "gopher rule battery must not shuffle beyond the final sort")
+    val contrib = Corpus.dsirContrib(docs)
+    val dsirPlan = docs
+      .select(Corpus.dsirScore(contrib, "text").as("w"))
+      .queryExecution.executedPlan.toString
+    assert(!dsirPlan.contains("Exchange"),
+      "dsir scoring must be scan-side once the model is fitted")
+    val quantPlan = Similarity.qEmbedQuantize(spark, sf)
+      .queryExecution.executedPlan.toString
+    // quantization's only exchange is the presentation sort
+    assert(quantPlan.indexOf("Exchange") ===
+      quantPlan.lastIndexOf("Exchange"))
+  }
+
   test("winnowing: a long unique shared run pairs two docs; unrelated " +
       "docs never pair; a ubiquitous run is ignored") {
     val s = spark
