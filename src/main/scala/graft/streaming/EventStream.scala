@@ -165,6 +165,26 @@ object EventStream {
       .drop("fp")
   }
 
+  /** Streaming curation gate: the round-10 quality tier applied to a
+    * document stream — keep a doc iff it passes the Gopher rule battery
+    * AND the hashed linear classifier scores it positive. Both are pure
+    * scan-side projections, so the streaming plan is a stateless
+    * per-micro-batch filter (no state store, no watermark needed) — the
+    * shape that lets one code path serve batch backfill and live ingest.
+    * Emits (doc_id, n_words, score) for survivors. */
+  def curateDocs(incoming: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    incoming
+      .withColumn("__score", TextOps.scoreMicro("text"))
+      .withColumn("__nw",
+        (length(col("text"))
+          - length(regexp_replace(col("text"), " ", "")) + 1).cast("long"))
+      .where(col("__score") > 0L)
+      .where(TextOps.gopherKeep(col("text")))
+      .select(col("doc_id"), col("__nw").as("n_words"),
+        (col("__score").cast("double") / 1000000.0).as("score"))
+  }
+
   // --- stateful sessionization ---------------------------------------------
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -897,11 +897,12 @@ class LlmOpsSpec extends AnyFunSuite {
       "fixtures") {
     val s = spark
     import s.implicits._
-    val good = (("the and of to in " * 10) + ("solid words here " * 12)).trim
+    val good = (("the join hash row scan " * 10)
+      + ("solid words here " * 12)).trim
     val docs = Seq(
       (1L, good),                                   // passes all rules
-      (2L, "the and of too few words"),             // word count < 50
-      (3L, ("a b c d e the and of " * 8).trim),     // mean word len < 3
+      (2L, "the join of too few words"),            // word count < 50
+      (3L, ("a b c d e the join k " * 8).trim),     // mean word len < 3
       (4L, good.replace("solid", "#####")),         // symbol ratio + alpha
       (5L, ("lorem ipsum dolor sit amet " * 12).trim) // < 2 required stops
     ).toDF("doc_id", "text")

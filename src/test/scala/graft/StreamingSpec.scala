@@ -185,4 +185,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(survivorFps.intersect(storeFps).isEmpty)
   }
 
+  test("streaming curation gate equals its batch twin and the " +
+      "gopher/classifier gates' own verdicts") {
+    val q = EventStream.curateDocs(EventStream.readDocuments(spark, sf))
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("curated").select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val docs = Engine.table(spark, sf, "documents")
+    val batch = EventStream.curateDocs(docs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed === batch)
+    // cross-check against the standalone gates: survivors = gopher-keep
+    // intersect classifier-keep
+    val gopherKeep = operators.TextOps.qGopherRules(spark, sf)
+      .where(col("keep")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val clsKeep = operators.TextOps.qTextClassifierScore(spark, sf)
+      .where(col("keep")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(streamed.toSet === gopherKeep.intersect(clsKeep))
+    assert(streamed.nonEmpty)
+  }
+
 }
