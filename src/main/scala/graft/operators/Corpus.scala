@@ -406,17 +406,121 @@ object Corpus {
       |ORDER BY dsir_micro DESC, d.doc_id
       |LIMIT 20""".stripMargin
 
+  // --- capacity-capped mix allocation (waterfilling) -----------------------
+
+  /** Target-weighted token allocation under per-source capacity caps —
+    * the mix-planning step of a training run ("give source s a share
+    * ∝ w_s of the B-token budget, but a source can't contribute more
+    * tokens than it has"; the Pile/LLaMA-style per-domain epoch-cap
+    * shape). Exact waterfilling, not iteration: sort sources by
+    * capacity-per-weight, find the saturation breakpoint with prefix
+    * sums, allocate `min(capacity, floor(w·T*))`.
+    *
+    * Weights here are the source's mean quality in micro units
+    * (quality-weighted target mix); budget B = half the corpus tokens,
+    * the [[tokenBudgetKept]] convention.
+    *
+    * Scale shape: everything after the per-source aggregate runs on a
+    * |sources|-row frame — the sort/windows are metadata-sized by
+    * construction (same stance as sourceStats), and the one corpus-sized
+    * exchange is that aggregate. Determinism: T* is a double ratio of
+    * identical integers in both engines; allocations floor to BIGINT. */
+  /** Waterfilling over a prepared (source, capacity, w6) frame; budget
+    * = half the total capacity. Kept frame-level so the saturation
+    * branch is spec-testable on hand-built skew. */
+  def waterfillAlloc(per: DataFrame): DataFrame = {
+    val tot = per.agg(sum(col("capacity")).as("tc"), sum(col("w6")).as("tw"))
+    val w = Window.orderBy(col("ratio"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = per.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("tc div 2"))
+      .withColumn("ratio",
+        col("capacity").cast("double") / col("w6"))
+      .withColumn("sat_c", coalesce(sum(col("capacity")).over(w), lit(0L)))
+      .withColumn("sat_w", coalesce(sum(col("w6")).over(w), lit(0L)))
+      .withColumn("t_cand",
+        (col("budget") - col("sat_c")).cast("double")
+          / (col("tw") - col("sat_w")))
+    // T* = the first candidate (in ratio order) that does not saturate
+    // its own row. The agg ALWAYS yields one row (null b when every row
+    // saturates, i.e. budget >= total capacity) — a filtered frame here
+    // would make the final cross join empty in that case
+    // tie-break by SOURCE (the window's own order), not by t_cand: at
+    // equal ratios a later row's candidate can be smaller (even
+    // negative, budget already spent) and must not win
+    val tStar = ranked
+      .agg(min(when(col("t_cand") <= col("ratio"),
+        struct(col("ratio"), col("source"), col("t_cand")))).as("b"))
+      .select(col("b.t_cand").as("t_star"))
+    ranked.crossJoin(broadcast(tStar))
+      .select(col("source"), col("capacity"), col("w6"),
+        least(col("capacity"),
+          floor(col("w6")
+            * coalesce(col("t_star"), col("budget").cast("double")))
+            .cast("long")).as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  def qMixWaterfill(s: SparkSession, dir: String): DataFrame =
+    // w6 = floor(mean quality micro) via EXACT integer arithmetic:
+    // per-row fixed-point longs summed (order-independent), then
+    // integer division — a double avg() would be summation-order-
+    // dependent and could flip the floor at the boundary
+    waterfillAlloc(scoredDocs(t(s, dir, "documents"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).cast("long").as("capacity"),
+        expr("sum(cast(floor(q * 1000000.0 + 0.5) as bigint)) div count(1)")
+          .as("w6")))
+
+  val qMixWaterfillSql: String = {
+    val score = TextOps.sqlQualityScoreOf("text")
+    val n = TextOps.sqlTokenCountOf("text")
+    s"""WITH per AS (
+      |  SELECT source, CAST(SUM(n) AS BIGINT) AS capacity,
+      |    CAST(SUM(CAST(FLOOR(q * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |      // COUNT(*) AS w6
+      |  FROM (SELECT source, $score AS q, $n AS n FROM documents)
+      |  GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(SUM(capacity) AS BIGINT) AS tc,
+      |    CAST(SUM(w6) AS BIGINT) AS tw
+      |  FROM per
+      |), ranked AS (
+      |  SELECT per.*, tot.tc, tot.tw, tot.tc // 2 AS budget,
+      |    CAST(capacity AS DOUBLE) / w6 AS ratio,
+      |    COALESCE(CAST(SUM(capacity) OVER (ORDER BY CAST(capacity AS DOUBLE) / w6, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS sat_c,
+      |    COALESCE(CAST(SUM(w6) OVER (ORDER BY CAST(capacity AS DOUBLE) / w6, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS sat_w
+      |  FROM per, tot
+      |), tstar AS (
+      |  SELECT CAST(budget - sat_c AS DOUBLE) / (tw - sat_w) AS t_star,
+      |    ratio
+      |  FROM ranked
+      |  WHERE CAST(budget - sat_c AS DOUBLE) / (tw - sat_w) <= ratio
+      |  ORDER BY ratio, source LIMIT 1
+      |)
+      |SELECT r.source, r.capacity, r.w6,
+      |  LEAST(r.capacity,
+      |    CAST(FLOOR(r.w6 * COALESCE(t.t_star,
+      |      CAST(r.budget AS DOUBLE))) AS BIGINT)) AS alloc
+      |FROM ranked r LEFT JOIN tstar t ON TRUE
+      |ORDER BY r.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_docs" -> (qChunkDocs _),
     "q_split_leakfree" -> (qSplitLeakfree _),
     "q_token_budget_select" -> (qTokenBudgetSelect _),
     "q_source_curation" -> (qSourceCuration _),
-    "q_dsir_select" -> (qDsirSelect _))
+    "q_dsir_select" -> (qDsirSelect _),
+    "q_mix_waterfill" -> (qMixWaterfill _))
 
   val oracles: Map[String, String] = Map(
     "q_chunk_docs" -> qChunkDocsSql,
     "q_split_leakfree" -> qSplitLeakfreeSql,
     "q_token_budget_select" -> qTokenBudgetSelectSql,
     "q_source_curation" -> qSourceCurationSql,
-    "q_dsir_select" -> qDsirSelectSql)
+    "q_dsir_select" -> qDsirSelectSql,
+    "q_mix_waterfill" -> qMixWaterfillSql)
 }

@@ -138,6 +138,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(cur.filter(col("dup_rate") < 0 || col("dup_rate") > 1).count() === 0)
   }
 
+  test("waterfill allocation: tiny source saturates, the rest split the " +
+      "remainder by weight; never over budget or capacity") {
+    val s = spark
+    import s.implicits._
+    // equal weights; A can only give 10 tokens, so it saturates and
+    // B/C waterfill the remaining budget equally
+    val per = Seq(
+      ("a", 10L, 1000000L),
+      ("b", 2000L, 1000000L),
+      ("c", 2000L, 1000000L)).toDF("source", "capacity", "w6")
+    val out = Corpus.waterfillAlloc(per).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val budget = (10L + 2000L + 2000L) / 2  // 2005
+    assert(out("a")._2 === 10L, s"tiny source must saturate: $out")
+    assert(out("b")._2 === out("c")._2, s"equal weights split equally: $out")
+    val total = out.values.map(_._2).sum
+    assert(total <= budget && total >= budget - 3,
+      s"allocation $total must fill the budget $budget up to flooring")
+    out.values.foreach { case (cap, alloc) => assert(alloc <= cap) }
+    // degenerate: budget >= capacity (every source saturates)
+    val small = Seq(("x", 4L, 500000L), ("y", 4L, 500000L))
+      .toDF("source", "capacity", "w6")
+    val degen = Corpus.waterfillAlloc(small).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // budget = 4: the lower-ratio source fills first; no over-alloc
+    assert(degen.values.sum <= 4L && degen.values.forall(_ <= 4L))
+  }
+
   test("quality score is total: empty and pathological text scores 0.0, " +
       "never NULL") {
     val s = spark
