@@ -71,7 +71,11 @@ object Bench {
     "q_dsir_select",            // DSIR importance-weight selection
     "q_bpe_pairs",              // BPE merge-pair counting (vocab-weighted)
     "q_ccnet_buckets",          // CCNet per-lang perplexity terciles
-    "q_gopher_rules")           // Gopher quality-rule battery scan
+    "q_gopher_rules",           // Gopher quality-rule battery scan
+    "q_dedup_winnow",           // MOSS winnowing local-match pairs
+    "q_embed_quantize",         // int8 embedding quantization report
+    "q_decontaminate_frac",     // graded contamination overlap ratio
+    "q_mix_waterfill")          // capacity-capped mix allocation
 
   def runOne(spark: SparkSession, name: String, sfDir: String): Double = {
     val t0 = System.nanoTime()
