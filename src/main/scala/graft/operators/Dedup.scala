@@ -478,6 +478,14 @@ object Dedup {
     * pair join (one corpus shuffle on the 8-byte key); pair counting is
     * map-side combined. */
   def winnowPairs(docs: DataFrame, minShared: Int = 5): DataFrame = {
+    // fp feeds the ubiquity-cap aggregate and both pair-join sides, and
+    // the alias-renamed join branches defeat exchange reuse (0
+    // ReusedExchange) — so the fingerprint lambda recomputes three
+    // times. Measured at sf0.1: localCheckpoint'ing it here is a wash
+    // (materialization cost ≈ recompute savings), so the default stays
+    // unmaterialized — the lshCandidates stance: cache-if-fits is a
+    // deployment decision. A production corpus stores the fingerprint
+    // table as an index artifact and feeds it in directly.
     val fp = winnowFingerprints(docs)
     val rare = fp.groupBy(col("fph"))
       .agg(count(lit(1)).as("df"))
