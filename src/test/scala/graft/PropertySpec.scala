@@ -180,4 +180,43 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("waterfill allocation invariants on random capacity/weight mixes") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(1L, 5000L), Gen.choose(100000L, 2000000L)))
+    forAll(gen, n = 15) { rows =>
+      whenever(rows.nonEmpty) {
+        val per = rows.zipWithIndex
+          .map { case ((c, w), i) => (f"s$i%03d", c, w) }
+          .toDF("source", "capacity", "w6")
+        val out = operators.Corpus.waterfillAlloc(per).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3)))
+        val budget = rows.map(_._1).sum / 2
+        val total = out.map(_._4).sum
+        // never over budget or capacity; fills the budget up to one
+        // floor-unit per unsaturated source
+        out.foreach { case (src, cap, _, alloc) =>
+          assert(alloc >= 0 && alloc <= cap, s"$src: alloc=$alloc cap=$cap")
+        }
+        val unsat = out.filter { case (_, cap, _, alloc) => alloc < cap }
+        assert(total <= budget)
+        assert(total >= budget - unsat.length - 1,
+          s"left ${budget - total} unallocated with ${unsat.length} " +
+            "unsaturated sources")
+        // proportionality: unsaturated allocations are floor(w * T) for
+        // one common T — cross-check every unsaturated pair
+        for (pair <- unsat.sortBy(_._1).toSeq.sliding(2)
+            if unsat.length >= 2 && pair.length == 2) {
+          val Seq((sa, _, wa, aa), (sb, _, wb, ab)) = pair
+          // floor(wa*T)/wa ≈ floor(wb*T)/wb within flooring slack
+          assert(math.abs(aa.toDouble / wa - ab.toDouble / wb)
+            <= 1.0 / wa + 1.0 / wb,
+            s"$sa/$sb not proportional: $aa/$wa vs $ab/$wb")
+        }
+      }
+    }
+  }
 }
