@@ -75,7 +75,8 @@ object Bench {
     "q_dedup_winnow",           // MOSS winnowing local-match pairs
     "q_embed_quantize",         // int8 embedding quantization report
     "q_decontaminate_frac",     // graded contamination overlap ratio
-    "q_mix_waterfill")          // capacity-capped mix allocation
+    "q_mix_waterfill",          // capacity-capped mix allocation
+    "q_bpe_train")              // iterative BPE merge training (8 steps)
 
   def runOne(spark: SparkSession, name: String, sfDir: String): Double = {
     val t0 = System.nanoTime()

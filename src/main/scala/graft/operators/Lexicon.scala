@@ -530,6 +530,127 @@ object Lexicon {
       |ORDER BY cnt DESC, pair ASC
       |LIMIT 20""".stripMargin
 
+  // --- iterative BPE merge training -----------------------------------------
+
+  /** Number of merge steps the training gate runs. */
+  val BpeMerges = 8
+
+  /** Symbol delimiter for the BPE working representation — a character
+    * outside the corpus alphabet (asserted per word). */
+  private val BpeSep = "~"
+
+  /** Adjacent-symbol-pair extraction over the delimited representation,
+    * as SQL text (shared phrasing keeps the Spark side and the DuckDB
+    * mirror character-identical): pair id = left||'~'||right. */
+  private def pairsExprSql(seq: String): String =
+    s"""transform(sequence(1, size(filter(split($seq, '$BpeSep'), x -> x != '')) - 1),
+       |  i -> concat(element_at(filter(split($seq, '$BpeSep'), x -> x != ''), cast(i as int)),
+       |              '$BpeSep',
+       |              element_at(filter(split($seq, '$BpeSep'), x -> x != ''), cast(i + 1 as int))))"""
+      .stripMargin
+
+  /** Iterative BPE merge training (Sennrich et al. 2016 §3.2, the real
+    * loop): at each step count adjacent symbol pairs over the vocabulary
+    * weighted by word frequency, merge the most frequent pair (ties by
+    * pair string) everywhere, repeat. Words travel as '~'-delimited
+    * symbol strings; a merge is a plain string REPLACE — both engines
+    * scan left-to-right non-overlapping, the reference BPE behavior.
+    * Returns the merge table (step, pair, cnt).
+    *
+    * Scale shape: the corpus is read ONCE (the word-count aggregate);
+    * the vocabulary is checkpointed and every iteration runs on the
+    * |vocab|-row frame alone — per-step work is a vocab-sized agg plus
+    * a 1-row argmax collect (the connectedComponents driver-state
+    * stance). Lineage is cut per step so the plan stays O(1). */
+  def bpeTrain(docs: DataFrame, merges: Int = BpeMerges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = tokens(docs)
+      .where(!col("tok").contains(BpeSep) && length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
+      // filter the empty tail Java's limit=-1 split appends, so the
+      // delimited form matches the DuckDB builder character-for-character
+      .select(expr(
+        s"concat('$BpeSep', concat_ws('$BpeSep$BpeSep', filter(split(tok, ''), x -> x != '')), '$BpeSep')")
+        .as("seq"), col("wc"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    var step = 0
+    var continue = true
+    while (step < merges && continue) {
+      val best = vocab
+        .where(expr(s"size(filter(split(seq, '$BpeSep'), x -> x != ''))") >= 2)
+        .select(explode(expr(pairsExprSql("seq"))).as("pair"), col("wc"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty) continue = false
+      else {
+        val pair = best.head.getString(0)
+        val cnt = best.head.getLong(1)
+        out += ((step, pair, cnt))
+        val target = BpeSep + pair.replace(BpeSep, BpeSep + BpeSep) + BpeSep
+        val repl = BpeSep + pair.replace(BpeSep, "") + BpeSep
+        vocab = vocab
+          .select(expr(s"replace(seq, '$target', '$repl')").as("seq"),
+            col("wc"))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    out.toSeq.toDF("step", "pair", "cnt")
+      .select(col("step").cast("int").as("step"), col("pair"), col("cnt"))
+      .orderBy(col("step"))
+  }
+
+  def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrain(Engine.rebalance(t(s, dir, "documents")))
+
+  /** Oracle: the SAME loop unrolled as a chained CTE — DuckDB has no
+    * iteration, but the step count is a fixed constant, so each
+    * (vocab_k → pairs_k → best_k → vocab_{k+1}) stage is generated
+    * mechanically. REPLACE in DuckDB is the same left-to-right
+    * non-overlapping scan. */
+  val qBpeTrainSql: String = {
+    def pairsOf(v: String): String =
+      s"""SELECT CAST(SUM(wc) AS BIGINT) AS cnt, pair FROM (
+         |  SELECT wc, unnest(list_transform(range(1, len(syms)),
+         |    i -> syms[CAST(i AS INT)] || '$BpeSep' || syms[CAST(i + 1 AS INT)])) AS pair
+         |  FROM (SELECT wc, list_filter(string_split(seq, '$BpeSep'),
+         |                               x -> x <> '') AS syms
+         |        FROM $v)
+         |  WHERE len(syms) >= 2
+         |) GROUP BY pair""".stripMargin
+    val stages = (0 until BpeMerges).map { k =>
+      s"""p$k AS (
+         |${pairsOf(s"v$k")}
+         |), b$k AS (
+         |  SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1
+         |), v${k + 1} AS (
+         |  SELECT REPLACE(v$k.seq,
+         |      '$BpeSep' || REPLACE(b$k.pair, '$BpeSep', '$BpeSep$BpeSep') || '$BpeSep',
+         |      '$BpeSep' || REPLACE(b$k.pair, '$BpeSep', '') || '$BpeSep')
+         |    AS seq, v$k.wc
+         |  FROM v$k, b$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until BpeMerges)
+      .map(k => s"SELECT $k AS step, pair, cnt FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH v0 AS (
+       |  SELECT '$BpeSep' || array_to_string(list_transform(
+       |      range(1, len(tok) + 1), i -> tok[CAST(i AS INT)]),
+       |      '$BpeSep$BpeSep') || '$BpeSep' AS seq,
+       |    CAST(COUNT(*) AS BIGINT) AS wc
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE len(tok) > 0 AND tok NOT LIKE '%$BpeSep%'
+       |  GROUP BY tok
+       |),
+       |$stages
+       |$union
+       |ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_logprob" -> (qUnigramLogprob _),
     "q_bigram_logprob" -> (qBigramLogprob _),
@@ -538,6 +659,7 @@ object Lexicon {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_heavy_sketch" -> (qHeavySketch _),
     "q_bpe_pairs" -> (qBpePairs _),
+    "q_bpe_train" -> (qBpeTrain _),
     "q_ccnet_buckets" -> (qCcnetBuckets _))
 
   val oracles: Map[String, String] = Map(
@@ -547,5 +669,6 @@ object Lexicon {
     "q_bm25_topk" -> qBm25TopkSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_bpe_pairs" -> qBpePairsSql,
+    "q_bpe_train" -> qBpeTrainSql,
     "q_ccnet_buckets" -> qCcnetBucketsSql)
 }

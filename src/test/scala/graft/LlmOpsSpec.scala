@@ -787,6 +787,20 @@ class LlmOpsSpec extends AnyFunSuite {
       s"per-token importance: en=${scored(true)} other=${scored(false)}")
   }
 
+  test("bpe training: merge sequence on a hand-built corpus, with a " +
+      "later merge consuming an earlier merged symbol") {
+    val s = spark
+    import s.implicits._
+    // "abab" x2: step 0 merges (a,b) [4 occurrences beats (b,a)'s 2] in
+    // BOTH positions — adjacent repeats are the delimiter-overlap trap;
+    // step 1 merges (ab,ab) [2], reachable only THROUGH step 0's symbol.
+    // The lone surviving word has no pairs left, so the loop stops early.
+    val docs = Seq((1L, "abab abab")).toDF("doc_id", "text")
+    val out = Lexicon.bpeTrain(docs, merges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((0, "a~b", 4L), (1, "ab~ab", 2L)))
+  }
+
   test("ccnet buckets: partition each language completely, ordered " +
       "head < middle < tail by mean perplexity") {
     val out = Lexicon.qCcnetBuckets(spark, sf).collect()
