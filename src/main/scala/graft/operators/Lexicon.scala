@@ -562,15 +562,16 @@ object Lexicon {
     * |vocab|-row frame alone — per-step work is a vocab-sized agg plus
     * a 1-row argmax collect (the connectedComponents driver-state
     * stance). Lineage is cut per step so the plan stays O(1). */
-  def bpeTrain(docs: DataFrame, merges: Int = BpeMerges): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** The training loop; returns the merge table AND the final encoded
+    * vocabulary (tok, seq, wc) so the APPLY side can reuse it. */
+  private def bpeLoop(docs: DataFrame, merges: Int)
+      : (Seq[(Int, String, Long)], DataFrame) = {
     var vocab = tokens(docs)
       .where(!col("tok").contains(BpeSep) && length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
       // filter the empty tail Java's limit=-1 split appends, so the
       // delimited form matches the DuckDB builder character-for-character
-      .select(expr(
+      .select(col("tok"), expr(
         s"concat('$BpeSep', concat_ws('$BpeSep$BpeSep', filter(split(tok, ''), x -> x != '')), '$BpeSep')")
         .as("seq"), col("wc"))
       .localCheckpoint(true)
@@ -592,13 +593,20 @@ object Lexicon {
         val target = BpeSep + pair.replace(BpeSep, BpeSep + BpeSep) + BpeSep
         val repl = BpeSep + pair.replace(BpeSep, "") + BpeSep
         vocab = vocab
-          .select(expr(s"replace(seq, '$target', '$repl')").as("seq"),
+          .select(col("tok"),
+            expr(s"replace(seq, '$target', '$repl')").as("seq"),
             col("wc"))
           .localCheckpoint(true)
         step += 1
       }
     }
-    out.toSeq.toDF("step", "pair", "cnt")
+    (out.toSeq, vocab)
+  }
+
+  def bpeTrain(docs: DataFrame, merges: Int = BpeMerges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeLoop(docs, merges)._1.toDF("step", "pair", "cnt")
       .select(col("step").cast("int").as("step"), col("pair"), col("cnt"))
       .orderBy(col("step"))
   }
@@ -606,12 +614,37 @@ object Lexicon {
   def qBpeTrain(s: SparkSession, dir: String): DataFrame =
     bpeTrain(Engine.rebalance(t(s, dir, "documents")))
 
-  /** Oracle: the SAME loop unrolled as a chained CTE — DuckDB has no
+  /** Tokenizer APPLY: encode the corpus with the trained merge table —
+    * per document, the word count, the piece count under the trained
+    * vocabulary, and pieces-per-word (the compression/fertility number a
+    * tokenizer is judged by). The encoded vocabulary comes straight from
+    * the training loop's final state (every distinct word's symbol
+    * sequence after all merges), broadcast back onto the token stream —
+    * the same vocab-then-broadcast shape as the unigram LM, so encoding
+    * adds no corpus-sized shuffle beyond the per-doc aggregate. */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.rebalance(t(s, dir, "documents"))
+    val enc = bpeLoop(docs, BpeMerges)._2
+      .select(col("tok"),
+        expr(s"size(filter(split(seq, '$BpeSep'), x -> x != ''))")
+          .cast("long").as("n_pieces"))
+    tokens(docs).join(broadcast(enc), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        r6(col("n_pieces").cast("double") / col("n_words"))
+          .as("pieces_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared oracle prefix: the training loop unrolled as a chained CTE
+    * (v0 … v[[BpeMerges]], b0 … b[[BpeMerges]]−1) — DuckDB has no
     * iteration, but the step count is a fixed constant, so each
     * (vocab_k → pairs_k → best_k → vocab_{k+1}) stage is generated
-    * mechanically. REPLACE in DuckDB is the same left-to-right
-    * non-overlapping scan. */
-  val qBpeTrainSql: String = {
+    * mechanically, carrying `tok` through for the APPLY oracle. REPLACE
+    * in DuckDB is the same left-to-right non-overlapping scan. */
+  private val bpeStagesCte: String = {
     def pairsOf(v: String): String =
       s"""SELECT CAST(SUM(wc) AS BIGINT) AS cnt, pair FROM (
          |  SELECT wc, unnest(list_transform(range(1, len(syms)),
@@ -627,18 +660,16 @@ object Lexicon {
          |), b$k AS (
          |  SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1
          |), v${k + 1} AS (
-         |  SELECT REPLACE(v$k.seq,
+         |  SELECT v$k.tok, REPLACE(v$k.seq,
          |      '$BpeSep' || REPLACE(b$k.pair, '$BpeSep', '$BpeSep$BpeSep') || '$BpeSep',
          |      '$BpeSep' || REPLACE(b$k.pair, '$BpeSep', '') || '$BpeSep')
          |    AS seq, v$k.wc
          |  FROM v$k, b$k
          |)""".stripMargin
     }.mkString(",\n")
-    val union = (0 until BpeMerges)
-      .map(k => s"SELECT $k AS step, pair, cnt FROM b$k")
-      .mkString("\nUNION ALL\n")
-    s"""WITH v0 AS (
-       |  SELECT '$BpeSep' || array_to_string(list_transform(
+    s"""v0 AS (
+       |  SELECT tok,
+       |    '$BpeSep' || array_to_string(list_transform(
        |      range(1, len(tok) + 1), i -> tok[CAST(i AS INT)]),
        |      '$BpeSep$BpeSep') || '$BpeSep' AS seq,
        |    CAST(COUNT(*) AS BIGINT) AS wc
@@ -646,10 +677,35 @@ object Lexicon {
        |  WHERE len(tok) > 0 AND tok NOT LIKE '%$BpeSep%'
        |  GROUP BY tok
        |),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  val qBpeTrainSql: String = {
+    val union = (0 until BpeMerges)
+      .map(k => s"SELECT $k AS step, pair, cnt FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeStagesCte
        |$union
        |ORDER BY step""".stripMargin
   }
+
+  val qBpeEncodeSql: String =
+    s"""WITH $bpeStagesCte,
+       |enc AS (
+       |  SELECT tok,
+       |    CAST(len(list_filter(string_split(seq, '$BpeSep'), x -> x <> ''))
+       |         AS BIGINT) AS n_pieces
+       |  FROM v$BpeMerges
+       |)
+       |SELECT t.doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(e.n_pieces) AS BIGINT) AS n_pieces,
+       |  ${sqlR6("CAST(SUM(e.n_pieces) AS DOUBLE) / COUNT(*)")}
+       |    AS pieces_per_word
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |      FROM documents) t
+       |JOIN enc e ON t.tok = e.tok
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_logprob" -> (qUnigramLogprob _),
@@ -660,6 +716,7 @@ object Lexicon {
     "q_heavy_sketch" -> (qHeavySketch _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_ccnet_buckets" -> (qCcnetBuckets _))
 
   val oracles: Map[String, String] = Map(
@@ -670,5 +727,6 @@ object Lexicon {
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_bpe_pairs" -> qBpePairsSql,
     "q_bpe_train" -> qBpeTrainSql,
+    "q_bpe_encode" -> qBpeEncodeSql,
     "q_ccnet_buckets" -> qCcnetBucketsSql)
 }

@@ -801,6 +801,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((0, "a~b", 4L), (1, "ab~ab", 2L)))
   }
 
+  test("bpe encode: trained merges compress — pieces per word strictly " +
+      "between 1 and the raw character count") {
+    val enc = Lexicon.qBpeEncode(spark, sf).collect()
+    assert(enc.nonEmpty)
+    val stats = Engine.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), " ", ""))).as("spaces"),
+        length(regexp_replace(col("text"), " ", "")).as("chars"))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    enc.foreach { r =>
+      val (id, words, pieces) =
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(pieces >= words, s"doc $id: a word is at least one piece")
+      assert(pieces < stats(id),
+        s"doc $id: merges must beat character-level ($pieces vs ${stats(id)})")
+    }
+  }
+
   test("ccnet buckets: partition each language completely, ordered " +
       "head < middle < tail by mean perplexity") {
     val out = Lexicon.qCcnetBuckets(spark, sf).collect()
