@@ -429,10 +429,19 @@ object Corpus {
     * = half the total capacity. Kept frame-level so the saturation
     * branch is spec-testable on hand-built skew. */
   def waterfillAlloc(per: DataFrame): DataFrame = {
-    val tot = per.agg(sum(col("capacity")).as("tc"), sum(col("w6")).as("tw"))
+    // zero-weight sources allocate 0 and are EXCLUDED from the
+    // breakpoint math: their capacity/0 ratio is NULL under Spark's
+    // non-ANSI divide (DuckDB gives Inf — a cross-engine divergence),
+    // and NULL sorts first, which silently counted them as
+    // already-saturated and stole budget from real sources (caught by
+    // the zero-weight spec). Budget stays corpus-derived (half of ALL
+    // capacity); weighted totals cover only the participating sources.
+    val pos = per.where(col("w6") > 0)
+    val tot = per.agg(sum(col("capacity")).as("tc"))
+      .crossJoin(pos.agg(sum(col("w6")).as("tw")))
     val w = Window.orderBy(col("ratio"), col("source"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = per.crossJoin(broadcast(tot))
+    val ranked = pos.crossJoin(broadcast(tot))
       .withColumn("budget", expr("tc div 2"))
       .withColumn("ratio",
         col("capacity").cast("double") / col("w6"))
@@ -458,6 +467,9 @@ object Corpus {
           floor(col("w6")
             * coalesce(col("t_star"), col("budget").cast("double")))
             .cast("long")).as("alloc"))
+      .unionByName(per.where(!(col("w6") > 0))
+        .select(col("source"), col("capacity"), col("w6"),
+          lit(0L).as("alloc")))
       .orderBy(col("source"))
   }
 
@@ -481,18 +493,19 @@ object Corpus {
       |      // COUNT(*) AS w6
       |  FROM (SELECT source, $score AS q, $n AS n FROM documents)
       |  GROUP BY source
+      |), pos AS (
+      |  SELECT * FROM per WHERE w6 > 0
       |), tot AS (
-      |  SELECT CAST(SUM(capacity) AS BIGINT) AS tc,
-      |    CAST(SUM(w6) AS BIGINT) AS tw
-      |  FROM per
+      |  SELECT (SELECT CAST(SUM(capacity) AS BIGINT) FROM per) AS tc,
+      |    (SELECT CAST(SUM(w6) AS BIGINT) FROM pos) AS tw
       |), ranked AS (
-      |  SELECT per.*, tot.tc, tot.tw, tot.tc // 2 AS budget,
+      |  SELECT pos.*, tot.tc, tot.tw, tot.tc // 2 AS budget,
       |    CAST(capacity AS DOUBLE) / w6 AS ratio,
       |    COALESCE(CAST(SUM(capacity) OVER (ORDER BY CAST(capacity AS DOUBLE) / w6, source
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS sat_c,
       |    COALESCE(CAST(SUM(w6) OVER (ORDER BY CAST(capacity AS DOUBLE) / w6, source
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS sat_w
-      |  FROM per, tot
+      |  FROM pos, tot
       |), tstar AS (
       |  SELECT CAST(budget - sat_c AS DOUBLE) / (tw - sat_w) AS t_star,
       |    ratio
@@ -500,12 +513,17 @@ object Corpus {
       |  WHERE CAST(budget - sat_c AS DOUBLE) / (tw - sat_w) <= ratio
       |  ORDER BY ratio, source LIMIT 1
       |)
-      |SELECT r.source, r.capacity, r.w6,
-      |  LEAST(r.capacity,
-      |    CAST(FLOOR(r.w6 * COALESCE(t.t_star,
-      |      CAST(r.budget AS DOUBLE))) AS BIGINT)) AS alloc
-      |FROM ranked r LEFT JOIN tstar t ON TRUE
-      |ORDER BY r.source""".stripMargin
+      |SELECT source, capacity, w6, alloc FROM (
+      |  SELECT r.source, r.capacity, r.w6,
+      |    LEAST(r.capacity,
+      |      CAST(FLOOR(r.w6 * COALESCE(t.t_star,
+      |        CAST(r.budget AS DOUBLE))) AS BIGINT)) AS alloc
+      |  FROM ranked r LEFT JOIN tstar t ON TRUE
+      |  UNION ALL
+      |  SELECT source, capacity, w6, CAST(0 AS BIGINT) AS alloc
+      |  FROM per WHERE NOT (w6 > 0)
+      |)
+      |ORDER BY source""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

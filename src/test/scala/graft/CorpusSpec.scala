@@ -164,6 +164,15 @@ class CorpusSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(3)).toMap
     // budget = 4: the lower-ratio source fills first; no over-alloc
     assert(degen.values.sum <= 4L && degen.values.forall(_ <= 4L))
+    // zero-weight source: allocates 0 and must NOT distort the rest —
+    // Spark's non-ANSI x/0 is NULL and sorted it first, silently
+    // treating the source as pre-saturated (a got 25 instead of 75
+    // before the guard)
+    val wz = Seq(("a", 100L, 1000000L), ("z", 50L, 0L))
+      .toDF("source", "capacity", "w6")
+    val outz = Corpus.waterfillAlloc(wz).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(outz === Map("a" -> 75L, "z" -> 0L), s"got $outz")
   }
 
   test("quality score is total: empty and pathological text scores 0.0, " +
