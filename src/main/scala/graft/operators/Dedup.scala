@@ -435,17 +435,36 @@ object Dedup {
   val WinnowK = 8
   val WinnowW = 4
 
+  /** Hard cap on document length for [[winnowFingerprints]]: the
+    * rightmost-min encoding packs the k-gram position into a 2^20-wide
+    * field (`hash·2^20 + (2^20−1−pos)`), so a position beyond it would
+    * borrow into the hash bits under integer division and SILENTLY
+    * corrupt fingerprints. Longer documents raise instead — at corpus
+    * scale, pre-chunk them (Corpus.chunkTokens) before fingerprinting. */
+  val WinnowMaxLen: Int = (1 << 20) - 1
+
   /** Per-doc winnowed fingerprint set: 40-bit md5 k-gram hashes, each
     * window of [[WinnowW]] consecutive hashes contributing its RIGHTMOST
     * minimum (the paper's robust-winnowing tie-break, encoded as
     * `hash·2^20 + (2^20−1−pos)` so one `array_min` picks it — doc length
-    * is capped at 2^20 chars by the encoding, far above this corpus).
+    * is capped at [[WinnowMaxLen]] by the encoding and ENFORCED with a
+    * raise_error guard, so an over-long document fails loudly instead of
+    * silently corrupting fingerprints).
     * One scan, pure lambda projections; output is (doc_id, fph)
     * exploded-distinct. The md5-derived hash is the engine-portable
     * choice (the scoreMicro precedent) — xxhash64 has no DuckDB twin. */
   def winnowFingerprints(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), lower(col("text")).as("tk"))
+      // fail fast past the position-field width instead of silently
+      // corrupting fingerprints (see [[WinnowMaxLen]]); the guard rides
+      // the same scan-side projection, no extra pass
+      .select(col("doc_id"),
+        when(length(col("text")) > WinnowMaxLen,
+          raise_error(concat(
+            lit(s"winnowFingerprints: document longer than $WinnowMaxLen " +
+              "chars overflows the position field; pre-chunk it. doc_id="),
+            col("doc_id").cast("string"))))
+          .otherwise(lower(col("text"))).as("tk"))
       .where(length(col("tk")) >= WinnowK + WinnowW - 1)
       .withColumn("kh", expr(
         s"""transform(sequence(1, length(tk) - ${WinnowK - 1}),

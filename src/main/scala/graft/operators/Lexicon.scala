@@ -592,9 +592,13 @@ object Lexicon {
         out += ((step, pair, cnt))
         val target = BpeSep + pair.replace(BpeSep, BpeSep + BpeSep) + BpeSep
         val repl = BpeSep + pair.replace(BpeSep, "") + BpeSep
+        // call_function binds the corpus-derived pair as a literal — an
+        // expr() string interpolation here would let a token containing a
+        // quote or backslash break (or inject into) the parsed SQL.
         vocab = vocab
           .select(col("tok"),
-            expr(s"replace(seq, '$target', '$repl')").as("seq"),
+            call_function("replace", col("seq"), lit(target), lit(repl))
+              .as("seq"),
             col("wc"))
           .localCheckpoint(true)
         step += 1
@@ -643,7 +647,12 @@ object Lexicon {
     * iteration, but the step count is a fixed constant, so each
     * (vocab_k → pairs_k → best_k → vocab_{k+1}) stage is generated
     * mechanically, carrying `tok` through for the APPLY oracle. REPLACE
-    * in DuckDB is the same left-to-right non-overlapping scan. */
+    * in DuckDB is the same left-to-right non-overlapping scan. Each
+    * stage reads its best-pair frame via LEFT JOIN ON TRUE with the
+    * REPLACE arguments COALESCE'd to the out-of-alphabet chr(1)
+    * sentinel, so if the vocabulary dries up before [[BpeMerges]] steps
+    * (b$k empty) v_{k+1} degrades to a copy of v$k — matching the Spark
+    * loop's early stop instead of emptying every later stage. */
   private val bpeStagesCte: String = {
     def pairsOf(v: String): String =
       s"""SELECT CAST(SUM(wc) AS BIGINT) AS cnt, pair FROM (
@@ -661,10 +670,10 @@ object Lexicon {
          |  SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1
          |), v${k + 1} AS (
          |  SELECT v$k.tok, REPLACE(v$k.seq,
-         |      '$BpeSep' || REPLACE(b$k.pair, '$BpeSep', '$BpeSep$BpeSep') || '$BpeSep',
-         |      '$BpeSep' || REPLACE(b$k.pair, '$BpeSep', '') || '$BpeSep')
+         |      COALESCE('$BpeSep' || REPLACE(b$k.pair, '$BpeSep', '$BpeSep$BpeSep') || '$BpeSep', chr(1)),
+         |      COALESCE('$BpeSep' || REPLACE(b$k.pair, '$BpeSep', '') || '$BpeSep', chr(1)))
          |    AS seq, v$k.wc
-         |  FROM v$k, b$k
+         |  FROM v$k LEFT JOIN b$k ON TRUE
          |)""".stripMargin
     }.mkString(",\n")
     s"""v0 AS (

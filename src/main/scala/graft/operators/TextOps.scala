@@ -319,7 +319,9 @@ object TextOps {
     * the bullet/ellipsis-line rules are vacuous here and omitted):
     * word count in [50, 100000]; mean word length in [3, 10]; fraction
     * of words containing an alphabetic character ≥ 0.8; at least 2 of
-    * {the, and, of, to, in} present; symbol-to-word ratio (`#`) ≤ 0.1.
+    * the parametric [[GopherStops]] stopword set present (see that
+    * val's note on why this corpus instantiates it with non-English
+    * stand-ins); symbol-to-word ratio (`#`) ≤ 0.1.
     * `keep` is the conjunction.
     *
     * Scale shape: one scan, pure codegen'd projections (the same

@@ -895,6 +895,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Dedup.qDedupWinnow(spark, sf).count() > 0)
   }
 
+  test("winnowing: a document past the position-field width raises " +
+      "instead of silently corrupting fingerprints") {
+    val s = spark
+    import s.implicits._
+    val big = "ab " * (Dedup.WinnowMaxLen / 3 + 1) // > 2^20 - 1 chars
+    val docs = Seq((1L, big), (2L, "a short ordinary document"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] { Dedup.winnowFingerprints(docs).count() }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(m => String.valueOf(m.getMessage))
+      .mkString("; ")
+    assert(chain.contains("winnowFingerprints"), chain)
+  }
+
   test("int8 quantization: reconstruction error bounded by scale/2 and " +
       "cosine stays near 1") {
     val rows = Similarity.qEmbedQuantize(spark, sf).collect()
