@@ -607,6 +607,9 @@ object Lexicon {
     (out.toSeq, vocab)
   }
 
+  /** Ad-hoc training entry (tests, exploratory frames): runs the loop
+    * directly on `docs`. The corpus-keyed gates go through the offline
+    * store ([[buildBpeTokenizer]]) instead. */
   def bpeTrain(docs: DataFrame, merges: Int = BpeMerges): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -615,24 +618,67 @@ object Lexicon {
       .orderBy(col("step"))
   }
 
-  def qBpeTrain(s: SparkSession, dir: String): DataFrame =
-    bpeTrain(Engine.rebalance(t(s, dir, "documents")))
+  // --- offline tokenizer store ----------------------------------------------
 
-  /** Tokenizer APPLY: encode the corpus with the trained merge table —
-    * per document, the word count, the piece count under the trained
-    * vocabulary, and pieces-per-word (the compression/fertility number a
-    * tokenizer is judged by). The encoded vocabulary comes straight from
-    * the training loop's final state (every distinct word's symbol
-    * sequence after all merges), broadcast back onto the token stream —
-    * the same vocab-then-broadcast shape as the unigram LM, so encoding
-    * adds no corpus-sized shuffle beyond the per-doc aggregate. */
+  /** Bump when the BPE build computation changes, so probes never read a
+    * store built by older code. */
+  private val BpeStoreVersion = "v1"
+
+  /** Build counter, observable by the build-once/probe-twice spec (the
+    * store itself persists across JVMs, so the spec asserts "no NEW
+    * build", not "exactly one build ever"). */
+  private[graft] val bpeBuilds = new java.util.concurrent.atomic.AtomicInteger
+
+  /** OFFLINE BUILD: train the tokenizer once per corpus and publish it as
+    * an artifact ([[graft.sources.ArtifactStore]] — atomic move,
+    * idempotent, crash-safe, the Similarity quantizer-store pattern):
+    * `merges/` = the merge table (step, pair, cnt), `vocab/` = the final
+    * encoded vocabulary (tok, n_pieces — every distinct word's piece
+    * count after all merges). Training cost (the iterative loop) is paid
+    * HERE, never on the encode path; at 100 TB this is the ingest-time
+    * tokenizer-training job and encode jobs only read the store. */
+  def buildBpeTokenizer(s: SparkSession, dir: String,
+                        merges: Int = BpeMerges): String = {
+    val root =
+      graft.sources.ArtifactStore.root("bpe", BpeStoreVersion, dir)
+    graft.sources.ArtifactStore.ensureBuilt(root) { staging =>
+      bpeBuilds.incrementAndGet()
+      import s.implicits._
+      val (mergeTab, vocab) =
+        bpeLoop(Engine.rebalance(t(s, dir, "documents")), merges)
+      mergeTab.toDF("step", "pair", "cnt")
+        .select(col("step").cast("int").as("step"), col("pair"), col("cnt"))
+        .coalesce(1).write.parquet(s"$staging/merges")
+      vocab
+        .select(col("tok"),
+          expr(s"size(filter(split(seq, '$BpeSep'), x -> x != ''))")
+            .cast("long").as("n_pieces"))
+        .coalesce(1).write.parquet(s"$staging/vocab")
+    }
+    root
+  }
+
+  /** Training gate = ensure the store is built, read the merge table.
+    * The first call in a fresh environment pays the training loop;
+    * every later call is a store read. */
+  def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${buildBpeTokenizer(s, dir)}/merges")
+      .orderBy(col("step"))
+
+  /** Tokenizer APPLY — PROBE ONLY: encode the corpus with the STORED
+    * vocabulary ([[buildBpeTokenizer]]; the first call in a fresh
+    * environment triggers the build). Per document: the word count, the
+    * piece count under the trained vocabulary, and pieces-per-word (the
+    * compression/fertility number a tokenizer is judged by). The stored
+    * vocab is broadcast onto the token stream — the same
+    * vocab-then-broadcast shape as the unigram LM, so encoding adds no
+    * corpus-sized shuffle beyond the per-doc aggregate, and crucially it
+    * never RETRAINS the tokenizer it is applying (the r10 watch item:
+    * train-in-gate ran the 8-step loop twice per session). */
   def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val docs = Engine.rebalance(t(s, dir, "documents"))
-    val enc = bpeLoop(docs, BpeMerges)._2
-      .select(col("tok"),
-        expr(s"size(filter(split(seq, '$BpeSep'), x -> x != ''))")
-          .cast("long").as("n_pieces"))
-    tokens(docs).join(broadcast(enc), Seq("tok"))
+    val enc = s.read.parquet(s"${buildBpeTokenizer(s, dir)}/vocab")
+    tokens(Engine.rebalance(t(s, dir, "documents")))
+      .join(broadcast(enc), Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_pieces")).as("n_pieces"))

@@ -73,44 +73,20 @@ object Similarity {
   // --- offline quantizer store ---------------------------------------------
   //
   // Index build is an OFFLINE step, separate from search: the store is
-  // built once per corpus (atomic directory publish, idempotent,
-  // crash-safe — a half-written staging dir is never visible under the
-  // final path), and every probe query reads the materialized quantizer.
-  // At 100 TB the store lives on the lake next to the corpus and is
-  // refreshed by an ingest-time job; here it keys off the corpus dir in
-  // java.io.tmpdir so driver-run gates stay self-contained — the first
-  // call builds, every later call is probe-only.
+  // built once per corpus and every probe query reads the materialized
+  // quantizer. The publish protocol (atomic move, idempotent, crash-safe,
+  // version-keyed) is the shared [[graft.sources.ArtifactStore]] — the
+  // same discipline the BPE tokenizer and winnowing index stores use.
 
   /** Bump when the build computation changes, so probes never read a
     * store built by older code. */
   private val StoreVersion = "v1"
 
-  private def storeRoot(dir: String, kind: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft-ivf-$StoreVersion-$tag/$kind"
-  }
+  private def storeRoot(dir: String, kind: String): String =
+    graft.sources.ArtifactStore.root(s"ivf-$kind", StoreVersion, dir)
 
-  private val buildLock = new Object
-
-  /** Build into a staging dir, then atomically move into place. Loser of
-    * a cross-process race discards its staging copy. */
   private def ensureBuilt(root: String)(build: String => Unit): Unit =
-    buildLock.synchronized {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val rootPath = Paths.get(root)
-      if (!Files.exists(rootPath)) {
-        Files.createDirectories(rootPath.getParent)
-        val staging = Paths.get(
-          root + ".building-" + ProcessHandle.current().pid())
-        build(staging.toString)
-        try Files.move(staging, rootPath, StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            // another process published first — ours is redundant
-            org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
-        }
-      }
-    }
+    graft.sources.ArtifactStore.ensureBuilt(root)(build)
 
   /** OFFLINE BUILD, label quantizer: materialize the per-label centroid
     * table. Idempotent; returns the store root. */

@@ -820,6 +820,25 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe tokenizer store: build once, probe twice — repeat gates " +
+      "read the published artifact without retraining") {
+    // first ensure (may build, or find a store published by an earlier
+    // session — the artifact persists in tmpdir by design)
+    Lexicon.qBpeTrain(spark, sf).collect()
+    val after1 = Lexicon.bpeBuilds.get()
+    // both gates again: must be pure store reads, zero new builds
+    val train = Lexicon.qBpeTrain(spark, sf).collect()
+    val enc = Lexicon.qBpeEncode(spark, sf).collect()
+    assert(Lexicon.bpeBuilds.get() === after1,
+      "repeat train/encode gates retrained the tokenizer")
+    assert(train.nonEmpty && enc.nonEmpty)
+    // and the stored merge table is what ad-hoc training computes
+    val live = Lexicon.bpeTrain(Engine.table(spark, sf, "documents"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(train.map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .toSeq === live.toSeq)
+  }
+
   test("ccnet buckets: partition each language completely, ordered " +
       "head < middle < tail by mean perplexity") {
     val out = Lexicon.qCcnetBuckets(spark, sf).collect()
