@@ -496,16 +496,12 @@ object Dedup {
     * doc-frequency cap rides the same fingerprint-keyed exchange as the
     * pair join (one corpus shuffle on the 8-byte key); pair counting is
     * map-side combined. */
-  def winnowPairs(docs: DataFrame, minShared: Int = 5): DataFrame = {
-    // fp feeds the ubiquity-cap aggregate and both pair-join sides, and
-    // the alias-renamed join branches defeat exchange reuse (0
-    // ReusedExchange) — so the fingerprint lambda recomputes three
-    // times. Measured at sf0.1: localCheckpoint'ing it here is a wash
-    // (materialization cost ≈ recompute savings), so the default stays
-    // unmaterialized — the lshCandidates stance: cache-if-fits is a
-    // deployment decision. A production corpus stores the fingerprint
-    // table as an index artifact and feeds it in directly.
-    val fp = winnowFingerprints(docs)
+  /** Shared pairing core over a fingerprint frame (live or stored): the
+    * ubiquity-cap aggregate and the self-join both key on `fph`, so the
+    * whole computation is one fingerprint-keyed exchange; pair counting
+    * is map-side combined. */
+  private def pairsFromFingerprints(fp: DataFrame,
+                                    minShared: Int): DataFrame = {
     val rare = fp.groupBy(col("fph"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") <= WinnowMaxDf)
@@ -521,8 +517,74 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  def winnowPairs(docs: DataFrame, minShared: Int = 5): DataFrame =
+    // ad-hoc path: the fingerprint frame feeds the ubiquity-cap
+    // aggregate and both pair-join sides, and the alias-renamed join
+    // branches defeat exchange reuse — so the fingerprint lambda
+    // recomputes three times (measured a wash at sf0.1 vs
+    // localCheckpoint). The corpus-keyed gate avoids it by probing the
+    // STORED index ([[buildWinnowIndex]]).
+    pairsFromFingerprints(winnowFingerprints(docs), minShared)
+
+  // --- winnowing fingerprint store ------------------------------------------
+
+  /** Bump when the fingerprint computation changes, so probes never read
+    * an index built by older code. */
+  private val WinnowStoreVersion = "v1"
+
+  /** OFFLINE BUILD: materialize the corpus fingerprint index (doc_id,
+    * fph) as a published artifact ([[graft.sources.ArtifactStore]] —
+    * atomic move, idempotent, version-keyed). At 100 TB this is the
+    * ingest-time fingerprinting job; pairing jobs and incremental
+    * appends read/extend the store instead of re-scanning the corpus. */
+  def buildWinnowIndex(s: SparkSession, dir: String): String = {
+    val root = graft.sources.ArtifactStore
+      .root("winnow", WinnowStoreVersion, dir)
+    graft.sources.ArtifactStore.ensureBuilt(root) { staging =>
+      winnowFingerprints(Engine.rebalance(t(s, dir, "documents")))
+        .write.parquet(s"$staging/fp")
+    }
+    root
+  }
+
+  /** Direct index write for ad-hoc frames (tests, exploratory corpora);
+    * the corpus-keyed gate build goes through [[buildWinnowIndex]]. */
+  def writeWinnowIndex(docs: DataFrame, root: String): Unit =
+    winnowFingerprints(docs).write.mode("overwrite").parquet(s"$root/fp")
+
+  /** INCREMENTAL APPEND — keep the index fresh between rebuilds:
+    * fingerprint ONLY the new batch and append it into the store (new
+    * parquet files; existing segments untouched — the
+    * appendToKmeansStore discipline, itself the reference's
+    * insert-buffer → background-merge shape, engine.h:210). */
+  def appendToWinnowIndex(s: SparkSession, root: String,
+                          newDocs: DataFrame): Unit =
+    winnowFingerprints(newDocs).write.mode("append").parquet(s"$root/fp")
+
+  /** Incremental pairing after [[appendToWinnowIndex]]: match-candidate
+    * pairs INVOLVING the appended docs, computed by semi-joining the
+    * stored index down to the batch's fingerprints BEFORE any pairing —
+    * doc-frequency (the ubiquity cap) stays exact because the restricted
+    * frame still holds every holder of each affected fingerprint. The
+    * incremental cost scales with the batch's fingerprint fan-out, not
+    * the corpus: old-old pairs are never recounted. */
+  def incrementalWinnowPairs(s: SparkSession, root: String,
+                             newDocs: DataFrame,
+                             minShared: Int = 5): DataFrame = {
+    val newFp = winnowFingerprints(newDocs).select(col("fph")).distinct()
+    val idx = s.read.parquet(s"$root/fp")
+    val affected = idx.join(broadcast(newFp), Seq("fph"), "left_semi")
+    val newIds = newDocs.select(col("doc_id")).distinct()
+    pairsFromFingerprints(affected, minShared)
+      .join(broadcast(newIds),
+        col("doc_a") === col("doc_id") || col("doc_b") === col("doc_id"),
+        "left_semi")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def qDedupWinnow(s: SparkSession, dir: String): DataFrame =
-    winnowPairs(Engine.rebalance(t(s, dir, "documents")))
+    pairsFromFingerprints(
+      s.read.parquet(s"${buildWinnowIndex(s, dir)}/fp"), minShared = 5)
 
   /** Oracle: the same construction in DuckDB list arithmetic — 1-based
     * list indexing mirrors `element_at`, integer division recovers the

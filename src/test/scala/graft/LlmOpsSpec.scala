@@ -914,6 +914,43 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Dedup.qDedupWinnow(spark, sf).count() > 0)
   }
 
+  test("winnow index store: incremental append pairs new docs against " +
+      "affected fingerprints only") {
+    val s = spark
+    import s.implicits._
+    val sharedNew = "zq1 wx2 vj3 kp4 mh5 gt6 rb7 nc8 ld9 fy0 zq1b wx2b"
+    val sharedOld = "ao1 bp2 cq3 dr4 es5 ft6 gu7 hv8 iw9 jx0 ao1b bp2b"
+    def noise(p: String) = (1 to 20).map(i => s"${p}z${i}q$p").mkString(" ")
+    // base corpus: docs 4 & 5 share a run (an OLD-OLD pair); doc 2
+    // carries the run the incoming doc will match; doc 3 is unrelated
+    val base = Seq(
+      (2L, s"${noise("kc")} $sharedNew ${noise("kd")}"),
+      (3L, s"${noise("ke")} ${noise("kf")}"),
+      (4L, s"${noise("kg")} $sharedOld ${noise("kh")}"),
+      (5L, s"${noise("ki")} $sharedOld ${noise("kj")}"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-winnow-idx").toString
+    Dedup.writeWinnowIndex(base, root)
+    // full pairing over the stored base index sees the old-old pair
+    val basePairs = Dedup.winnowPairs(base).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(basePairs === Set((4L, 5L)), s"base: $basePairs")
+    // append one new doc matching doc 2; incremental pairing must find
+    // exactly (1,2) — and must NOT recount the untouched (4,5) pair
+    val batch = Seq((1L, s"${noise("ka")} $sharedNew ${noise("kb")}"))
+      .toDF("doc_id", "text")
+    Dedup.appendToWinnowIndex(spark, root, batch)
+    val inc = Dedup.incrementalWinnowPairs(spark, root, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === Set((1L, 2L)), s"incremental: $inc")
+    // and the updated index, paired in full, agrees with a from-scratch
+    // recompute over base ∪ batch
+    val full = Dedup.winnowPairs(base.unionByName(batch)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === Set((1L, 2L), (4L, 5L)), s"full: $full")
+  }
+
   test("winnowing: a document past the position-field width raises " +
       "instead of silently corrupting fingerprints") {
     val s = spark
