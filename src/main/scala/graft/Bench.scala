@@ -100,19 +100,22 @@ object Bench {
     * while being robust to up to two contaminated runs out of five. */
   val RunsPerQuery = 5
 
-  /** (median, min) over [[RunsPerQuery]] runs. The median is the
-    * headline; the min is emitted beside it because co-tenant CPU
-    * contention can contaminate ALL runs of a 32-core-saturating query
-    * (observed r5: q_dedup_minhash median 5.78 s under driver load vs
-    * 1.30 s idle, identical code) — a round where median >> min across
-    * the board is machine weather, not a regression, and the artifact
-    * should show that by itself. */
-  def runMedian(spark: SparkSession, name: String,
-                sfDir: String): (Double, Double) = {
-    val times = (1 to RunsPerQuery).map(_ => runOne(spark, name, sfDir))
-    if (times.exists(_ < 0)) (-1.0, -1.0)
-    else (times.sorted.apply(RunsPerQuery / 2), times.min)
-  }
+  /** Samples are INTERLEAVED: one full pass over the headline list per
+    * run, [[RunsPerQuery]] passes total — NOT RunsPerQuery back-to-back
+    * runs of each query. A co-tenant contention burst spanning a few
+    * seconds then lands on DIFFERENT queries in different passes instead
+    * of poisoning every sample of whichever query it straddled (the r10
+    * signature: brand-new gates benched last showed median/min > 3×
+    * while nothing about their plans regressed). The median is the
+    * headline; the min is emitted beside it because contention can still
+    * contaminate a majority of passes (observed r5: q_dedup_minhash
+    * median 5.78 s under driver load vs 1.30 s idle, identical code) — a
+    * round where median >> min across the board is machine weather, not
+    * a regression, and the artifact should show that by itself. */
+  def interleavedSamples(spark: SparkSession,
+                         sfDir: String): Seq[Map[String, Double]] =
+    (1 to RunsPerQuery).map(_ =>
+      headline.map(n => n -> runOne(spark, n, sfDir)).toMap)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -124,7 +127,12 @@ object Bench {
     // measure the plan, not classloading.
     runOne(spark, "q06_forecast_revenue", sfDir)
 
-    val results = headline.map(n => n -> runMedian(spark, n, sfDir))
+    val samples = interleavedSamples(spark, sfDir)
+    val results = headline.map { n =>
+      val ts = samples.map(_(n))
+      n -> (if (ts.exists(_ < 0)) (-1.0, -1.0)
+            else (ts.sorted.apply(RunsPerQuery / 2), ts.min))
+    }
     // Millisecond precision: 9-digit fractions made the r6 line overflow
     // the driver's output-tail capture window (BENCH_r06 parsed:null).
     def ms(v: Double): String =
@@ -136,7 +144,7 @@ object Bench {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalMin = results.map(_._2._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total_detail","value":${ms(total)},"unit":"sec","runs_per_query":$RunsPerQuery,"protocol":"median","total_min":${ms(totalMin)},"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
+      s"""{"metric":"total_detail","value":${ms(total)},"unit":"sec","runs_per_query":$RunsPerQuery,"protocol":"interleaved-median","total_min":${ms(totalMin)},"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
     // Compact summary printed LAST so the driver's tail capture always
     // gets a parseable JSON line even if the detail line is truncated.
     // Protocol provenance (runs_per_query/protocol/total_min) is repeated
@@ -146,7 +154,7 @@ object Bench {
     // dropping it would cost the judge per-query visibility whenever the
     // detail line IS truncated.
     println(
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs_per_query":$RunsPerQuery,"protocol":"median","total_min":${ms(totalMin)},"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs_per_query":$RunsPerQuery,"protocol":"interleaved-median","total_min":${ms(totalMin)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -98,12 +98,18 @@ object Engine {
     * queries, where partial aggregation already shrinks data before the
     * exchange and a rebalance would only add a full-data shuffle.
     *
-    * ONLY call this on a raw scan: `.rdd` on a plan containing joins or
-    * aggregates materializes AQE query stages, i.e. executes the plan
-    * eagerly just to count partitions. */
+    * ONLY call this on a raw scan. The "fewer splits than cores"
+    * condition is decided from Catalyst STATISTICS (file-listing bytes ÷
+    * `spark.sql.files.maxPartitionBytes`, the same arithmetic the scan's
+    * partition planner applies), not by touching `.rdd` — instantiating
+    * the RDD forced partition planning per call and was the one RDD-API
+    * touch in an otherwise pure-DataFrame codebase (r10 verdict). */
   def rebalance(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(maxSplit) * cores) df.repartition(cores) else df
   }
 
   /** Register every table under `dir` as a temp view plus the custom SQL

@@ -460,8 +460,8 @@ object Lexicon {
     * set probes it. Deterministic (fixed seed, commutative merge) and
     * guaranteed to over-estimate: est >= true, est <= true + eps*N with
     * the configured confidence. Probes the exact top-20 so the spec can
-    * pin both bounds; rows-only gate (the sketch is not SQL-expressible).
-    */
+    * pin both bounds; the driver gate certifies them oracle-exactly
+    * ([[qHeavySketch]]). */
   def heavyHittersSketch(docs: DataFrame, eps: Double = 0.0001,
                          confidence: Double = 0.99): DataFrame = {
     val s = docs.sparkSession
@@ -479,9 +479,42 @@ object Lexicon {
       .orderBy(col("cnt").desc, col("tok").asc).limit(20)
       .collect().map(_.getString(0)).toSeq
 
-  def qHeavySketch(s: SparkSession, dir: String): DataFrame =
-    heavyHittersSketch(Engine.rebalance(t(s, dir, "documents")))
-      .orderBy(col("est_cnt").desc, col("term").asc)
+  /** CMS gate as a BOUND CERTIFICATE (the qSimIvfKmeansRecall pattern):
+    * the sketch itself is not SQL-expressible, but its CLAIMS are — for
+    * each of the 20 probe terms, the exact count (which DuckDB
+    * recomputes) and whether the estimate respects both CMS guarantees,
+    * `est ≥ exact` and `est ≤ exact + eps·N` (N = total token
+    * occurrences). The oracle asserts bound_ok = TRUE, so a sketch
+    * regression (bad seed plumbing, merge bug, width miscalc) now fails
+    * the driver's hash gate, not just the spec. Driver-side work stays
+    * bounded: the 20-row probe list and one scalar total. */
+  def qHeavySketch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.rebalance(t(s, dir, "documents"))
+    val eps = 0.0001
+    val toks = tokens(docs)
+    val sketch = toks.stat.countMinSketch("tok", eps, 0.99, 42)
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("tok").asc).limit(20)
+      .collect() // 20 rows — bounded
+    val nTotal = counts.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    import s.implicits._
+    top.toSeq.map { r =>
+      val (term, cnt) = (r.getString(0), r.getLong(1))
+      val est = sketch.estimateCount(term)
+      (term, cnt, est >= cnt && est <= cnt + (eps * nTotal).toLong)
+    }.toDF("term", "cnt", "bound_ok")
+      .orderBy(col("cnt").desc, col("term").asc)
+  }
+
+  /** Oracle: exact probe counts + the certified bound as a literal —
+    * hash equality proves the Spark side's bound check held on every
+    * probe. */
+  val qHeavySketchSql: String =
+    """SELECT tok AS term, COUNT(*) AS cnt, TRUE AS bound_ok
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok
+      |ORDER BY cnt DESC, term ASC
+      |LIMIT 20""".stripMargin
 
   // --- BPE merge-pair counting (tokenizer training support) ----------------
 
@@ -780,6 +813,7 @@ object Lexicon {
     "q_tfidf_topk" -> qTfidfTopkSql,
     "q_bm25_topk" -> qBm25TopkSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
+    "q_heavy_sketch" -> qHeavySketchSql,
     "q_bpe_pairs" -> qBpePairsSql,
     "q_bpe_train" -> qBpeTrainSql,
     "q_bpe_encode" -> qBpeEncodeSql,

@@ -1,0 +1,104 @@
+package graft.sources
+
+import scala.util.matching.Regex
+
+/** MySQL → Spark SQL SELECT-dialect rewrite — the thin front-end layer
+  * the reference inherits from MySQL's parser (queries enter through
+  * `sql/ha_my_tianmu.cpp:84` of /root/reference, already parsed by
+  * MySQL 5.7's grammar). [[StatementRunner]] routes `LOAD DATA` /
+  * `INTO OUTFILE` itself; the remaining statement text is Spark SQL —
+  * which accepts most of the MySQL spellings natively (backtick
+  * identifiers, double-quoted strings under the non-ANSI default,
+  * `<>`/`!=`, `<=>`, `DIV`, `MOD`) — except a handful of MySQL-isms this
+  * pre-pass translates so verbatim MTR-style SELECT text runs unchanged:
+  *
+  *  - `# comment` → `-- comment` (MySQL hash comments);
+  *  - `&&` → `AND`, `||` → `OR` (MySQL's default SQL mode: `||` is
+  *    logical OR unless PIPES_AS_CONCAT; Spark would parse it as string
+  *    concat — use CONCAT(...) for concatenation, as MTR tests do);
+  *  - `LIMIT offset, count` → `LIMIT count OFFSET offset`;
+  *  - `FROM DUAL` → `FROM (SELECT 1) AS DUAL` (Spark has no DUAL).
+  *
+  * The scan is token-aware: text inside single/double-quoted string
+  * literals (with backslash escapes and quote doubling), backtick-quoted
+  * identifiers, and comments is NEVER rewritten — `'a && b'` stays a
+  * three-word string. This is a character-level front end, not a parser:
+  * structural rewrites beyond these (e.g. MySQL's multi-table DELETE
+  * syntax) live behind the Scala APIs ([[Dml]]).
+  */
+object MySqlDialect {
+
+  private val LimitRe: Regex = """(?is)^LIMIT\s+(\d+)\s*,\s*(\d+)""".r
+  private val DualRe: Regex = """(?is)^FROM\s+DUAL\b""".r
+
+  private def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  private def wordAt(sql: String, pos: Int, w: String): Boolean =
+    pos + w.length <= sql.length &&
+      sql.regionMatches(true, pos, w, 0, w.length) &&
+      (pos == 0 || !isWordChar(sql(pos - 1))) &&
+      (pos + w.length == sql.length || !isWordChar(sql(pos + w.length)))
+
+  def rewrite(sql: String): String = {
+    val out = new StringBuilder(sql.length + 16)
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql(i)
+      if (c == '\'' || c == '"') {
+        // string literal: copy verbatim, honoring \-escapes and doubling
+        out.append(c); i += 1
+        var done = false
+        while (i < n && !done) {
+          val ch = sql(i)
+          if (ch == '\\' && i + 1 < n) { out.append(ch).append(sql(i + 1)); i += 2 }
+          else if (ch == c) {
+            if (i + 1 < n && sql(i + 1) == c) { out.append(ch).append(ch); i += 2 }
+            else { out.append(ch); i += 1; done = true }
+          } else { out.append(ch); i += 1 }
+        }
+      } else if (c == '`') {
+        // quoted identifier: copy verbatim (`` doubling)
+        out.append(c); i += 1
+        var done = false
+        while (i < n && !done) {
+          val ch = sql(i)
+          if (ch == '`') {
+            if (i + 1 < n && sql(i + 1) == '`') { out.append("``"); i += 2 }
+            else { out.append(ch); i += 1; done = true }
+          } else { out.append(ch); i += 1 }
+        }
+      } else if (c == '#') {
+        // MySQL hash comment → Spark line comment
+        out.append("--"); i += 1
+        while (i < n && sql(i) != '\n') { out.append(sql(i)); i += 1 }
+      } else if (c == '-' && i + 1 < n && sql(i + 1) == '-') {
+        while (i < n && sql(i) != '\n') { out.append(sql(i)); i += 1 }
+      } else if (c == '/' && i + 1 < n && sql(i + 1) == '*') {
+        out.append("/*"); i += 2
+        while (i < n && !(sql(i) == '*' && i + 1 < n && sql(i + 1) == '/')) {
+          out.append(sql(i)); i += 1
+        }
+        if (i < n) { out.append("*/"); i += 2 }
+      } else if (c == '&' && i + 1 < n && sql(i + 1) == '&') {
+        out.append(" AND "); i += 2
+      } else if (c == '|' && i + 1 < n && sql(i + 1) == '|') {
+        out.append(" OR "); i += 2
+      } else if (wordAt(sql, i, "LIMIT")) {
+        LimitRe.findPrefixMatchOf(sql.substring(i)) match {
+          case Some(m) =>
+            out.append(s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+            i += m.end
+          case None => out.append(c); i += 1
+        }
+      } else if (wordAt(sql, i, "FROM")) {
+        DualRe.findPrefixMatchOf(sql.substring(i)) match {
+          case Some(m) => out.append("FROM (SELECT 1) AS DUAL"); i += m.end
+          case None => out.append(c); i += 1
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+}
