@@ -84,7 +84,8 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     catch {
       case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        System.err.println(
+          s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
         return -1.0
     }
     (System.nanoTime() - t0) / 1e9
@@ -143,8 +144,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalMin = results.map(_._2._2).filter(_ >= 0).sum
+    // Failures are first-class in the artifact (r12 verdict #3): a benched
+    // query that errors must scream from the parsed JSON, not hide as -1
+    // among 60 numbers. Empty list = clean round.
+    val failed = results.collect { case (k, (med, _)) if med < 0 => s""""$k"""" }
+      .mkString("[", ",", "]")
     println(
-      s"""{"metric":"total_detail","value":${ms(total)},"unit":"sec","runs_per_query":$RunsPerQuery,"protocol":"interleaved-median","total_min":${ms(totalMin)},"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
+      s"""{"metric":"total_detail","value":${ms(total)},"unit":"sec","runs_per_query":$RunsPerQuery,"protocol":"interleaved-median","total_min":${ms(totalMin)},"failed":$failed,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
     // Compact summary printed LAST so the driver's tail capture always
     // gets a parseable JSON line even if the detail line is truncated.
     // Protocol provenance (runs_per_query/protocol/total_min) is repeated
@@ -154,7 +160,7 @@ object Bench {
     // dropping it would cost the judge per-query visibility whenever the
     // detail line IS truncated.
     println(
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs_per_query":$RunsPerQuery,"protocol":"interleaved-median","total_min":${ms(totalMin)},"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","runs_per_query":$RunsPerQuery,"protocol":"interleaved-median","total_min":${ms(totalMin)},"failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

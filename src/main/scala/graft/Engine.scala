@@ -73,18 +73,26 @@ object Engine {
     spark
   }
 
-  /** Read one testdata table: `{dir}/{name}.parquet`. The `events` table
-    * stores `ts` as nano-precision timestamps (read as long ns under
-    * `nanosAsLong`); normalize to microsecond TIMESTAMP_NTZ — integer
-    * `div`, not `/`, because 2024 epoch-ns ≈ 1.7e18 exceeds double's 2^53
-    * exact-integer range. */
+  /** Read one testdata table: `{dir}/{name}.parquet`. The `events` table's
+    * `ts` column may be written as TIMESTAMP(NANOS) — which the reader
+    * surfaces as long ns under `nanosAsLong` — or as a plain µs timestamp.
+    * Normalize to microsecond TIMESTAMP_NTZ in either case, deciding from
+    * the READ SCHEMA: only a LongType `ts` needs the ns→µs conversion
+    * (integer `div`, not `/`, because 2024 epoch-ns ≈ 1.7e18 exceeds
+    * double's 2^53 exact-integer range); a timestamp `ts` passes through
+    * with just the NTZ cast. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000"))
-        .cast("timestamp_ntz"))
-    else df
+    if (name == "events" && df.schema.fieldNames.contains("ts")) {
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        case _ => df.withColumn("ts", expr("ts").cast("timestamp_ntz"))
+      }
+    } else df
   }
 
   /** Rebalance the input of a compute-bound per-row stage (shingling,

@@ -13,13 +13,15 @@ object Verify {
     val spark = Engine.session(s"local[$cpus]", cpus, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val attempted = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    attempted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name -> s"${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name failed: ${e.getClass.getName}: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +39,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Shrinkage guard (r12 advice): an erroring gate vanishes from the
+    // driver's correctness JSON, so the artifact alone can read as fully
+    // green while gates die. Record the declared count and every failure
+    // beside the dumps, where a round-over-round diff can't miss it.
+    val summary =
+      s"""{"declared_gates":${SparkEntry.queries.size},"dumped":${attempted.size - failed.size},"failed":{${
+        failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString(",")}}}"""
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} gate(s) FAILED: " +
+        failed.map(_._1).mkString(", "))
     spark.stop()
   }
 }

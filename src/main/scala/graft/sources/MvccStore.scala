@@ -46,7 +46,14 @@ import org.apache.spark.sql.functions._
   * (partition pruning and pushdown intact), and no commit ever rewrites
   * data another transaction is reading.
   */
-class MvccStore(spark: SparkSession, val root: String) {
+/** @param autoCompactSegments when > 0, a successful append whose
+  *   resulting manifest references at least this many segments triggers a
+  *   best-effort [[autoCompact]] — the background-merge analog of the
+  *   reference's insert-buffer thresholds (core/engine.h:210,
+  *   `tianmu_sysvar_insert_*threshold`): N small commits fold into one
+  *   compacted segment without writer involvement. 0 disables. */
+class MvccStore(spark: SparkSession, val root: String,
+                val autoCompactSegments: Int = 0) {
 
   private val logDir = s"$root/_log"
   private val dataDir = s"$root/data"
@@ -161,11 +168,37 @@ class MvccStore(spark: SparkSession, val root: String) {
       val head = currentVersion()
       val parentSegs =
         if (head == 0) Seq.empty[String] else readManifest(head).segs
-      if (publish(head + 1, "append", parentSegs :+ seg)) return head + 1
+      if (publish(head + 1, "append", parentSegs :+ seg)) {
+        maybeAutoCompact(head + 1)
+        return head + 1
+      }
       attempt += 1
     }
     throw new java.util.ConcurrentModificationException(
       s"MvccStore: append lost $maxRetries races; contention too high")
+  }
+
+  /** Fire the threshold-triggered background merge if configured. The
+    * append's own version is what the caller sees; the compacted version
+    * (if any) is just the next head — readers pinned to the append's or
+    * any older version keep their exact segment set (MVCC guarantee). */
+  private def maybeAutoCompact(justCommitted: Long): Unit =
+    if (autoCompactSegments > 0 &&
+        readManifest(justCommitted).segs.size >= autoCompactSegments) {
+      autoCompact(): Unit
+    }
+
+  /** Best-effort compaction: folds the CURRENT head's segments into one
+    * iff the head still has `autoCompactSegments`+ segments by the time
+    * we stage. A lost race with an interleaved commit aborts silently
+    * (None) — the next append re-triggers; correctness never depends on
+    * a background merge landing (reference analog: the delayed-insert
+    * merge thread, core/engine.h:210). */
+  def autoCompact(): Option[Long] = {
+    val head = currentVersion()
+    if (head == 0) return None
+    try Some(commitRewrite(read(Some(head)), head, "compact"))
+    catch { case _: java.util.ConcurrentModificationException => None }
   }
 
   /** Idempotent transactional append — the exactly-once sink primitive:
@@ -192,8 +225,10 @@ class MvccStore(spark: SparkSession, val root: String) {
       val head = currentVersion()
       val parentSegs =
         if (head == 0) Seq.empty[String] else readManifest(head).segs
-      if (publish(head + 1, "append", parentSegs :+ seg, Some(txId)))
+      if (publish(head + 1, "append", parentSegs :+ seg, Some(txId))) {
+        maybeAutoCompact(head + 1)
         return head + 1
+      }
       existing() match { // a rival retry of the SAME tx may have won
         case Some(v) => fs.delete(new Path(s"$dataDir/$seg"), true); return v
         case None =>

@@ -19,7 +19,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the clean rows to its [[DeltaStore]]; `SELECT … INTO OUTFILE 'f'
   * [export options]` strips the INTO clause, runs the remaining SELECT
   * through `spark.sql`, and exports via [[CsvLoader.export]]; anything
-  * else goes to `spark.sql` verbatim. Statement execution is thus a thin
+  * else goes to `spark.sql` after the [[MySqlDialect]] rewrite (hash
+  * comments, `&&`/`||`, `LIMIT n,m`, `FROM DUAL` — so verbatim
+  * MTR-style SELECT text runs unchanged). Statement execution is thus a thin
   * *parser*, not an engine — every byte of data movement rides the same
   * distributed load/export paths the Scala API uses (this stays a
   * library, not a server: no wire protocol, no session state beyond the
@@ -127,14 +129,18 @@ class StatementRunner(spark: SparkSession) {
       // MySQL allows INTO OUTFILE before FROM or statement-final; the
       // SELECT is the statement minus the INTO clause span.
       val select = s.substring(0, m.start) + " " + tail
-      val df = spark.sql(select)
+      val df = spark.sql(MySqlDialect.rewrite(select))
       val rows = df.count()
       CsvLoader.export(df, path, delimiter = opts.delimiter,
         quote = opts.quote, escape = opts.escape, lineSep = opts.lineSep)
       import spark.implicits._
       Seq((path, rows)).toDF("outfile", "rows_exported")
 
-    case other => spark.sql(other)
+    // Everything else is query text: translate the MySQL-isms the
+    // reference inherits from MySQL's parser (# comments, &&/||,
+    // LIMIT n,m, FROM DUAL — see [[MySqlDialect]]) so verbatim MTR-style
+    // SELECT text runs unchanged, then hand Catalyst the statement.
+    case other => spark.sql(MySqlDialect.rewrite(other))
   }
 }
 

@@ -16,20 +16,23 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Raw parquet schema of events (ts as long ns — see Engine.table). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** File-source stream over a testdata dir (events.parquet only),
-    * normalized to a microsecond TIMESTAMP `ts`. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
+    * normalized to a TIMESTAMP `ts`. The stream source needs an explicit
+    * schema, so take it from the parquet footer (one driver-side metadata
+    * read) — which also tells us whether `ts` arrives as long ns (the
+    * TIMESTAMP(NANOS) encoding under `nanosAsLong`) needing the ns→µs
+    * conversion, or as a native µs timestamp needing only a cast. Same
+    * schema-conditional rule as Engine.table. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val base = spark.readStream
+      .schema(fileSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (fileSchema("ts").dataType == LongType)
+      base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else base.withColumn("ts", col("ts").cast("timestamp"))
+  }
 
   /** Tumbling 1-hour counts with a 2-hour watermark (late rows beyond the
     * watermark are dropped — the streaming twin of

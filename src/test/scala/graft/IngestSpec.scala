@@ -30,6 +30,36 @@ class IngestSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("events ts schema drift: Engine.table normalizes both µs-timestamp " +
+      "and long-ns encodings to the same timestamps") {
+    // r12 regression guard: the driver's events.parquet stores ts as a
+    // µs timestamp, but a TIMESTAMP(NANOS) file surfaces ts as long ns
+    // under nanosAsLong. Engine.table must read BOTH — deciding from the
+    // read schema, not an assumption about the writer.
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val ev = Engine.table(spark, sf, "events").limit(50)
+      .select("event_id", "ts", "user_id", "event_type")
+    val usDir = Files.createTempDirectory("graft_ev_us").toString
+    val nsDir = Files.createTempDirectory("graft_ev_ns").toString
+    // µs encoding: write the timestamp column as-is (parquet timestamp[us])
+    ev.write.mode("overwrite").parquet(s"$usDir/events.parquet")
+    // ns encoding twin: epoch-ns as int64 — exactly the shape a
+    // TIMESTAMP(NANOS) file presents under nanosAsLong=true
+    ev.withColumn("ts",
+      (unix_micros(col("ts").cast("timestamp")) * 1000L).cast(LongType))
+      .write.mode("overwrite").parquet(s"$nsDir/events.parquet")
+
+    val fromUs = Engine.table(spark, usDir, "events")
+    val fromNs = Engine.table(spark, nsDir, "events")
+    assert(fromUs.schema("ts").dataType === TimestampNTZType,
+      s"µs read surfaced ${fromUs.schema("ts").dataType}")
+    assert(fromNs.schema("ts").dataType === TimestampNTZType,
+      s"ns read surfaced ${fromNs.schema("ts").dataType}")
+    val a = fromUs.select("event_id", "ts").orderBy("event_id").collect().toSeq
+    val b = fromNs.select("event_id", "ts").orderBy("event_id").collect().toSeq
+    assert(a === b, "µs and ns encodings decoded to different timestamps")
+  }
+
   test("writePacked produces readable parquet with bloom-filter options") {
     val tmp = Files.createTempDirectory("graft_pack").toString
     val li = Engine.table(spark, sf, "lineitem")

@@ -25,6 +25,16 @@ class InventorySpec extends AnyFunSuite {
     assert(unknown.isEmpty, s"oracles without queries: $unknown")
   }
 
+  // Gate-count canary (r12 verdict #2): the declared surface peaked at 161
+  // gates in round 10 and must never silently shrink again — a module that
+  // stops contributing entries (or a rename that drops one) fails the
+  // suite loudly instead of vanishing from the driver's correctness JSON.
+  test("gate-count canary: declared query surface never shrinks below 161") {
+    assert(SparkEntry.queries.size >= 161,
+      s"declared gates shrank to ${SparkEntry.queries.size} (floor 161): " +
+        "a module stopped contributing entries")
+  }
+
   test("group_concat output is sorted and comma-separated") {
     val row = operators.Aggregates.qAggGroupConcat(spark, sf)
       .filter(org.apache.spark.sql.functions.col("r_name") === "ASIA").first()

@@ -113,6 +113,37 @@ class MvccSpec extends AnyFunSuite {
     assert(dataDir.listFiles().count(_.getName.startsWith("seg-")) === 1)
   }
 
+  test("auto-compaction: N small appends fold into one segment; pinned " +
+      "readers mid-compaction keep the old snapshot") {
+    val store = new MvccStore(spark,
+      Files.createTempDirectory("graft_mvcc_ac").toString,
+      autoCompactSegments = 4)
+    val n = Engine.table(spark, sf, "nation")
+    store.init(n.filter(col("n_nationkey") === 0))
+    // appends 2 and 3 stay under the threshold — no merge yet
+    val v2 = store.commitAppend(n.filter(col("n_nationkey") === 1))
+    store.commitAppend(n.filter(col("n_nationkey") === 2))
+    val pinned = store.read(Some(v2)) // lazy plan over v2's 2 segments
+    assert(store.history().filter(col("action") === "compact").count() === 0)
+    // 4th segment crosses the threshold: the append itself triggers the
+    // background merge, so the head becomes a single folded segment
+    val v4 = store.commitAppend(n.filter(col("n_nationkey") === 3))
+    val hist = store.history().collect()
+      .map(r => r.getAs[Long]("version") ->
+        (r.getAs[String]("action"), r.getAs[Long]("n_segments"))).toMap
+    assert(hist(v4) === ("append", 4L), "append's own version keeps its segments")
+    assert(hist(v4 + 1) === ("compact", 1L), "auto-compact landed as next head")
+    assert(store.read().count() === 4)
+    // the reader pinned before the merge still sees exactly v2's rows
+    assert(pinned.select("n_nationkey").collect().map(_.getInt(0)).sorted
+      === Array(0, 1))
+    // appends after the merge restart the small-segment count
+    store.commitAppend(n.filter(col("n_nationkey") === 4))
+    assert(store.read().count() === 5)
+    assert(store.history().orderBy(col("version").desc).first()
+      .getAs[Long]("n_segments") === 2L)
+  }
+
   test("idempotent commits: a retried txid lands exactly once") {
     val store = freshStore()
     val n = Engine.table(spark, sf, "nation")

@@ -125,6 +125,46 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .getLong(0) === 5L)
   }
 
+  test("statement front-end: verbatim MySQL/MTR-style SELECT text runs " +
+      "through the dialect rewrite") {
+    Engine.registerAll(spark, sf)
+    val runner = new sources.StatementRunner(spark)
+    // # comment (MySQL hash comments; shape from the reference's
+    // mysql-test/suite/tianmu SELECT files)
+    val c = runner.run(
+      "SELECT count(*) AS n FROM region # trailing hash comment\n")
+      .first().getLong(0)
+    assert(c === 5L)
+    // && / || are logical AND/OR in MySQL's default sql_mode
+    val andOr = runner.run(
+      """SELECT n_name FROM nation
+        |WHERE (n_regionkey = 0 && n_nationkey < 6) || n_nationkey = 24
+        |ORDER BY n_nationkey""".stripMargin).collect().map(_.getString(0))
+    val expected = Engine.table(spark, sf, "nation")
+      .where("(n_regionkey = 0 AND n_nationkey < 6) OR n_nationkey = 24")
+      .orderBy("n_nationkey").select("n_name").collect().map(_.getString(0))
+    assert(andOr.toSeq === expected.toSeq && andOr.nonEmpty)
+    // literals are never rewritten: 'a && b' stays a three-word string
+    assert(runner.run("SELECT 'a && b' AS s").first().getString(0) === "a && b")
+    // LIMIT offset,count
+    val lim = runner.run(
+      "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 2,3")
+      .collect().map(_.getInt(0)).toSeq
+    assert(lim === Seq(2, 3, 4))
+    // FROM DUAL
+    assert(runner.run("SELECT 1 + 1 AS two FROM DUAL").first()
+      .getAs[Number]("two").intValue === 2)
+    // and the same MySQL-isms hold on the INTO OUTFILE path's SELECT
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dialect_out")
+    val out = runner.run(
+      s"""SELECT n_name INTO OUTFILE '$tmp/nations'
+         |FROM nation WHERE n_regionkey = 1 && n_nationkey < 3 # amer""".stripMargin)
+      .first()
+    assert(out.getAs[Long]("rows_exported") ===
+      Engine.table(spark, sf, "nation")
+        .where("n_regionkey = 1 AND n_nationkey < 3").count())
+  }
+
   test("statement front-end: unsupported clauses fail fast, loudly") {
     val runner = new sources.StatementRunner(spark)
     val store = new sources.DeltaStore(spark,
