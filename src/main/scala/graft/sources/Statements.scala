@@ -12,8 +12,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ha_my_tianmu.cpp:84 (`ha_my_tianmu_query` → `ResultExportSender`,
   * core/engine.h:338).
   *
-  * `StatementRunner.run(sql)` accepts exactly those two statement forms
-  * plus passthrough: `LOAD DATA [LOCAL] INFILE … INTO TABLE t [FIELDS
+  * `StatementRunner.run(sql)` accepts those two statement forms, the
+  * `SELECT ROUGHLY` rough-query mode (engine_execute.cpp:450 — see
+  * [[StatementRunner.attachPacked]]), plus passthrough:
+  * `LOAD DATA [LOCAL] INFILE … INTO TABLE t [FIELDS
   * TERMINATED/ENCLOSED/ESCAPED BY …] [LINES TERMINATED BY …]` parses to
   * a [[CsvLoader.load]] against the attached table's schema and appends
   * the clean rows to its [[DeltaStore]]; `SELECT … INTO OUTFILE 'f'
@@ -35,6 +37,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 class StatementRunner(spark: SparkSession) {
 
   private val stores = scala.collection.mutable.Map[String, DeltaStore]()
+  private val packedTables = scala.collection.mutable.Map[String, String]()
 
   /** Attach a managed table: statements may LOAD into it; its merged
     * view is (re)registered as a temp view under `name`. */
@@ -42,6 +45,12 @@ class StatementRunner(spark: SparkSession) {
     stores(name.toLowerCase) = store
     store.read().createOrReplaceTempView(name)
   }
+
+  /** Attach a pack-written table ([[StatsSidecar.writeWithStats]]
+    * layout: pack-partitioned parquet + stats sidecar) so `SELECT
+    * ROUGHLY …` statements can answer from its metadata. */
+  def attachPacked(name: String, path: String): Unit =
+    packedTables(name.toLowerCase) = path
 
   // MySQL string literals spell control chars with backslash escapes.
   private def unescape(s: String): String = s
@@ -53,6 +62,92 @@ class StatementRunner(spark: SparkSession) {
   private val OutfileRe: Regex =
     """(?is)\bINTO\s+OUTFILE\s+'([^']*)'""".r
   private val IgnoreLinesRe: Regex = """(?is)\bIGNORE\s+\d+\s+LINES""".r
+
+  // SELECT ROUGHLY (core/engine_execute.cpp:450 of the reference routes
+  // the ROUGHLY keyword into rough_query mode; temp_table_roughquery.cpp
+  // answers the aggregates from Knowledge-Grid metadata alone).
+  private val RoughlyRe: Regex =
+    """(?is)^\s*SELECT\s+ROUGHLY\s+(.*?)\s+FROM\s+`?(\w+)`?\s*(?:WHERE\s+(.*?))?\s*;?\s*$""".r
+  private val RoughCountRe: Regex =
+    """(?i)^COUNT\(\s*\*\s*\)(?:\s+AS\s+`?(\w+)`?)?$""".r
+  private val RoughFnRe: Regex =
+    """(?i)^(MIN|MAX|SUM|AVG)\(\s*`?(\w+)`?\s*\)(?:\s+AS\s+`?(\w+)`?)?$""".r
+  private val RoughBetweenRe: Regex =
+    """(?is)^`?(\w+)`?\s+BETWEEN\s+(-?[0-9.]+)\s+AND\s+(-?[0-9.]+)$""".r
+  private val RoughPrefixRe: Regex =
+    """(?is)^`?(\w+)`?\s+LIKE\s+'([^'%_]*)%'$""".r
+
+  /** `SELECT ROUGHLY aggs FROM t [WHERE …]` — metadata-only aggregates
+    * over an attached packed table: COUNT(*)/MIN/MAX/SUM/AVG answered
+    * purely from the stats sidecar (zero data files touched); a
+    * `col BETWEEN lo AND hi` or `col LIKE 'prefix%'` WHERE routes
+    * COUNT(*) through the tri-state hybrid path (ALL packs from
+    * metadata, SOME packs scanned with pruning, NONE untouched). Per
+    * the DPN contract the answers are EXACT, not approximate — the
+    * sidecar is metadata-complete for these shapes. */
+  private def runRoughly(aggList: String, table: String,
+                         whereClause: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val path = packedTables.getOrElse(table.toLowerCase,
+      throw new IllegalArgumentException(
+        s"SELECT ROUGHLY: table '$table' is not attached as a packed " +
+          "store (StatementRunner.attachPacked over a " +
+          "StatsSidecar.writeWithStats layout)"))
+    val specs: Seq[(String, String, String)] =
+      aggList.split(",").map(_.trim).toSeq.map {
+        case RoughCountRe(alias) =>
+          ("count", "", Option(alias).getOrElse("count_star"))
+        case RoughFnRe(fn, c, alias) =>
+          (fn.toLowerCase, c, Option(alias).getOrElse(s"${fn.toLowerCase}_$c"))
+        case other => throw new UnsupportedOperationException(
+          "SELECT ROUGHLY supports COUNT(*) and MIN/MAX/SUM/AVG(column) " +
+            s"aggregates only; got '$other'")
+      }
+    Option(whereClause).map(_.trim).filter(_.nonEmpty) match {
+      case None =>
+        val stats = StatsSidecar.readStats(spark, path)
+        val statCols = stats.select("column").distinct().collect()
+          .map(_.getString(0)).toSet
+        val needed = specs.collect { case (_, c, _) if c.nonEmpty => c }.distinct
+        val missing = needed.filterNot(statCols)
+        if (missing.nonEmpty) throw new IllegalArgumentException(
+          s"SELECT ROUGHLY: no sidecar stats for column(s) " +
+            missing.mkString(", "))
+        if (statCols.isEmpty) throw new IllegalStateException(
+          s"SELECT ROUGHLY: empty stats sidecar for '$table'")
+        val per = (if (needed.nonEmpty) needed else Seq(statCols.head))
+          .map(c => c -> StatsSidecar.roughAgg(stats, c).first()).toMap
+        val total = per.values.head.getAs[Long]("n_rows")
+        val out = specs.map {
+          case ("count", _, a) => lit(total).as(a)
+          case ("min", c, a) => lit(per(c).getAs[Double]("min_v")).as(a)
+          case ("max", c, a) => lit(per(c).getAs[Double]("max_v")).as(a)
+          case ("sum", c, a) => lit(per(c).getAs[Double]("sum_v")).as(a)
+          case ("avg", c, a) =>
+            val r = per(c)
+            val nonNull = r.getAs[Long]("n_rows") - r.getAs[Long]("n_nulls")
+            (if (nonNull == 0L) lit(null).cast("double")
+             else lit(r.getAs[Double]("sum_v") / nonNull)).as(a)
+        }
+        spark.range(1).select(out: _*)
+      case Some(w) =>
+        if (specs.exists(_._1 != "count"))
+          throw new UnsupportedOperationException(
+            "SELECT ROUGHLY with a WHERE clause answers COUNT(*) only " +
+              "(the hybrid rough+exact count); other aggregates need the " +
+              "full query path")
+        val n = w match {
+          case RoughBetweenRe(c, lo, hi) =>
+            StatsSidecar.countBetween(spark, path, c, lo.toDouble, hi.toDouble)
+          case RoughPrefixRe(c, p) =>
+            StatsSidecar.countPrefix(spark, path, c, p)
+          case _ => throw new UnsupportedOperationException(
+            "SELECT ROUGHLY WHERE supports 'col BETWEEN lo AND hi' and " +
+              "\"col LIKE 'prefix%'\" shapes only")
+        }
+        spark.range(1).select(specs.map { case (_, _, a) => lit(n).as(a) }: _*)
+    }
+  }
 
   private case class ExportOpts(delimiter: String = ",", quote: String = "\"",
                                 escape: String = "\\", lineSep: String = "\n")
@@ -122,6 +217,9 @@ class StatementRunner(spark: SparkSession) {
       Seq((table, loaded, rejected))
         .toDF("table_name", "rows_loaded", "rows_rejected")
 
+    case RoughlyRe(aggList, table, whereClause) =>
+      runRoughly(aggList, table, whereClause)
+
     case s if OutfileRe.findFirstIn(s).isDefined =>
       val m = OutfileRe.findFirstMatchIn(s).get
       val path = m.group(1)
@@ -178,9 +276,42 @@ object Statements {
     """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       |FROM customer""".stripMargin
 
+  /** `SELECT ROUGHLY` as SQL text (the reference's rough_query mode,
+    * core/engine_execute.cpp:450): pack-write lineitem, then answer
+    * COUNT/MIN/MAX/SUM from the sidecar and a BETWEEN count through the
+    * hybrid path — all via statement text, all exact vs the oracle's
+    * full recomputation (same contract as [[StatsSidecar.qRoughAgg]],
+    * here proving the STATEMENT surface end-to-end). */
+  def qRoughSqlStatement(s: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-roughly-gate").toString
+    val li = graft.Engine.table(s, dir, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_quantity"),
+        org.apache.spark.sql.functions.col("l_extendedprice"))
+    StatsSidecar.writeWithStats(li, s"$scratch/li_packed", 8192,
+      Seq("l_quantity", "l_extendedprice"),
+      clusterBy = Some(org.apache.spark.sql.functions.col("l_quantity")))
+    val runner = new StatementRunner(s)
+    runner.attachPacked("li_packed", s"$scratch/li_packed")
+    val base = runner.run(
+      """SELECT ROUGHLY COUNT(*) AS n, MIN(l_extendedprice) AS min_price,
+        |MAX(l_extendedprice) AS max_price, SUM(l_extendedprice) AS sum_price
+        |FROM li_packed""".stripMargin)
+    val between = runner.run(
+      """SELECT ROUGHLY COUNT(*) AS n_qty_10_30 FROM li_packed
+        |WHERE l_quantity BETWEEN 10.0 AND 30.0""".stripMargin)
+    base.crossJoin(between)
+  }
+
+  /** Same oracle as the rough-agg capability gate: rough answers must
+    * EQUAL exact recomputation (DPN contract — rough ≠ approximate). */
+  val qRoughSqlStatementSql: String = StatsSidecar.qRoughAggSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sql_statement_roundtrip" -> (qSqlStatementRoundtrip _))
+    "q_sql_statement_roundtrip" -> (qSqlStatementRoundtrip _),
+    "q_sql_select_roughly" -> (qRoughSqlStatement _))
 
   val oracles: Map[String, String] = Map(
-    "q_sql_statement_roundtrip" -> qSqlStatementRoundtripSql)
+    "q_sql_statement_roundtrip" -> qSqlStatementRoundtripSql,
+    "q_sql_select_roughly" -> qRoughSqlStatementSql)
 }

@@ -165,6 +165,47 @@ class SqlSurfaceSpec extends AnyFunSuite {
         .where("n_regionkey = 1 AND n_nationkey < 3").count())
   }
 
+  test("statement front-end: SELECT ROUGHLY answers from the sidecar and " +
+      "matches exact recomputation") {
+    import org.apache.spark.sql.functions._
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_roughly").toString
+    val li = Engine.table(spark, sf, "lineitem")
+      .select(col("l_quantity"), col("l_extendedprice"))
+    sources.StatsSidecar.writeWithStats(li, s"$scratch/li", 4096,
+      Seq("l_quantity", "l_extendedprice"),
+      clusterBy = Some(col("l_quantity")))
+    val runner = new sources.StatementRunner(spark)
+    runner.attachPacked("li_rough", s"$scratch/li")
+    val r = runner.run(
+      """SELECT ROUGHLY COUNT(*), MIN(l_quantity), MAX(l_quantity),
+        |AVG(l_extendedprice) FROM li_rough""".stripMargin).first()
+    val exact = li.agg(count(lit(1)), min("l_quantity"), max("l_quantity"),
+      (sum(floor(col("l_extendedprice") * 10000.0 + 0.5).cast("long"))
+        .cast("double") / 10000.0) / count(col("l_extendedprice"))).first()
+    assert(r.getAs[Long]("count_star") === exact.getLong(0))
+    assert(r.getAs[Double]("min_l_quantity") === exact.getDouble(1))
+    assert(r.getAs[Double]("max_l_quantity") === exact.getDouble(2))
+    assert(math.abs(r.getAs[Double]("avg_l_extendedprice") - exact.getDouble(3))
+      < 1e-6)
+    // WHERE BETWEEN routes through the hybrid rough+exact count
+    val n = runner.run(
+      "SELECT ROUGHLY COUNT(*) AS n FROM li_rough " +
+        "WHERE l_quantity BETWEEN 5.0 AND 15.0").first().getAs[Long]("n")
+    assert(n === li.where("l_quantity BETWEEN 5.0 AND 15.0").count())
+    // unsupported shapes refuse loudly
+    intercept[IllegalArgumentException] {
+      runner.run("SELECT ROUGHLY COUNT(*) FROM never_packed")
+    }
+    intercept[UnsupportedOperationException] {
+      runner.run("SELECT ROUGHLY SUM(l_quantity) FROM li_rough " +
+        "WHERE l_quantity BETWEEN 1 AND 2")
+    }
+    intercept[UnsupportedOperationException] {
+      runner.run("SELECT ROUGHLY STDDEV(l_quantity) FROM li_rough")
+    }
+  }
+
   test("statement front-end: unsupported clauses fail fast, loudly") {
     val runner = new sources.StatementRunner(spark)
     val store = new sources.DeltaStore(spark,
