@@ -80,6 +80,66 @@ object Events {
       |      FROM events)
       |GROUP BY event_type""".stripMargin
 
+  /** Wider JSON-function tier (cast_json_func.test analog beyond plain
+    * path extraction): validity probing, JSON-array construction +
+    * `json_array_length`, indexed `$[0]` extraction, `json_object_keys`,
+    * and the typed `from_json` decode path — one scan, pure codegen
+    * projections, every value cross-checked against DuckDB's JSON
+    * extension. Half the rows are deliberately truncated to invalid
+    * JSON for the validity probe (Spark: `get_json_object(probe,'$')`
+    * IS NULL; DuckDB: `NOT json_valid`). */
+  def qJsonFuncs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val kStr = get_json_object(col("props"), "$.k")
+    t(s, dir, "events")
+      .withColumn("k", kStr.cast("long"))
+      // [k,...,k] with (k % 3) + 1 elements — varying array length
+      .withColumn("arr",
+        concat(lit("["),
+          expr("repeat(concat(get_json_object(props,'$.k'), ','), " +
+            "CAST(CAST(get_json_object(props,'$.k') AS BIGINT) % 3 AS INT))"),
+          kStr, lit("]")))
+      // even k: drop the closing brace -> invalid JSON
+      .withColumn("probe",
+        when(col("k") % 2 === 0,
+          expr("substring(props, 1, length(props) - 1)"))
+          .otherwise(col("props")))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(json_array_length(col("arr"))).cast("long").as("sum_len"),
+        sum(get_json_object(col("arr"), "$[0]").cast("long")).as("sum_first"),
+        count(when(get_json_object(col("probe"), "$").isNull, 1))
+          .as("n_invalid"),
+        sum(from_json(col("props"),
+          StructType(Seq(StructField("k", LongType)))).getField("k"))
+          .as("sum_k_typed"),
+        count(when(array_join(json_object_keys(col("props")), ",") === "k", 1))
+          .as("n_key_k"))
+  }
+
+  val qJsonFuncsSql: String =
+    """WITH base AS (
+      |  SELECT event_type, props,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |    '[' || repeat(json_extract_string(props, '$.k') || ',',
+      |                  CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |                       % 3 AS INTEGER))
+      |        || json_extract_string(props, '$.k') || ']' AS arr,
+      |    CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+      |         THEN substring(props, 1, length(props) - 1) ELSE props
+      |    END AS probe
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(SUM(json_array_length(arr)) AS BIGINT) AS sum_len,
+      |  CAST(SUM(CAST(json_extract_string(arr, '$[0]') AS BIGINT)) AS BIGINT)
+      |    AS sum_first,
+      |  CAST(COUNT(CASE WHEN NOT json_valid(probe) THEN 1 END) AS BIGINT)
+      |    AS n_invalid,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k_typed,
+      |  CAST(COUNT(CASE WHEN array_to_string(json_keys(props), ',') = 'k'
+      |             THEN 1 END) AS BIGINT) AS n_key_k
+      |FROM base GROUP BY event_type""".stripMargin
+
   /** Sessionization-style gap analysis in batch: per user, time since the
     * previous event (lag window) — events >30min after the predecessor
     * start a new session; count sessions per user. */
@@ -120,11 +180,13 @@ object Events {
     "q_events_hourly" -> (qEventsHourly _),
     "q_events_props" -> (qEventsProps _),
     "q_events_json" -> (qEventsJson _),
+    "q_json_funcs" -> (qJsonFuncs _),
     "q_events_sessions" -> (qEventsSessions _))
 
   val oracles: Map[String, String] = Map(
     "q_events_hourly" -> qEventsHourlySql,
     "q_events_props" -> qEventsPropsSql,
     "q_events_json" -> qEventsJsonSql,
+    "q_json_funcs" -> qJsonFuncsSql,
     "q_events_sessions" -> qEventsSessionsSql)
 }
