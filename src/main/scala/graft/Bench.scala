@@ -118,6 +118,14 @@ object Bench {
     (1 to RunsPerQuery).map(_ =>
       headline.map(n => n -> runOne(spark, n, sfDir)).toMap)
 
+  /** Failures are first-class in the artifact: a benched query that
+    * errors must scream from the parsed JSON (`"failed":["name",…]`),
+    * not hide as a -1 among 60 numbers. Empty list = clean round.
+    * Input: (name, (median, min)) with median < 0 marking an error. */
+  def failedJson(results: Seq[(String, (Double, Double))]): String =
+    results.collect { case (k, (med, _)) if med < 0 => s""""$k"""" }
+      .mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -144,11 +152,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalMin = results.map(_._2._2).filter(_ >= 0).sum
-    // Failures are first-class in the artifact (r12 verdict #3): a benched
-    // query that errors must scream from the parsed JSON, not hide as -1
-    // among 60 numbers. Empty list = clean round.
-    val failed = results.collect { case (k, (med, _)) if med < 0 => s""""$k"""" }
-      .mkString("[", ",", "]")
+    val failed = failedJson(results)
     println(
       s"""{"metric":"total_detail","value":${ms(total)},"unit":"sec","runs_per_query":$RunsPerQuery,"protocol":"interleaved-median","total_min":${ms(totalMin)},"failed":$failed,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
     // Compact summary printed LAST so the driver's tail capture always

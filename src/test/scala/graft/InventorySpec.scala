@@ -35,6 +35,16 @@ class InventorySpec extends AnyFunSuite {
         "a module stopped contributing entries")
   }
 
+  // r12 verdict #3 "done" criterion: a seeded failure must show up in the
+  // parsed bench line, not only as a -1 value.
+  test("bench surfaces failures: runOne -> -1, summary lists the name") {
+    assert(Bench.runOne(spark, "no_such_query", sf) === -1.0)
+    assert(Bench.failedJson(Seq(
+      "a" -> (1.0, 0.9), "b" -> (-1.0, -1.0), "c" -> (0.2, 0.1)))
+      === """["b"]""")
+    assert(Bench.failedJson(Seq("a" -> (1.0, 0.9))) === "[]")
+  }
+
   test("group_concat output is sorted and comma-separated") {
     val row = operators.Aggregates.qAggGroupConcat(spark, sf)
       .filter(org.apache.spark.sql.functions.col("r_name") === "ASIA").first()
