@@ -138,16 +138,14 @@ object EventStream {
 
   // --- incremental corpus ingest -------------------------------------------
 
-  /** Raw parquet schema of the documents table. */
-  val docSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType), StructField("text", StringType),
-    StructField("lang", StringType), StructField("source", StringType),
-    StructField("n_chars", LongType)))
-
-  /** File-source stream over a testdata dir (documents.parquet only). */
+  /** File-source stream over a testdata dir (documents.parquet only).
+    * Schema comes from the parquet footer (one driver-side metadata
+    * read), not a hardcoded literal — the same don't-assume-the-writer
+    * rule as [[readEvents]]: a regenerated testdata file with, say,
+    * int32 ids must not silently misread. */
   def readDocuments(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema(docSchema)
+      .schema(spark.read.parquet(s"$dir/documents.parquet").schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
