@@ -140,6 +140,73 @@ object Events {
       |             THEN 1 END) AS BIGINT) AS n_key_k
       |FROM base GROUP BY event_type""".stripMargin
 
+  /** Time-series resample + forward fill (gap-fill): per user, a dense
+    * hourly spine from their first to last event hour; each bucket
+    * carries its event count (0 in gaps) and the most recent observed
+    * `value` at or before the bucket (forward fill via
+    * `last(ignoreNulls)`), with the in-hour closing value picked by a
+    * deterministic (ts, event_id) tie-break. The standard financial /
+    * telemetry resample the reference's window-less engine cannot
+    * express. Scale shape: the spine explode is bounded by each user's
+    * time range, everything else is ONE shuffle keyed by user_id plus
+    * per-user sorted windows — the same cost class as any keyed
+    * aggregation at 100 TB. */
+  def qEventsGapfill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events").where(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"),
+        date_trunc("hour", col("ts")).as("h"), col("value"), col("ts"))
+    val rn = Window.partitionBy(col("user_id"), col("h"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val hourly = ev
+      .withColumn("rn", row_number().over(rn))
+      .groupBy(col("user_id"), col("h"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("rn") === 1, col("value"))).as("close_value"))
+    val spine = ev.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("bucket"))
+    val fill = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly,
+        spine("user_id") === hourly("user_id") && col("bucket") === col("h"),
+        "left")
+      .select(spine("user_id"), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("close_value"))
+      .withColumn("filled_value",
+        last(col("close_value"), ignoreNulls = true).over(fill))
+      .drop("close_value")
+  }
+
+  val qEventsGapfillSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, date_trunc('hour', ts) AS h, value, ts
+      |  FROM events WHERE user_id < 20),
+      |hourly AS (
+      |  SELECT user_id, h, COUNT(*) AS n_events,
+      |    MAX(CASE WHEN rn = 1 THEN value END) AS close_value
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, h
+      |          ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+      |  GROUP BY user_id, h),
+      |spine AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket
+      |  FROM (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1
+      |        FROM ev GROUP BY user_id)),
+      |joined AS (
+      |  SELECT s.user_id, s.bucket,
+      |    COALESCE(h.n_events, 0) AS n_events, h.close_value
+      |  FROM spine s LEFT JOIN hourly h
+      |    ON s.user_id = h.user_id AND s.bucket = h.h)
+      |SELECT user_id, CAST(bucket AS TIMESTAMP) AS bucket,
+      |  CAST(n_events AS BIGINT) AS n_events,
+      |  LAST_VALUE(close_value IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      |FROM joined""".stripMargin
+
   /** Sessionization-style gap analysis in batch: per user, time since the
     * previous event (lag window) — events >30min after the predecessor
     * start a new session; count sessions per user. */
@@ -181,6 +248,7 @@ object Events {
     "q_events_props" -> (qEventsProps _),
     "q_events_json" -> (qEventsJson _),
     "q_json_funcs" -> (qJsonFuncs _),
+    "q_events_gapfill" -> (qEventsGapfill _),
     "q_events_sessions" -> (qEventsSessions _))
 
   val oracles: Map[String, String] = Map(
@@ -188,5 +256,6 @@ object Events {
     "q_events_props" -> qEventsPropsSql,
     "q_events_json" -> qEventsJsonSql,
     "q_json_funcs" -> qJsonFuncsSql,
+    "q_events_gapfill" -> qEventsGapfillSql,
     "q_events_sessions" -> qEventsSessionsSql)
 }
