@@ -163,21 +163,22 @@ object Events {
       .groupBy(col("user_id"), col("h"))
       .agg(count(lit(1)).as("n_events"),
         max(when(col("rn") === 1, col("value"))).as("close_value"))
+    // distinct column names on the spine side keep the self-derived
+    // join unambiguous (both frames share the events lineage)
     val spine = ev.groupBy(col("user_id"))
       .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-      .select(col("user_id"),
+      .select(col("user_id").as("spine_user"),
         explode(expr("sequence(h0, h1, interval 1 hour)")).as("bucket"))
-    val fill = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+    val fill = Window.partitionBy(col("spine_user")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(hourly,
-        spine("user_id") === hourly("user_id") && col("bucket") === col("h"),
+        col("spine_user") === col("user_id") && col("bucket") === col("h"),
         "left")
-      .select(spine("user_id"), col("bucket"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        col("close_value"))
       .withColumn("filled_value",
         last(col("close_value"), ignoreNulls = true).over(fill))
-      .drop("close_value")
+      .select(col("spine_user").as("user_id"), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("filled_value"))
   }
 
   val qEventsGapfillSql: String =
