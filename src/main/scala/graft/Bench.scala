@@ -43,6 +43,8 @@ object Bench {
     "q_union_distinct",         // set op + dedup
     "q_events_hourly",          // time-bucketed agg
     "q_events_sessions",        // lag/session analytics
+    "q_events_gapfill",         // resample + forward-fill (LOCF)
+    "q_json_funcs",             // JSON function tier
     "q_text_quality",           // text scoring scan
     "q_text_tokens",            // BPE-ish regex token count
     "q_dedup_exact",            // hash dedup
