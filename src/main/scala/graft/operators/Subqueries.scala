@@ -229,6 +229,59 @@ object Subqueries {
       |WINDOW w AS (PARTITION BY o_custkey
       |             ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
+  /** Explicit frame-clause family (window frames tier): a sliding 3-row
+    * ROWS frame (moving sum), a numeric RANGE frame (orderkey-proximity
+    * sum), LAST_VALUE over the to-partition-end frame, NTH_VALUE over the
+    * whole-partition frame, and CUME_DIST — the frame grammar beyond the
+    * running-sum/offset gates. Frame sums ride the ×10000 fixed-point
+    * convention so segment-tree vs streaming accumulation order cannot
+    * produce float drift between engines. Scale shape: one shuffle on
+    * o_custkey serves every window (same partition key; the RANGE frame
+    * re-sorts within the partition, no extra exchange). */
+  def qWindowFrames(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val sliding = ord.rowsBetween(-2, Window.currentRow)
+    val tail = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val whole =
+      ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val near = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderkey")).rangeBetween(-100, 0)
+    val cd = cume_dist().over(ord)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (sum(dec(col("o_totalprice"))).over(sliding).cast("double")
+          / 10000.0).as("mov_sum3"),
+        (sum(dec(col("o_totalprice"))).over(near).cast("double")
+          / 10000.0).as("range_sum"),
+        last(col("o_totalprice")).over(tail).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(whole).as("second_price"),
+        (floor(cd * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+          .as("cdist"))
+  }
+
+  val qWindowFramesSql: String =
+    s"""SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(${sqlDec("o_totalprice")}) OVER (
+      |    wo ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+      |  ) AS DOUBLE) / 10000.0 AS mov_sum3,
+      |  CAST(SUM(${sqlDec("o_totalprice")}) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderkey
+      |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW
+      |  ) AS DOUBLE) / 10000.0 AS range_sum,
+      |  LAST_VALUE(o_totalprice) OVER (
+      |    wo ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+      |  ) AS last_price,
+      |  NTH_VALUE(o_totalprice, 2) OVER (
+      |    wo ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      |  ) AS second_price,
+      |  FLOOR((CUME_DIST() OVER wo) * 1000000.0 + 0.5) / 1000000.0 AS cdist
+      |FROM orders
+      |WHERE o_custkey < 100
+      |WINDOW wo AS (PARTITION BY o_custkey
+      |              ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_subq_scalar" -> (qSubqScalar _),
     "q_subq_in" -> (qSubqIn _),
@@ -239,6 +292,7 @@ object Subqueries {
     "q_window_running_sum" -> (qWindowRunningSum _),
     "q_window_lead_lag" -> (qWindowLeadLag _),
     "q_window_ntile" -> (qWindowNtile _),
+    "q_window_frames" -> (qWindowFrames _),
     "q_agg_grouping_sets" -> (qAggGroupingSets _))
 
   val oracles: Map[String, String] = Map(
@@ -250,6 +304,7 @@ object Subqueries {
     "q_window_running_sum" -> qWindowRunningSumSql,
     "q_window_lead_lag" -> qWindowLeadLagSql,
     "q_window_ntile" -> qWindowNtileSql,
+    "q_window_frames" -> qWindowFramesSql,
     "q_agg_grouping_sets" -> qAggGroupingSetsSql,
     "q_subq_derived" -> qSubqDerivedSql)
 

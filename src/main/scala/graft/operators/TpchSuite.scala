@@ -725,6 +725,50 @@ object TpchSuite {
       |GROUP BY p_brand, p_type, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  // --- Q17: small-quantity-order revenue ----------------------------------
+
+  /** Q17: average yearly revenue lost if small-quantity orders for one
+    * brand's parts were not taken. The correlated subquery
+    * `l_quantity < 0.2 * AVG(l_quantity) per part` becomes a per-partkey
+    * aggregate joined back to the filtered lineitem — one shuffle on
+    * partkey instead of a rescan per row (the reference runs this as
+    * subselect_column materialization, core/subselect.cpp). Adaptation:
+    * no p_container in the testdata, so the part cut is
+    * `p_brand = 'Brand#13' AND p_size < 15`.
+    *
+    * Scale shape: the filtered part list is SF-fixed per brand (~dozens
+    * of keys) and broadcasts into BOTH the per-part average and the
+    * lineitem probe, so the partkey aggregate runs over the pruned
+    * lineitem slice only — never over the full table. The final result
+    * is a 1-row global sum. Fixed-point (×10000) quantities keep the
+    * 0.2·avg threshold bit-identical across engines. */
+  def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part")
+      .filter(col("p_brand") === "Brand#13" && col("p_size") < 15)
+      .select(col("p_partkey"))
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val perPart = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(davg(col("l_quantity")).as("avg_qty"))
+    li.join(perPart, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    s"""SELECT CAST(SUM(${sqlDec("l_extendedprice")}) AS DOUBLE) / 10000.0 / 7.0
+      |    AS avg_yearly
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN (SELECT l_partkey AS a_partkey, ${sqlDavg("l_quantity", "avg_qty")}
+      |      FROM lineitem
+      |      WHERE l_partkey IN (SELECT p_partkey FROM part
+      |                          WHERE p_brand = 'Brand#13' AND p_size < 15)
+      |      GROUP BY l_partkey) pa
+      |  ON l_partkey = a_partkey
+      |WHERE p_brand = 'Brand#13' AND p_size < 15
+      |  AND l_quantity < 0.2 * avg_qty""".stripMargin
+
   // Registry ---------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -743,7 +787,8 @@ object TpchSuite {
     "q21_waiting_suppliers_shape" -> (q21WaitingSuppliersShape _),
     "q11_important_stock_shape" -> (q11ImportantStockShape _),
     "q12_mode_priority_shape" -> (q12ModePriorityShape _),
-    "q16_supplier_cnt_shape" -> (q16SupplierCntShape _))
+    "q16_supplier_cnt_shape" -> (q16SupplierCntShape _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _))
 
   val oracles: Map[String, String] = Map(
     "q04_order_priority" -> q04Sql,
@@ -761,5 +806,6 @@ object TpchSuite {
     "q21_waiting_suppliers_shape" -> q21Sql,
     "q11_important_stock_shape" -> q11Sql,
     "q12_mode_priority_shape" -> q12Sql,
-    "q16_supplier_cnt_shape" -> q16Sql)
+    "q16_supplier_cnt_shape" -> q16Sql,
+    "q17_small_qty_revenue" -> q17Sql)
 }

@@ -130,6 +130,55 @@ class InventorySpec extends AnyFunSuite {
     assert(orphans === 0)
   }
 
+  test("q17: revenue equals an independent plain-double recomputation") {
+    import org.apache.spark.sql.functions._
+    val got = operators.TpchSuite.q17SmallQtyRevenue(spark, sf)
+      .first().getAs[Double]("avg_yearly")
+    // independent path: plain doubles, driver-side fold over the small SF
+    val parts = Engine.table(spark, sf, "part")
+      .filter(col("p_brand") === "Brand#13" && col("p_size") < 15)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val li = Engine.table(spark, sf, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .filter(r => parts(r.getLong(0)))
+    val avg = li.groupBy(_.getLong(0)).map { case (k, rs) =>
+      k -> rs.map(_.getDouble(1)).sum / rs.length
+    }
+    val want = li.filter(r => r.getDouble(1) < 0.2 * avg(r.getLong(0)))
+      .map(_.getDouble(2)).sum / 7.0
+    assert(math.abs(got - want) < 1e-6 * math.max(1.0, math.abs(want)))
+  }
+
+  test("window frames: moving sum and last_value match a brute recomputation") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Subqueries.qWindowFrames(spark, sf)
+      .join(Engine.table(spark, sf, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice"), Seq("o_orderkey"))
+      .collect()
+      .groupBy(_.getAs[Long]("o_custkey"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rs) =>
+      val ordd = rs.sortBy(r =>
+        (r.getAs[Any]("o_orderdate").toString, r.getAs[Long]("o_orderkey")))
+      // 3-row moving fixed-point sum
+      ordd.zipWithIndex.foreach { case (r, i) =>
+        val win = ordd.slice(math.max(0, i - 2), i + 1)
+        val want = win.map(x =>
+          math.floor(x.getAs[Double]("o_totalprice") * 10000.0 + 0.5).toLong)
+          .sum.toDouble / 10000.0
+        assert(r.getAs[Double]("mov_sum3") === want)
+      }
+      // last_price is the final order's price for every row of the partition
+      val lastPrice = ordd.last.getAs[Double]("o_totalprice")
+      assert(ordd.forall(_.getAs[Double]("last_price") === lastPrice))
+      // second_price: defined iff the partition has >= 2 rows
+      if (ordd.length >= 2)
+        assert(ordd.forall(
+          _.getAs[Double]("second_price") === ordd(1).getAs[Double]("o_totalprice")))
+      else assert(ordd.forall(_.isNullAt(ordd.head.fieldIndex("second_price"))))
+    }
+  }
+
   test("approximate aggregates track exact within sketch error bounds") {
     // the bound checks now live IN the query (hll_ok/median_ok booleans,
     // pinned TRUE by the DuckDB oracle); the spec asserts them locally too
