@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Engine
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a production training-data pipeline needs
@@ -21,6 +21,9 @@ object Curation {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Engine.table(s, dir, n)
+
+  private def r6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
 
   /** N-gram width for contamination checks — 13 tokens, the published
     * GPT-3/PaLM decontamination convention (Brown et al. 2020, appendix
@@ -173,6 +176,71 @@ object Curation {
       |       WHEN overlap_frac > 0.0 THEN 'review'
       |       ELSE 'clean' END AS verdict
       |FROM scored
+      |ORDER BY doc_id""".stripMargin
+
+  // --- embedding-space decontamination -------------------------------------
+
+  /** Cosine threshold above which a corpus doc is considered a semantic
+    * duplicate of a benchmark item (rephrasings n-gram overlap misses).
+    * 0.35 sits at ≈p90 of the testdata's max-cos distribution so the
+    * gate exercises both verdicts. */
+  val EmbedContamThreshold = 0.35
+
+  /** Semantic decontamination: flag corpus docs whose EMBEDDING is too
+    * close to any benchmark item — catches paraphrased eval leakage that
+    * token-level [[decontaminate]] cannot (the two are complementary and
+    * production pipelines run both). Per corpus doc: the best-matching
+    * benchmark id, the (unit-norm ⇒ dot) max cosine, and the flag.
+    *
+    * Scale shape: a benchmark set is an eval suite — thousands of rows
+    * at any corpus scale — so it BROADCASTS and the corpus streams
+    * through one scan (broadcast nested-loop + map-side-combined
+    * max(struct)); no corpus shuffle except the final per-doc aggregate,
+    * which AQE coalesces. The argmax is `max(struct(cos, bench_id))`:
+    * ties on the rounded cosine break to the larger bench id —
+    * deterministic, so the DuckDB mirror hash-matches. */
+  def decontaminateEmbed(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val b = broadcast(benchmark
+      .select(col("vec_id").as("bench_id"), col("embedding").as("bvec")))
+    corpus.select(col("vec_id").as("doc_id"), col("embedding"))
+      .join(b)
+      .select(col("doc_id"),
+        struct(r6(graft.functions.Vectors.dot(col("embedding"), col("bvec")))
+          .as("cos"), col("bench_id")).as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("sc")).as("m"))
+      .select(col("doc_id"), col("m.bench_id").as("best_bench"),
+        col("m.cos").as("max_cos"),
+        (col("m.cos") >= EmbedContamThreshold).as("flagged"))
+  }
+
+  def qDecontaminateEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    decontaminateEmbed(
+      e.where(col("vec_id") % BenchmarkMod =!= 0),
+      e.where(col("vec_id") % BenchmarkMod === 0))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: pairwise double dot (IEEE-identical accumulation), rank by
+    * (cos, bench_id) and keep the top match per doc. */
+  val qDecontaminateEmbedSql: String =
+    s"""WITH pairs AS (
+      |  SELECT c.vec_id AS doc_id, b.vec_id AS bench_id,
+      |    FLOOR(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+      |                           CAST(b.embedding AS DOUBLE[]))
+      |          * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |  FROM embeddings c JOIN embeddings b
+      |    ON c.vec_id % $BenchmarkMod <> 0 AND b.vec_id % $BenchmarkMod = 0
+      |), ranked AS (
+      |  SELECT doc_id, bench_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                       ORDER BY cos DESC, bench_id DESC) AS rn
+      |  FROM pairs
+      |)
+      |SELECT doc_id, bench_id AS best_bench, cos AS max_cos,
+      |  cos >= $EmbedContamThreshold AS flagged
+      |FROM ranked WHERE rn = 1
       |ORDER BY doc_id""".stripMargin
 
   // --- PII redaction -------------------------------------------------------
@@ -483,6 +551,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_frac" -> (qDecontaminateFrac _),
+    "q_decontaminate_embed" -> (qDecontaminateEmbed _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_span_dedup" -> (qSpanDedup _))
@@ -490,6 +559,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "q_decontaminate" -> qDecontaminateSql,
     "q_decontaminate_frac" -> qDecontaminateFracSql,
+    "q_decontaminate_embed" -> qDecontaminateEmbedSql,
     "q_pii_scrub" -> qPiiScrubSql,
     "q_boilerplate" -> qBoilerplateSql,
     "q_span_dedup" -> qSpanDedupSql)

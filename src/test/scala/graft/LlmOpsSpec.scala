@@ -130,6 +130,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(2L) === false)
   }
 
+  test("embedding decontamination: flags semantic matches, argmax ties " +
+      "break to the larger bench id") {
+    val s = spark
+    import s.implicits._
+    val e1 = Array(1.0f, 0.0f, 0.0f)
+    val e2 = Array(0.0f, 1.0f, 0.0f)
+    // bench 200 and 201 are IDENTICAL → doc 1 ties at cos 1.0 on both
+    val bench = Seq((200L, e1), (201L, e1), (202L, e2))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, e1), // exact match of bench 200/201 → flagged
+      (2L, Array(0.0f, 0.0f, 1.0f))) // orthogonal to all → clean
+      .toDF("vec_id", "embedding")
+    val out = Curation.decontaminateEmbed(corpus, bench).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("best_bench") === 201L) // tie → larger id
+    assert(out(1L).getAs[Double]("max_cos") === 1.0)
+    assert(out(1L).getAs[Boolean]("flagged"))
+    assert(out(2L).getAs[Double]("max_cos") === 0.0)
+    assert(!out(2L).getAs[Boolean]("flagged"))
+  }
+
   test("pii scrub removes every planted email/phone/url") {
     val out = Curation.qPiiScrub(spark, sf)
     val residue = out.filter(
