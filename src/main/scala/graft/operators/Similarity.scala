@@ -419,6 +419,147 @@ object Similarity {
       |  TRUE AS best_found,
       |  (SELECT max(cos) FROM bf) AS bf_top1_cos""".stripMargin
 
+  // --- product quantization (PQ / ADC) -------------------------------------
+
+  /** PQ geometry (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011): the 64-dim embedding splits into
+    * M = 8 subspaces of 8 dims; each subspace gets its own K = 16-code
+    * codebook → one byte-sized code per subspace, an 8-code word per
+    * vector — 32× smaller than the float vector. At 1e9+ vectors the
+    * codes table is what fits in memory/fast storage while the raw
+    * vectors stay cold; production PQ uses K = 256 and composes with the
+    * IVF coarse quantizer (IVFADC) — only the constants change. */
+  val PqM = 8
+  val PqK = 16
+  private val PqDim = 64
+  private val PqSub = PqDim / PqM
+
+  private def subVec(v: Column, m: Int): Column =
+    slice(v, m * PqSub + 1, PqSub)
+
+  /** OFFLINE BUILD: train the M per-subspace codebooks (independent
+    * seeded k-means fits over 8-dim subvectors — at 100 TB each fit
+    * trains on a bounded sample; a codebook is 16×8 doubles, model-
+    * sized) and encode the corpus: nearest code per (vector, subspace)
+    * by the train metric (squared L2), via ONE posexplode scan joined
+    * against the broadcast codebook — corpus-sized work is a single
+    * scan + the per-vector code reassembly aggregate. Published via
+    * [[graft.sources.ArtifactStore]] (atomic, idempotent, versioned). */
+  def buildPqStore(s: SparkSession, dir: String): String = {
+    val root = graft.sources.ArtifactStore.root("pq", StoreVersion, dir)
+    ensureBuilt(root) { staging =>
+      val e = t(s, dir, "embeddings")
+      val rows = (0 until PqM).flatMap { m =>
+        val sub = e.select(org.apache.spark.ml.functions
+          .array_to_vector(subVec(col("embedding"), m)).as("features"))
+        val model = new org.apache.spark.ml.clustering.KMeans()
+          .setK(PqK).setSeed(42L + m).setMaxIter(10).fit(sub)
+        model.clusterCenters.zipWithIndex.map { case (c, code) =>
+          (m, code, c.toArray)
+        }
+      }
+      val cb = s.createDataFrame(rows).toDF("m", "code", "centroid")
+      cb.coalesce(1).write.parquet(s"$staging/codebook")
+      val subs = e.select(col("vec_id"), posexplode(array(
+        (0 until PqM).map(m => subVec(col("embedding"), m)): _*))
+        .as(Seq("m", "sv")))
+      subs.join(broadcast(cb), Seq("m"))
+        .withColumn("__d", expr(
+          """aggregate(zip_with(sv, centroid,
+            |  (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+            |  0D, (acc, x) -> acc + x)""".stripMargin))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("__d"), col("code"))).as("__w"))
+        .groupBy(col("vec_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("m"), col("__w.code").as("c")))),
+          x => x.getField("c")).as("codes"))
+        .write.parquet(s"$staging/codes")
+    }
+    root
+  }
+
+  /** PQ probe — asymmetric distance computation (ADC): the query builds
+    * an M×K inner-product lookup table against the stored codebooks
+    * (128 rows — broadcast), every encoded vector's approximate score is
+    * the sum of its M table hits (codes scan + broadcast join + one
+    * aggregate; the raw vectors are NOT read), the ADC top-`shortlist`
+    * is then exactly re-ranked against the real embeddings (bounded
+    * candidate join). LUT entries are ×10⁶ fixed-point LONGs so the
+    * 8-term ADC sum is integer-exact and order-independent —
+    * deterministic across shuffles. */
+  def probePqStore(s: SparkSession, root: String, q: DataFrame,
+                   e: DataFrame, shortlist: Int = 100,
+                   topk: Int = 20): DataFrame = {
+    val cb = s.read.parquet(s"$root/codebook")
+    val lut = cb.crossJoin(broadcast(q))
+      .select(col("m"), col("code"),
+        floor(dot(col("centroid"),
+          expr(s"slice(q_emb, m * $PqSub + 1, $PqSub)"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("ip6"))
+    val adcShort = s.read.parquet(s"$root/codes")
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("ip6")).as("adc6"))
+      .orderBy(col("adc6").desc, col("vec_id"))
+      .limit(shortlist)
+      .select(col("vec_id"),
+        (col("adc6").cast("double") / 1000000.0).as("adc"))
+    e.join(broadcast(adcShort), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"), col("adc"),
+        r6(dot(col("embedding"), col("q_emb"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(topk)
+  }
+
+  /** PQ/ADC top-k for the gate query vector. Learned codebooks are not
+    * SQL-expressible → rows-only gate; [[qSimPqRecall]] carries the
+    * oracle-checked claims and PqSpec pins encode/probe semantics. */
+  def qSimPq(s: SparkSession, dir: String): DataFrame =
+    probePqStore(s, buildPqStore(s, dir), queryVec(s, dir),
+      t(s, dir, "embeddings"))
+
+  /** Driver-gated certificate for the PQ path (the qSimIvfKmeansRecall
+    * pattern): result count, recall@20 against brute force, whether the
+    * true nearest neighbor survived quantization, and the brute-force
+    * top score (recomputed exactly by DuckDB). */
+  def qSimPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val pq = qSimPq(s, dir).select(col("vec_id"), col("cos"))
+    val bf = qSimBruteForce(s, dir).select(col("vec_id"), col("cos"))
+    val nPq = pq.agg(count(lit(1)).as("n_pq"))
+    val hits = pq.select(col("vec_id"))
+      .join(bf.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val pqTop = pq.orderBy(col("cos").desc, col("vec_id")).limit(1)
+      .select(col("vec_id").as("pq_top_id"))
+    val bfTop = bf.orderBy(col("cos").desc, col("vec_id")).limit(1)
+      .select(col("vec_id").as("bf_top_id"), col("cos").as("bf_top1_cos"))
+    nPq.crossJoin(hits).crossJoin(pqTop).crossJoin(bfTop)
+      .select(col("n_pq"),
+        (col("n_hits").cast("double") / col("n_pq") >= 0.5).as("recall_ok"),
+        (col("pq_top_id") === col("bf_top_id")).as("best_found"),
+        col("bf_top1_cos"))
+  }
+
+  val qSimPqRecallSql: String =
+    s"""WITH $qvCte,
+      |bf AS (
+      |  SELECT e.vec_id,
+      |    floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.q_emb)
+      |          * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |  FROM embeddings e, qv
+      |  WHERE e.vec_id <> qv.q_id
+      |  ORDER BY cos DESC, e.vec_id
+      |  LIMIT 20
+      |)
+      |SELECT CAST(20 AS BIGINT) AS n_pq,
+      |  TRUE AS recall_ok,
+      |  TRUE AS best_found,
+      |  (SELECT max(cos) FROM bf) AS bf_top1_cos""".stripMargin
+
   // --- hybrid retrieval (vector recall + lexical rerank) -------------------
 
   /** The fixed lexical query for the hybrid gate (terms present in the
@@ -639,6 +780,8 @@ object Similarity {
     "q_sim_ivf_kmeans_topk" -> (qSimIvfKmeans _),
     "q_sim_ivf_kmeans_recall" -> (qSimIvfKmeansRecall _),
     "q_sim_lsh_topk" -> (qSimLsh _),
+    "q_sim_pq_topk" -> (qSimPq _),
+    "q_sim_pq_recall" -> (qSimPqRecall _),
     "q_retrieval_hybrid" -> (qRetrievalHybrid _),
     "q_retrieval_rrf" -> (qRetrievalRrf _))
 
@@ -651,6 +794,7 @@ object Similarity {
     "q_sim_ivf_topk" -> qSimIvfSql,
     "q_sim_ivf_kmeans_recall" -> qSimIvfKmeansRecallSql,
     "q_sim_lsh_topk" -> qSimLshSql,
+    "q_sim_pq_recall" -> qSimPqRecallSql,
     "q_retrieval_hybrid" -> qRetrievalHybridSql,
     "q_retrieval_rrf" -> qRetrievalRrfSql)
 }

@@ -604,6 +604,45 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(overlap >= 3, s"LSH found only $overlap of exact top-20")
   }
 
+  test("PQ: codes well-formed, ADC approximates the true score, " +
+      "reranked output exact and deterministic") {
+    import org.apache.spark.sql.functions._
+    val root = operators.Similarity.buildPqStore(spark, sf)
+    // store shape: one code word per corpus vector, M codes in [0, K)
+    val codes = spark.read.parquet(s"$root/codes")
+    val e = Engine.table(spark, sf, "embeddings")
+    assert(codes.count() === e.count())
+    assert(codes.filter(size(col("codes"))
+      =!= operators.Similarity.PqM).count() === 0)
+    assert(codes.filter(exists(col("codes"),
+      c => c < 0 || c >= operators.Similarity.PqK)).count() === 0)
+    val cb = spark.read.parquet(s"$root/codebook")
+    assert(cb.count() ===
+      operators.Similarity.PqM * operators.Similarity.PqK)
+    // probe: every reported cos equals an independent exact recompute,
+    // and the ADC estimate sits near it (quantization error, not noise)
+    val out = operators.Similarity.qSimPq(spark, sf).collect()
+    assert(out.length === 20)
+    val vecs = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](r.fieldIndex("embedding"))).toMap
+    val q = vecs(vecs.keys.min)
+    out.foreach { r =>
+      val exact = q.zip(vecs(r.getLong(0)))
+        .map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val want = math.floor(exact * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("cos") === want)
+      assert(math.abs(r.getAs[Double]("adc") - exact) < 0.5,
+        s"ADC ${r.getAs[Double]("adc")} far from exact $exact")
+    }
+    // deterministic probe (integer-exact ADC → stable shortlist)
+    val again = operators.Similarity.qSimPq(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
+    // certificate claims hold locally too
+    val cert = operators.Similarity.qSimPqRecall(spark, sf).first()
+    assert(cert.getAs[Boolean]("recall_ok"))
+    assert(cert.getAs[Boolean]("best_found"))
+  }
+
   test("IVF incremental add: appended vectors get the nearest stored " +
       "centroid and are findable through the standard probe") {
     import org.apache.spark.sql.functions._
