@@ -41,6 +41,7 @@ object SparkEntry {
     operators.Profile.queries -> operators.Profile.oracles,
     sources.Dml.queries -> sources.Dml.oracles,
     sources.MvccStore.queries -> sources.MvccStore.oracles,
+    sources.MaterializedAgg.queries -> sources.MaterializedAgg.oracles,
     sources.Statements.queries -> sources.Statements.oracles,
     sources.StatsSidecar.queries -> sources.StatsSidecar.oracles,
     operators.Pipeline.queries -> operators.Pipeline.oracles)

@@ -103,4 +103,37 @@ class DmlSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("NULL primary-key"))
   }
+
+  test("materialized agg: incremental refreshes equal a one-shot " +
+      "aggregate, snapshot stays group-sized") {
+    import graft.sources.MaterializedAgg
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mview_spec").toString
+    val v = new MaterializedAgg(spark, root, Seq("k"), Seq("x"))
+    val b0 = Seq(("a", 1.5), ("a", 2.5), ("b", 10.0)).toDF("k", "x")
+    val b1 = Seq(("a", -3.0), ("c", 7.0)).toDF("k", "x")
+    val b2 = Seq(("b", 0.25), ("c", -1.25)).toDF("k", "x")
+    v.init(b0); v.refresh(b1); v.refresh(b2)
+    // snapshot on disk is |groups| rows, not |rows|
+    assert(spark.read.parquet(s"$root/snapshot").count() === 3)
+    val got = v.read().collect()
+      .map(r => r.getString(0) -> r).toMap
+    // one-shot over the union must match exactly
+    val all = b0.unionByName(b1).unionByName(b2).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    Seq("a", "b", "c").foreach { k =>
+      val xs = all.filter(_._1 == k).map(_._2)
+      val r = got(k)
+      assert(r.getAs[Long]("n_rows") === xs.length.toLong)
+      assert(r.getAs[Double]("sum_x") ===
+        xs.map(x => math.floor(x * 1e4 + 0.5).toLong).sum.toDouble / 1e4)
+      assert(r.getAs[Double]("min_x") === xs.min)
+      assert(r.getAs[Double]("max_x") === xs.max)
+      assert(r.getAs[Double]("avg_x") ===
+        xs.map(x => math.floor(x * 1e4 + 0.5).toLong).sum.toDouble / 1e4
+          / xs.length)
+    }
+  }
 }
