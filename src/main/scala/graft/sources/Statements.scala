@@ -14,7 +14,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * `StatementRunner.run(sql)` accepts those two statement forms, the
   * `SELECT ROUGHLY` rough-query mode (engine_execute.cpp:450 — see
-  * [[StatementRunner.attachPacked]]), plus passthrough:
+  * [[StatementRunner.attachPacked]]), the session admin statements
+  * (`SHOW TABLES`, `SHOW CREATE TABLE`, `DESCRIBE`/`DESC`/`SHOW COLUMNS
+  * FROM`, `EXPLAIN SELECT …` — answered from the runner's catalog /
+  * Catalyst's plan, with column types rendered back through the
+  * SURVEY §1.2 MySQL mapping), plus passthrough:
   * `LOAD DATA [LOCAL] INFILE … INTO TABLE t [FIELDS
   * TERMINATED/ENCLOSED/ESCAPED BY …] [LINES TERMINATED BY …]` parses to
   * a [[CsvLoader.load]] against the attached table's schema and appends
@@ -62,6 +66,48 @@ class StatementRunner(spark: SparkSession) {
   private val OutfileRe: Regex =
     """(?is)\bINTO\s+OUTFILE\s+'([^']*)'""".r
   private val IgnoreLinesRe: Regex = """(?is)\bIGNORE\s+\d+\s+LINES""".r
+
+  // Admin/diagnostic statements (the MySQL client-session surface the
+  // reference inherits from its server half: SHOW TABLES / SHOW CREATE
+  // TABLE / DESCRIBE / EXPLAIN — mysql-test/suite/tianmu uses all four
+  // around its data statements).
+  private val ShowTablesRe: Regex =
+    """(?is)^\s*SHOW\s+TABLES\s*;?\s*$""".r
+  private val ShowCreateRe: Regex =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?\s*;?\s*$""".r
+  private val DescribeRe: Regex =
+    """(?is)^\s*(?:DESCRIBE|DESC|SHOW\s+COLUMNS\s+FROM)\s+`?(\w+)`?\s*;?\s*$""".r
+  private val ExplainRe: Regex =
+    """(?is)^\s*EXPLAIN\s+(SELECT\b.*)$""".r
+
+  /** Spark type → the MySQL column type the reference's DDL would show
+    * (SURVEY.md §1.2 type mapping, reversed). */
+  private def mysqlType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INT"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "FLOAT"
+      case StringType => "TEXT"
+      case BooleanType => "TINYINT(1)"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case DateType => "DATE"
+      case _: TimestampType | _: TimestampNTZType => "TIMESTAMP"
+      case BinaryType => "BLOB"
+      case other => other.sql
+    }
+  }
+
+  private def schemaOf(table: String): org.apache.spark.sql.types.StructType =
+    stores.get(table.toLowerCase).map(_.read().schema).getOrElse {
+      if (spark.catalog.tableExists(table)) spark.table(table).schema
+      else throw new IllegalArgumentException(
+        s"table '$table' is neither attached to this runner nor a " +
+          "registered view")
+    }
 
   // SELECT ROUGHLY (core/engine_execute.cpp:450 of the reference routes
   // the ROUGHLY keyword into rough_query mode; temp_table_roughquery.cpp
@@ -219,6 +265,33 @@ class StatementRunner(spark: SparkSession) {
 
     case RoughlyRe(aggList, table, whereClause) =>
       runRoughly(aggList, table, whereClause)
+
+    case ShowTablesRe() =>
+      import spark.implicits._
+      (stores.keySet ++ packedTables.keySet).toSeq.sorted
+        .toDF("table_name")
+
+    case ShowCreateRe(table) =>
+      import spark.implicits._
+      val cols = schemaOf(table).fields.map(f =>
+        s"  `${f.name}` ${mysqlType(f.dataType)}" +
+          (if (f.nullable) "" else " NOT NULL"))
+      val ddl = s"CREATE TABLE `$table` (\n${cols.mkString(",\n")}\n" +
+        ") ENGINE=TIANMU"
+      Seq((table, ddl)).toDF("table_name", "create_table")
+
+    case DescribeRe(table) =>
+      import spark.implicits._
+      schemaOf(table).fields.toSeq.map(f =>
+        (f.name, mysqlType(f.dataType), if (f.nullable) "YES" else "NO"))
+        .toDF("field", "type", "null")
+
+    case ExplainRe(select) =>
+      import spark.implicits._
+      spark.sql(MySqlDialect.rewrite(select))
+        .queryExecution
+        .explainString(org.apache.spark.sql.execution.SimpleMode)
+        .split("\n").toSeq.toDF("plan")
 
     case s if OutfileRe.findFirstIn(s).isDefined =>
       val m = OutfileRe.findFirstMatchIn(s).get

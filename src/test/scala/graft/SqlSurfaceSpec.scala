@@ -228,4 +228,42 @@ class SqlSurfaceSpec extends AnyFunSuite {
         "LINES TERMINATED BY ';'")
     }
   }
+
+  test("statement front-end: SHOW TABLES / SHOW CREATE TABLE / DESCRIBE / " +
+      "EXPLAIN answer from the runner catalog") {
+    import graft.sources.{DeltaStore, StatementRunner}
+    val runner = new StatementRunner(spark)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_admin_stmt").toString
+    val store = new DeltaStore(spark, tmp)
+    store.writeBase(Engine.table(spark, sf, "nation"))
+    runner.attach("adm_nation", store)
+
+    val tables = runner.run("SHOW TABLES").collect().map(_.getString(0))
+    assert(tables.contains("adm_nation"))
+
+    val desc = runner.run("DESCRIBE adm_nation").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(desc("n_nationkey")._1 === "INT")
+    assert(desc("n_name")._1 === "TEXT")
+    // DESC and SHOW COLUMNS FROM are aliases
+    assert(runner.run("DESC adm_nation").collect().length === desc.size)
+    assert(runner.run("SHOW COLUMNS FROM adm_nation")
+      .collect().length === desc.size)
+
+    val ddl = runner.run("SHOW CREATE TABLE adm_nation")
+      .first().getString(1)
+    assert(ddl.startsWith("CREATE TABLE `adm_nation`"))
+    assert(ddl.contains("`n_regionkey` INT"))
+    assert(ddl.endsWith("ENGINE=TIANMU"))
+
+    val plan = runner.run(
+      "EXPLAIN SELECT n_name FROM adm_nation WHERE n_nationkey = 3")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("Physical Plan"))
+
+    intercept[IllegalArgumentException] {
+      runner.run("DESCRIBE never_attached_tbl")
+    }
+  }
 }
