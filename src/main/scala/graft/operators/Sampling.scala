@@ -129,13 +129,68 @@ object Sampling {
       |WHERE ${sqlBucket6("d.doc_id")} * q.n_docs < q.quota * 1000000
       |GROUP BY q.source, q.n_docs, q.quota""".stripMargin
 
+  /** Temperature-scaled mixture sampling, α = 1/2: per-source sampling
+    * weight w ∝ n^α — the multilingual/data-mixing convention
+    * (Arivazhagan et al. 2019 §4; mT5, Xue et al. 2021 §3.1) that
+    * upweights tail sources a proportional mix starves while damping
+    * head dominance. Differs from [[qSampleMixture]] exactly where the
+    * operator lives: the weights DERIVE from the observed counts via the
+    * power law instead of arriving as externally-fixed targets.
+    * Determinism: n^(1/2) is an IEEE sqrt (correctly rounded in any
+    * engine), immediately floored to a ×10⁶ fixed-point integer weight —
+    * everything after (quota split, acceptance test) is the integer
+    * arithmetic of the mixture gate, so the sample is engine-exact.
+    * Scale shape identical to [[qSampleMixture]]: |sources|-row weight
+    * frame, broadcast quotas, scan-side acceptance — the corpus never
+    * shuffles. */
+  def qSampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val weighted = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w6",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0))
+          .cast("long"))
+    val totals = weighted.agg(
+      sum(col("w6")).as("sum_w6"), sum(col("n_docs")).as("n_total"))
+    val quotas = weighted.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("w6"),
+        expr("(n_total div 2) * w6 div sum_w6").as("quota"))
+    docs.join(broadcast(quotas), Seq("source"))
+      .where(bucket6(col("doc_id")) * col("n_docs")
+        < col("quota") * lit(1000000L))
+      .groupBy(col("source"), col("n_docs"), col("w6"), col("quota"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .select(col("source"), col("n_docs"), col("w6"), col("quota"),
+        col("n_sampled"))
+  }
+
+  val qSampleTemperatureSql: String =
+    s"""WITH weighted AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |      AS w6
+      |  FROM documents GROUP BY source
+      |), quotas AS (
+      |  SELECT source, n_docs, w6,
+      |    CAST(CAST((SELECT SUM(n_docs) FROM weighted) // 2 AS BIGINT)
+      |      * w6 // (SELECT SUM(w6) FROM weighted) AS BIGINT) AS quota
+      |  FROM weighted
+      |)
+      |SELECT q.source, q.n_docs, q.w6, q.quota,
+      |  COUNT(*) AS n_sampled
+      |FROM documents d JOIN quotas q ON d.source = q.source
+      |WHERE ${sqlBucket6("d.doc_id")} * q.n_docs < q.quota * 1000000
+      |GROUP BY q.source, q.n_docs, q.w6, q.quota""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_hashmod" -> (qSampleHashmod _),
     "q_sample_per_stratum" -> (qSamplePerStratum _),
-    "q_sample_mixture" -> (qSampleMixture _))
+    "q_sample_mixture" -> (qSampleMixture _),
+    "q_sample_temperature" -> (qSampleTemperature _))
 
   val oracles: Map[String, String] = Map(
     "q_sample_hashmod" -> qSampleHashmodSql,
     "q_sample_per_stratum" -> qSamplePerStratumSql,
-    "q_sample_mixture" -> qSampleMixtureSql)
+    "q_sample_mixture" -> qSampleMixtureSql,
+    "q_sample_temperature" -> qSampleTemperatureSql)
 }

@@ -175,6 +175,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(outz === Map("a" -> 75L, "z" -> 0L), s"got $outz")
   }
 
+  test("temperature sampling: tail sources keep a rate no lower than the " +
+      "head, budget respected, quotas honor the power law") {
+    val out = operators.Sampling.qSampleTemperature(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("w6"), r.getAs[Long]("quota"),
+        r.getAs[Long]("n_sampled"))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (src, (n, w6, quota, sampled)) =>
+      assert(w6 === math.floor(math.sqrt(n.toDouble) * 1e6).toLong, src)
+      assert(sampled <= n, src)
+    }
+    // α=1/2 flattening: the smallest source's target RATE (quota/n)
+    // is >= the largest source's — the whole point of temperature
+    val smallest = out.values.minBy(_._1)
+    val largest = out.values.maxBy(_._1)
+    assert(smallest._3.toDouble / smallest._1
+      >= largest._3.toDouble / largest._1 - 1e-9)
+  }
+
   test("quality score is total: empty and pathological text scores 0.0, " +
       "never NULL") {
     val s = spark
