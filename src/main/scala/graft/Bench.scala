@@ -36,10 +36,12 @@ object Bench {
     "q16_supplier_cnt_shape",   // distinct count + NOT-IN exclusion (Q16 shape)
     "q20_qualified_suppliers_shape", // nested IN-over-aggregate (Q20 shape)
     "q21_waiting_suppliers_shape", // EXISTS + NOT-EXISTS self-join (Q21 shape; reference: 567s, 2nd-worst)
+    "q17_small_qty_revenue",    // correlated per-part avg (Q17)
     "q_subq_correlated",        // decorrelated Q17 shape
     "q_agg_distinct",           // distinct aggregation
     "q_agg_having",             // shuffled hash agg
     "q_window_rank",            // window functions
+    "q_window_frames",          // sliding/range frame family
     "q_union_distinct",         // set op + dedup
     "q_events_hourly",          // time-bucketed agg
     "q_events_sessions",        // lag/session analytics
@@ -78,6 +80,10 @@ object Bench {
     "q_embed_quantize",         // int8 embedding quantization report
     "q_decontaminate_frac",     // graded contamination overlap ratio
     "q_mix_waterfill",          // capacity-capped mix allocation
+    "q_sample_temperature",     // power-law mixture sampling
+    "q_decontaminate_embed",    // embedding-space decontamination
+    "q_sim_pq_topk",            // PQ/ADC shortlist + exact rerank
+    "q_mview_incremental",      // incremental summary-table maintenance
     "q_bpe_train")              // iterative BPE merge training (8 steps)
 
   def runOne(spark: SparkSession, name: String, sfDir: String): Double = {

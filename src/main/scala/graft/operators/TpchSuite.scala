@@ -748,9 +748,12 @@ object TpchSuite {
       .select(col("p_partkey"))
     val li = t(s, dir, "lineitem")
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    // one row per surviving part — bounded by the brand's catalog size,
+    // so it broadcasts and the pruned lineitem slice never re-shuffles
+    // (the static plan was a sort-merge join exchanging both sides)
     val perPart = li.groupBy(col("l_partkey").as("a_partkey"))
       .agg(davg(col("l_quantity")).as("avg_qty"))
-    li.join(perPart, col("l_partkey") === col("a_partkey"))
+    li.join(broadcast(perPart), col("l_partkey") === col("a_partkey"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
   }
