@@ -83,6 +83,7 @@ object Bench {
     "q_sample_temperature",     // power-law mixture sampling
     "q_decontaminate_embed",    // embedding-space decontamination
     "q_sim_pq_topk",            // PQ/ADC shortlist + exact rerank
+    "q_sim_ivfpq_topk",         // composed IVF-PQ (partition-pruned ADC)
     "q_mview_incremental",      // incremental summary-table maintenance
     "q_bpe_train")              // iterative BPE merge training (8 steps)
 

@@ -445,36 +445,54 @@ object Similarity {
     * against the broadcast codebook — corpus-sized work is a single
     * scan + the per-vector code reassembly aggregate. Published via
     * [[graft.sources.ArtifactStore]] (atomic, idempotent, versioned). */
+  /** Train the M per-subspace codebooks over `e.embedding` (each fit is
+    * model-sized output; at 100 TB each trains on a bounded sample). */
+  def trainPqCodebooks(s: SparkSession, e: DataFrame): DataFrame = {
+    val rows = (0 until PqM).flatMap { m =>
+      val sub = e.select(org.apache.spark.ml.functions
+        .array_to_vector(subVec(col("embedding"), m)).as("features"))
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(PqK).setSeed(42L + m).setMaxIter(10).fit(sub)
+      model.clusterCenters.zipWithIndex.map { case (c, code) =>
+        (m, code, c.toArray)
+      }
+    }
+    s.createDataFrame(rows).toDF("m", "code", "centroid")
+  }
+
+  /** Encode the corpus against a codebook: nearest code per (vector,
+    * subspace) by the train metric (squared L2), via ONE posexplode scan
+    * joined to the broadcast codebook. `carry` columns ride through the
+    * reassembly aggregate (e.g. the IVF cluster id). */
+  def pqEncode(e: DataFrame, cb: DataFrame,
+               carry: Seq[String] = Nil): DataFrame = {
+    val subs = e.select(
+      (col("vec_id") +: carry.map(col)) :+ posexplode(array(
+        (0 until PqM).map(m => subVec(col("embedding"), m)): _*))
+        .as(Seq("m", "sv")): _*)
+    val aggs = min(struct(col("__d"), col("code"))).as("__w") +:
+      carry.map(c => first(col(c)).as(c))
+    val perSub = subs.join(broadcast(cb), Seq("m"))
+      .withColumn("__d", expr(
+        """aggregate(zip_with(sv, centroid,
+          |  (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+          |  0D, (acc, x) -> acc + x)""".stripMargin))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(aggs.head, aggs.tail: _*)
+    val reAggs = transform(
+      array_sort(collect_list(struct(col("m"), col("__w.code").as("c")))),
+      x => x.getField("c")).as("codes") +:
+      carry.map(c => first(col(c)).as(c))
+    perSub.groupBy(col("vec_id")).agg(reAggs.head, reAggs.tail: _*)
+  }
+
   def buildPqStore(s: SparkSession, dir: String): String = {
     val root = graft.sources.ArtifactStore.root("pq", StoreVersion, dir)
     ensureBuilt(root) { staging =>
       val e = t(s, dir, "embeddings")
-      val rows = (0 until PqM).flatMap { m =>
-        val sub = e.select(org.apache.spark.ml.functions
-          .array_to_vector(subVec(col("embedding"), m)).as("features"))
-        val model = new org.apache.spark.ml.clustering.KMeans()
-          .setK(PqK).setSeed(42L + m).setMaxIter(10).fit(sub)
-        model.clusterCenters.zipWithIndex.map { case (c, code) =>
-          (m, code, c.toArray)
-        }
-      }
-      val cb = s.createDataFrame(rows).toDF("m", "code", "centroid")
+      val cb = trainPqCodebooks(s, e)
       cb.coalesce(1).write.parquet(s"$staging/codebook")
-      val subs = e.select(col("vec_id"), posexplode(array(
-        (0 until PqM).map(m => subVec(col("embedding"), m)): _*))
-        .as(Seq("m", "sv")))
-      subs.join(broadcast(cb), Seq("m"))
-        .withColumn("__d", expr(
-          """aggregate(zip_with(sv, centroid,
-            |  (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
-            |  0D, (acc, x) -> acc + x)""".stripMargin))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("__d"), col("code"))).as("__w"))
-        .groupBy(col("vec_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("m"), col("__w.code").as("c")))),
-          x => x.getField("c")).as("codes"))
-        .write.parquet(s"$staging/codes")
+      pqEncode(e, cb).write.parquet(s"$staging/codes")
     }
     root
   }
@@ -556,6 +574,123 @@ object Similarity {
       |  LIMIT 20
       |)
       |SELECT CAST(20 AS BIGINT) AS n_pq,
+      |  TRUE AS recall_ok,
+      |  TRUE AS best_found,
+      |  (SELECT max(cos) FROM bf) AS bf_top1_cos""".stripMargin
+
+  // --- IVF-PQ composition (IVFADC shape) -----------------------------------
+
+  /** OFFLINE BUILD, composed index: the k-means coarse quantizer
+    * partitions the corpus into clusters AND the PQ codebooks compress
+    * every vector to an 8-code word; codes and raw vectors are both
+    * stored hive-partitioned by cluster. This is the IVFADC layout
+    * (Jégou et al. 2011 §IV) minus residual encoding — codes quantize
+    * the raw vector, not (v − centroid); the probe's exact-rerank tail
+    * absorbs the recall the simplification costs, and the certificate
+    * gate measures it. At 1e9+ vectors this is THE serving layout:
+    * probes touch nprobe/k of the codes files (partition pruning), ADC
+    * never reads a float vector, and only the shortlist hits the raw
+    * store. */
+  def buildIvfPqStore(s: SparkSession, dir: String): String = {
+    val root = graft.sources.ArtifactStore.root("ivfpq", StoreVersion, dir)
+    ensureBuilt(root) { staging =>
+      val assigned = kmeansAssign(t(s, dir, "embeddings")).persist()
+      try {
+        assigned.write.partitionBy("cluster").parquet(s"$staging/assign")
+        centroids(assigned.drop("label").withColumnRenamed("cluster", "label"))
+          .withColumnRenamed("label", "cluster")
+          .coalesce(1).write.parquet(s"$staging/centroids")
+        val cb = trainPqCodebooks(s, assigned)
+        cb.coalesce(1).write.parquet(s"$staging/codebook")
+        pqEncode(assigned, cb, carry = Seq("cluster"))
+          .write.partitionBy("cluster").parquet(s"$staging/codes")
+      } finally assigned.unpersist()
+    }
+    root
+  }
+
+  /** IVF-PQ probe: pick the top-`nprobe` clusters against the stored
+    * centroids (tiny scan, bounded collect — the probeKmeansStore
+    * discipline), ADC-score ONLY those clusters' code files (partition
+    * pruning before file listing), exact-rerank the bounded shortlist
+    * from the equally-pruned raw store. */
+  def probeIvfPqStore(s: SparkSession, root: String, q: DataFrame,
+                      nprobe: Int = 4, shortlist: Int = 100,
+                      topk: Int = 20): DataFrame = {
+    val probedIds = s.read.parquet(s"$root/centroids")
+      .crossJoin(broadcast(q))
+      .select(col("cluster"), dot(col("centroid"), col("q_emb")).as("cscore"))
+      .orderBy(col("cscore").desc, col("cluster"))
+      .limit(nprobe)
+      .select(col("cluster"))
+      .collect().map(_.get(0)).toSeq // ≤nprobe rows — bounded
+    val cb = s.read.parquet(s"$root/codebook")
+    val lut = cb.crossJoin(broadcast(q))
+      .select(col("m"), col("code"),
+        floor(dot(col("centroid"),
+          expr(s"slice(q_emb, m * $PqSub + 1, $PqSub)"))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("ip6"))
+    val adcShort = s.read.parquet(s"$root/codes")
+      .where(col("cluster").isin(probedIds: _*))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("ip6")).as("adc6"))
+      .orderBy(col("adc6").desc, col("vec_id"))
+      .limit(shortlist)
+      .select(col("vec_id"),
+        (col("adc6").cast("double") / 1000000.0).as("adc"))
+    s.read.parquet(s"$root/assign")
+      .where(col("cluster").isin(probedIds: _*))
+      .join(broadcast(adcShort), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"), col("cluster"), col("adc"),
+        r6(dot(col("embedding"), col("q_emb"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(topk)
+  }
+
+  /** IVF-PQ top-k for the gate query (rows-only — two learned
+    * quantizers); [[qSimIvfPqRecall]] carries the oracle-checked
+    * claims. */
+  def qSimIvfPq(s: SparkSession, dir: String): DataFrame =
+    probeIvfPqStore(s, buildIvfPqStore(s, dir), queryVec(s, dir))
+
+  /** Certificate for the composed index: both quantization stages are in
+    * the loop, so this measures what cluster pruning AND code
+    * compression together cost against brute force. */
+  def qSimIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val ivfpq = qSimIvfPq(s, dir).select(col("vec_id"), col("cos"))
+    val bf = qSimBruteForce(s, dir).select(col("vec_id"), col("cos"))
+    val n = ivfpq.agg(count(lit(1)).as("n_ivfpq"))
+    val hits = ivfpq.select(col("vec_id"))
+      .join(bf.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    val top = ivfpq.orderBy(col("cos").desc, col("vec_id")).limit(1)
+      .select(col("vec_id").as("pq_top_id"))
+    val bfTop = bf.orderBy(col("cos").desc, col("vec_id")).limit(1)
+      .select(col("vec_id").as("bf_top_id"), col("cos").as("bf_top1_cos"))
+    n.crossJoin(hits).crossJoin(top).crossJoin(bfTop)
+      .select(col("n_ivfpq"),
+        (col("n_hits").cast("double") / col("n_ivfpq") >= 0.5)
+          .as("recall_ok"),
+        (col("pq_top_id") === col("bf_top_id")).as("best_found"),
+        col("bf_top1_cos"))
+  }
+
+  val qSimIvfPqRecallSql: String =
+    s"""WITH $qvCte,
+      |bf AS (
+      |  SELECT e.vec_id,
+      |    floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.q_emb)
+      |          * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |  FROM embeddings e, qv
+      |  WHERE e.vec_id <> qv.q_id
+      |  ORDER BY cos DESC, e.vec_id
+      |  LIMIT 20
+      |)
+      |SELECT CAST(20 AS BIGINT) AS n_ivfpq,
       |  TRUE AS recall_ok,
       |  TRUE AS best_found,
       |  (SELECT max(cos) FROM bf) AS bf_top1_cos""".stripMargin
@@ -782,6 +917,8 @@ object Similarity {
     "q_sim_lsh_topk" -> (qSimLsh _),
     "q_sim_pq_topk" -> (qSimPq _),
     "q_sim_pq_recall" -> (qSimPqRecall _),
+    "q_sim_ivfpq_topk" -> (qSimIvfPq _),
+    "q_sim_ivfpq_recall" -> (qSimIvfPqRecall _),
     "q_retrieval_hybrid" -> (qRetrievalHybrid _),
     "q_retrieval_rrf" -> (qRetrievalRrf _))
 
@@ -795,6 +932,7 @@ object Similarity {
     "q_sim_ivf_kmeans_recall" -> qSimIvfKmeansRecallSql,
     "q_sim_lsh_topk" -> qSimLshSql,
     "q_sim_pq_recall" -> qSimPqRecallSql,
+    "q_sim_ivfpq_recall" -> qSimIvfPqRecallSql,
     "q_retrieval_hybrid" -> qRetrievalHybridSql,
     "q_retrieval_rrf" -> qRetrievalRrfSql)
 }

@@ -643,6 +643,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(cert.getAs[Boolean]("best_found"))
   }
 
+  test("IVF-PQ: probed clusters only, exact rerank scores, certificate " +
+      "holds with both quantizers in the loop") {
+    import org.apache.spark.sql.functions._
+    val root = operators.Similarity.buildIvfPqStore(spark, sf)
+    // codes store carries the cluster partition and well-formed words
+    val codes = spark.read.parquet(s"$root/codes")
+    val e = Engine.table(spark, sf, "embeddings")
+    assert(codes.count() === e.count())
+    assert(codes.filter(size(col("codes"))
+      =!= operators.Similarity.PqM).count() === 0)
+    val out = operators.Similarity.qSimIvfPq(spark, sf).collect()
+    assert(out.length === 20)
+    // reported cos is the exact dot (rerank contract)
+    val vecs = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](r.fieldIndex("embedding"))).toMap
+    val q = vecs(vecs.keys.min)
+    out.foreach { r =>
+      val exact = q.zip(vecs(r.getLong(0)))
+        .map { case (a, b) => a.toDouble * b.toDouble }.sum
+      assert(r.getAs[Double]("cos") ===
+        math.floor(exact * 1e6 + 0.5) / 1e6)
+    }
+    // deterministic
+    val again = operators.Similarity.qSimIvfPq(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
+    // certificate: recall floor vs brute force (best_found additionally
+    // requires the true NN's cluster to be probed — asserted at the
+    // driver's sf0.01 gate, where it holds)
+    val cert = operators.Similarity.qSimIvfPqRecall(spark, sf).first()
+    assert(cert.getAs[Boolean]("recall_ok"))
+  }
+
   test("IVF incremental add: appended vectors get the nearest stored " +
       "centroid and are findable through the standard probe") {
     import org.apache.spark.sql.functions._
