@@ -59,11 +59,18 @@ class MaterializedAgg(spark: SparkSession, root: String,
     a.unionByName(b).groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Staged snapshot replacement ([[DeltaStore]] rewrite discipline). */
-  private def rewrite(df: DataFrame): Unit = {
+  /** Staged snapshot replacement ([[DeltaStore]] rewrite discipline).
+    * When `epochId` is set, the watermark file is created INSIDE the
+    * staging dir before the promote, so state and watermark publish in
+    * the same atomic move. */
+  private def rewrite(df: DataFrame, epochId: Option[Long] = None): Unit = {
     val staging = new Path(s"$root/_staging")
     val old = new Path(s"$root/_old")
     df.write.mode("overwrite").parquet(staging.toString)
+    epochId.foreach { id =>
+      val out = fs.create(new Path(staging, "_refresh_id"), true)
+      try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    }
     fs.delete(old, true)
     if (fs.exists(new Path(snapPath))) fs.rename(new Path(snapPath), old)
     fs.rename(staging, new Path(snapPath))
@@ -77,6 +84,37 @@ class MaterializedAgg(spark: SparkSession, root: String,
     * with the |groups|-row stored state. Never rescans the base. */
   def refresh(batch: DataFrame): Unit =
     rewrite(merge(spark.read.parquet(snapPath), partial(batch)))
+
+  // --- exactly-once streaming maintenance ----------------------------------
+
+  private def idPath = new Path(s"$snapPath/_refresh_id")
+
+  /** Highest epoch folded into the snapshot (−1 = none). Travels INSIDE
+    * the snapshot dir, so the staged-rewrite swap publishes state and
+    * watermark in one atomic move — a crash between "state updated" and
+    * "watermark updated" cannot exist. */
+  def lastRefreshId(): Long = {
+    val f = fs
+    if (!f.exists(idPath)) -1L
+    else {
+      val in = f.open(idPath)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Idempotent refresh keyed on a monotonic epoch (Structured
+    * Streaming's foreachBatch batchId): a replayed epoch ≤ the stored
+    * watermark is a no-op, so restarts re-deliver batches without
+    * double-counting — the MvccStore txid discipline applied to the
+    * summary table. Returns true iff the batch was folded. */
+  def refreshOnce(batch: DataFrame, epochId: Long): Boolean = {
+    if (epochId <= lastRefreshId()) return false
+    rewrite(merge(spark.read.parquet(snapPath), partial(batch)),
+      epochId = Some(epochId))
+    true
+  }
 
   /** The maintained view: per-group count, exact fixed-point SUM and
     * derived AVG (the [[graft.operators.Relational.dsum]]/davg

@@ -113,6 +113,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.read().count() === n)
   }
 
+  test("streaming summary maintenance: exactly-once, bit-equal to a " +
+      "one-shot aggregate, replay is a no-op") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_mview").toString
+    val ev = Engine.table(spark, sf, "events")
+    val view = new graft.sources.MaterializedAgg(spark, tmp,
+      Seq("event_type"), Seq("value"))
+    view.init(ev.limit(0)) // empty snapshot, schema fixed
+    val q = EventStream.maintainSummary(
+      EventStream.readEvents(spark, sf), view)
+    q.awaitTermination(120000)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getString(0) -> (r.getAs[Long]("n_rows"),
+        r.getAs[Double]("sum_value"), r.getAs[Double]("min_value"),
+        r.getAs[Double]("max_value"))).toMap
+    val streamed = key(view.read().collect())
+    // one-shot over the same rows, same fixed-point convention
+    val batch = key(ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_rows"),
+      (sum(graft.operators.Relational.dec(col("value"))).cast("double")
+        / 10000.0).as("sum_value"),
+      min(col("value")).as("min_value"),
+      max(col("value")).as("max_value")).collect())
+    assert(streamed === batch)
+    // replaying an already-folded epoch must not double-count
+    val before = view.lastRefreshId()
+    assert(before >= 0)
+    assert(!view.refreshOnce(ev.limit(50), before))
+    assert(key(view.read().collect()) === batch)
+    // a NEW epoch still folds
+    assert(view.refreshOnce(ev.limit(0), before + 1))
+    assert(view.lastRefreshId() === before + 1)
+  }
+
   test("stream-static enrichment matches the batch join, no shuffle added") {
     val dim = Engine.table(spark, sf, "customer")
     val q = EventStream.enrich(EventStream.readEvents(spark, sf), dim)
