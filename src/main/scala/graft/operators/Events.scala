@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Engine
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Relational.{dsum, davg, sqlDsum, sqlDavg}
 
@@ -244,13 +244,106 @@ object Events {
       |)
       |GROUP BY user_id""".stripMargin
 
+  /** Ordered conversion funnel view → click → purchase: each stage's
+    * timestamp must FOLLOW the previous stage's (a purchase before the
+    * first view does not convert — the property plain per-type counts
+    * get wrong). Three per-user conditional-min aggregates, every one
+    * keyed on user_id, so at scale the whole funnel is one logical
+    * shuffle key; the final report is a 1-row rollup with fixed-point
+    * conversion rates. */
+  def qEventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val s1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+    val s2 = ev.join(s1, Seq("user_id"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(when(col("event_type") === "click"
+        && col("ts") > col("t_view"), col("ts"))).as("t_click"))
+    val s3 = ev.join(s2, Seq("user_id"))
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(when(col("event_type") === "purchase"
+        && col("ts") > col("t_click"), col("ts"))).as("t_purchase"))
+    def rate(num: Column, den: Column): Column =
+      floor(num.cast("double") / den * lit(1000000.0) + lit(0.5)) /
+        lit(1000000.0)
+    val n = count(lit(1))
+    val nView = count(col("t_view"))
+    val nClick = count(col("t_click"))
+    val nPurchase = count(col("t_purchase"))
+    s3.agg(n.as("n_users"), nView.as("n_view"),
+      nClick.as("n_view_click"), nPurchase.as("n_full_funnel"),
+      rate(count(col("t_click")), count(col("t_view"))).as("click_rate"),
+      rate(count(col("t_purchase")), count(col("t_click")))
+        .as("purchase_rate"))
+  }
+
+  val qEventsFunnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      |  FROM events GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, s1.t_view,
+      |    MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view
+      |             THEN e.ts END) AS t_click
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  GROUP BY e.user_id, s1.t_view
+      |), s3 AS (
+      |  SELECT e.user_id, s2.t_view, s2.t_click,
+      |    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click
+      |             THEN e.ts END) AS t_purchase
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  GROUP BY e.user_id, s2.t_view, s2.t_click
+      |)
+      |SELECT COUNT(*) AS n_users,
+      |  COUNT(t_view) AS n_view,
+      |  COUNT(t_click) AS n_view_click,
+      |  COUNT(t_purchase) AS n_full_funnel,
+      |  FLOOR(CAST(COUNT(t_click) AS DOUBLE) / COUNT(t_view)
+      |        * 1000000.0 + 0.5) / 1000000.0 AS click_rate,
+      |  FLOOR(CAST(COUNT(t_purchase) AS DOUBLE) / COUNT(t_click)
+      |        * 1000000.0 + 0.5) / 1000000.0 AS purchase_rate
+      |FROM s3""".stripMargin
+
+  /** Cohort retention: users cohorted by first-activity day, retention =
+    * distinct users active again k days later. Two keyed aggregates
+    * (user_id, then (cohort_day, k)) — the corpus shuffles once per key;
+    * distinct (user, day) activity collapses map-side before either. */
+  def qEventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val activity = ev
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohort = activity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    activity.join(cohort, Seq("user_id"))
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("k"),
+        col("user_id"))
+      .groupBy(col("cohort_day"), col("k"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val qEventsRetentionSql: String =
+    """WITH activity AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), cohort AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM activity
+      |  GROUP BY user_id
+      |)
+      |SELECT c.cohort_day, CAST(a.day - c.cohort_day AS INTEGER) AS k,
+      |  COUNT(*) AS n_users
+      |FROM activity a JOIN cohort c ON a.user_id = c.user_id
+      |GROUP BY c.cohort_day, k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_hourly" -> (qEventsHourly _),
     "q_events_props" -> (qEventsProps _),
     "q_events_json" -> (qEventsJson _),
     "q_json_funcs" -> (qJsonFuncs _),
     "q_events_gapfill" -> (qEventsGapfill _),
-    "q_events_sessions" -> (qEventsSessions _))
+    "q_events_sessions" -> (qEventsSessions _),
+    "q_events_funnel" -> (qEventsFunnel _),
+    "q_events_retention" -> (qEventsRetention _))
 
   val oracles: Map[String, String] = Map(
     "q_events_hourly" -> qEventsHourlySql,
@@ -258,5 +351,7 @@ object Events {
     "q_events_json" -> qEventsJsonSql,
     "q_json_funcs" -> qJsonFuncsSql,
     "q_events_gapfill" -> qEventsGapfillSql,
-    "q_events_sessions" -> qEventsSessionsSql)
+    "q_events_sessions" -> qEventsSessionsSql,
+    "q_events_funnel" -> qEventsFunnelSql,
+    "q_events_retention" -> qEventsRetentionSql)
 }

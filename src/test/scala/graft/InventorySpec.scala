@@ -29,10 +29,10 @@ class InventorySpec extends AnyFunSuite {
   // gates in round 10 and must never silently shrink again — a module that
   // stops contributing entries (or a rename that drops one) fails the
   // suite loudly instead of vanishing from the driver's correctness JSON.
-  test("gate-count canary: declared query surface never shrinks below 173") {
-    // floor ratchets up as gates land (161 at r10's peak, 173 mid-r13)
-    assert(SparkEntry.queries.size >= 173,
-      s"declared gates shrank to ${SparkEntry.queries.size} (floor 173): " +
+  test("gate-count canary: declared query surface never shrinks below 175") {
+    // floor ratchets up as gates land (161 at r10's peak, 175 mid-r13)
+    assert(SparkEntry.queries.size >= 175,
+      s"declared gates shrank to ${SparkEntry.queries.size} (floor 175): " +
         "a module stopped contributing entries")
   }
 
@@ -178,6 +178,26 @@ class InventorySpec extends AnyFunSuite {
           _.getAs[Double]("second_price") === ordd(1).getAs[Double]("o_totalprice")))
       else assert(ordd.forall(_.isNullAt(ordd.head.fieldIndex("second_price"))))
     }
+  }
+
+  test("funnel is monotone and retention day-0 covers every cohort user") {
+    import org.apache.spark.sql.functions._
+    val f = operators.Events.qEventsFunnel(spark, sf).first()
+    val (n, v, c, p) = (f.getAs[Long]("n_users"), f.getAs[Long]("n_view"),
+      f.getAs[Long]("n_view_click"), f.getAs[Long]("n_full_funnel"))
+    assert(n >= v && v >= c && c >= p,
+      s"funnel stages must shrink: $n >= $v >= $c >= $p")
+    assert(v > 0, "fixture has views")
+    val ret = operators.Events.qEventsRetention(spark, sf)
+    // day-0 retention per cohort = cohort size (every user is active on
+    // their own first day by construction)
+    val day0 = ret.filter(col("k") === 0)
+      .agg(sum(col("n_users"))).first().getLong(0)
+    val users = Engine.table(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(day0 === users)
+    // no negative offsets: first-activity day is the minimum
+    assert(ret.filter(col("k") < 0).count() === 0)
   }
 
   test("approximate aggregates track exact within sketch error bounds") {
