@@ -109,6 +109,67 @@ object Scale {
       |         AND epoch_us(CAST(c.ts AS TIMESTAMP)) + 3600000000
       |GROUP BY p.user_id""".stripMargin
 
+  /** Interval × interval OVERLAP join (both sides are ranges — the shape
+    * [[bandedRangeJoin]]'s point-in-interval form cannot express):
+    * overlap ⇔ `a_lo ≤ b_hi ∧ b_lo ≤ a_hi`. Raw, that is a pure
+    * inequality join — BroadcastNestedLoopJoin, the O(|a|·|b|) plan.
+    * Both sides explode to their covered bands, join on the band key,
+    * and each surviving pair is kept exactly ONCE — in the band of
+    * `max(a_lo, b_lo)` (the first band both intervals inhabit) — so no
+    * distinct-dedup shuffle is needed after the multi-band explode.
+    * Fan-out is interval_span/bandWidth rows per side; size bandWidth to
+    * the typical span (the bandedRangeJoin guidance). */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, bandWidth: Long,
+                          keys: Seq[String] = Nil): DataFrame = {
+    def banded(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__band", explode(sequence(
+        floor(col(lo) / bandWidth).cast("long"),
+        floor(col(hi) / bandWidth).cast("long"))))
+    banded(a, "a_lo", "a_hi").join(banded(b, "b_lo", "b_hi"),
+        "__band" +: keys)
+      .where(col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi")
+        && col("__band") ===
+          floor(greatest(col("a_lo"), col("b_lo")) / bandWidth).cast("long"))
+      .drop("__band")
+  }
+
+  /** Overlap gate: pairs of users whose same-day activity intervals
+    * (first..last event of the day) overlap — the concurrency-analysis
+    * shape. Per day: pair count and the longest pairwise co-activity.
+    * Keys the band join on (day, hour-band); the `a < b` residual halves
+    * the self-join. */
+  def qIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val iv = graft.Engine.table(s, dir, "events")
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(unix_micros(min(col("ts")).cast("timestamp")).as("lo"),
+        unix_micros(max(col("ts")).cast("timestamp")).as("hi"))
+    val a = iv.select(col("d"), col("user_id").as("a_user"),
+      col("lo").as("a_lo"), col("hi").as("a_hi"))
+    val b = iv.select(col("d"), col("user_id").as("b_user"),
+      col("lo").as("b_lo"), col("hi").as("b_hi"))
+    intervalOverlapJoin(a, b, hourUs, keys = Seq("d"))
+      .where(col("a_user") < col("b_user"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(least(col("a_hi"), col("b_hi"))
+          - greatest(col("a_lo"), col("b_lo"))).as("max_overlap_us"))
+  }
+
+  val qIntervalOverlapSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d,
+      |    epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS lo,
+      |    epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS hi
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE)
+      |)
+      |SELECT a.d, COUNT(*) AS n_pairs,
+      |  MAX(LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo)) AS max_overlap_us
+      |FROM iv a JOIN iv b
+      |  ON a.d = b.d AND a.user_id < b.user_id
+      | AND a.lo <= b.hi AND b.lo <= a.hi
+      |GROUP BY a.d""".stripMargin
+
   /** Salted-aggregation gate: the skewed-group-key remedy, proven
     * value-identical to a plain GROUP BY (fixed-point long partials make
     * the two-stage sum order-independent, so salting cannot change the
@@ -149,11 +210,13 @@ object Scale {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> (qRangeJoin _),
+    "q_interval_overlap" -> (qIntervalOverlap _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_salted_join" -> (qSaltedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_range_join" -> qRangeJoinSql,
+    "q_interval_overlap" -> qIntervalOverlapSql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_salted_join" -> qSaltedJoinSql)
 

@@ -52,6 +52,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(banded.exceptAll(plain).count() === 0)
   }
 
+  test("interval overlap join equals the nested-loop overlap join, " +
+      "no duplicate pairs from the multi-band explode") {
+    val iv = Engine.table(spark, sf, "supplier")
+      .select(col("s_suppkey"),
+        (col("s_acctbal") - 300.0).as("lo"),
+        (col("s_acctbal") + 300.0).as("hi"))
+    val a = iv.select(col("s_suppkey").as("a_id"),
+      col("lo").as("a_lo"), col("hi").as("a_hi"))
+    val b = iv.select(col("s_suppkey").as("b_id"),
+      col("lo").as("b_lo"), col("hi").as("b_hi"))
+    val plain = a.join(b, col("a_lo") <= col("b_hi")
+      && col("b_lo") <= col("a_hi") && col("a_id") < col("b_id"))
+    // bandWidth far smaller than the span forces multi-band explode —
+    // the dedup-by-first-shared-band rule must still emit each pair once
+    val banded = Scale.intervalOverlapJoin(a, b, bandWidth = 100L)
+      .where(col("a_id") < col("b_id"))
+    assert(plain.count() === banded.count())
+    assert(plain.exceptAll(banded).count() === 0)
+    assert(banded.exceptAll(plain).count() === 0)
+  }
+
   test("partitioned write prunes at the partition level on read") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     val ev = Engine.table(spark, sf, "events")
