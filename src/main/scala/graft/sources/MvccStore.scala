@@ -275,12 +275,54 @@ class MvccStore(spark: SparkSession, val root: String,
     * added later read as NULL in older segments — the lakehouse form of
     * the reference's ALTER-add-column rewrite
     * (core/tianmu_table.h:73-75), without rewriting history. */
+  /** Resolve a manifest segment entry: plain names live under this
+    * store's `data/`; absolute/URI entries are EXTERNAL references (a
+    * shallow clone pointing at its source's segments). */
+  private def segPath(s: String): String =
+    if (s.startsWith("/") || s.contains("://")) s else s"$dataDir/$s"
+
   def read(version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(currentVersion())
     if (v == 0)
       throw new IllegalStateException("MvccStore: empty store (no commits)")
     spark.read.option("mergeSchema", "true")
-      .parquet(readManifest(v).segs.map(s => s"$dataDir/$s"): _*)
+      .parquet(readManifest(v).segs.map(segPath): _*)
+  }
+
+  /** Zero-copy SHALLOW CLONE (the Delta/Iceberg CLONE shape): the
+    * target's v1 manifest references THIS store's immutable segments by
+    * absolute path — no data moves, the clone costs one manifest write
+    * at any table size. The clone then evolves independently (appends
+    * land in its own `data/`; `compact()` localizes everything — clone
+    * + compact = deep copy). Retention contract, same as Delta shallow
+    * clones: the SOURCE's vacuum does not know about clones, so pin or
+    * compact the clone before vacuuming the source past the cloned
+    * version. The clone's own vacuum only ever deletes files under its
+    * own `data/`, never external references. */
+  def cloneTo(targetRoot: String,
+              version: Option[Long] = None): MvccStore = {
+    val v = version.getOrElse(currentVersion())
+    val m = readManifest(v)
+    val target = new MvccStore(spark, targetRoot, autoCompactSegments)
+    if (!target.publish(1L, "clone", m.segs.map(segPath)))
+      throw new java.util.ConcurrentModificationException(
+        s"MvccStore: target '$targetRoot' is already initialized")
+    target
+  }
+
+  /** Rows added between two snapshots. Append-only lineage (v2's
+    * manifest contains every v1 segment) reads ONLY the added segments
+    * — O(delta), no comparison of live rows; across a rewrite
+    * (compact/overwrite) it falls back to the exact but expensive
+    * `exceptAll` anti-diff. */
+  def diff(v1: Long, v2: Long): DataFrame = {
+    val s1 = readManifest(v1).segs.map(segPath).toSet
+    val s2 = readManifest(v2).segs.map(segPath)
+    if (s1.subsetOf(s2.toSet)) {
+      val added = s2.filterNot(s1)
+      if (added.isEmpty) read(Some(v2)).limit(0)
+      else spark.read.option("mergeSchema", "true").parquet(added: _*)
+    } else read(Some(v2)).exceptAll(read(Some(v1)))
   }
 
   /** DESCRIBE HISTORY analog: one row per retained version —

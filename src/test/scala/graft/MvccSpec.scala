@@ -227,6 +227,59 @@ class MvccSpec extends AnyFunSuite {
     assert(q.count() === c.filter(col("c_custkey") === 42L).count())
   }
 
+  test("shallow clone: zero-copy snapshot, independent evolution, " +
+      "compact localizes") {
+    import org.apache.spark.sql.functions.col
+    val src = freshStore()
+    val n = Engine.table(spark, sf, "nation")
+    src.init(n.filter(col("n_nationkey") < 10))
+    val v1 = src.currentVersion()
+    src.commitAppend(n.filter(col("n_nationkey") >= 10))
+    // clone the OLD version; it must see exactly that snapshot
+    val cloneRoot = Files.createTempDirectory("graft_mvcc_clone").toString
+    val clone = src.cloneTo(cloneRoot, Some(v1))
+    assert(clone.read().count() === src.read(Some(v1)).count())
+    // zero-copy: the clone's data dir holds no segments yet
+    val cloneData = new java.io.File(s"$cloneRoot/data")
+    assert(!cloneData.exists() || cloneData.listFiles().isEmpty)
+    // independent evolution: clone appends do not touch the source
+    val srcHead = src.currentVersion()
+    clone.commitAppend(n.filter(col("n_nationkey") >= 20))
+    assert(src.currentVersion() === srcHead)
+    // compact localizes every row into the clone's own segments: the
+    // head manifest now references only local (relative) names
+    clone.compact()
+    val head = f"v${clone.currentVersion()}%08d.manifest"
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$cloneRoot/_log/$head")), "UTF-8")
+    val segs = manifest.split("\n").filter(_.startsWith("seg-")).toSeq ++
+      manifest.split("\n").filter(_.startsWith("/")).toSeq
+    assert(segs.nonEmpty && segs.forall(_.startsWith("seg-")),
+      s"compact left external references: $manifest")
+    // cloned snapshot (nations < 10) + the clone's own append (>= 20)
+    assert(clone.read().count() ===
+      n.filter(col("n_nationkey") < 10).count()
+        + n.filter(col("n_nationkey") >= 20).count())
+  }
+
+  test("diff: append lineage reads only added segments; rewrite falls " +
+      "back to the exact anti-diff") {
+    import org.apache.spark.sql.functions.col
+    val store = freshStore()
+    val r = Engine.table(spark, sf, "region")
+    store.init(r.filter(col("r_regionkey") < 2))
+    val v1 = store.currentVersion()
+    val v2 = store.commitAppend(r.filter(col("r_regionkey") >= 2))
+    val added = store.diff(v1, v2)
+    val want = r.filter(col("r_regionkey") >= 2).count()
+    assert(added.count() === want)
+    assert(store.diff(v1, v1).count() === 0)
+    // compaction rewrites the head: diff across it must still be exact
+    val v3 = store.compact()
+    assert(store.diff(v1, v3).count() === want)
+    assert(store.diff(v2, v3).count() === 0) // same rows, new layout
+  }
+
   test("truncate keeps schema, drops rows, preserves history") {
     val store = freshStore()
     val r = Engine.table(spark, sf, "region")
