@@ -42,6 +42,7 @@ object SparkEntry {
     sources.Dml.queries -> sources.Dml.oracles,
     sources.MvccStore.queries -> sources.MvccStore.oracles,
     sources.MaterializedAgg.queries -> sources.MaterializedAgg.oracles,
+    sources.Formats.queries -> sources.Formats.oracles,
     sources.Statements.queries -> sources.Statements.oracles,
     sources.StatsSidecar.queries -> sources.StatsSidecar.oracles,
     operators.Pipeline.queries -> operators.Pipeline.oracles)
