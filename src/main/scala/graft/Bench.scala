@@ -46,6 +46,8 @@ object Bench {
     "q_events_hourly",          // time-bucketed agg
     "q_events_sessions",        // lag/session analytics
     "q_events_gapfill",         // resample + forward-fill (LOCF)
+    "q_events_funnel",          // ordered conversion funnel
+    "q_interval_overlap",       // interval-x-interval banded overlap join
     "q_json_funcs",             // JSON function tier
     "q_text_quality",           // text scoring scan
     "q_text_tokens",            // BPE-ish regex token count
@@ -84,6 +86,7 @@ object Bench {
     "q_decontaminate_embed",    // embedding-space decontamination
     "q_sim_pq_topk",            // PQ/ADC shortlist + exact rerank
     "q_sim_ivfpq_topk",         // composed IVF-PQ (partition-pruned ADC)
+    "q_hard_negatives",         // contrastive hard-negative band mining
     "q_mview_incremental",      // incremental summary-table maintenance
     "q_bpe_train")              // iterative BPE merge training (8 steps)
 

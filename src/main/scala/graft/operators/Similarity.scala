@@ -578,6 +578,64 @@ object Similarity {
       |  TRUE AS best_found,
       |  (SELECT max(cos) FROM bf) AS bf_top1_cos""".stripMargin
 
+  // --- hard-negative mining -------------------------------------------------
+
+  /** Cosine band defining a "hard" negative: similar enough to teach the
+    * model a boundary, below the near-duplicate zone (a near-dup used as
+    * a negative poisons contrastive training — it is secretly a
+    * positive). Bounds sit inside the testdata's cosine range so the
+    * gate exercises both cutoffs. */
+  val HardNegLo = 0.25
+  val HardNegHi = 0.45
+
+  /** Hard-negative mining for contrastive/embedding-model training
+    * (in-batch negatives are mostly easy; training signal comes from
+    * negatives NEAR the anchor — the ANCE/DPR mining step): for each
+    * anchor, the top-5 candidates inside the [lo, hi) cosine band.
+    *
+    * Scale shape: the anchor set is training-batch-sized and BROADCASTS;
+    * the corpus streams through one scan scoring against every anchor
+    * (broadcast nested-loop — the decontaminateEmbed contract), the band
+    * filter cuts in-scan, and the per-anchor top-5 runs as a
+    * WindowGroupLimit heap over bounded (anchor-keyed) partitions. At
+    * 1e9 vectors the scan side swaps for an ANN probe (the IVF/PQ stores
+    * above) feeding the same band filter — the downstream contract is
+    * unchanged. */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "embeddings")
+    val anchors = broadcast(e.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb")))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.join(anchors, col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("vec_id"),
+        r6(dot(col("embedding"), col("a_emb"))).as("cos"))
+      .where(col("cos") >= HardNegLo && col("cos") < HardNegHi)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("anchor_id"), col("rk"), col("vec_id"), col("cos"))
+  }
+
+  val qHardNegativesSql: String =
+    s"""WITH anchors AS (
+      |  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS a_emb
+      |  FROM embeddings WHERE vec_id % 100 = 0
+      |), banded AS (
+      |  SELECT a.anchor_id, e.vec_id,
+      |    floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), a.a_emb)
+      |          * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |  FROM embeddings e JOIN anchors a ON e.vec_id <> a.anchor_id
+      |), ranked AS (
+      |  SELECT anchor_id, vec_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+      |                            ORDER BY cos DESC, vec_id) AS INTEGER)
+      |      AS rk
+      |  FROM banded
+      |  WHERE cos >= $HardNegLo AND cos < $HardNegHi
+      |)
+      |SELECT anchor_id, rk, vec_id, cos FROM ranked WHERE rk <= 5""".stripMargin
+
   // --- IVF-PQ composition (IVFADC shape) -----------------------------------
 
   /** OFFLINE BUILD, composed index: the k-means coarse quantizer
@@ -918,6 +976,7 @@ object Similarity {
     "q_sim_pq_topk" -> (qSimPq _),
     "q_sim_pq_recall" -> (qSimPqRecall _),
     "q_sim_ivfpq_topk" -> (qSimIvfPq _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_sim_ivfpq_recall" -> (qSimIvfPqRecall _),
     "q_retrieval_hybrid" -> (qRetrievalHybrid _),
     "q_retrieval_rrf" -> (qRetrievalRrf _))
@@ -933,6 +992,7 @@ object Similarity {
     "q_sim_lsh_topk" -> qSimLshSql,
     "q_sim_pq_recall" -> qSimPqRecallSql,
     "q_sim_ivfpq_recall" -> qSimIvfPqRecallSql,
+    "q_hard_negatives" -> qHardNegativesSql,
     "q_retrieval_hybrid" -> qRetrievalHybridSql,
     "q_retrieval_rrf" -> qRetrievalRrfSql)
 }

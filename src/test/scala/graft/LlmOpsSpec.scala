@@ -643,6 +643,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(cert.getAs[Boolean]("best_found"))
   }
 
+  test("hard negatives: every pick inside the band, ranked, never the " +
+      "anchor itself") {
+    import operators.Similarity.{HardNegLo, HardNegHi}
+    val out = operators.Similarity.qHardNegatives(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val cos = r.getAs[Double]("cos")
+      assert(cos >= HardNegLo && cos < HardNegHi, s"out of band: $r")
+      assert(r.getAs[Int]("rk") >= 1 && r.getAs[Int]("rk") <= 5)
+      assert(r.getAs[Long]("anchor_id") !== r.getAs[Long]("vec_id"))
+    }
+    // within an anchor, ranks are dense and cosine non-increasing
+    out.groupBy(_.getAs[Long]("anchor_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq ===
+        (1 to sorted.length).toSeq)
+      val coss = sorted.map(_.getAs[Double]("cos"))
+      assert(coss.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
   test("IVF-PQ: probed clusters only, exact rerank scores, certificate " +
       "holds with both quantizers in the loop") {
     import org.apache.spark.sql.functions._
