@@ -296,10 +296,46 @@ object Aggregates {
       |FROM events
       |GROUP BY user_id""".stripMargin
 
+  /** UNPIVOT — wide-to-long melt, [[qPivot]]'s inverse (the reshaping
+    * pair): lineitem's four measure columns melt into (measure, v) rows,
+    * then aggregate per (returnflag, measure). The melt is a scan-side
+    * Expand (each input row emits 4, no shuffle); the only exchange is
+    * the final small-group aggregate. Fixed-point sums keep the gate
+    * hash-exact. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val measures = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax")
+    t(s, dir, "lineitem")
+      .select((col("l_returnflag") +: measures.map(col)): _*)
+      .unpivot(Array(col("l_returnflag")),
+        measures.map(col).toArray, "measure", "v")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"),
+        (sum(Relational.dec(col("v"))).cast("double") / 10000.0)
+          .as("sum_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+  }
+
+  val qUnpivotSql: String = {
+    val arms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(m =>
+        s"SELECT l_returnflag, '$m' AS measure, $m AS v FROM lineitem")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH long AS (
+      |  $arms
+      |)
+      |SELECT l_returnflag, measure, COUNT(*) AS n,
+      |  ${Relational.sqlDsum("v", "sum_v")},
+      |  MIN(v) AS min_v, MAX(v) AS max_v
+      |FROM long
+      |GROUP BY l_returnflag, measure""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_corr" -> (qAggCorr _),
     "q_agg_percentile" -> (qAggPercentile _),
     "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
     "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_stats" -> (qAggStats _),
     "q_agg_bits" -> (qAggBits _),
@@ -314,6 +350,7 @@ object Aggregates {
     "q_agg_corr" -> qAggCorrSql,
     "q_agg_percentile" -> qAggPercentileSql,
     "q_pivot" -> qPivotSql,
+    "q_unpivot" -> qUnpivotSql,
     "q_agg_distinct" -> qAggDistinctSql,
     "q_agg_stats" -> qAggStatsSql,
     "q_agg_bits" -> qAggBitsSql,

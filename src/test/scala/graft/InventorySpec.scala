@@ -29,10 +29,10 @@ class InventorySpec extends AnyFunSuite {
   // gates in round 10 and must never silently shrink again — a module that
   // stops contributing entries (or a rename that drops one) fails the
   // suite loudly instead of vanishing from the driver's correctness JSON.
-  test("gate-count canary: declared query surface never shrinks below 179") {
-    // floor ratchets up as gates land (161 at r10's peak, 179 mid-r13)
-    assert(SparkEntry.queries.size >= 179,
-      s"declared gates shrank to ${SparkEntry.queries.size} (floor 179): " +
+  test("gate-count canary: declared query surface never shrinks below 180") {
+    // floor ratchets up as gates land (161 at r10's peak, 180 mid-r13)
+    assert(SparkEntry.queries.size >= 180,
+      s"declared gates shrank to ${SparkEntry.queries.size} (floor 180): " +
         "a module stopped contributing entries")
   }
 
