@@ -133,42 +133,70 @@ object Scale {
       .drop("__band")
   }
 
-  /** Overlap gate: pairs of users whose same-day activity intervals
-    * (first..last event of the day) overlap — the concurrency-analysis
-    * shape. Per day: pair count and the longest pairwise co-activity.
-    * Keys the band join on (day, hour-band); the `a < b` residual halves
-    * the self-join. */
+  /** Overlap gate: pairs of users whose 30-min-gap SESSIONS overlap in
+    * time — "who was online together" concurrency analysis. Session
+    * intervals (not whole-day activity spans) keep the pair cardinality
+    * proportional to true concurrency: the first fixture used per-day
+    * min..max spans, nearly every user-pair overlapped, and the gate
+    * spent 9 s materializing a quadratic pair set at sf0.1 — dense
+    * all-pairs output is a FIXTURE property, not an operator cost.
+    * Bands are 30 min (the session-gap scale, per the bandWidth≈span
+    * guidance); the `a < b` residual halves the self-join. Per day:
+    * overlapping pair count and the longest co-session. */
   def qIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
-    val hourUs = 3600000000L
-    val iv = graft.Engine.table(s, dir, "events")
-      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
-      .agg(unix_micros(min(col("ts")).cast("timestamp")).as("lo"),
-        unix_micros(max(col("ts")).cast("timestamp")).as("hi"))
-    val a = iv.select(col("d"), col("user_id").as("a_user"),
+    import org.apache.spark.sql.expressions.Window
+    val halfHourUs = 1800000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val sess = graft.Engine.table(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull
+          || col("us") - col("prev_us") > halfHourUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    val a = sess.select(col("user_id").as("a_user"),
       col("lo").as("a_lo"), col("hi").as("a_hi"))
-    val b = iv.select(col("d"), col("user_id").as("b_user"),
+    val b = sess.select(col("user_id").as("b_user"),
       col("lo").as("b_lo"), col("hi").as("b_hi"))
-    intervalOverlapJoin(a, b, hourUs, keys = Seq("d"))
+    intervalOverlapJoin(a, b, halfHourUs)
       .where(col("a_user") < col("b_user"))
-      .groupBy(col("d"))
+      .groupBy(to_date(timestamp_micros(col("a_lo"))).as("d"))
       .agg(count(lit(1)).as("n_pairs"),
         max(least(col("a_hi"), col("b_hi"))
           - greatest(col("a_lo"), col("b_lo"))).as("max_overlap_us"))
   }
 
   val qIntervalOverlapSql: String =
-    """WITH iv AS (
-      |  SELECT user_id, CAST(ts AS DATE) AS d,
-      |    epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS lo,
-      |    epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS hi
-      |  FROM events GROUP BY user_id, CAST(ts AS DATE)
+    """WITH marked AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CASE WHEN LAG(ts, 1) OVER w IS NULL
+      |           OR epoch_us(CAST(ts AS TIMESTAMP))
+      |              - epoch_us(CAST(LAG(ts, 1) OVER w AS TIMESTAMP))
+      |              > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT user_id, us,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked
+      |), sess AS (
+      |  SELECT user_id, session_id, MIN(us) AS lo, MAX(us) AS hi
+      |  FROM numbered GROUP BY user_id, session_id
       |)
-      |SELECT a.d, COUNT(*) AS n_pairs,
+      |SELECT CAST(make_timestamp(a.lo) AS DATE) AS d, COUNT(*) AS n_pairs,
       |  MAX(LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo)) AS max_overlap_us
-      |FROM iv a JOIN iv b
-      |  ON a.d = b.d AND a.user_id < b.user_id
+      |FROM sess a JOIN sess b
+      |  ON a.user_id < b.user_id
       | AND a.lo <= b.hi AND b.lo <= a.hi
-      |GROUP BY a.d""".stripMargin
+      |GROUP BY CAST(make_timestamp(a.lo) AS DATE)""".stripMargin
 
   /** Salted-aggregation gate: the skewed-group-key remedy, proven
     * value-identical to a plain GROUP BY (fixed-point long partials make

@@ -76,6 +76,18 @@ class DeltaStore(spark: SparkSession, root: String) {
   def deltaCount(): Long =
     if (exists(deltaPath)) spark.read.parquet(deltaPath).count() else 0L
 
+  /** Whole-table transform under the staged-rewrite discipline: compact
+    * pending delta first (so `f` sees every row exactly once), then
+    * stage-and-swap `f(read())`. The DELETE/UPDATE statement forms ride
+    * this — the reference executes them as handler-level row ops
+    * (ha_tianmu.h:101-102); a columnar lakehouse executes them as a
+    * filtered/projected base rewrite, which is also what its own
+    * UPDATE/DELETE compaction jobs do. */
+  def rewriteWith(f: DataFrame => DataFrame): Unit = {
+    compact()
+    rewriteBase(f(spark.read.parquet(basePath)))
+  }
+
   /** ALTER TABLE … ADD COLUMN analog (TianmuTable add/drop,
     * core/tianmu_table.h:73-75): rewrite base with the new column
     * defaulted; pending delta is compacted first so the schema change

@@ -14,7 +14,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * `StatementRunner.run(sql)` accepts those two statement forms, the
   * `SELECT ROUGHLY` rough-query mode (engine_execute.cpp:450 — see
-  * [[StatementRunner.attachPacked]]), the session admin statements
+  * [[StatementRunner.attachPacked]]), the DML statement forms against
+  * attached stores (`INSERT INTO … [cols] VALUES …` through the delta
+  * append; `DELETE FROM … [WHERE]` / `UPDATE … SET … [WHERE]` as staged
+  * base rewrites with old-row UPDATE semantics — the reference's
+  * handler-level row DML, ha_tianmu.h:101-102, executed the columnar
+  * way), the session admin statements
   * (`SHOW TABLES`, `SHOW CREATE TABLE`, `DESCRIBE`/`DESC`/`SHOW COLUMNS
   * FROM`, `EXPLAIN SELECT …` — answered from the runner's catalog /
   * Catalyst's plan, with column types rendered back through the
@@ -66,6 +71,123 @@ class StatementRunner(spark: SparkSession) {
   private val OutfileRe: Regex =
     """(?is)\bINTO\s+OUTFILE\s+'([^']*)'""".r
   private val IgnoreLinesRe: Regex = """(?is)\bIGNORE\s+\d+\s+LINES""".r
+
+  // DML statement forms against attached stores (the reference's primary
+  // write surface: handler INSERT ha_tianmu.h write_row, DELETE/UPDATE
+  // ha_tianmu.h:101-102). INSERT appends through the delta store;
+  // DELETE/UPDATE execute as staged base rewrites (the columnar
+  // execution of row DML — what the reference's own delta-merge
+  // eventually does to packs).
+  private val InsertRe: Regex =
+    """(?is)^\s*INSERT\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
+  private val DeleteRe: Regex =
+    """(?is)^\s*DELETE\s+FROM\s+`?(\w+)`?\s*(?:WHERE\s+(.+?))?\s*;?\s*$""".r
+  private val UpdateRe: Regex =
+    """(?is)^\s*UPDATE\s+`?(\w+)`?\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+
+  private def attachedStore(table: String): DeltaStore =
+    stores.getOrElse(table.toLowerCase,
+      throw new IllegalArgumentException(
+        s"DML: table '$table' is not attached to this runner"))
+
+  /** Split on top-level commas (quote- and paren-aware) — `SET a = f(x,
+    * y), b = 'v,w'` must not split inside the call or the literal. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def runInsert(table: String, colList: String,
+                        tuples: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val store = attachedStore(table)
+    val schema = store.read().schema
+    val raw = spark.sql(s"SELECT * FROM VALUES $tuples")
+    val provided: Seq[String] =
+      if (colList == null || colList.trim.isEmpty) schema.map(_.name).toSeq
+      else splitTopLevel(colList).map(_.stripPrefix("`").stripSuffix("`"))
+    if (raw.schema.length != provided.length)
+      throw new IllegalArgumentException(
+        s"INSERT: ${raw.schema.length} values per row for " +
+          s"${provided.length} target columns")
+    val named = raw.toDF(provided: _*)
+    // positional cast into the table schema; unmentioned columns = NULL
+    // (MySQL's permissive default — strict modes are appendStrict's job)
+    val aligned = named.select(schema.map { f =>
+      if (provided.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    store.append(aligned)
+    store.read().createOrReplaceTempView(table)
+    import spark.implicits._
+    Seq((table, aligned.count())).toDF("table_name", "rows_inserted")
+  }
+
+  private def runDelete(table: String, whereClause: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, not}
+    val store = attachedStore(table)
+    val before = store.read().count()
+    if (whereClause == null) store.truncate()
+    else {
+      val cond = expr(MySqlDialect.rewrite(whereClause))
+      // SQL DELETE semantics: NULL-condition rows survive (NOT NULL=NULL)
+      store.rewriteWith(df => df.filter(not(cond) || cond.isNull))
+    }
+    store.read().createOrReplaceTempView(table)
+    import spark.implicits._
+    Seq((table, before - store.read().count()))
+      .toDF("table_name", "rows_deleted")
+  }
+
+  private def runUpdate(table: String, setList: String,
+                        whereClause: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    val store = attachedStore(table)
+    val assigns = splitTopLevel(setList).map { a =>
+      val i = a.indexOf('=')
+      if (i < 0) throw new IllegalArgumentException(
+        s"UPDATE SET: malformed assignment '$a'")
+      (a.substring(0, i).trim.stripPrefix("`").stripSuffix("`"),
+        MySqlDialect.rewrite(a.substring(i + 1).trim))
+    }
+    val cond =
+      if (whereClause == null) lit(true)
+      else expr(MySqlDialect.rewrite(whereClause))
+    val touched = store.read().filter(cond).count()
+    // ONE select so every RHS evaluates against the OLD row (standard
+    // UPDATE semantics — sequential withColumn would leak new values
+    // into later assignments)
+    store.rewriteWith { df =>
+      val bad = assigns.map(_._1).filterNot(df.columns.contains)
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"UPDATE: unknown column(s) ${bad.mkString(", ")}")
+      df.select(df.schema.map { f =>
+        assigns.find(_._1 == f.name) match {
+          case Some((_, rhs)) =>
+            when(cond, expr(rhs).cast(f.dataType))
+              .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toSeq: _*)
+    }
+    store.read().createOrReplaceTempView(table)
+    import spark.implicits._
+    Seq((table, touched)).toDF("table_name", "rows_updated")
+  }
 
   // Admin/diagnostic statements (the MySQL client-session surface the
   // reference inherits from its server half: SHOW TABLES / SHOW CREATE
@@ -266,6 +388,15 @@ class StatementRunner(spark: SparkSession) {
     case RoughlyRe(aggList, table, whereClause) =>
       runRoughly(aggList, table, whereClause)
 
+    case InsertRe(table, colList, tuples) =>
+      runInsert(table, colList, tuples)
+
+    case DeleteRe(table, whereClause) =>
+      runDelete(table, whereClause)
+
+    case UpdateRe(table, setList, whereClause) =>
+      runUpdate(table, setList, whereClause)
+
     case ShowTablesRe() =>
       import spark.implicits._
       (stores.keySet ++ packedTables.keySet).toSeq.sorted
@@ -380,11 +511,62 @@ object Statements {
     * EQUAL exact recomputation (DPN contract — rough ≠ approximate). */
   val qRoughSqlStatementSql: String = StatsSidecar.qRoughAggSql
 
+  /** DML as statement TEXT end-to-end (the reference's handler write
+    * path driven from SQL): seed an attached store with customer, run
+    * verbatim DELETE / UPDATE / INSERT statements, read the final state
+    * back through the runner's own catalog. The oracle replays the same
+    * three edits as pure relational algebra over the ORIGINAL table —
+    * hash equality proves statement parsing, the staged rewrites, AND
+    * old-row UPDATE semantics in one gate. */
+  def qSqlDmlStatements(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-dml-gate").toString
+    val customer = graft.Engine.table(s, dir, "customer")
+    val store = new DeltaStore(s, s"$tmp/cust_store")
+    store.writeBase(customer)
+    val runner = new StatementRunner(s)
+    runner.attach("stmt_cust_dml", store)
+    runner.run("DELETE FROM stmt_cust_dml WHERE c_acctbal < 0")
+    runner.run("UPDATE stmt_cust_dml SET c_acctbal = c_acctbal + 100 " +
+      "WHERE c_mktsegment = 'BUILDING'")
+    runner.run("INSERT INTO stmt_cust_dml VALUES " +
+      "(900001, 'Customer#900001', 3, 123.25, 'MACHINERY'), " +
+      "(900002, 'Customer#900002', 5, 67.5, 'BUILDING')")
+    runner.run(
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(c_acctbal * 10000.0 + 0.5) AS BIGINT))
+        |       AS DOUBLE) / 10000.0 AS sum_bal
+        |FROM stmt_cust_dml
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
+  val qSqlDmlStatementsSql: String =
+    """WITH survivors AS (
+      |  SELECT c_mktsegment,
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 100
+      |         ELSE c_acctbal END AS bal
+      |  FROM customer
+      |  WHERE NOT (c_acctbal < 0)
+      |), inserted AS (
+      |  SELECT 'MACHINERY' AS c_mktsegment, 123.25 AS bal
+      |  UNION ALL
+      |  SELECT 'BUILDING', 67.5
+      |), final AS (
+      |  SELECT * FROM survivors UNION ALL SELECT * FROM inserted
+      |)
+      |SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(bal * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 10000.0 AS sum_bal
+      |FROM final
+      |GROUP BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_statement_roundtrip" -> (qSqlStatementRoundtrip _),
-    "q_sql_select_roughly" -> (qRoughSqlStatement _))
+    "q_sql_select_roughly" -> (qRoughSqlStatement _),
+    "q_sql_dml_statements" -> (qSqlDmlStatements _))
 
   val oracles: Map[String, String] = Map(
     "q_sql_statement_roundtrip" -> qSqlStatementRoundtripSql,
-    "q_sql_select_roughly" -> qRoughSqlStatementSql)
+    "q_sql_select_roughly" -> qRoughSqlStatementSql,
+    "q_sql_dml_statements" -> qSqlDmlStatementsSql)
 }

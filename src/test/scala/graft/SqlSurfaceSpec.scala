@@ -229,6 +229,55 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("statement front-end: INSERT/DELETE/UPDATE statements edit the " +
+      "attached store with SQL semantics") {
+    import graft.sources.{DeltaStore, StatementRunner}
+    import org.apache.spark.sql.functions.col
+    val runner = new StatementRunner(spark)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_dml_stmt").toString
+    val store = new DeltaStore(spark, tmp)
+    store.writeBase(Engine.table(spark, sf, "nation"))
+    runner.attach("dml_nation", store)
+
+    // column-list INSERT: unmentioned column arrives NULL
+    val ins = runner.run(
+      "INSERT INTO dml_nation (n_nationkey, n_name) VALUES (90, 'ATLANTIS')")
+    assert(ins.first().getAs[Long]("rows_inserted") === 1L)
+    val row = store.read().filter(col("n_nationkey") === 90).first()
+    assert(row.getAs[String]("n_name") === "ATLANTIS")
+    assert(row.isNullAt(row.fieldIndex("n_regionkey")))
+
+    // old-row UPDATE semantics: a swap must not see half-updated values
+    val before = store.read().filter(col("n_nationkey") === 3).first()
+    val (oldName, oldRegion) =
+      (before.getAs[String]("n_name"), before.getAs[Number]("n_regionkey"))
+    runner.run("UPDATE dml_nation SET n_nationkey = n_regionkey, " +
+      "n_regionkey = n_nationkey WHERE n_nationkey = 3")
+    val after = store.read().filter(col("n_name") === oldName).first()
+    assert(after.getAs[Number]("n_nationkey").longValue()
+      === oldRegion.longValue(), "nationkey must take the OLD regionkey")
+    assert(after.getAs[Number]("n_regionkey").longValue() === 3L,
+      "regionkey must take the OLD nationkey (old-row semantics)")
+
+    // DELETE with WHERE
+    val del = runner.run("DELETE FROM dml_nation WHERE n_nationkey = 90")
+    assert(del.first().getAs[Long]("rows_deleted") === 1L)
+    assert(store.read().filter(col("n_nationkey") === 90).count() === 0)
+
+    // DELETE without WHERE truncates (schema survives)
+    runner.run("DELETE FROM dml_nation")
+    assert(store.read().count() === 0)
+    assert(store.read().schema.fieldNames.contains("n_name"))
+
+    intercept[IllegalArgumentException] {
+      runner.run("INSERT INTO never_attached VALUES (1)")
+    }
+    intercept[IllegalArgumentException] {
+      runner.run("UPDATE dml_nation SET no_such_col = 1 WHERE 1 = 1")
+    }
+  }
+
   test("statement front-end: SHOW TABLES / SHOW CREATE TABLE / DESCRIBE / " +
       "EXPLAIN answer from the runner catalog") {
     import graft.sources.{DeltaStore, StatementRunner}
