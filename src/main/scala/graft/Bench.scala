@@ -73,6 +73,7 @@ object Bench {
     "q_chunk_docs",             // context-window chunking (RAG splits)
     "q_token_budget_select",    // quality-ranked token-budget selection
     "q_pipeline_mix",           // domain filter -> budget -> split manifest
+    "q_pipeline_release",       // decontam -> quality -> dedup -> temp mix
     "q_retrieval_hybrid",       // ANN recall + chunk-level lexical rerank
     "q_dsir_select",            // DSIR importance-weight selection
     "q_bpe_pairs",              // BPE merge-pair counting (vocab-weighted)

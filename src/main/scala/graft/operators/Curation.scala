@@ -34,7 +34,7 @@ object Curation {
   /** Deterministic held-out "benchmark" membership for the gate fixture:
     * every 9th doc plays the eval set. A real deployment passes its own
     * benchmark frame to [[decontaminate]]. */
-  private val BenchmarkMod = 9
+  private[operators] val BenchmarkMod = 9
 
   /** Distinct token-`n`-gram hashes per doc: (doc_id, gh). Docs shorter
     * than `n` tokens emit nothing (they cannot contain a full n-gram).

@@ -277,15 +277,120 @@ object Pipeline {
       |FROM r, b WHERE r.run <= b.budget
       |GROUP BY 1, 2""".stripMargin
 
+  /** Pretraining-data RELEASE composition wiring this round's operators:
+    * semantic decontamination (embedding cosine vs the mod-9 benchmark,
+    * [[Curation.decontaminateEmbed]], vec_id = doc_id alignment) →
+    * quality gate ([[TextOps.qualityOf]], drop 'low') → exact dedup
+    * (keep-min per text fingerprint) → temperature-scaled mixture
+    * sampling (w ∝ √n, the Sampling gate's integer arithmetic) → a
+    * per-source release manifest (docs in, quota, sampled, tokens).
+    * Each stage is the operator's own plan; the oracle composes each
+    * stage's own SQL mirror, so the WIRING is hash-checked (the
+    * q_pipeline_mix discipline). Scale: the embed/bench and quota frames
+    * broadcast; the corpus shuffles once for dedup and once per final
+    * manifest aggregate. */
+  def qPipelineRelease(s: SparkSession, dir: String): DataFrame = {
+    val docs = Engine.rebalance(
+      Engine.table(s, dir, "documents"))
+    val emb = Engine.table(s, dir, "embeddings")
+    val m = Curation.BenchmarkMod
+    // stage 1: drop semantic eval-leaks (and the benchmark docs
+    // themselves — they are the eval set)
+    val flaggedIds = Curation.decontaminateEmbed(
+        emb.where(col("vec_id") % m =!= 0),
+        emb.where(col("vec_id") % m === 0))
+      .where(col("flagged")).select(col("doc_id"))
+    val clean = docs.where(col("doc_id") % m =!= 0)
+      .join(flaggedIds, Seq("doc_id"), "left_anti")
+    // stage 2: quality gate
+    val qualIds = TextOps.qualityOf(clean)
+      .filter(col("quality_band") =!= "low").select("doc_id")
+    val qual = clean.join(qualIds, Seq("doc_id"), "left_semi")
+    // stage 3: exact dedup, keep-min per fingerprint
+    val fp = qual.select(col("doc_id"), col("source"), col("text"),
+      md5(col("text")).as("fp"))
+    val keep = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("k"))
+    val uniq = fp.join(keep, Seq("fp"))
+      .where(col("doc_id") === col("k"))
+      .select(col("doc_id"), col("source"), col("text"))
+    // stage 4: temperature mix over survivors (Sampling's integer math)
+    val weighted = uniq.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w6",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0))
+          .cast("long"))
+    val totals = weighted.agg(
+      sum(col("w6")).as("sum_w6"), sum(col("n_docs")).as("n_total"))
+    val quotas = weighted.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("w6"),
+        expr("(n_total div 2) * w6 div sum_w6").as("quota"))
+    val bucket6 = pmod(pmod(col("doc_id") * lit(2654435761L),
+      lit(4294967296L)), lit(1000000L))
+    uniq.join(broadcast(quotas), Seq("source"))
+      .where(bucket6 * col("n_docs") < col("quota") * lit(1000000L))
+      .groupBy(col("source"), col("n_docs"), col("quota"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("quota"),
+        col("n_sampled"), col("n_tokens").cast("long").as("n_tokens"))
+  }
+
+  val qPipelineReleaseSql: String = {
+    val m = Curation.BenchmarkMod
+    s"""WITH pairs AS (
+      |  SELECT c.vec_id AS doc_id,
+      |    FLOOR(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+      |                           CAST(b.embedding AS DOUBLE[]))
+      |          * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |  FROM embeddings c JOIN embeddings b
+      |    ON c.vec_id % $m <> 0 AND b.vec_id % $m = 0
+      |), leaked AS (
+      |  SELECT DISTINCT doc_id FROM pairs
+      |  WHERE cos >= ${Curation.EmbedContamThreshold}
+      |), clean AS (
+      |  SELECT d.* FROM documents d
+      |  WHERE d.doc_id % $m <> 0
+      |    AND d.doc_id NOT IN (SELECT doc_id FROM leaked)
+      |), qual AS (
+      |  SELECT * FROM clean
+      |  WHERE ${TextOps.sqlQualityScoreOf("text")} >= 0.45
+      |), uniq AS (
+      |  SELECT doc_id, source, text FROM (
+      |    SELECT doc_id, source, text,
+      |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS k
+      |    FROM qual)
+      |  WHERE doc_id = k
+      |), weighted AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |      AS w6
+      |  FROM uniq GROUP BY source
+      |), quotas AS (
+      |  SELECT source, n_docs, w6,
+      |    CAST(CAST((SELECT SUM(n_docs) FROM weighted) // 2 AS BIGINT)
+      |      * w6 // (SELECT SUM(w6) FROM weighted) AS BIGINT) AS quota
+      |  FROM weighted
+      |)
+      |SELECT q.source, q.n_docs, q.quota, COUNT(*) AS n_sampled,
+      |  CAST(SUM(${TextOps.sqlTokenCountOf("u.text")}) AS BIGINT)
+      |    AS n_tokens
+      |FROM uniq u JOIN quotas q ON u.source = q.source
+      |WHERE ((u.doc_id * 2654435761) % 4294967296) % 1000000 * q.n_docs
+      |      < q.quota * 1000000
+      |GROUP BY q.source, q.n_docs, q.quota""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_clean" -> (cleanCorpus _),
     "q_pipeline_audit" -> (auditCorpus _),
     "q_pipeline_train_ready" -> (qPipelineTrainReady _),
-    "q_pipeline_mix" -> (qPipelineMix _))
+    "q_pipeline_mix" -> (qPipelineMix _),
+    "q_pipeline_release" -> (qPipelineRelease _))
 
   val oracles: Map[String, String] = Map(
     "q_pipeline_clean" -> qPipelineCleanSql,
     "q_pipeline_audit" -> qPipelineAuditSql,
     "q_pipeline_train_ready" -> qPipelineTrainReadySql,
-    "q_pipeline_mix" -> qPipelineMixSql)
+    "q_pipeline_mix" -> qPipelineMixSql,
+    "q_pipeline_release" -> qPipelineReleaseSql)
 }

@@ -150,4 +150,20 @@ class PipelineSpec extends AnyFunSuite {
     manifest.dropRight(1).foreach(r =>
       assert(r.getAs[Long]("n_tokens") === b))
   }
+
+  test("release pipeline: manifest bounds hold, no benchmark or flagged " +
+      "doc ever reaches the mix") {
+    import org.apache.spark.sql.functions.col
+    val rel = operators.Pipeline.qPipelineRelease(spark, sf).collect()
+    assert(rel.nonEmpty)
+    rel.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"),
+        s"sampled more than survived: $r")
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+    // total survivors can never exceed the non-benchmark corpus
+    val corpus = Engine.table(spark, sf, "documents")
+      .filter(col("doc_id") % 9 =!= 0).count()
+    assert(rel.map(_.getAs[Long]("n_docs")).sum <= corpus)
+  }
 }
