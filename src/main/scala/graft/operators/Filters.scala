@@ -701,8 +701,61 @@ object Filters {
       |  (('F', '1-URGENT'), ('O', '2-HIGH'), ('F', '5-LOW'))
       |GROUP BY o_orderstatus, o_orderpriority""".stripMargin
 
+  /** Higher-order array-function tier (surplus SQL surface — the
+    * reference's MySQL 5.7 dialect has no array type at all; modern
+    * pipelines lean on these for token/embedding work, see the JSON
+    * tier's q_json_funcs convention): size, distinct, sort+slice,
+    * lambda filter, lambda aggregate (fold), membership — each a
+    * scan-side codegen'd projection over the tokenized text; the only
+    * exchange is the final per-lang rollup. */
+  def qArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    Engine.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+      .select(col("lang"),
+        size(col("tk")).as("n_toks"),
+        size(array_distinct(col("tk"))).as("n_uniq"),
+        concat_ws(",", slice(array_sort(col("tk")), 1, 3)).as("first3"),
+        size(filter(col("tk"), t => length(t) > 4)).as("n_long"),
+        aggregate(col("tk"), lit(0),
+          (acc, t) => acc + length(t)).as("total_chars"),
+        array_contains(col("tk"), "the").as("has_the"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_toks"),
+        sum(col("n_uniq")).as("sum_uniq"),
+        min(col("first3")).as("min_first3"),
+        sum(col("n_long")).as("sum_long"),
+        sum(col("total_chars")).as("sum_chars"),
+        sum(when(col("has_the"), 1L).otherwise(0L)).as("n_has_the"))
+
+  val qArrayFuncsSql: String =
+    """WITH per AS (
+      |  SELECT lang, string_split(text, ' ') AS tk FROM documents
+      |), f AS (
+      |  SELECT lang,
+      |    CAST(len(tk) AS INTEGER) AS n_toks,
+      |    CAST(len(list_distinct(tk)) AS INTEGER) AS n_uniq,
+      |    array_to_string(list_sort(tk)[1:3], ',') AS first3,
+      |    CAST(len(list_filter(tk, t -> len(t) > 4)) AS INTEGER) AS n_long,
+      |    CAST(list_sum(list_transform(tk, t -> len(t))) AS INTEGER)
+      |      AS total_chars,
+      |    list_contains(tk, 'the') AS has_the
+      |  FROM per
+      |)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+      |  CAST(SUM(n_uniq) AS BIGINT) AS sum_uniq,
+      |  MIN(first3) AS min_first3,
+      |  CAST(SUM(n_long) AS BIGINT) AS sum_long,
+      |  CAST(SUM(total_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(CASE WHEN has_the THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_has_the
+      |FROM f
+      |GROUP BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_filter_row_in" -> (qFilterRowIn _),
+    "q_array_funcs" -> (qArrayFuncs _),
     "q_week_modes" -> (qWeekModes _),
     "q_types_zero_date" -> (qTypesZeroDate _),
     "q_types_unsigned" -> (qTypesUnsigned _),
@@ -726,6 +779,7 @@ object Filters {
 
   val oracles: Map[String, String] = Map(
     "q_filter_row_in" -> qFilterRowInSql,
+    "q_array_funcs" -> qArrayFuncsSql,
     "q_week_modes" -> qWeekModesSql,
     "q_types_zero_date" -> qTypesZeroDateSql,
     "q_types_unsigned" -> qTypesUnsignedSql,

@@ -29,10 +29,10 @@ class InventorySpec extends AnyFunSuite {
   // gates in round 10 and must never silently shrink again — a module that
   // stops contributing entries (or a rename that drops one) fails the
   // suite loudly instead of vanishing from the driver's correctness JSON.
-  test("gate-count canary: declared query surface never shrinks below 182") {
-    // floor ratchets up as gates land (161 at r10's peak, 182 mid-r13)
-    assert(SparkEntry.queries.size >= 182,
-      s"declared gates shrank to ${SparkEntry.queries.size} (floor 182): " +
+  test("gate-count canary: declared query surface never shrinks below 183") {
+    // floor ratchets up as gates land (161 at r10's peak, 183 mid-r13)
+    assert(SparkEntry.queries.size >= 183,
+      s"declared gates shrank to ${SparkEntry.queries.size} (floor 183): " +
         "a module stopped contributing entries")
   }
 
