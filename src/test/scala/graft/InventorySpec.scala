@@ -36,6 +36,15 @@ class InventorySpec extends AnyFunSuite {
         "a module stopped contributing entries")
   }
 
+  // A typo'd or renamed headline entry would only surface as a -1 at
+  // bench time; catch it in the suite instead.
+  test("every bench headline entry is a declared gate, no duplicates") {
+    val missing = Bench.headline.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"headline names without gates: $missing")
+    val dups = Bench.headline.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate headline entries: $dups")
+  }
+
   // r12 verdict #3 "done" criterion: a seeded failure must show up in the
   // parsed bench line, not only as a -1 value.
   test("bench surfaces failures: runOne -> -1, summary lists the name") {

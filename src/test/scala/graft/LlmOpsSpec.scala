@@ -422,6 +422,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(fromStore === inMem && fromStore.nonEmpty)
   }
 
+  test("IVF-PQ gate probes BOTH pruned stores: codes and raw vectors") {
+    val q = Similarity.qSimIvfPq(spark, sf)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // two cluster-partitioned scans (codes for ADC, assign for rerank),
+    // each must prune at the file level
+    val pruned = "PartitionFilters: \\[.*cluster".r
+      .findAllIn(plan).length
+    assert(pruned >= 2,
+      s"expected codes AND raw scans pruned by cluster, found $pruned")
+  }
+
   test("kmeans IVF gate probes the stored quantizer with partition pruning") {
     // the REAL gate query (not a synthetic store): its executed plan must
     // show PartitionFilters on the cluster-partitioned assign store —
