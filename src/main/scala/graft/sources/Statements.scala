@@ -201,6 +201,15 @@ class StatementRunner(spark: SparkSession) {
     """(?is)^\s*(?:DESCRIBE|DESC|SHOW\s+COLUMNS\s+FROM)\s+`?(\w+)`?\s*;?\s*$""".r
   private val ExplainRe: Regex =
     """(?is)^\s*EXPLAIN\s+(SELECT\b.*)$""".r
+  // Maintenance statements (MySQL admin pair the reference inherits):
+  // OPTIMIZE TABLE = fold the insert buffer (the background-merge the
+  // reference schedules by thresholds, engine.h:210, run on demand);
+  // ANALYZE TABLE = refresh statistics (the ANALYZE tier — the profile
+  // lands in a `<table>__stats` view beside MySQL's status row).
+  private val OptimizeRe: Regex =
+    """(?is)^\s*OPTIMIZE\s+TABLE\s+`?(\w+)`?\s*;?\s*$""".r
+  private val AnalyzeRe: Regex =
+    """(?is)^\s*ANALYZE\s+TABLE\s+`?(\w+)`?\s*;?\s*$""".r
 
   /** Spark type → the MySQL column type the reference's DDL would show
     * (SURVEY.md §1.2 type mapping, reversed). */
@@ -416,6 +425,24 @@ class StatementRunner(spark: SparkSession) {
       schemaOf(table).fields.toSeq.map(f =>
         (f.name, mysqlType(f.dataType), if (f.nullable) "YES" else "NO"))
         .toDF("field", "type", "null")
+
+    case OptimizeRe(table) =>
+      import spark.implicits._
+      val store = attachedStore(table)
+      val pending = store.deltaCount()
+      store.compact()
+      store.read().createOrReplaceTempView(table)
+      Seq((table, "optimize", "status", s"OK ($pending delta rows folded)"))
+        .toDF("table_name", "op", "msg_type", "msg_text")
+
+    case AnalyzeRe(table) =>
+      import spark.implicits._
+      val store = attachedStore(table)
+      val numeric = store.read().schema.fields.map(_.name).toSeq
+      graft.operators.Profile.profile(store.read(), numeric)
+        .createOrReplaceTempView(s"${table}__stats")
+      Seq((table, "analyze", "status", s"OK (stats in ${table}__stats)"))
+        .toDF("table_name", "op", "msg_type", "msg_text")
 
     case ExplainRe(select) =>
       import spark.implicits._

@@ -278,6 +278,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("statement front-end: OPTIMIZE folds the delta, ANALYZE publishes " +
+      "a stats view") {
+    import graft.sources.{DeltaStore, StatementRunner}
+    import org.apache.spark.sql.functions.col
+    val runner = new StatementRunner(spark)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_maint_stmt").toString
+    val store = new DeltaStore(spark, tmp)
+    val r = Engine.table(spark, sf, "region")
+    store.writeBase(r.limit(0))
+    store.append(r)
+    runner.attach("maint_region", store)
+    assert(store.deltaCount() === r.count())
+    val opt = runner.run("OPTIMIZE TABLE maint_region").first()
+    assert(opt.getString(3).startsWith("OK"))
+    assert(store.deltaCount() === 0)
+    assert(store.read().count() === r.count())
+    val an = runner.run("ANALYZE TABLE maint_region").first()
+    assert(an.getString(3).contains("maint_region__stats"))
+    val stats = spark.table("maint_region__stats").collect()
+      .map(row => row.getString(0) -> row.getAs[Long]("n_distinct")).toMap
+    assert(stats("r_regionkey") === r.count())
+  }
+
   test("statement front-end: SHOW TABLES / SHOW CREATE TABLE / DESCRIBE / " +
       "EXPLAIN answer from the runner catalog") {
     import graft.sources.{DeltaStore, StatementRunner}
