@@ -210,6 +210,18 @@ class StatementRunner(spark: SparkSession) {
     """(?is)^\s*OPTIMIZE\s+TABLE\s+`?(\w+)`?\s*;?\s*$""".r
   private val AnalyzeRe: Regex =
     """(?is)^\s*ANALYZE\s+TABLE\s+`?(\w+)`?\s*;?\s*$""".r
+  // DDL pair: CTAS materializes the SELECT into a runner-managed store
+  // (every later statement — LOAD, DML, OPTIMIZE — works on it like any
+  // attached table); DROP detaches and deletes ONLY runner-created
+  // stores (a table the caller attached owns its own files).
+  private val CtasRe: Regex =
+    """(?is)^\s*CREATE\s+TABLE\s+`?(\w+)`?\s+AS\s+(SELECT\b.*?)\s*;?\s*$""".r
+  private val DropRe: Regex =
+    """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$""".r
+
+  /** Roots of stores THIS runner created via CTAS (safe to delete on
+    * DROP; caller-attached stores are never touched on disk). */
+  private val ownedRoots = scala.collection.mutable.Map[String, String]()
 
   /** Spark type → the MySQL column type the reference's DDL would show
     * (SURVEY.md §1.2 type mapping, reversed). */
@@ -425,6 +437,34 @@ class StatementRunner(spark: SparkSession) {
       schemaOf(table).fields.toSeq.map(f =>
         (f.name, mysqlType(f.dataType), if (f.nullable) "YES" else "NO"))
         .toDF("field", "type", "null")
+
+    case CtasRe(table, select) =>
+      import spark.implicits._
+      val key = table.toLowerCase
+      if (stores.contains(key))
+        throw new IllegalArgumentException(
+          s"CREATE TABLE: '$table' already exists in this runner")
+      val df = spark.sql(MySqlDialect.rewrite(select))
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-ctas-$key").toString
+      val store = new DeltaStore(spark, root)
+      store.writeBase(df)
+      attach(table, store)
+      ownedRoots(key) = root
+      Seq((table, store.read().count()))
+        .toDF("table_name", "rows_created")
+
+    case DropRe(table) =>
+      import spark.implicits._
+      val key = table.toLowerCase
+      val existed = stores.remove(key).isDefined
+      packedTables.remove(key)
+      spark.catalog.dropTempView(table)
+      ownedRoots.remove(key).foreach(root =>
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(root)))
+      Seq((table, if (existed) "dropped" else "not attached"))
+        .toDF("table_name", "status")
 
     case OptimizeRe(table) =>
       import spark.implicits._

@@ -278,6 +278,36 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("statement front-end: CTAS materializes a managed table, DROP " +
+      "removes it and its files") {
+    import graft.sources.StatementRunner
+    Engine.registerAll(spark, sf)
+    val runner = new StatementRunner(spark)
+    val created = runner.run(
+      "CREATE TABLE ctas_asia AS SELECT n_nationkey, n_name FROM nation " +
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'")
+      .first()
+    assert(created.getAs[Long]("rows_created") > 0)
+    // queryable through the runner's catalog, listed, describable
+    val n = runner.run("SELECT COUNT(*) AS n FROM ctas_asia")
+      .first().getLong(0)
+    assert(n === created.getAs[Long]("rows_created"))
+    assert(runner.run("SHOW TABLES").collect()
+      .map(_.getString(0)).contains("ctas_asia"))
+    // DML works against it like any attached table
+    runner.run("DELETE FROM ctas_asia WHERE n_nationkey = 8")
+    // duplicate CREATE refuses
+    intercept[IllegalArgumentException] {
+      runner.run("CREATE TABLE ctas_asia AS SELECT 1 AS x")
+    }
+    val dropped = runner.run("DROP TABLE ctas_asia").first()
+    assert(dropped.getString(1) === "dropped")
+    assert(!runner.run("SHOW TABLES").collect()
+      .map(_.getString(0)).contains("ctas_asia"))
+    assert(runner.run("DROP TABLE IF EXISTS ctas_asia")
+      .first().getString(1) === "not attached")
+  }
+
   test("statement front-end: OPTIMIZE folds the delta, ANALYZE publishes " +
       "a stats view") {
     import graft.sources.{DeltaStore, StatementRunner}
