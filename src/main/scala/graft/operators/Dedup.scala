@@ -873,13 +873,18 @@ object Dedup {
     * every vector to its nearest of k centroids, generate pairs only
     * within a cluster. Bucket size is O(N/k) by construction — with
     * k ≈ √N the per-bucket quadratic work is O(N) total — where raw-
-    * label blocking degenerates when one label dominates. The learned
-    * partition function is not SQL-expressible, so this variant is
-    * spec-checked (pair membership, exact cos recompute, determinism)
-    * rather than oracle-hashed; [[qDedupEmbed]] pins the arithmetic. */
+    * label blocking degenerates when one label dominates. The
+    * assignment comes from the PUBLISHED IVF store
+    * ([[Similarity.buildKmeansQuantizer]] — the dedup job and the ANN
+    * probes share one quantizer build), which also makes the gate
+    * oracle-hashable: DuckDB replays the blocking + pairwise cosine
+    * from the stored cluster-partitioned assignment
+    * ([[qDedupEmbedIvfSql]]). */
   def qDedupEmbedIvf(s: SparkSession, dir: String): DataFrame = {
-    val assigned = Similarity.kmeansAssign(t(s, dir, "embeddings"))
-      .select(col("cluster"), col("vec_id"), col("embedding"))
+    val root = Similarity.buildKmeansQuantizer(s, dir)
+    val assigned = s.read.parquet(s"$root/assign")
+      .select(col("cluster").cast("int").as("cluster"), col("vec_id"),
+        col("embedding"))
     val l = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"))
     val r = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
@@ -890,6 +895,26 @@ object Dedup {
         r6(dot(col("emb_a"), col("emb_b"))).as("cos"))
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
       .limit(20)
+  }
+
+  /** Oracle: replay the cluster-blocked pair generation from the stored
+    * assignment (the Similarity store-replay convention — the learned
+    * fit is materialized parquet; the blocking and the fixed-point
+    * pairwise cosine are plain relational algebra). */
+  val qDedupEmbedIvfSql: String = {
+    val root = Similarity.oracleRoot("ivf-kmeans")
+    s"""WITH assign AS (
+      |  SELECT CAST(cluster AS INT) AS cluster, vec_id,
+      |    CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM read_parquet('$root/assign/*/*.parquet', hive_partitioning = 1)
+      |)
+      |SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  floor(list_dot_product(a.emb, b.emb) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS cos
+      |FROM assign a JOIN assign b
+      |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |ORDER BY cos DESC, vec_a, vec_b
+      |LIMIT 20""".stripMargin
   }
 
   /** Edit-distance near-duplicate pairs over short entity keys — the
@@ -947,6 +972,7 @@ object Dedup {
     "q_dedup_simhash_md5" -> qDedupSimhashMd5Sql,
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_dedup_embed" -> qDedupEmbedSql,
+    "q_dedup_embed_ivf" -> qDedupEmbedIvfSql,
     "q_dedup_corpus" -> qDedupCorpusSql,
     "q_dedup_canonical" -> qDedupCanonicalSql,
     "q_dedup_winnow" -> qDedupWinnowSql)

@@ -591,10 +591,12 @@ object Lexicon {
     * Returns the merge table (step, pair, cnt).
     *
     * Scale shape: the corpus is read ONCE (the word-count aggregate);
-    * the vocabulary is checkpointed and every iteration runs on the
-    * |vocab|-row frame alone — per-step work is a vocab-sized agg plus
-    * a 1-row argmax collect (the connectedComponents driver-state
-    * stance). Lineage is cut per step so the plan stays O(1). */
+    * the vocabulary is parquet-staged ([[graft.sources.Staging]] —
+    * survives executor loss, unlike a localCheckpoint) and every
+    * iteration runs on the |vocab|-row frame alone — per-step work is a
+    * vocab-sized agg plus a 1-row argmax collect (the
+    * connectedComponents driver-state stance). Lineage is cut per step
+    * so the plan stays O(1). */
   /** The training loop; returns the merge table AND the final encoded
     * vocabulary (tok, seq, wc) so the APPLY side can reuse it. */
   private def bpeLoop(docs: DataFrame, merges: Int)
@@ -607,7 +609,9 @@ object Lexicon {
       .select(col("tok"), expr(
         s"concat('$BpeSep', concat_ws('$BpeSep$BpeSep', filter(split(tok, ''), x -> x != '')), '$BpeSep')")
         .as("seq"), col("wc"))
-      .localCheckpoint(true)
+    // parquet-staged, not localCheckpoint'd: the vocab must survive
+    // executor loss mid-training (graft.sources.Staging rationale)
+    vocab = graft.sources.Staging.stage(vocab, "bpe-vocab")
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
     var step = 0
     var continue = true
@@ -628,12 +632,11 @@ object Lexicon {
         // call_function binds the corpus-derived pair as a literal — an
         // expr() string interpolation here would let a token containing a
         // quote or backslash break (or inject into) the parsed SQL.
-        vocab = vocab
+        vocab = graft.sources.Staging.stage(vocab
           .select(col("tok"),
             call_function("replace", col("seq"), lit(target), lit(repl))
               .as("seq"),
-            col("wc"))
-          .localCheckpoint(true)
+            col("wc")), "bpe-step")
         step += 1
       }
     }

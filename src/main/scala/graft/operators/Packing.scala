@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   * token totals (one row per partition) are folded into offsets on the
   * driver, and the in-partition running sum is a window PARTITIONED by
   * the partition id — every task windows only its own slice. The
-  * partitioned frame is local-checkpointed so the totals pass and the
-  * stamping pass see the same partitioning (repartitionByRange
-  * re-samples per execution).
+  * partitioned frame is STAGED to parquet ([[graft.sources.Staging]])
+  * so the totals pass and the stamping pass see the same partition-id
+  * assignment (repartitionByRange re-samples per execution) AND the
+  * frozen frame survives executor loss — the `__pid` column is data
+  * once staged, so downstream correctness is independent of how the
+  * re-read splits files.
   *
   * Each doc spans chunks `start/B .. (end-1)/B`; exploding that
   * (bounded: a doc adds ≤ n_tok/B + 1 rows) and aggregating by chunk
@@ -44,10 +47,11 @@ object Packing {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs.select(col("doc_id"), tokCount(col("text")).as("n_tok"))
-    val parted = toks.repartitionByRange(col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .withColumn("__pid", spark_partition_id().cast("long"))
-      .localCheckpoint(true)
+    val parted = graft.sources.Staging.stage(
+      toks.repartitionByRange(col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .withColumn("__pid", spark_partition_id().cast("long")),
+      "packing")
     val partTotals = parted.groupBy(col("__pid"))
       .agg(sum(col("n_tok")).as("t"))
       .orderBy(col("__pid")).collect()

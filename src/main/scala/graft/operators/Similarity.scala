@@ -85,6 +85,22 @@ object Similarity {
   private def storeRoot(dir: String, kind: String): String =
     graft.sources.ArtifactStore.root(s"ivf-$kind", StoreVersion, dir)
 
+  /** The corpus dir the driver's correctness gate verifies at (the t2
+    * DuckDB-oracle scale — TESTDATA.md/driver contract: always sf0.01).
+    * The ANN top-k oracles REPLAY the probe from the artifact store the
+    * gate run published for this dir: the learned quantizers are not
+    * SQL-expressible, but once materialized (centroids / codebooks /
+    * cluster-partitioned codes) the probe is pure relational algebra +
+    * integer-exact ADC arithmetic DuckDB reproduces hash-exactly via
+    * read_parquet over the same files. */
+  val OracleDir = "/root/testdata/sf0.01"
+
+  /** Store root as seen by BOTH the gate run and the oracle replay
+    * (same JVM computes both strings — Verify dumps oracle_sql.json in
+    * the process that ran the gates, so java.io.tmpdir agrees). */
+  def oracleRoot(kind: String): String =
+    graft.sources.ArtifactStore.root(kind, StoreVersion, OracleDir)
+
   private def ensureBuilt(root: String)(build: String => Unit): Unit =
     graft.sources.ArtifactStore.ensureBuilt(root)(build)
 
@@ -377,9 +393,41 @@ object Similarity {
       |ORDER BY cos DESC, e.vec_id
       |LIMIT 20""".stripMargin
 
+  /** Oracle for the learned-quantizer IVF top-k: replay the probe from
+    * the PUBLISHED store (k-means itself is not SQL-expressible, but its
+    * materialized centroids + cluster-partitioned assignment are plain
+    * parquet) — probe selection and rerank are then the same relational
+    * algebra DuckDB computes hash-exactly. Centroid scores feed
+    * SELECTION only (the qSimIvfSql precedent); output values come from
+    * the fixed-point-rounded rerank dot products. */
+  val qSimIvfKmeansSql: String = {
+    val root = oracleRoot("ivf-kmeans")
+    s"""WITH $qvCte,
+      |cents AS (
+      |  SELECT CAST(cluster AS INT) AS cluster, centroid
+      |  FROM read_parquet('$root/centroids/*.parquet')
+      |), probed AS (
+      |  SELECT c.cluster FROM cents c, qv
+      |  ORDER BY list_dot_product(c.centroid, qv.q_emb) DESC, c.cluster
+      |  LIMIT 4
+      |), assign AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    CAST(cluster AS INT) AS cluster
+      |  FROM read_parquet('$root/assign/*/*.parquet', hive_partitioning = 1)
+      |)
+      |SELECT a.vec_id, a.cluster,
+      |  floor(list_dot_product(a.emb, qv.q_emb) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS cos
+      |FROM assign a JOIN probed p ON a.cluster = p.cluster, qv
+      |WHERE a.vec_id <> qv.q_id
+      |ORDER BY cos DESC, a.vec_id
+      |LIMIT 20""".stripMargin
+  }
+
   /** Driver-gated recall certificate for the learned-quantizer IVF. The
     * k-means assignment itself is not SQL-expressible, so the TOP-K list
-    * stays a rows-only gate — but the CLAIMS about it are checkable:
+    * is oracled by STORE REPLAY ([[qSimIvfKmeansSql]]) — and the CLAIMS
+    * about it are independently checkable:
     * result count, recall@20 against brute force (bounded in-query, the
     * q_agg_approx pattern), whether the true nearest neighbor was found,
     * and the brute-force top score (DuckDB recomputes it exactly). A
@@ -534,11 +582,47 @@ object Similarity {
   }
 
   /** PQ/ADC top-k for the gate query vector. Learned codebooks are not
-    * SQL-expressible → rows-only gate; [[qSimPqRecall]] carries the
-    * oracle-checked claims and PqSpec pins encode/probe semantics. */
+    * SQL-expressible, but the probe against the PUBLISHED store is —
+    * [[qSimPqSql]] replays it; [[qSimPqRecall]] carries the independent
+    * claims and PqSpec pins encode/probe semantics. */
   def qSimPq(s: SparkSession, dir: String): DataFrame =
     probePqStore(s, buildPqStore(s, dir), queryVec(s, dir),
       t(s, dir, "embeddings"))
+
+  /** Oracle for the PQ top-k: replay ADC from the stored codebook +
+    * codes. The ×10⁶ fixed-point LUT makes every ADC sum an exact
+    * integer (order-independent), so shortlist membership AND the
+    * reported `adc` values are bit-identical; the rerank stage is the
+    * same fixed-point cosine every other ANN oracle uses. */
+  val qSimPqSql: String = {
+    val root = oracleRoot("pq")
+    s"""WITH $qvCte,
+      |lut AS (
+      |  SELECT m, code,
+      |    CAST(floor(list_dot_product(centroid,
+      |        qv.q_emb[m * $PqSub + 1 : m * $PqSub + $PqSub])
+      |      * 1000000.0 + 0.5) AS BIGINT) AS ip6
+      |  FROM read_parquet('$root/codebook/*.parquet'), qv
+      |), expl AS (
+      |  SELECT vec_id, CAST(u.i AS INT) - 1 AS m,
+      |    codes[CAST(u.i AS INT)] AS code
+      |  FROM read_parquet('$root/codes/*.parquet'),
+      |    UNNEST(range(1, len(codes) + 1)) AS u(i)
+      |), shortlist AS (
+      |  SELECT x.vec_id, SUM(l.ip6) AS adc6
+      |  FROM expl x JOIN lut l ON x.m = l.m AND x.code = l.code
+      |  GROUP BY x.vec_id
+      |  ORDER BY adc6 DESC, x.vec_id
+      |  LIMIT 100
+      |)
+      |SELECT e.vec_id, CAST(s.adc6 AS DOUBLE) / 1000000.0 AS adc,
+      |  floor(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.q_emb)
+      |        * 1000000.0 + 0.5) / 1000000.0 AS cos
+      |FROM embeddings e JOIN shortlist s ON e.vec_id = s.vec_id, qv
+      |WHERE e.vec_id <> qv.q_id
+      |ORDER BY cos DESC, e.vec_id
+      |LIMIT 20""".stripMargin
+  }
 
   /** Driver-gated certificate for the PQ path (the qSimIvfKmeansRecall
     * pattern): result count, recall@20 against brute force, whether the
@@ -709,11 +793,62 @@ object Similarity {
       .limit(topk)
   }
 
-  /** IVF-PQ top-k for the gate query (rows-only — two learned
-    * quantizers); [[qSimIvfPqRecall]] carries the oracle-checked
-    * claims. */
+  /** IVF-PQ top-k for the gate query — both learned quantizers are
+    * replayed from the published store by [[qSimIvfPqSql]];
+    * [[qSimIvfPqRecall]] carries the independent claims. */
   def qSimIvfPq(s: SparkSession, dir: String): DataFrame =
     probeIvfPqStore(s, buildIvfPqStore(s, dir), queryVec(s, dir))
+
+  /** Oracle for the composed IVF-PQ top-k: cluster probe from the stored
+    * centroids, integer-exact ADC over ONLY the probed clusters' codes
+    * (the hive-partition filter becomes a WHERE on the partition
+    * column), exact rerank from the equally-filtered raw store. */
+  val qSimIvfPqSql: String = {
+    val root = oracleRoot("ivfpq")
+    s"""WITH $qvCte,
+      |cents AS (
+      |  SELECT CAST(cluster AS INT) AS cluster, centroid
+      |  FROM read_parquet('$root/centroids/*.parquet')
+      |), probed AS (
+      |  SELECT c.cluster FROM cents c, qv
+      |  ORDER BY list_dot_product(c.centroid, qv.q_emb) DESC, c.cluster
+      |  LIMIT 4
+      |), lut AS (
+      |  SELECT m, code,
+      |    CAST(floor(list_dot_product(centroid,
+      |        qv.q_emb[m * $PqSub + 1 : m * $PqSub + $PqSub])
+      |      * 1000000.0 + 0.5) AS BIGINT) AS ip6
+      |  FROM read_parquet('$root/codebook/*.parquet'), qv
+      |), codes AS (
+      |  SELECT c.vec_id, c.codes
+      |  FROM read_parquet('$root/codes/*/*.parquet',
+      |    hive_partitioning = 1) c
+      |  JOIN probed p ON CAST(c.cluster AS INT) = p.cluster
+      |), expl AS (
+      |  SELECT vec_id, CAST(u.i AS INT) - 1 AS m,
+      |    codes[CAST(u.i AS INT)] AS code
+      |  FROM codes, UNNEST(range(1, len(codes) + 1)) AS u(i)
+      |), shortlist AS (
+      |  SELECT x.vec_id, SUM(l.ip6) AS adc6
+      |  FROM expl x JOIN lut l ON x.m = l.m AND x.code = l.code
+      |  GROUP BY x.vec_id
+      |  ORDER BY adc6 DESC, x.vec_id
+      |  LIMIT 100
+      |), assign AS (
+      |  SELECT a.vec_id, CAST(a.embedding AS DOUBLE[]) AS emb,
+      |    CAST(a.cluster AS INT) AS cluster
+      |  FROM read_parquet('$root/assign/*/*.parquet',
+      |    hive_partitioning = 1) a
+      |  JOIN probed p ON CAST(a.cluster AS INT) = p.cluster
+      |)
+      |SELECT a.vec_id, a.cluster, CAST(s.adc6 AS DOUBLE) / 1000000.0 AS adc,
+      |  floor(list_dot_product(a.emb, qv.q_emb) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS cos
+      |FROM assign a JOIN shortlist s ON a.vec_id = s.vec_id, qv
+      |WHERE a.vec_id <> qv.q_id
+      |ORDER BY cos DESC, a.vec_id
+      |LIMIT 20""".stripMargin
+  }
 
   /** Certificate for the composed index: both quantization stages are in
     * the loop, so this measures what cluster pruning AND code
@@ -981,16 +1116,21 @@ object Similarity {
     "q_retrieval_hybrid" -> (qRetrievalHybrid _),
     "q_retrieval_rrf" -> (qRetrievalRrf _))
 
-  /** The learned-quantizer variant stays rows-only (k-means is not
-    * SQL-expressible; its arithmetic is pinned by the two oracles above
-    * plus SimilaritySpec's recall checks). */
+  /** The learned-quantizer top-k variants are oracled by STORE REPLAY:
+    * the fit itself is not SQL-expressible, but the probe against the
+    * published artifacts (centroids / codebooks / partitioned codes) is
+    * — DuckDB reads the same parquet the gate run wrote ([[OracleDir]])
+    * and reproduces selection + scoring hash-exactly. */
   val oracles: Map[String, String] = Map(
     "q_embed_quantize" -> qEmbedQuantizeSql,
     "q_sim_bruteforce_topk" -> qSimBruteForceSql,
     "q_sim_ivf_topk" -> qSimIvfSql,
+    "q_sim_ivf_kmeans_topk" -> qSimIvfKmeansSql,
     "q_sim_ivf_kmeans_recall" -> qSimIvfKmeansRecallSql,
     "q_sim_lsh_topk" -> qSimLshSql,
+    "q_sim_pq_topk" -> qSimPqSql,
     "q_sim_pq_recall" -> qSimPqRecallSql,
+    "q_sim_ivfpq_topk" -> qSimIvfPqSql,
     "q_sim_ivfpq_recall" -> qSimIvfPqRecallSql,
     "q_hard_negatives" -> qHardNegativesSql,
     "q_retrieval_hybrid" -> qRetrievalHybridSql,

@@ -27,7 +27,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 object ArtifactStore {
 
   def root(kind: String, version: String, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // trailing-slash-insensitive: '/x/sf0.01' and '/x/sf0.01/' must key
+    // the SAME store (the oracle replay path is derived independently)
+    val tag = dir.stripSuffix("/").replaceAll("[^A-Za-z0-9._-]", "_")
     s"${sys.props("java.io.tmpdir")}/graft-store/$kind-$version-$tag"
   }
 

@@ -234,10 +234,12 @@ object Dml {
     * keys, stamp a per-partition row index (monotonically_increasing_id
     * = pid·2^33 + index-within-partition, evaluated after the sort), and
     * add cumulative per-partition offsets. The partitioned frame is
-    * local-checkpointed once so the count pass and the assignment pass
-    * see the SAME partitioning (repartitionByRange re-samples per
-    * execution — see PLANS.md); the offset collect is bounded by the
-    * partition count, the same order as Spark's own file listing. */
+    * parquet-staged once ([[Staging]]) so the count pass and the
+    * assignment pass see the SAME partition-id/mid assignment
+    * (repartitionByRange re-samples per execution — see PLANS.md) and
+    * the frozen ids survive executor loss; the offset collect is bounded
+    * by the partition count, the same order as Spark's own file
+    * listing. */
   def autoIncrement(base: DataFrame, baseIdCol: String, incoming: DataFrame,
                     orderBy: Seq[String]): DataFrame = {
     val spark = incoming.sparkSession
@@ -246,13 +248,13 @@ object Dml {
     // MySQL AUTO_INCREMENT initial value
     val start = base.agg(
       coalesce(max(col(baseIdCol)), lit(0L)).as("max_id"))
-    val ordered = incoming
+    val ordered = Staging.stage(incoming
       .repartitionByRange(orderBy.map(col): _*)
       .sortWithinPartitions(orderBy.map(col): _*)
       .select(incoming.columns.map(col) :+
         spark_partition_id().cast("long").as("__pid") :+
-        monotonically_increasing_id().as("__mid"): _*)
-      .localCheckpoint(true)
+        monotonically_increasing_id().as("__mid"): _*),
+      "auto-increment")
     val counts = ordered.groupBy(col("__pid"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("__pid")).collect()

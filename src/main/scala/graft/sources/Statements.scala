@@ -16,10 +16,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `SELECT ROUGHLY` rough-query mode (engine_execute.cpp:450 — see
   * [[StatementRunner.attachPacked]]), the DML statement forms against
   * attached stores (`INSERT INTO … [cols] VALUES …` through the delta
-  * append; `DELETE FROM … [WHERE]` / `UPDATE … SET … [WHERE]` as staged
-  * base rewrites with old-row UPDATE semantics — the reference's
-  * handler-level row DML, ha_tianmu.h:101-102, executed the columnar
-  * way), the session admin statements
+  * append; `INSERT INTO … [cols] SELECT …` incl. self-referencing
+  * inserts, engine_execute.cpp:470-513; `REPLACE INTO` and `INSERT … ON
+  * DUPLICATE KEY UPDATE` against the declared PRIMARY KEY; `DELETE FROM
+  * … [WHERE]` / `UPDATE … SET … [WHERE]` as staged base rewrites with
+  * old-row UPDATE semantics — the reference's handler-level row DML,
+  * ha_tianmu.h:101-102, executed the columnar way), the DDL statement
+  * forms (`ALTER TABLE … ADD/DROP COLUMN`, `ADD PRIMARY KEY`,
+  * `TRUNCATE TABLE` — tianmu_table.h:73-76), the session admin statements
   * (`SHOW TABLES`, `SHOW CREATE TABLE`, `DESCRIBE`/`DESC`/`SHOW COLUMNS
   * FROM`, `EXPLAIN SELECT …` — answered from the runner's catalog /
   * Catalyst's plan, with column types rendered back through the
@@ -77,9 +81,20 @@ class StatementRunner(spark: SparkSession) {
   // ha_tianmu.h:101-102). INSERT appends through the delta store;
   // DELETE/UPDATE execute as staged base rewrites (the columnar
   // execution of row DML — what the reference's own delta-merge
-  // eventually does to packs).
+  // eventually does to packs). INSERT…ON DUPLICATE KEY UPDATE must be
+  // matched BEFORE the plain InsertRe (whose non-greedy tuples group
+  // would otherwise swallow the ON DUPLICATE clause).
+  private val InsertOnDupRe: Regex =
+    """(?is)^\s*INSERT\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.+?)\s*;?\s*$""".r
   private val InsertRe: Regex =
     """(?is)^\s*INSERT\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
+  // INSERT … SELECT — a first-class statement form in the reference
+  // (core/engine_execute.cpp:470-513, incl. self-referencing inserts;
+  // MTR insert_select.test / insert_into_select.test).
+  private val InsertSelectRe: Regex =
+    """(?is)^\s*INSERT\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*(\(?\s*SELECT\b.*?\)?)\s*;?\s*$""".r
+  private val ReplaceRe: Regex =
+    """(?is)^\s*REPLACE\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
   private val DeleteRe: Regex =
     """(?is)^\s*DELETE\s+FROM\s+`?(\w+)`?\s*(?:WHERE\s+(.+?))?\s*;?\s*$""".r
   private val UpdateRe: Regex =
@@ -89,6 +104,23 @@ class StatementRunner(spark: SparkSession) {
     stores.getOrElse(table.toLowerCase,
       throw new IllegalArgumentException(
         s"DML: table '$table' is not attached to this runner"))
+
+  /** Declared PRIMARY KEYs per attached table — what the reference reads
+    * from its data dictionary (tianmu_table_index.cpp keyed stores); the
+    * keyed statement forms (REPLACE INTO, INSERT … ON DUPLICATE KEY
+    * UPDATE) require one. Declared via [[declarePrimaryKey]] or the
+    * `ALTER TABLE t ADD PRIMARY KEY (…)` statement. */
+  private val primaryKeys = scala.collection.mutable.Map[String, Seq[String]]()
+
+  def declarePrimaryKey(table: String, keys: Seq[String]): Unit =
+    primaryKeys(table.toLowerCase) = keys
+
+  private def pkOf(table: String): Seq[String] =
+    primaryKeys.getOrElse(table.toLowerCase,
+      throw new IllegalArgumentException(
+        s"'$table' has no declared PRIMARY KEY — REPLACE INTO / ON " +
+          "DUPLICATE KEY UPDATE need one (ALTER TABLE … ADD PRIMARY KEY " +
+          "or StatementRunner.declarePrimaryKey)"))
 
   /** Split on top-level commas (quote- and paren-aware) — `SET a = f(x,
     * y), b = 'v,w'` must not split inside the call or the literal. */
@@ -111,12 +143,15 @@ class StatementRunner(spark: SparkSession) {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  private def runInsert(table: String, colList: String,
-                        tuples: String): DataFrame = {
+  /** Name the incoming frame's columns from the statement's column list
+    * (or the table's own order) and cast positionally into the table
+    * schema; unmentioned columns = NULL (MySQL's permissive default —
+    * strict modes are appendStrict's job). Shared by every INSERT-shaped
+    * statement form (VALUES, SELECT, REPLACE, ON DUPLICATE KEY). */
+  private def alignToSchema(raw: DataFrame, colList: String,
+                            schema: org.apache.spark.sql.types.StructType)
+      : DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val store = attachedStore(table)
-    val schema = store.read().schema
-    val raw = spark.sql(s"SELECT * FROM VALUES $tuples")
     val provided: Seq[String] =
       if (colList == null || colList.trim.isEmpty) schema.map(_.name).toSeq
       else splitTopLevel(colList).map(_.stripPrefix("`").stripSuffix("`"))
@@ -125,16 +160,128 @@ class StatementRunner(spark: SparkSession) {
         s"INSERT: ${raw.schema.length} values per row for " +
           s"${provided.length} target columns")
     val named = raw.toDF(provided: _*)
-    // positional cast into the table schema; unmentioned columns = NULL
-    // (MySQL's permissive default — strict modes are appendStrict's job)
-    val aligned = named.select(schema.map { f =>
+    named.select(schema.map { f =>
       if (provided.contains(f.name)) col(f.name).cast(f.dataType)
       else lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
+  }
+
+  private def valuesBatch(tuples: String, colList: String,
+                          schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    alignToSchema(spark.sql(s"SELECT * FROM VALUES $tuples"), colList, schema)
+
+  private def runInsert(table: String, colList: String,
+                        tuples: String): DataFrame = {
+    val store = attachedStore(table)
+    val aligned = valuesBatch(tuples, colList, store.read().schema)
     store.append(aligned)
     store.read().createOrReplaceTempView(table)
     import spark.implicits._
     Seq((table, aligned.count())).toDF("table_name", "rows_inserted")
+  }
+
+  /** `INSERT INTO t [cols] SELECT …` (engine_execute.cpp:470-513): run
+    * the SELECT through the dialect rewrite, align into the table
+    * schema, and append through the delta store. The batch is STAGED to
+    * parquet before the append — a self-referencing insert (`INSERT INTO
+    * t SELECT … FROM t`, insert_select.test) otherwise appends into
+    * files its own scan is reading (the classic Halloween problem; the
+    * reference materializes through its insert buffer for the same
+    * reason). */
+  private def runInsertSelect(table: String, colList0: String,
+                              select0: String): DataFrame = {
+    // `INSERT INTO t (SELECT …)` parses the parenthesized select into the
+    // column-list group — reclassify
+    val (colList, select) =
+      if (colList0 != null && colList0.trim.toUpperCase.startsWith("SELECT"))
+        (null: String, colList0)
+      else (colList0, select0.trim.stripPrefix("(").stripSuffix(")"))
+    val store = attachedStore(table)
+    val schema = store.read().schema
+    val result = spark.sql(MySqlDialect.rewrite(select))
+    val aligned = alignToSchema(result, colList, schema)
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-insert-select").toString + "/batch"
+    aligned.write.parquet(staging)
+    val staged = spark.read.parquet(staging)
+    store.append(staged)
+    store.read().createOrReplaceTempView(table)
+    import spark.implicits._
+    Seq((table, staged.count())).toDF("table_name", "rows_inserted")
+  }
+
+  /** `REPLACE INTO t [cols] VALUES …` (replace_into.test; handler path
+    * sql/ha_my_tianmu.cpp): delete any base row sharing the declared
+    * PRIMARY KEY with the batch, then insert the batch — executed as one
+    * staged base rewrite via [[Dml.replaceInto]]. */
+  private def runReplace(table: String, colList: String,
+                         tuples: String): DataFrame = {
+    val store = attachedStore(table)
+    val keys = pkOf(table)
+    val batch = valuesBatch(tuples, colList, store.read().schema)
+    store.rewriteWith(base => Dml.replaceInto(base, batch, keys))
+    store.read().createOrReplaceTempView(table)
+    import spark.implicits._
+    Seq((table, batch.count())).toDF("table_name", "rows_replaced")
+  }
+
+  /** `VALUES(col)` references inside an ON DUPLICATE KEY UPDATE
+    * assignment — MySQL's way of naming the would-be-inserted value. */
+  private val ValuesRefRe: Regex = """(?i)VALUES\s*\(\s*`?(\w+)`?\s*\)""".r
+
+  /** `INSERT … VALUES … ON DUPLICATE KEY UPDATE a = expr, …`
+    * (insert_on_duplicate_update.test): batch rows whose PRIMARY KEY
+    * exists apply the assignments to the existing row (MySQL scoping:
+    * bare column = OLD row value, `VALUES(col)` = incoming value); new
+    * keys insert whole. One staged rewrite: incoming columns are renamed
+    * `__v_*` before the key-outer-join so bare names resolve to the base
+    * unambiguously, and `VALUES(x)` rewrites to `__v_x`. */
+  private def runInsertOnDup(table: String, colList: String, tuples: String,
+                             updateList: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, when}
+    val store = attachedStore(table)
+    val keys = pkOf(table)
+    val schema = store.read().schema
+    val batch = valuesBatch(tuples, colList, schema)
+    val assigns = splitTopLevel(updateList).map { a =>
+      val i = a.indexOf('=')
+      if (i < 0) throw new IllegalArgumentException(
+        s"ON DUPLICATE KEY UPDATE: malformed assignment '$a'")
+      val lhs = a.substring(0, i).trim.stripPrefix("`").stripSuffix("`")
+      val rhs = ValuesRefRe.replaceAllIn(
+        MySqlDialect.rewrite(a.substring(i + 1).trim),
+        m => "__v_" + m.group(1))
+      (lhs, rhs)
+    }
+    val bad = assigns.map(_._1).filterNot(schema.fieldNames.contains)
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"ON DUPLICATE KEY UPDATE: unknown column(s) ${bad.mkString(", ")}")
+    val matchedCount = store.read()
+      .join(batch.select(keys.map(col): _*), keys, "left_semi")
+      .agg(count(lit(1))).first().getLong(0)
+    store.rewriteWith { base =>
+      val inc = batch.select(
+        schema.map(f => col(f.name).as(s"__v_${f.name}")).toSeq: _*)
+      val joinCond = keys.map(k => col(k) === col(s"__v_$k")).reduce(_ && _)
+      val matched = col(s"__v_${keys.head}").isNotNull
+      val updated = base.join(inc, joinCond, "left_outer")
+        .select(schema.map { f =>
+          assigns.find(_._1 == f.name) match {
+            case Some((_, rhs)) =>
+              when(matched, expr(rhs).cast(f.dataType))
+                .otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }.toSeq: _*)
+      val inserted = batch.join(base.select(keys.map(col): _*), keys,
+        "left_anti")
+      updated.unionByName(inserted)
+    }
+    store.read().createOrReplaceTempView(table)
+    import spark.implicits._
+    Seq((table, matchedCount, batch.count() - matchedCount))
+      .toDF("table_name", "rows_updated", "rows_inserted")
   }
 
   private def runDelete(table: String, whereClause: String): DataFrame = {
@@ -218,6 +365,45 @@ class StatementRunner(spark: SparkSession) {
     """(?is)^\s*CREATE\s+TABLE\s+`?(\w+)`?\s+AS\s+(SELECT\b.*?)\s*;?\s*$""".r
   private val DropRe: Regex =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$""".r
+  // ALTER TABLE forms (reference alter_table.test / alter_column.test;
+  // TianmuTable add/drop, core/tianmu_table.h:73-76) — executed as staged
+  // base rewrites through DeltaStore.alterAddColumn/alterDropColumn.
+  // ADD PRIMARY KEY must be matched before the generic ADD COLUMN.
+  private val AlterAddPkRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+PRIMARY\s+KEY\s*\(([^)]*)\)\s*;?\s*$""".r
+  private val AlterAddRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+(?:COLUMN\s+)?`?(\w+)`?\s+(\w+(?:\([^)]*\))?)(?:\s+DEFAULT\s+(.+?))?\s*;?\s*$""".r
+  private val AlterDropRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+DROP\s+(?:COLUMN\s+)?`?(\w+)`?\s*;?\s*$""".r
+  private val TruncateRe: Regex =
+    """(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?`?(\w+)`?\s*;?\s*$""".r
+
+  /** MySQL DDL column type → Spark type (SURVEY.md §1.2 mapping, the
+    * forward direction of [[mysqlType]]). */
+  private def sparkType(mysql: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val t = mysql.trim.toUpperCase
+    val base = t.takeWhile(_ != '(')
+    def args: Seq[Int] = t.dropWhile(_ != '(').stripPrefix("(")
+      .stripSuffix(")").split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+      .map(_.toInt)
+    base match {
+      case "BIGINT" => LongType
+      case "INT" | "INTEGER" => IntegerType
+      case "SMALLINT" => ShortType
+      case "TINYINT" => if (args.headOption.contains(1)) BooleanType else ByteType
+      case "DOUBLE" | "REAL" => DoubleType
+      case "FLOAT" => FloatType
+      case "TEXT" | "VARCHAR" | "CHAR" | "LONGTEXT" | "MEDIUMTEXT" => StringType
+      case "DECIMAL" | "NUMERIC" =>
+        DecimalType(args.headOption.getOrElse(10), args.lift(1).getOrElse(0))
+      case "DATE" => DateType
+      case "DATETIME" | "TIMESTAMP" => TimestampType
+      case "BLOB" | "VARBINARY" | "BINARY" => BinaryType
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE: unsupported column type '$other'")
+    }
+  }
 
   /** Roots of stores THIS runner created via CTAS (safe to delete on
     * DROP; caller-attached stores are never touched on disk). */
@@ -409,8 +595,53 @@ class StatementRunner(spark: SparkSession) {
     case RoughlyRe(aggList, table, whereClause) =>
       runRoughly(aggList, table, whereClause)
 
+    case InsertOnDupRe(table, colList, tuples, updateList) =>
+      runInsertOnDup(table, colList, tuples, updateList)
+
     case InsertRe(table, colList, tuples) =>
       runInsert(table, colList, tuples)
+
+    case InsertSelectRe(table, colList, select) =>
+      runInsertSelect(table, colList, select)
+
+    case ReplaceRe(table, colList, tuples) =>
+      runReplace(table, colList, tuples)
+
+    case AlterAddPkRe(table, cols) =>
+      import spark.implicits._
+      val keys = splitTopLevel(cols).map(_.stripPrefix("`").stripSuffix("`"))
+      declarePrimaryKey(table, keys)
+      Seq((table, s"PRIMARY KEY (${keys.mkString(", ")})"))
+        .toDF("table_name", "status")
+
+    case AlterAddRe(table, colName, colType, default) =>
+      import spark.implicits._
+      val store = attachedStore(table)
+      val dt = sparkType(colType)
+      val d =
+        if (default == null) org.apache.spark.sql.functions.lit(null)
+        else org.apache.spark.sql.functions
+          .expr(MySqlDialect.rewrite(default))
+      store.alterAddColumn(colName, d.cast(dt))
+      store.read().createOrReplaceTempView(table)
+      Seq((table, s"ADD COLUMN $colName")).toDF("table_name", "status")
+
+    case AlterDropRe(table, colName) =>
+      import spark.implicits._
+      val store = attachedStore(table)
+      if (!store.read().columns.contains(colName))
+        throw new IllegalArgumentException(
+          s"ALTER TABLE: unknown column '$colName'")
+      store.alterDropColumn(colName)
+      store.read().createOrReplaceTempView(table)
+      Seq((table, s"DROP COLUMN $colName")).toDF("table_name", "status")
+
+    case TruncateRe(table) =>
+      import spark.implicits._
+      val store = attachedStore(table)
+      store.truncate()
+      store.read().createOrReplaceTempView(table)
+      Seq((table, "truncated")).toDF("table_name", "status")
 
     case DeleteRe(table, whereClause) =>
       runDelete(table, whereClause)
@@ -627,13 +858,140 @@ object Statements {
       |FROM final
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** Statement-level `INSERT … SELECT` end-to-end (the reference's
+    * engine_execute.cpp:470-513; insert_select.test /
+    * insert_into_select.test / insert_select_from.test): one insert from
+    * a FOREIGN table (column-list form, expression select list) and one
+    * SELF-REFERENCING insert (`INSERT INTO t SELECT … FROM t` — the
+    * Halloween case the staged append exists for). The oracle replays
+    * both inserts as UNION ALL algebra over the original tables. */
+  def qSqlInsertSelect(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-insel-gate").toString
+    val nation = graft.Engine.table(s, dir, "nation")
+    graft.Engine.table(s, dir, "supplier")
+      .createOrReplaceTempView("stmt_supplier_src")
+    val store = new DeltaStore(s, s"$tmp/nation_store")
+    store.writeBase(nation)
+    val runner = new StatementRunner(s)
+    runner.attach("stmt_nation_ins", store)
+    runner.run(
+      """INSERT INTO stmt_nation_ins (n_nationkey, n_name, n_regionkey)
+        |SELECT s_suppkey + 1000, s_name, s_nationkey
+        |FROM stmt_supplier_src WHERE s_suppkey % 10 = 0""".stripMargin)
+    runner.run(
+      """INSERT INTO stmt_nation_ins
+        |SELECT n_nationkey + 5000, n_name, n_regionkey
+        |FROM stmt_nation_ins WHERE n_nationkey < 10""".stripMargin)
+    runner.run(
+      "SELECT n_nationkey, n_name, n_regionkey FROM stmt_nation_ins")
+  }
+
+  val qSqlInsertSelectSql: String =
+    """WITH after1 AS (
+      |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |  UNION ALL
+      |  SELECT CAST(s_suppkey + 1000 AS INT) AS n_nationkey,
+      |    s_name AS n_name, s_nationkey AS n_regionkey
+      |  FROM supplier WHERE s_suppkey % 10 = 0
+      |)
+      |SELECT n_nationkey, n_name, n_regionkey FROM after1
+      |UNION ALL
+      |SELECT CAST(n_nationkey + 5000 AS INT), n_name, n_regionkey
+      |FROM after1 WHERE n_nationkey < 10""".stripMargin
+
+  /** Statement-level keyed upsert pair (reference replace.test /
+    * insert_on_duplicate_update.test): declare the PK via `ALTER TABLE …
+    * ADD PRIMARY KEY`, REPLACE one existing + one new key, then
+    * INSERT … ON DUPLICATE KEY UPDATE with one colliding key (assignments
+    * mix old-row arithmetic with a `VALUES(col)` reference — only the
+    * assigned columns change) and one fresh key. Oracle = CASE/UNION
+    * replay over the original table. */
+  def qSqlReplaceUpsert(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-repups-gate").toString
+    val customer = graft.Engine.table(s, dir, "customer")
+    val store = new DeltaStore(s, s"$tmp/cust_store")
+    store.writeBase(customer)
+    val runner = new StatementRunner(s)
+    runner.attach("stmt_cust_ru", store)
+    runner.run("ALTER TABLE stmt_cust_ru ADD PRIMARY KEY (c_custkey)")
+    runner.run("REPLACE INTO stmt_cust_ru VALUES " +
+      "(1, 'REPLACED#1', 7, 999.99, 'AUTOMOBILE'), " +
+      "(9000001, 'Customer#9000001', 2, 50.0, 'FURNITURE')")
+    runner.run("INSERT INTO stmt_cust_ru VALUES " +
+      "(2, 'ignored', 0, 250.0, 'ignored'), " +
+      "(9000002, 'Customer#9000002', 4, 75.5, 'HOUSEHOLD') " +
+      "ON DUPLICATE KEY UPDATE " +
+      "c_acctbal = c_acctbal + VALUES(c_acctbal), c_mktsegment = 'UPDATED'")
+    runner.run("SELECT * FROM stmt_cust_ru")
+  }
+
+  val qSqlReplaceUpsertSql: String =
+    """SELECT c_custkey, c_name, c_nationkey,
+      |  CASE WHEN c_custkey = 2 THEN c_acctbal + 250.0 ELSE c_acctbal END
+      |    AS c_acctbal,
+      |  CASE WHEN c_custkey = 2 THEN 'UPDATED' ELSE c_mktsegment END
+      |    AS c_mktsegment
+      |FROM customer WHERE c_custkey <> 1
+      |UNION ALL SELECT CAST(1 AS BIGINT), 'REPLACED#1', CAST(7 AS INT),
+      |  999.99, 'AUTOMOBILE'
+      |UNION ALL SELECT CAST(9000001 AS BIGINT), 'Customer#9000001',
+      |  CAST(2 AS INT), 50.0, 'FURNITURE'
+      |UNION ALL SELECT CAST(9000002 AS BIGINT), 'Customer#9000002',
+      |  CAST(4 AS INT), 75.5, 'HOUSEHOLD'""".stripMargin
+
+  /** Statement-level schema evolution + TRUNCATE (reference
+    * alter_table.test / alter_column.test; TianmuTable,
+    * core/tianmu_table.h:73-76): ADD COLUMN (NULL-defaulted rewrite) →
+    * INSERT using the new column → UPDATE filling it → DROP COLUMN →
+    * CTAS a scratch copy → TRUNCATE it. The final read proves the added
+    * column carries data, the dropped column is gone (a survivor would
+    * fail schema_match), and the truncated table counts zero. */
+  def qSqlAlterTable(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-alter-gate").toString
+    val nation = graft.Engine.table(s, dir, "nation")
+    val store = new DeltaStore(s, s"$tmp/nation_store")
+    store.writeBase(nation)
+    val runner = new StatementRunner(s)
+    runner.attach("stmt_nation_alt", store)
+    runner.run("ALTER TABLE stmt_nation_alt ADD COLUMN n_note VARCHAR(32)")
+    runner.run(
+      "INSERT INTO stmt_nation_alt VALUES (900, 'ATLANTIS', 0, 'added')")
+    runner.run(
+      "UPDATE stmt_nation_alt SET n_note = 'old' WHERE n_nationkey < 5")
+    runner.run("ALTER TABLE stmt_nation_alt DROP COLUMN n_regionkey")
+    runner.run(
+      "CREATE TABLE stmt_scratch AS SELECT * FROM stmt_nation_alt")
+    runner.run("TRUNCATE TABLE stmt_scratch")
+    val truncated = runner.run(
+      "SELECT COUNT(*) AS truncated_rows FROM stmt_scratch")
+    runner.run("SELECT n_nationkey, n_name, n_note FROM stmt_nation_alt")
+      .crossJoin(truncated)
+  }
+
+  val qSqlAlterTableSql: String =
+    """SELECT n_nationkey, n_name,
+      |  CASE WHEN n_nationkey < 5 THEN 'old' ELSE NULL END AS n_note,
+      |  CAST(0 AS BIGINT) AS truncated_rows
+      |FROM nation
+      |UNION ALL
+      |SELECT CAST(900 AS INT), 'ATLANTIS', 'added', CAST(0 AS BIGINT)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_statement_roundtrip" -> (qSqlStatementRoundtrip _),
     "q_sql_select_roughly" -> (qRoughSqlStatement _),
-    "q_sql_dml_statements" -> (qSqlDmlStatements _))
+    "q_sql_dml_statements" -> (qSqlDmlStatements _),
+    "q_sql_insert_select" -> (qSqlInsertSelect _),
+    "q_sql_replace_upsert" -> (qSqlReplaceUpsert _),
+    "q_sql_alter_table" -> (qSqlAlterTable _))
 
   val oracles: Map[String, String] = Map(
     "q_sql_statement_roundtrip" -> qSqlStatementRoundtripSql,
     "q_sql_select_roughly" -> qRoughSqlStatementSql,
-    "q_sql_dml_statements" -> qSqlDmlStatementsSql)
+    "q_sql_dml_statements" -> qSqlDmlStatementsSql,
+    "q_sql_insert_select" -> qSqlInsertSelectSql,
+    "q_sql_replace_upsert" -> qSqlReplaceUpsertSql,
+    "q_sql_alter_table" -> qSqlAlterTableSql)
 }

@@ -549,6 +549,33 @@ class LlmOpsSpec extends AnyFunSuite {
       r.getAs[Long]("n_docs") >= r.getAs[Long]("n_docs_starting")))
   }
 
+  test("parquet staging survives block-storage loss and keeps the " +
+      "packing plan reproducible (the localCheckpoint hazard, hardened)") {
+    import org.apache.spark.sql.functions._
+    val docs = Engine.table(spark, sf, "documents")
+    // stage() freezes contents: roundtrip is exact
+    val frame = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val staged = sources.Staging.stage(frame, "spec")
+    assert(staged.orderBy("doc_id").collect().toSeq ===
+      frame.orderBy("doc_id").collect().toSeq)
+    // executor-loss analog: every cached/checkpoint block dropped — a
+    // localCheckpoint'd frame would be unrecoverable here; the staged
+    // frame re-reads its parquet bytes unchanged
+    val before = staged.orderBy("doc_id").collect().toSeq
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(
+      _.unpersist(blocking = true))
+    assert(staged.orderBy("doc_id").collect().toSeq === before)
+    // the partition-id-keyed prefix sum is reproducible run to run (the
+    // staged __pid column is data, not a property of block placement)
+    val p1 = operators.Packing.packPlan(docs, operators.Packing.PackBudget)
+      .collect().toSeq
+    val p2 = operators.Packing.packPlan(docs, operators.Packing.PackBudget)
+      .collect().toSeq
+    assert(p1 === p2)
+  }
+
   test("classifier score: deterministic, zero-shuffle projection, " +
       "sign threshold splits the corpus") {
     val a = operators.TextOps.qTextClassifierScore(spark, sf).collect()

@@ -332,6 +332,112 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(stats("r_regionkey") === r.count())
   }
 
+  test("statement front-end: INSERT … SELECT appends through the store, " +
+      "including self-referencing inserts") {
+    import graft.sources.{DeltaStore, StatementRunner}
+    import org.apache.spark.sql.functions.col
+    Engine.registerAll(spark, sf)
+    val runner = new StatementRunner(spark)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_insel_stmt").toString
+    val store = new DeltaStore(spark, tmp)
+    val nation = Engine.table(spark, sf, "nation")
+    store.writeBase(nation)
+    runner.attach("insel_nation", store)
+    // column-list form from a foreign table, with expressions
+    val ins = runner.run(
+      """INSERT INTO insel_nation (n_nationkey, n_name)
+        |SELECT r_regionkey + 100, r_name FROM region""".stripMargin).first()
+    assert(ins.getAs[Long]("rows_inserted") === 5L)
+    val added = store.read().filter(col("n_nationkey") >= 100)
+    assert(added.count() === 5L)
+    assert(added.filter(col("n_regionkey").isNull).count() === 5L)
+    // self-referencing insert (Halloween case): reads t while writing t;
+    // source row count is fixed BEFORE the append
+    val n0 = store.read().count()
+    val self = runner.run(
+      """INSERT INTO insel_nation
+        |SELECT n_nationkey + 1000, n_name, n_regionkey
+        |FROM insel_nation""".stripMargin).first()
+    assert(self.getAs[Long]("rows_inserted") === n0)
+    assert(store.read().count() === 2 * n0)
+    // arity mismatch refuses
+    intercept[IllegalArgumentException] {
+      runner.run("INSERT INTO insel_nation SELECT r_regionkey FROM region")
+    }
+  }
+
+  test("statement front-end: REPLACE INTO and INSERT … ON DUPLICATE KEY " +
+      "UPDATE honor the declared PRIMARY KEY") {
+    import graft.sources.{DeltaStore, StatementRunner}
+    import org.apache.spark.sql.functions.col
+    val runner = new StatementRunner(spark)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_repups_stmt").toString
+    val store = new DeltaStore(spark, tmp)
+    store.writeBase(Engine.table(spark, sf, "nation"))
+    runner.attach("ru_nation", store)
+    // keyed forms refuse without a declared PK
+    intercept[IllegalArgumentException] {
+      runner.run("REPLACE INTO ru_nation VALUES (3, 'X', 1)")
+    }
+    runner.run("ALTER TABLE ru_nation ADD PRIMARY KEY (n_nationkey)")
+    val n0 = store.read().count()
+    // REPLACE: one existing key replaced whole, one new key inserted
+    val rep = runner.run("REPLACE INTO ru_nation VALUES " +
+      "(3, 'REPLACED', 9), (990, 'NEWLAND', 0)").first()
+    assert(rep.getAs[Long]("rows_replaced") === 2L)
+    assert(store.read().count() === n0 + 1)
+    val r3 = store.read().filter(col("n_nationkey") === 3).first()
+    assert(r3.getAs[String]("n_name") === "REPLACED")
+    assert(r3.getAs[Number]("n_regionkey").intValue() === 9)
+    // ON DUPLICATE KEY UPDATE: bare column = OLD row, VALUES(col) = new;
+    // unassigned columns keep base values
+    val up = runner.run("INSERT INTO ru_nation VALUES " +
+      "(3, 'ignored', 30), (991, 'FRESH', 2) " +
+      "ON DUPLICATE KEY UPDATE n_regionkey = n_regionkey + VALUES(n_regionkey)")
+      .first()
+    assert(up.getAs[Long]("rows_updated") === 1L)
+    assert(up.getAs[Long]("rows_inserted") === 1L)
+    val r3b = store.read().filter(col("n_nationkey") === 3).first()
+    assert(r3b.getAs[String]("n_name") === "REPLACED",
+      "unassigned column must keep its existing value")
+    assert(r3b.getAs[Number]("n_regionkey").intValue() === 39,
+      "old value 9 + incoming 30 (VALUES ref)")
+    assert(store.read().filter(col("n_nationkey") === 991).count() === 1)
+  }
+
+  test("statement front-end: ALTER TABLE ADD/DROP COLUMN and TRUNCATE " +
+      "rewrite the attached store") {
+    import graft.sources.{DeltaStore, StatementRunner}
+    import org.apache.spark.sql.functions.col
+    val runner = new StatementRunner(spark)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_alter_stmt").toString
+    val store = new DeltaStore(spark, tmp)
+    store.writeBase(Engine.table(spark, sf, "region"))
+    runner.attach("alt_region", store)
+    // ADD COLUMN with DEFAULT backfills existing rows
+    runner.run("ALTER TABLE alt_region ADD COLUMN pop BIGINT DEFAULT 7")
+    assert(store.read().filter(col("pop") === 7L).count() === 5L)
+    // ADD COLUMN without DEFAULT arrives NULL; INSERT can then fill it
+    runner.run("ALTER TABLE alt_region ADD note VARCHAR(16)")
+    assert(store.read().filter(col("note").isNull).count() === 5L)
+    runner.run("INSERT INTO alt_region VALUES (90, 'NEWREG', 1, 'fresh')")
+    assert(store.read().filter(col("note") === "fresh").count() === 1L)
+    // DROP COLUMN removes it from the schema (unknown column refuses)
+    runner.run("ALTER TABLE alt_region DROP COLUMN pop")
+    assert(!store.read().columns.contains("pop"))
+    intercept[IllegalArgumentException] {
+      runner.run("ALTER TABLE alt_region DROP COLUMN no_such")
+    }
+    // TRUNCATE TABLE drops the rows, keeps the evolved schema
+    runner.run("TRUNCATE TABLE alt_region")
+    assert(store.read().count() === 0)
+    assert(store.read().columns.toSeq ===
+      Seq("r_regionkey", "r_name", "note"))
+  }
+
   test("statement front-end: SHOW TABLES / SHOW CREATE TABLE / DESCRIBE / " +
       "EXPLAIN answer from the runner catalog") {
     import graft.sources.{DeltaStore, StatementRunner}
