@@ -25,14 +25,23 @@ class InventorySpec extends AnyFunSuite {
     assert(unknown.isEmpty, s"oracles without queries: $unknown")
   }
 
+  // Full-oracle canary (r14): every declared gate is DuckDB-checked —
+  // the last rows-only gates (ANN top-k) gained store-replay oracles in
+  // round 14, and a new gate landing WITHOUT an oracle should be a loud,
+  // deliberate decision, not a silent coverage hole.
+  test("every query has an oracle (zero rows-only gates)") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"gates without oracles: $noOracle")
+  }
+
   // Gate-count canary (r12 verdict #2): the declared surface peaked at 161
   // gates in round 10 and must never silently shrink again — a module that
   // stops contributing entries (or a rename that drops one) fails the
   // suite loudly instead of vanishing from the driver's correctness JSON.
-  test("gate-count canary: declared query surface never shrinks below 183") {
-    // floor ratchets up as gates land (161 at r10's peak, 183 mid-r13)
-    assert(SparkEntry.queries.size >= 183,
-      s"declared gates shrank to ${SparkEntry.queries.size} (floor 183): " +
+  test("gate-count canary: declared query surface never shrinks below 186") {
+    // floor ratchets up as gates land (161 r10, 183 mid-r13, 186 r14)
+    assert(SparkEntry.queries.size >= 186,
+      s"declared gates shrank to ${SparkEntry.queries.size} (floor 186): " +
         "a module stopped contributing entries")
   }
 
