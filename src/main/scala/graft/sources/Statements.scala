@@ -86,6 +86,11 @@ class StatementRunner(spark: SparkSession) {
   // would otherwise swallow the ON DUPLICATE clause).
   private val InsertOnDupRe: Regex =
     """(?is)^\s*INSERT\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.+?)\s*;?\s*$""".r
+  // INSERT IGNORE (reference insert_ignore path): rows whose PRIMARY KEY
+  // already exists — or that duplicate an earlier batch row — are
+  // silently skipped; the rest append through the delta store.
+  private val InsertIgnoreRe: Regex =
+    """(?is)^\s*INSERT\s+IGNORE\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
   private val InsertRe: Regex =
     """(?is)^\s*INSERT\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
   // INSERT … SELECT — a first-class statement form in the reference
@@ -209,6 +214,112 @@ class StatementRunner(spark: SparkSession) {
     store.read().createOrReplaceTempView(table)
     import spark.implicits._
     Seq((table, staged.count())).toDF("table_name", "rows_inserted")
+  }
+
+  /** `INSERT IGNORE INTO t [cols] VALUES …`: batch rows that duplicate
+    * an existing PRIMARY KEY (or an earlier batch row — MySQL keeps the
+    * first occurrence) are skipped; survivors append through the delta
+    * store. Unlike REPLACE/upsert this NEVER rewrites the base — it is
+    * a pure filtered append (one key-columns-only anti-join probe). */
+  private def runInsertIgnore(table: String, colList: String,
+                              tuples: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val store = attachedStore(table)
+    val keys = pkOf(table)
+    val batch = valuesBatch(tuples, colList, store.read().schema)
+      .dropDuplicates(keys)
+    val survivors = batch
+      .join(store.read().select(keys.map(col): _*), keys, "left_anti")
+    val n = survivors.count()
+    store.append(survivors)
+    store.read().createOrReplaceTempView(table)
+    import spark.implicits._
+    Seq((table, n)).toDF("table_name", "rows_inserted")
+  }
+
+  /** One column definition (or table-level constraint) from a CREATE
+    * TABLE body. Returns Left(field) for a column, Right(pkCols) for a
+    * PRIMARY KEY clause, None-equivalent for ignorable index clauses. */
+  private def parseColumnDef(d: String)
+      : Either[org.apache.spark.sql.types.StructField, Option[Seq[String]]] = {
+    import org.apache.spark.sql.types._
+    val up = d.trim.toUpperCase
+    val PkRe = """(?is)^PRIMARY\s+KEY\s*\(([^)]*)\)$""".r
+    d.trim match {
+      case PkRe(cols) =>
+        Right(Some(splitTopLevel(cols)
+          .map(_.stripPrefix("`").stripSuffix("`"))))
+      case _ if up.startsWith("KEY") || up.startsWith("INDEX") ||
+        up.startsWith("UNIQUE") || up.startsWith("CONSTRAINT") ||
+        up.startsWith("FOREIGN") =>
+        // secondary indexes are physical hints the reference's engine
+        // also largely ignores (Tianmu has no B-trees; the Knowledge
+        // Grid serves the role) — accepted, not materialized
+        Right(None)
+      case colDef =>
+        val ColRe =
+          """(?is)^`?(\w+)`?\s+(\w+(?:\s*\([^)]*\))?)\s*(.*)$""".r
+        colDef match {
+          case ColRe(name, typ, mods) =>
+            val m = mods.toUpperCase
+            val dt0 = sparkType(typ.replaceAll("\\s+", ""))
+            // §1.2: UNSIGNED BIGINT needs DECIMAL(20,0); UNSIGNED INT
+            // fits in a signed BIGINT
+            val dt =
+              if (m.contains("UNSIGNED")) dt0 match {
+                case LongType => DecimalType(20, 0)
+                case IntegerType => LongType
+                case other => other
+              } else dt0
+            Left(StructField(name, dt, nullable = !m.contains("NOT NULL")))
+          case other => throw new IllegalArgumentException(
+            s"CREATE TABLE: unparseable column definition '$other'")
+        }
+    }
+  }
+
+  private def runCreateTable(table: String, body: String): DataFrame = {
+    import spark.implicits._
+    val key = table.toLowerCase
+    if (stores.contains(key))
+      throw new IllegalArgumentException(
+        s"CREATE TABLE: '$table' already exists in this runner")
+    val defs = splitTopLevel(body)
+    val fields = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.types.StructField]()
+    var pk: Option[Seq[String]] = None
+    defs.foreach { d =>
+      parseColumnDef(d) match {
+        case Left(f) =>
+          // inline `col TYPE PRIMARY KEY` — or MySQL's bare `col TYPE
+          // KEY` synonym (reference insert_select.test:
+          // `create table t1(f1 varchar(5) key)`)
+          if ("""\bKEY\b""".r.findFirstIn(d.toUpperCase).isDefined)
+            pk = Some(Seq(f.name))
+          fields += f
+        case Right(Some(cols)) => pk = Some(cols)
+        case Right(None) => ()
+      }
+    }
+    if (fields.isEmpty) throw new IllegalArgumentException(
+      "CREATE TABLE: no column definitions")
+    val schema = org.apache.spark.sql.types.StructType(fields.toSeq)
+    // ONE empty partition, not emptyRDD's zero: a zero-partition write
+    // emits no parquet footers and the store's read-back cannot infer
+    // the schema
+    val empty = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq.empty[org.apache.spark.sql.Row], 1), schema)
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft-create-$key").toString
+    val store = new DeltaStore(spark, root)
+    store.writeBase(empty)
+    attach(table, store)
+    ownedRoots(key) = root
+    pk.foreach(declarePrimaryKey(table, _))
+    Seq((table, fields.size.toLong,
+      pk.map(_.mkString(",")).getOrElse("")))
+      .toDF("table_name", "n_columns", "primary_key")
   }
 
   /** `REPLACE INTO t [cols] VALUES …` (replace_into.test; handler path
@@ -363,6 +474,14 @@ class StatementRunner(spark: SparkSession) {
   // stores (a table the caller attached owns its own files).
   private val CtasRe: Regex =
     """(?is)^\s*CREATE\s+TABLE\s+`?(\w+)`?\s+AS\s+(SELECT\b.*?)\s*;?\s*$""".r
+  // CREATE TABLE with column definitions (the reference's DDL entry —
+  // every MTR test opens with one, e.g. ssb_small.test:12-42): parses
+  // the §1.2 type surface into a Spark schema, creates an EMPTY
+  // runner-managed store, registers any PRIMARY KEY. With LOAD DATA and
+  // the INSERT forms this closes the verbatim MTR flow:
+  // CREATE TABLE → LOAD/INSERT → SELECT, all as statement text.
+  private val CreateTableRe: Regex =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*\((.+)\)\s*(?:ENGINE\s*=\s*\w+\s*)?(?:DEFAULT\s+CHARSET\s*=\s*\w+\s*)?;?\s*$""".r
   private val DropRe: Regex =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$""".r
   // ALTER TABLE forms (reference alter_table.test / alter_column.test;
@@ -389,7 +508,7 @@ class StatementRunner(spark: SparkSession) {
       .map(_.toInt)
     base match {
       case "BIGINT" => LongType
-      case "INT" | "INTEGER" => IntegerType
+      case "INT" | "INTEGER" | "MEDIUMINT" => IntegerType
       case "SMALLINT" => ShortType
       case "TINYINT" => if (args.headOption.contains(1)) BooleanType else ByteType
       case "DOUBLE" | "REAL" => DoubleType
@@ -598,6 +717,9 @@ class StatementRunner(spark: SparkSession) {
     case InsertOnDupRe(table, colList, tuples, updateList) =>
       runInsertOnDup(table, colList, tuples, updateList)
 
+    case InsertIgnoreRe(table, colList, tuples) =>
+      runInsertIgnore(table, colList, tuples)
+
     case InsertRe(table, colList, tuples) =>
       runInsert(table, colList, tuples)
 
@@ -668,6 +790,9 @@ class StatementRunner(spark: SparkSession) {
       schemaOf(table).fields.toSeq.map(f =>
         (f.name, mysqlType(f.dataType), if (f.nullable) "YES" else "NO"))
         .toDF("field", "type", "null")
+
+    case CreateTableRe(table, body) =>
+      runCreateTable(table, body)
 
     case CtasRe(table, select) =>
       import spark.implicits._
@@ -979,13 +1104,50 @@ object Statements {
       |UNION ALL
       |SELECT CAST(900 AS INT), 'ATLANTIS', 'added', CAST(0 AS BIGINT)""".stripMargin
 
+  /** The verbatim MTR opening flow as statement text (every reference
+    * test starts this way — e.g. ssb_small.test:12-42): CREATE TABLE
+    * with column definitions + PRIMARY KEY → INSERT … SELECT fills it →
+    * INSERT IGNORE dedups against the PK (one colliding key skipped,
+    * one new key kept) → SELECT reads it back. Oracle = the same
+    * relational content from the original table. */
+  def qSqlCreateTable(s: SparkSession, dir: String): DataFrame = {
+    graft.Engine.table(s, dir, "supplier")
+      .createOrReplaceTempView("stmt_ct_supplier_src")
+    val runner = new StatementRunner(s)
+    runner.run(
+      """CREATE TABLE stmt_ct (
+        |  sk BIGINT NOT NULL,
+        |  sname TEXT,
+        |  nat INT,
+        |  bal DOUBLE,
+        |  PRIMARY KEY (sk)
+        |) ENGINE=TIANMU""".stripMargin)
+    runner.run(
+      """INSERT INTO stmt_ct
+        |SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM stmt_ct_supplier_src""".stripMargin)
+    runner.run("INSERT IGNORE INTO stmt_ct VALUES " +
+      "(1, 'DUPLICATE — MUST NOT APPEAR', 0, 0.0), " +
+      "(900001, 'FRESH#900001', 3, 42.5)")
+    runner.run("SELECT sk, sname, nat, bal FROM stmt_ct")
+  }
+
+  val qSqlCreateTableSql: String =
+    """SELECT s_suppkey AS sk, s_name AS sname, s_nationkey AS nat,
+      |  s_acctbal AS bal
+      |FROM supplier
+      |UNION ALL
+      |SELECT CAST(900001 AS BIGINT), 'FRESH#900001', CAST(3 AS INT),
+      |  42.5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_statement_roundtrip" -> (qSqlStatementRoundtrip _),
     "q_sql_select_roughly" -> (qRoughSqlStatement _),
     "q_sql_dml_statements" -> (qSqlDmlStatements _),
     "q_sql_insert_select" -> (qSqlInsertSelect _),
     "q_sql_replace_upsert" -> (qSqlReplaceUpsert _),
-    "q_sql_alter_table" -> (qSqlAlterTable _))
+    "q_sql_alter_table" -> (qSqlAlterTable _),
+    "q_sql_create_table" -> (qSqlCreateTable _))
 
   val oracles: Map[String, String] = Map(
     "q_sql_statement_roundtrip" -> qSqlStatementRoundtripSql,
@@ -993,5 +1155,6 @@ object Statements {
     "q_sql_dml_statements" -> qSqlDmlStatementsSql,
     "q_sql_insert_select" -> qSqlInsertSelectSql,
     "q_sql_replace_upsert" -> qSqlReplaceUpsertSql,
-    "q_sql_alter_table" -> qSqlAlterTableSql)
+    "q_sql_alter_table" -> qSqlAlterTableSql,
+    "q_sql_create_table" -> qSqlCreateTableSql)
 }

@@ -407,6 +407,96 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(store.read().filter(col("n_nationkey") === 991).count() === 1)
   }
 
+  test("statement front-end: CREATE TABLE with column defs opens the " +
+      "verbatim MTR flow; INSERT IGNORE dedups against the PK") {
+    import graft.sources.StatementRunner
+    import org.apache.spark.sql.functions.col
+    val runner = new StatementRunner(spark)
+    val created = runner.run(
+      """CREATE TABLE mtr_t1 (
+        |  id BIGINT NOT NULL,
+        |  label VARCHAR(32),
+        |  qty DECIMAL(12,2),
+        |  big_u BIGINT UNSIGNED,
+        |  PRIMARY KEY (id),
+        |  KEY idx_label (label)
+        |) ENGINE=TIANMU""".stripMargin).first()
+    assert(created.getAs[Long]("n_columns") === 4L)
+    assert(created.getAs[String]("primary_key") === "id")
+    // §1.2 type mapping surfaces through DESCRIBE
+    val desc = runner.run("DESCRIBE mtr_t1").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("qty") === "DECIMAL(12,2)")
+    assert(desc("big_u") === "DECIMAL(20,0)", "UNSIGNED BIGINT → DEC(20,0)")
+    // empty but queryable; INSERT VALUES fills it
+    assert(runner.run("SELECT COUNT(*) AS n FROM mtr_t1")
+      .first().getLong(0) === 0L)
+    runner.run(
+      "INSERT INTO mtr_t1 VALUES (1, 'a', 1.5, 10), (2, 'b', 2.5, 20)")
+    // INSERT IGNORE: existing key + in-batch duplicate both skipped
+    val ig = runner.run("INSERT IGNORE INTO mtr_t1 VALUES " +
+      "(2, 'dup-existing', 0, 0), (3, 'c', 3.5, 30), " +
+      "(3, 'dup-in-batch', 0, 0)").first()
+    assert(ig.getAs[Long]("rows_inserted") === 1L)
+    val rows = runner.run("SELECT id, label FROM mtr_t1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // DROP removes the runner-created files
+    assert(runner.run("DROP TABLE mtr_t1").first().getString(1) === "dropped")
+    // duplicate-name CREATE refuses; bad column defs refuse
+    runner.run("CREATE TABLE mtr_t2 (x INT)")
+    intercept[IllegalArgumentException] {
+      runner.run("CREATE TABLE mtr_t2 (y INT)")
+    }
+    intercept[IllegalArgumentException] {
+      runner.run("CREATE TABLE mtr_t3 (PRIMARY KEY (nope))")
+    }
+  }
+
+  test("statement front-end: the reference's insert_select MTR flow " +
+      "replays statement-for-statement") {
+    // Mirrors mysql-test/suite/tianmu/t/insert_select.test's shapes
+    // (cited, not copied wholesale): keyed CREATE, INSERT…SELECT
+    // DISTINCT into a second table, doubling self-inserts, aliased
+    // self-reads, and a cross-join insert.
+    import graft.sources.StatementRunner
+    val runner = new StatementRunner(spark)
+    runner.run("create table mtr_is1 (bandID MEDIUMINT NOT NULL " +
+      "PRIMARY KEY, payoutID SMALLINT NOT NULL)")
+    runner.run("insert into mtr_is1 (bandID,payoutID) VALUES " +
+      "(1,6),(2,6),(3,4),(4,9),(5,10),(6,1),(7,12),(8,12)")
+    runner.run(
+      "create table mtr_is2 (payoutID SMALLINT NOT NULL PRIMARY KEY)")
+    runner.run(
+      "insert into mtr_is2 (payoutID) SELECT DISTINCT payoutID FROM mtr_is1")
+    val payouts = runner.run("select payoutID from mtr_is2 order by payoutID")
+      .collect().map(_.getShort(0).toInt).toSeq
+    assert(payouts === Seq(1, 4, 6, 9, 10, 12))
+    // self-insert doubles; aliased self-read doubles again
+    runner.run("create table mtr_is3 (a int not null)")
+    runner.run("insert into mtr_is3 values (1),(2),(4),(5)")
+    runner.run("insert into mtr_is3 select * from mtr_is3")
+    assert(runner.run("select count(*) as n from mtr_is3")
+      .first().getLong(0) === 8L)
+    runner.run("insert into mtr_is3 select * from mtr_is3 as t2")
+    assert(runner.run("select count(*) as n from mtr_is3")
+      .first().getLong(0) === 16L)
+    // cross-join insert (t1,t2 product) lands |t1|×|t2| rows
+    runner.run("create table mtr_is4 (a int not null)")
+    runner.run("insert into mtr_is4 values (7),(8)")
+    runner.run(
+      "insert into mtr_is4 select mtr_is3.a from mtr_is3, mtr_is4 t")
+    assert(runner.run("select count(*) as n from mtr_is4")
+      .first().getLong(0) === 2L + 16L * 2L)
+    // bare `KEY` column synonym (insert_select.test: varchar(5) key)
+    runner.run("create table mtr_is5 (f1 VARCHAR(5) KEY)")
+    runner.run("insert ignore into mtr_is5 values ('2000'),('2000')")
+    assert(runner.run("select count(*) as n from mtr_is5")
+      .first().getLong(0) === 1L)
+    Seq("mtr_is1", "mtr_is2", "mtr_is3", "mtr_is4", "mtr_is5")
+      .foreach(t => runner.run(s"drop table $t"))
+  }
+
   test("statement front-end: ALTER TABLE ADD/DROP COLUMN and TRUNCATE " +
       "rewrite the attached store") {
     import graft.sources.{DeltaStore, StatementRunner}
