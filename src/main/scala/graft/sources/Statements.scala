@@ -100,10 +100,22 @@ class StatementRunner(spark: SparkSession) {
     """(?is)^\s*INSERT\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*(\(?\s*SELECT\b.*?\)?)\s*;?\s*$""".r
   private val ReplaceRe: Regex =
     """(?is)^\s*REPLACE\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
+  // MySQL's row-limited DML forms (reference delete.test: `DELETE FROM
+  // t1 WHERE a > 0 ORDER BY a LIMIT 1`; aggregate.test UPDATE … LIMIT):
+  // must be matched BEFORE the plain forms or the LIMIT clause lands
+  // inside the WHERE expression.
+  private val DeleteLimitRe: Regex =
+    """(?is)^\s*DELETE\s+FROM\s+`?(\w+)`?\s*(?:WHERE\s+(.+?))?\s*(?:ORDER\s+BY\s+(.+?))?\s*LIMIT\s+(\d+)\s*;?\s*$""".r
+  private val UpdateLimitRe: Regex =
+    """(?is)^\s*UPDATE\s+`?(\w+)`?\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*(?:ORDER\s+BY\s+(.+?))?\s*LIMIT\s+(\d+)\s*;?\s*$""".r
   private val DeleteRe: Regex =
     """(?is)^\s*DELETE\s+FROM\s+`?(\w+)`?\s*(?:WHERE\s+(.+?))?\s*;?\s*$""".r
   private val UpdateRe: Regex =
     """(?is)^\s*UPDATE\s+`?(\w+)`?\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+  // MySQL's `INSERT INTO t SET a = 1, b = 'x'` single-row form
+  // (reference insert.test: `insert into t1 set a=1`).
+  private val InsertSetRe: Regex =
+    """(?is)^\s*INSERT\s+INTO\s+`?(\w+)`?\s+SET\s+(.+?)\s*;?\s*$""".r
 
   private def attachedStore(table: String): DeltaStore =
     stores.getOrElse(table.toLowerCase,
@@ -411,17 +423,124 @@ class StatementRunner(spark: SparkSession) {
       .toDF("table_name", "rows_deleted")
   }
 
+  /** Parse a `col = expr, …` assignment list (shared by UPDATE,
+    * UPDATE…LIMIT, INSERT…SET). */
+  private def parseAssigns(setList: String,
+                           stmt: String): Seq[(String, String)] =
+    splitTopLevel(setList).map { a =>
+      val i = a.indexOf('=')
+      if (i < 0) throw new IllegalArgumentException(
+        s"$stmt: malformed assignment '$a'")
+      (a.substring(0, i).trim.stripPrefix("`").stripSuffix("`"),
+        MySqlDialect.rewrite(a.substring(i + 1).trim))
+    }
+
+  /** `INSERT INTO t SET a = 1, b = 'x'` — MySQL's named single-row
+    * insert (insert.test); unmentioned columns arrive NULL. */
+  private def runInsertSet(table: String, setList: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val store = attachedStore(table)
+    val schema = store.read().schema
+    val assigns = parseAssigns(setList, "INSERT SET")
+    val bad = assigns.map(_._1).filterNot(schema.fieldNames.contains)
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"INSERT SET: unknown column(s) ${bad.mkString(", ")}")
+    val row = spark.range(1).select(schema.map { f =>
+      assigns.find(_._1 == f.name) match {
+        case Some((_, rhs)) => expr(rhs).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }.toSeq: _*)
+    store.append(row)
+    store.read().createOrReplaceTempView(table)
+    import spark.implicits._
+    Seq((table, 1L)).toDF("table_name", "rows_inserted")
+  }
+
+  /** The ≤n PRIMARY-KEY rows a row-limited DML statement targets:
+    * WHERE-filtered, ordered by the ORDER BY clause (PK order when
+    * absent — MySQL's pick is arbitrary; PK order is a deterministic
+    * refinement), first n, key columns only. STAGED to parquet before
+    * the caller's rewrite: the selection's lazy plan reads the
+    * pre-rewrite base∪delta files, which `rewriteWith`'s compaction
+    * deletes — staging freezes the row set first (and bounds nothing on
+    * the driver; the n-row frame never collects). */
+  private def doomedKeys(table: String, store: DeltaStore,
+                         whereClause: String, orderClause: String,
+                         n: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val keys = pkOf(table)
+    val cond =
+      if (whereClause == null) lit(true)
+      else expr(MySqlDialect.rewrite(whereClause))
+    val ord: Seq[org.apache.spark.sql.Column] =
+      if (orderClause == null) keys.map(col)
+      else splitTopLevel(orderClause).map { o =>
+        val desc = """(?i)\s+DESC\s*$""".r.findFirstIn(o).isDefined
+        val e = expr(MySqlDialect.rewrite(
+          o.trim.replaceAll("(?i)\\s+(ASC|DESC)\\s*$", "")))
+        if (desc) e.desc else e.asc
+      }
+    Staging.stage(
+      store.read().filter(cond).orderBy(ord: _*).limit(n)
+        .select(keys.map(col): _*),
+      "dml-limit")
+  }
+
+  /** `DELETE FROM t [WHERE …] [ORDER BY …] LIMIT n` (delete.test):
+    * drop exactly the first n matching rows — one anti-join base
+    * rewrite against the staged key set. Requires a declared PRIMARY
+    * KEY (row identity; MySQL uses physical rowids). */
+  private def runDeleteLimit(table: String, whereClause: String,
+                             orderClause: String, n: Int): DataFrame = {
+    val store = attachedStore(table)
+    val keys = pkOf(table)
+    val doomed = doomedKeys(table, store, whereClause, orderClause, n)
+    val hit = doomed.count()
+    store.rewriteWith(base => base.join(doomed, keys, "left_anti"))
+    store.read().createOrReplaceTempView(table)
+    import spark.implicits._
+    Seq((table, hit)).toDF("table_name", "rows_deleted")
+  }
+
+  /** `UPDATE t SET … [WHERE …] [ORDER BY …] LIMIT n`: apply the
+    * assignments to exactly the first n matching rows (old-row
+    * semantics, single select — the runUpdate contract) selected by
+    * PK membership in the staged key set. */
+  private def runUpdateLimit(table: String, setList: String,
+                             whereClause: String, orderClause: String,
+                             n: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    val store = attachedStore(table)
+    val keys = pkOf(table)
+    val assigns = parseAssigns(setList, "UPDATE SET")
+    val doomed = doomedKeys(table, store, whereClause, orderClause, n)
+    val hit = doomed.count()
+    store.rewriteWith { df =>
+      val bad = assigns.map(_._1).filterNot(df.columns.contains)
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"UPDATE: unknown column(s) ${bad.mkString(", ")}")
+      val mk = doomed.withColumn("__hit", lit(true))
+      df.join(mk, keys, "left_outer")
+        .select(df.schema.map { f =>
+          assigns.find(_._1 == f.name) match {
+            case Some((_, rhs)) =>
+              when(col("__hit"), expr(rhs).cast(f.dataType))
+                .otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }.toSeq: _*)
+    }
+    store.read().createOrReplaceTempView(table)
+    import spark.implicits._
+    Seq((table, hit)).toDF("table_name", "rows_updated")
+  }
+
   private def runUpdate(table: String, setList: String,
                         whereClause: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, lit, when}
     val store = attachedStore(table)
-    val assigns = splitTopLevel(setList).map { a =>
-      val i = a.indexOf('=')
-      if (i < 0) throw new IllegalArgumentException(
-        s"UPDATE SET: malformed assignment '$a'")
-      (a.substring(0, i).trim.stripPrefix("`").stripSuffix("`"),
-        MySqlDialect.rewrite(a.substring(i + 1).trim))
-    }
+    val assigns = parseAssigns(setList, "UPDATE SET")
     val cond =
       if (whereClause == null) lit(true)
       else expr(MySqlDialect.rewrite(whereClause))
@@ -723,6 +842,9 @@ class StatementRunner(spark: SparkSession) {
     case InsertRe(table, colList, tuples) =>
       runInsert(table, colList, tuples)
 
+    case InsertSetRe(table, setList) =>
+      runInsertSet(table, setList)
+
     case InsertSelectRe(table, colList, select) =>
       runInsertSelect(table, colList, select)
 
@@ -765,8 +887,14 @@ class StatementRunner(spark: SparkSession) {
       store.read().createOrReplaceTempView(table)
       Seq((table, "truncated")).toDF("table_name", "status")
 
+    case DeleteLimitRe(table, whereClause, orderClause, n) =>
+      runDeleteLimit(table, whereClause, orderClause, n.toInt)
+
     case DeleteRe(table, whereClause) =>
       runDelete(table, whereClause)
+
+    case UpdateLimitRe(table, setList, whereClause, orderClause, n) =>
+      runUpdateLimit(table, setList, whereClause, orderClause, n.toInt)
 
     case UpdateRe(table, setList, whereClause) =>
       runUpdate(table, setList, whereClause)

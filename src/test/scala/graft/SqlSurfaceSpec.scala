@@ -497,6 +497,48 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .foreach(t => runner.run(s"drop table $t"))
   }
 
+  test("statement front-end: INSERT…SET and row-limited DELETE/UPDATE " +
+      "LIMIT forms (reference insert.test / delete.test shapes)") {
+    import graft.sources.StatementRunner
+    import org.apache.spark.sql.functions.col
+    val runner = new StatementRunner(spark)
+    runner.run("create table mtr_lim (a INT NOT NULL PRIMARY KEY, " +
+      "b VARCHAR(10))")
+    // INSERT … SET names columns; unmentioned arrive NULL
+    runner.run("insert into mtr_lim set a=1")
+    runner.run("INSERT INTO mtr_lim SET b = 'two', a = 2")
+    runner.run("insert into mtr_lim set a=3, b='three'")
+    runner.run("insert into mtr_lim set a=4, b='three'")
+    val r1 = runner.run("select b from mtr_lim where a = 1").first()
+    assert(r1.isNullAt(0))
+    assert(runner.run("select b from mtr_lim where a = 2")
+      .first().getString(0) === "two")
+    // DELETE … ORDER BY … LIMIT 1 drops exactly the first match
+    val del = runner.run(
+      "DELETE FROM mtr_lim WHERE b = 'three' ORDER BY a DESC LIMIT 1")
+      .first()
+    assert(del.getAs[Long]("rows_deleted") === 1L)
+    val left = runner.run("select a from mtr_lim order by a")
+      .collect().map(_.getInt(0)).toSeq
+    assert(left === Seq(1, 2, 3), "DESC order must doom a=4, not a=3")
+    // UPDATE … LIMIT n touches exactly n rows (PK order when no ORDER BY)
+    val up = runner.run(
+      "UPDATE mtr_lim SET b = 'hit' WHERE a >= 1 LIMIT 2").first()
+    assert(up.getAs[Long]("rows_updated") === 2L)
+    val hits = runner.run("select a from mtr_lim where b = 'hit' order by a")
+      .collect().map(_.getInt(0)).toSeq
+    assert(hits === Seq(1, 2))
+    // without a PK the row-limited forms refuse (row identity needed)
+    val store2 = new graft.sources.DeltaStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_lim2").toString)
+    store2.writeBase(Engine.table(spark, sf, "region"))
+    runner.attach("mtr_lim2", store2)
+    intercept[IllegalArgumentException] {
+      runner.run("DELETE FROM mtr_lim2 LIMIT 1")
+    }
+    runner.run("drop table mtr_lim")
+  }
+
   test("statement front-end: ALTER TABLE ADD/DROP COLUMN and TRUNCATE " +
       "rewrite the attached store") {
     import graft.sources.{DeltaStore, StatementRunner}
