@@ -102,4 +102,25 @@ class DeltaStore(spark: SparkSession, root: String) {
     compact()
     rewriteBase(spark.read.parquet(basePath).drop(name))
   }
+
+  /** ALTER TABLE … MODIFY COLUMN analog (alter_column.test): retype in
+    * place via a cast rewrite; position and other columns unchanged. */
+  def alterModifyColumn(name: String,
+                        dt: org.apache.spark.sql.types.DataType): Unit = {
+    compact()
+    rewriteBase(spark.read.parquet(basePath)
+      .withColumn(name, org.apache.spark.sql.functions.col(name).cast(dt)))
+  }
+
+  /** ALTER TABLE … CHANGE COLUMN analog: rename (and optionally retype)
+    * one column. */
+  def alterRenameColumn(oldName: String, newName: String,
+                        dt: Option[org.apache.spark.sql.types.DataType])
+      : Unit = {
+    compact()
+    val df = spark.read.parquet(basePath)
+    val retyped = dt.fold(df)(t => df.withColumn(oldName,
+      org.apache.spark.sql.functions.col(oldName).cast(t)))
+    rewriteBase(retyped.withColumnRenamed(oldName, newName))
+  }
 }

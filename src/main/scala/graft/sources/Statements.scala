@@ -613,6 +613,15 @@ class StatementRunner(spark: SparkSession) {
     """(?is)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+(?:COLUMN\s+)?`?(\w+)`?\s+(\w+(?:\([^)]*\))?)(?:\s+DEFAULT\s+(.+?))?\s*;?\s*$""".r
   private val AlterDropRe: Regex =
     """(?is)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+DROP\s+(?:COLUMN\s+)?`?(\w+)`?\s*;?\s*$""".r
+  // MODIFY retypes in place; CHANGE renames (+ optionally retypes);
+  // RENAME [TO] renames the table in the runner catalog
+  // (alter_column.test / alter_table.test shapes).
+  private val AlterModifyRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s+(?:COLUMN\s+)?`?(\w+)`?\s+(\w+(?:\([^)]*\))?)[^;]*?;?\s*$""".r
+  private val AlterChangeRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+CHANGE\s+(?:COLUMN\s+)?`?(\w+)`?\s+`?(\w+)`?\s+(\w+(?:\([^)]*\))?)[^;]*?;?\s*$""".r
+  private val AlterRenameRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+RENAME\s+(?:TO\s+)?`?(\w+)`?\s*;?\s*$""".r
   private val TruncateRe: Regex =
     """(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?`?(\w+)`?\s*;?\s*$""".r
 
@@ -687,6 +696,10 @@ class StatementRunner(spark: SparkSession) {
     """(?i)^(MIN|MAX|SUM|AVG)\(\s*`?(\w+)`?\s*\)(?:\s+AS\s+`?(\w+)`?)?$""".r
   private val RoughBetweenRe: Regex =
     """(?is)^`?(\w+)`?\s+BETWEEN\s+(-?[0-9.]+)\s+AND\s+(-?[0-9.]+)$""".r
+  // one-sided / equality comparisons reduce to BETWEEN with an infinite
+  // (or degenerate) bound — the same tri-state pack walk
+  private val RoughCmpRe: Regex =
+    """(?is)^`?(\w+)`?\s*(>=|<=|=)\s*(-?[0-9.]+)$""".r
   private val RoughPrefixRe: Regex =
     """(?is)^`?(\w+)`?\s+LIKE\s+'([^'%_]*)%'$""".r
 
@@ -752,10 +765,19 @@ class StatementRunner(spark: SparkSession) {
         val n = w match {
           case RoughBetweenRe(c, lo, hi) =>
             StatsSidecar.countBetween(spark, path, c, lo.toDouble, hi.toDouble)
+          case RoughCmpRe(c, op, v) => op match {
+            case ">=" => StatsSidecar.countBetween(spark, path, c,
+              v.toDouble, Double.PositiveInfinity)
+            case "<=" => StatsSidecar.countBetween(spark, path, c,
+              Double.NegativeInfinity, v.toDouble)
+            case "=" => StatsSidecar.countBetween(spark, path, c,
+              v.toDouble, v.toDouble)
+          }
           case RoughPrefixRe(c, p) =>
             StatsSidecar.countPrefix(spark, path, c, p)
           case _ => throw new UnsupportedOperationException(
-            "SELECT ROUGHLY WHERE supports 'col BETWEEN lo AND hi' and " +
+            "SELECT ROUGHLY WHERE supports 'col BETWEEN lo AND hi', " +
+              "'col >= v', 'col <= v', 'col = v', and " +
               "\"col LIKE 'prefix%'\" shapes only")
         }
         spark.range(1).select(specs.map { case (_, _, a) => lit(n).as(a) }: _*)
@@ -879,6 +901,50 @@ class StatementRunner(spark: SparkSession) {
       store.alterDropColumn(colName)
       store.read().createOrReplaceTempView(table)
       Seq((table, s"DROP COLUMN $colName")).toDF("table_name", "status")
+
+    case AlterModifyRe(table, colName, colType) =>
+      import spark.implicits._
+      val store = attachedStore(table)
+      if (!store.read().columns.contains(colName))
+        throw new IllegalArgumentException(
+          s"ALTER TABLE: unknown column '$colName'")
+      store.alterModifyColumn(colName, sparkType(colType))
+      store.read().createOrReplaceTempView(table)
+      Seq((table, s"MODIFY COLUMN $colName $colType"))
+        .toDF("table_name", "status")
+
+    case AlterChangeRe(table, oldCol, newCol, colType) =>
+      import spark.implicits._
+      val store = attachedStore(table)
+      if (!store.read().columns.contains(oldCol))
+        throw new IllegalArgumentException(
+          s"ALTER TABLE: unknown column '$oldCol'")
+      store.alterRenameColumn(oldCol, newCol, Some(sparkType(colType)))
+      // a renamed PK component follows the rename
+      primaryKeys.get(table.toLowerCase).foreach { ks =>
+        primaryKeys(table.toLowerCase) =
+          ks.map(k => if (k == oldCol) newCol else k)
+      }
+      store.read().createOrReplaceTempView(table)
+      Seq((table, s"CHANGE COLUMN $oldCol $newCol $colType"))
+        .toDF("table_name", "status")
+
+    case AlterRenameRe(table, newName) =>
+      import spark.implicits._
+      val key = table.toLowerCase
+      val nk = newName.toLowerCase
+      val store = stores.remove(key).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER TABLE RENAME: '$table' is not attached to this runner"))
+      if (stores.contains(nk))
+        throw new IllegalArgumentException(
+          s"ALTER TABLE RENAME: '$newName' already exists")
+      stores(nk) = store
+      primaryKeys.remove(key).foreach(primaryKeys(nk) = _)
+      ownedRoots.remove(key).foreach(ownedRoots(nk) = _)
+      spark.catalog.dropTempView(table)
+      store.read().createOrReplaceTempView(newName)
+      Seq((table, s"RENAME TO $newName")).toDF("table_name", "status")
 
     case TruncateRe(table) =>
       import spark.implicits._

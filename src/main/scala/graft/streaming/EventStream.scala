@@ -184,6 +184,39 @@ object EventStream {
       .drop("fp")
   }
 
+  /** File-source stream over a testdata dir (embeddings.parquet only) —
+    * the [[readDocuments]] convention for the vector table. */
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(s"$dir/embeddings.parquet").schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+
+  /** Streaming maintenance of a k-means IVF serving index: each
+    * micro-batch of (vec_id, label, embedding) rows is assigned to its
+    * nearest STORED centroid and appended into the cluster-partitioned
+    * assign table ([[graft.operators.Similarity.appendToKmeansStore]])
+    * behind an id-keyed dedup — only vec_ids the store has not seen
+    * append, so a batch REPLAYED after a failure is a no-op. A raw
+    * parquet append has no transactional marker, so idempotence is
+    * keyed on CONTENT ids (the [[ingestNewDocs]] discipline; the probe
+    * is a key-column-only anti-join that prunes to the id column at
+    * scan time). Centroids stay fixed between offline rebuilds — the
+    * standard IVF regime: periodic re-train, streaming adds in between
+    * (the reference's insert-buffer → background-merge shape,
+    * core/engine.h:210, applied to index maintenance). */
+  def maintainIvfIndex(vecs: DataFrame, root: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val existing = s.read.parquet(s"$root/assign").select(col("vec_id"))
+        val fresh = batch.toDF().join(existing, Seq("vec_id"), "left_anti")
+        graft.operators.Similarity.appendToKmeansStore(s, root, fresh)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming curation gate: the round-10 quality tier applied to a
     * document stream — keep a doc iff it passes the Gopher rule battery
     * AND the hashed linear classifier scores it positive. Both are pure

@@ -193,6 +193,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT ROUGHLY COUNT(*) AS n FROM li_rough " +
         "WHERE l_quantity BETWEEN 5.0 AND 15.0").first().getAs[Long]("n")
     assert(n === li.where("l_quantity BETWEEN 5.0 AND 15.0").count())
+    // one-sided and equality comparisons take the same hybrid walk
+    assert(runner.run("SELECT ROUGHLY COUNT(*) AS n FROM li_rough " +
+      "WHERE l_quantity >= 40.0").first().getAs[Long]("n")
+      === li.where("l_quantity >= 40.0").count())
+    assert(runner.run("SELECT ROUGHLY COUNT(*) AS n FROM li_rough " +
+      "WHERE l_quantity <= 3.0").first().getAs[Long]("n")
+      === li.where("l_quantity <= 3.0").count())
+    assert(runner.run("SELECT ROUGHLY COUNT(*) AS n FROM li_rough " +
+      "WHERE l_quantity = 25.0").first().getAs[Long]("n")
+      === li.where("l_quantity = 25.0").count())
     // unsupported shapes refuse loudly
     intercept[IllegalArgumentException] {
       runner.run("SELECT ROUGHLY COUNT(*) FROM never_packed")
@@ -568,6 +578,42 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(store.read().count() === 0)
     assert(store.read().columns.toSeq ===
       Seq("r_regionkey", "r_name", "note"))
+  }
+
+  test("statement front-end: ALTER TABLE MODIFY/CHANGE/RENAME " +
+      "(alter_column.test shapes)") {
+    import graft.sources.{DeltaStore, StatementRunner}
+    import org.apache.spark.sql.functions.col
+    val runner = new StatementRunner(spark)
+    val store = new DeltaStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_altc").toString)
+    store.writeBase(Engine.table(spark, sf, "region"))
+    runner.attach("altc_region", store)
+    runner.run("ALTER TABLE altc_region ADD PRIMARY KEY (r_regionkey)")
+    // MODIFY retypes in place (INT -> BIGINT), values preserved
+    runner.run("ALTER TABLE altc_region MODIFY COLUMN r_regionkey BIGINT")
+    val f = store.read().schema("r_regionkey")
+    assert(f.dataType === org.apache.spark.sql.types.LongType)
+    assert(store.read().agg(org.apache.spark.sql.functions
+      .sum(col("r_regionkey"))).first().getLong(0) === 10L) // 0+1+2+3+4
+    // CHANGE renames + retypes; the PK declaration follows the rename
+    runner.run("ALTER TABLE altc_region CHANGE r_regionkey rk INT")
+    assert(store.read().columns.contains("rk"))
+    assert(!store.read().columns.contains("r_regionkey"))
+    // keyed statement against the RENAMED pk column works
+    runner.run("REPLACE INTO altc_region VALUES (0, 'REPLACED')")
+    assert(store.read().filter(col("rk") === 0).first()
+      .getAs[String]("r_name") === "REPLACED")
+    // RENAME TO moves the table in the runner catalog
+    runner.run("ALTER TABLE altc_region RENAME TO altc_renamed")
+    assert(runner.run("SELECT COUNT(*) AS n FROM altc_renamed")
+      .first().getLong(0) === 5L)
+    intercept[IllegalArgumentException] {
+      runner.run("DELETE FROM altc_region") // old name gone
+    }
+    intercept[IllegalArgumentException] {
+      runner.run("ALTER TABLE altc_renamed MODIFY no_such INT")
+    }
   }
 
   test("statement front-end: SHOW TABLES / SHOW CREATE TABLE / DESCRIBE / " +

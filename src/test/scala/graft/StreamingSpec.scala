@@ -219,6 +219,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(survivorFps.intersect(storeFps).isEmpty)
   }
 
+  test("streaming IVF index maintenance: new vectors land in the served " +
+      "index, replays are no-ops, probes find them") {
+    import org.apache.spark.sql.functions.lit
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_ivf").toString
+    val e = Engine.table(spark, sf, "embeddings")
+    // offline build over HALF the corpus (buildKmeansQuantizer's layout,
+    // private root)
+    val base = e.filter(col("vec_id") % 2 === 0)
+    val assigned = operators.Similarity.kmeansAssign(base).persist()
+    assigned.write.partitionBy("cluster").parquet(s"$tmp/assign")
+    operators.Similarity.centroids(
+      assigned.drop("label").withColumnRenamed("cluster", "label"))
+      .withColumnRenamed("label", "cluster")
+      .coalesce(1).write.parquet(s"$tmp/centroids")
+    assigned.unpersist()
+    // stream the OTHER half in
+    val q = EventStream.maintainIvfIndex(
+      EventStream.readEmbeddings(spark, sf)
+        .where(col("vec_id") % 2 =!= 0), tmp)
+    q.awaitTermination(120000)
+    val store = spark.read.parquet(s"$tmp/assign")
+    assert(store.count() === e.count())
+    assert(store.select("vec_id").distinct().count() === e.count())
+    // a REPLAYED batch (content already present) must not double-insert
+    val q2 = EventStream.maintainIvfIndex(
+      EventStream.readEmbeddings(spark, sf)
+        .where(col("vec_id") % 2 =!= 0), tmp)
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(s"$tmp/assign").count() === e.count())
+    // a streamed-in vector is findable through the standard probe path
+    val target = e.filter(col("vec_id") % 2 =!= 0)
+      .orderBy("vec_id").limit(1)
+    val targetId = target.collect()(0).getLong(0)
+    val probe = target.select(lit(-1L).as("q_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
+    val k = spark.read.parquet(s"$tmp/centroids").count().toInt
+    val hits = operators.Similarity.probeKmeansStore(spark, tmp, probe,
+      nprobe = k, topk = store.count().toInt)
+    assert(hits.filter(col("vec_id") === targetId).count() === 1)
+  }
+
   test("streaming curation gate equals its batch twin and the " +
       "gopher/classifier gates' own verdicts") {
     val q = EventStream.curateDocs(EventStream.readDocuments(spark, sf))
