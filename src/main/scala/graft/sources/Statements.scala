@@ -599,8 +599,27 @@ class StatementRunner(spark: SparkSession) {
   // runner-managed store, registers any PRIMARY KEY. With LOAD DATA and
   // the INSERT forms this closes the verbatim MTR flow:
   // CREATE TABLE → LOAD/INSERT → SELECT, all as statement text.
+  // TEMPORARY is accepted and equivalent: every runner table is already
+  // session-scoped (create_tmp.test / temporary.test).
   private val CreateTableRe: Regex =
-    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*\((.+)\)\s*(?:ENGINE\s*=\s*\w+\s*)?(?:DEFAULT\s+CHARSET\s*=\s*\w+\s*)?;?\s*$""".r
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*\((.+)\)\s*(?:ENGINE\s*=\s*\w+\s*)?(?:DEFAULT\s+CHARSET\s*=\s*\w+\s*)?;?\s*$""".r
+  // Secondary-index DDL (create_index.test / drop_index.test): accepted
+  // as metadata no-ops — the engine has no B-trees; scan pruning comes
+  // from the pack stats sidecar (the reference's Tianmu engine likewise
+  // treats secondary indexes as inert metadata, SURVEY §4).
+  private val CreateIndexRe: Regex =
+    """(?is)^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+`?(\w+)`?\s+ON\s+`?(\w+)`?\s*\(([^)]*)\)\s*;?\s*$""".r
+  private val DropIndexRe: Regex =
+    """(?is)^\s*DROP\s+INDEX\s+`?(\w+)`?\s+ON\s+`?(\w+)`?\s*;?\s*$""".r
+  // Database-level session statements (create_db.test / dropdb.test):
+  // the runner is single-namespace (a library, not a server), so these
+  // track names only — CREATE/USE/DROP succeed, table names stay flat.
+  private val CreateDbRe: Regex =
+    """(?is)^\s*CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$""".r
+  private val UseDbRe: Regex = """(?is)^\s*USE\s+`?(\w+)`?\s*;?\s*$""".r
+  private val DropDbRe: Regex =
+    """(?is)^\s*DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$""".r
+  private val databases = scala.collection.mutable.Set[String]()
   private val DropRe: Regex =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$""".r
   // ALTER TABLE forms (reference alter_table.test / alter_column.test;
@@ -987,6 +1006,38 @@ class StatementRunner(spark: SparkSession) {
 
     case CreateTableRe(table, body) =>
       runCreateTable(table, body)
+
+    case CreateIndexRe(index, table, cols) =>
+      import spark.implicits._
+      attachedStore(table) // the table must exist; the index is inert
+      Seq((table, s"INDEX $index (${cols.trim}) accepted (metadata only; " +
+        "scan pruning rides the pack stats sidecar)"))
+        .toDF("table_name", "status")
+
+    case DropIndexRe(index, table) =>
+      import spark.implicits._
+      attachedStore(table)
+      Seq((table, s"INDEX $index dropped (metadata only)"))
+        .toDF("table_name", "status")
+
+    case CreateDbRe(db) =>
+      import spark.implicits._
+      databases += db.toLowerCase
+      Seq((db, "database created (single-namespace runner)"))
+        .toDF("database", "status")
+
+    case UseDbRe(db) =>
+      import spark.implicits._
+      if (!databases.contains(db.toLowerCase))
+        throw new IllegalArgumentException(
+          s"USE: unknown database '$db' (CREATE DATABASE first)")
+      Seq((db, "database changed")).toDF("database", "status")
+
+    case DropDbRe(db) =>
+      import spark.implicits._
+      val existed = databases.remove(db.toLowerCase)
+      Seq((db, if (existed) "database dropped" else "not created"))
+        .toDF("database", "status")
 
     case CtasRe(table, select) =>
       import spark.implicits._

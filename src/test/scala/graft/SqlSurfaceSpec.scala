@@ -580,6 +580,31 @@ class SqlSurfaceSpec extends AnyFunSuite {
       Seq("r_regionkey", "r_name", "note"))
   }
 
+  test("statement front-end: TEMPORARY tables, index DDL no-ops, and " +
+      "database session statements") {
+    import graft.sources.StatementRunner
+    val runner = new StatementRunner(spark)
+    // the MTR session prologue runs as-is
+    runner.run("CREATE DATABASE IF NOT EXISTS mtr_db")
+    runner.run("USE mtr_db")
+    intercept[IllegalArgumentException] { runner.run("USE never_created") }
+    // TEMPORARY table ≡ table (runner tables are session-scoped)
+    runner.run("create temporary table tmp_t (a INT, b TEXT)")
+    runner.run("insert into tmp_t values (1, 'x')")
+    assert(runner.run("select count(*) as n from tmp_t")
+      .first().getLong(0) === 1L)
+    // index DDL is accepted metadata (no B-trees; pack stats prune)
+    val ci = runner.run("CREATE INDEX idx_a ON tmp_t (a)").first()
+    assert(ci.getString(1).contains("metadata only"))
+    runner.run("DROP INDEX idx_a ON tmp_t")
+    intercept[IllegalArgumentException] {
+      runner.run("CREATE INDEX i2 ON never_attached (x)")
+    }
+    runner.run("drop table tmp_t")
+    assert(runner.run("DROP DATABASE mtr_db").first()
+      .getString(1) === "database dropped")
+  }
+
   test("statement front-end: ALTER TABLE MODIFY/CHANGE/RENAME " +
       "(alter_column.test shapes)") {
     import graft.sources.{DeltaStore, StatementRunner}
