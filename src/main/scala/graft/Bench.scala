@@ -89,6 +89,7 @@ object Bench {
     "q_sim_ivfpq_topk",         // composed IVF-PQ (partition-pruned ADC)
     "q_hard_negatives",         // contrastive hard-negative band mining
     "q_mview_incremental",      // incremental summary-table maintenance
+    "q_corpus_topics",          // topic-cluster composition report
     "q_bpe_train")              // iterative BPE merge training (8 steps)
 
   def runOne(spark: SparkSession, name: String, sfDir: String): Double = {

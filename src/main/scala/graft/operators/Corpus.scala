@@ -526,13 +526,79 @@ object Corpus {
       |ORDER BY source""".stripMargin
   }
 
+  // --- corpus composition by learned topic cluster ---------------------------
+
+  /** Corpus composition analysis — the data-mixing diagnostic every
+    * pretraining run consults before setting mixture weights: bucket
+    * the corpus by LEARNED topic cluster (the k-means quantizer the ANN
+    * tier already maintains — one build serves search, dedup blocking,
+    * AND composition reporting) and report, per cluster, its size, how
+    * many sources feed it, and the dominant source with its share.
+    *
+    * Plan shape: the cluster assignment is read from the PUBLISHED
+    * store (no refit — the [[graft.operators.Similarity]] probe
+    * discipline), one broadcast-sized join against the documents'
+    * (doc_id, source) projection, a (cluster, source) partial agg, and
+    * a cluster-keyed argmax via `max(struct(n, source))` — no window,
+    * no second corpus scan. At 100 TB every stage is agg-sized after
+    * the one joined scan. Oracle: store replay (the assignment is
+    * parquet; the rest is relational algebra DuckDB mirrors). */
+  def qCorpusTopics(s: SparkSession, dir: String): DataFrame = {
+    val root = Similarity.buildKmeansQuantizer(s, dir)
+    val assign = s.read.parquet(s"$root/assign")
+      .select(col("cluster").cast("int").as("cluster"),
+        col("vec_id").as("doc_id"))
+    val docs = Engine.table(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val perSource = assign.join(docs, Seq("doc_id"))
+      .groupBy(col("cluster"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    perSource.groupBy(col("cluster"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        max(struct(col("n"), col("source"))).as("__top"))
+      .select(col("cluster"), col("n_docs"), col("n_sources"),
+        col("__top.source").as("top_source"),
+        col("__top.n").as("top_source_docs"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Oracle: replay the blocking from the stored assignment — ties on
+    * the per-cluster max break by the larger source string, exactly the
+    * `max(struct(n, source))` rule. */
+  val qCorpusTopicsSql: String = {
+    val root = Similarity.oracleRoot("ivf-kmeans")
+    s"""WITH assign AS (
+      |  SELECT CAST(cluster AS INT) AS cluster, vec_id AS doc_id
+      |  FROM read_parquet('$root/assign/*/*.parquet', hive_partitioning = 1)
+      |), per AS (
+      |  SELECT a.cluster, d.source, COUNT(*) AS n
+      |  FROM assign a JOIN documents d USING (doc_id)
+      |  GROUP BY a.cluster, d.source
+      |), ranked AS (
+      |  SELECT cluster, source, n,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster
+      |                       ORDER BY n DESC, source DESC) AS rk
+      |  FROM per
+      |)
+      |SELECT p.cluster,
+      |  CAST(SUM(p.n) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sources,
+      |  MAX(r.source) AS top_source,
+      |  CAST(MAX(r.n) AS BIGINT) AS top_source_docs
+      |FROM per p JOIN ranked r ON p.cluster = r.cluster AND r.rk = 1
+      |GROUP BY p.cluster
+      |ORDER BY p.cluster""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_docs" -> (qChunkDocs _),
     "q_split_leakfree" -> (qSplitLeakfree _),
     "q_token_budget_select" -> (qTokenBudgetSelect _),
     "q_source_curation" -> (qSourceCuration _),
     "q_dsir_select" -> (qDsirSelect _),
-    "q_mix_waterfill" -> (qMixWaterfill _))
+    "q_mix_waterfill" -> (qMixWaterfill _),
+    "q_corpus_topics" -> (qCorpusTopics _))
 
   val oracles: Map[String, String] = Map(
     "q_chunk_docs" -> qChunkDocsSql,
@@ -540,5 +606,6 @@ object Corpus {
     "q_token_budget_select" -> qTokenBudgetSelectSql,
     "q_source_curation" -> qSourceCurationSql,
     "q_dsir_select" -> qDsirSelectSql,
-    "q_mix_waterfill" -> qMixWaterfillSql)
+    "q_mix_waterfill" -> qMixWaterfillSql,
+    "q_corpus_topics" -> qCorpusTopicsSql)
 }

@@ -576,6 +576,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(p1 === p2)
   }
 
+  test("corpus topic composition: totals conserve the corpus, dominant " +
+      "source verified independently, probe-only (no refit)") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.Corpus.qCorpusTopics(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Engine.table(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("top_source_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_sources") >= 1L)
+    }
+    // independent recompute of one cluster's dominant source
+    val root = operators.Similarity.buildKmeansQuantizer(spark, sf)
+    val c0 = rows.head.getAs[Int]("cluster")
+    val want = spark.read.parquet(s"$root/assign")
+      .select(col("cluster").cast("int").as("cluster"),
+        col("vec_id").as("doc_id"))
+      .where(col("cluster") === c0)
+      .join(Engine.table(spark, sf, "documents")
+        .select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source").count().collect()
+      .map(r => (r.getLong(1), r.getString(0))).max
+    assert((rows.head.getAs[Long]("top_source_docs"),
+      rows.head.getAs[String]("top_source")) === want)
+    // deterministic across runs (probe-only — the store is fixed)
+    val again = operators.Corpus.qCorpusTopics(spark, sf).collect()
+    assert(rows.toSeq === again.toSeq)
+  }
+
   test("classifier score: deterministic, zero-shuffle projection, " +
       "sign threshold splits the corpus") {
     val a = operators.TextOps.qTextClassifierScore(spark, sf).collect()
