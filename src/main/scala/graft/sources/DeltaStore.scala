@@ -76,6 +76,30 @@ class DeltaStore(spark: SparkSession, root: String) {
   def deltaCount(): Long =
     if (exists(deltaPath)) spark.read.parquet(deltaPath).count() else 0L
 
+  /** Parquet files currently in the delta dir (small-file pressure). */
+  def deltaFileCount(): Long =
+    if (!exists(deltaPath)) 0L
+    else fs.listStatus(new Path(deltaPath))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
+
+  /** Append with the reference's threshold-triggered background merge
+    * (Engine::ProcessInsertBufferMerge fires when the buffered rowcount
+    * passes `tianmu_sysvar_insert_numthreshold` or the buffer has aged
+    * past `insert_cntthreshold` cycles — core/engine.cpp:1469): fold
+    * the delta into the base when its ROW count or FILE count passes
+    * the thresholds. The file-count trigger is the lakehouse twin of
+    * the age trigger — what actually degrades at scale is many small
+    * delta files per scan, regardless of their combined row count.
+    * Returns true iff this append triggered a compaction. Single-writer
+    * discipline, like the reference's merge thread. */
+  def appendWithMerge(df: DataFrame, maxDeltaRows: Long = 65536,
+                      maxDeltaFiles: Long = 16): Boolean = {
+    append(df)
+    val due = deltaCount() >= maxDeltaRows || deltaFileCount() >= maxDeltaFiles
+    if (due) compact()
+    due
+  }
+
   /** Whole-table transform under the staged-rewrite discipline: compact
     * pending delta first (so `f` sees every row exactly once), then
     * stage-and-swap `f(read())`. The DELETE/UPDATE statement forms ride

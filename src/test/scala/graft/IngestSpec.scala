@@ -181,4 +181,30 @@ class IngestSpec extends AnyFunSuite {
     store.compact()
     assert(store.read().count() === c.count())
   }
+
+  test("appendWithMerge folds the delta when row/file thresholds trip " +
+      "(ProcessInsertBufferMerge analog)") {
+    val tmp = Files.createTempDirectory("graft_automerge").toString
+    val r = Engine.table(spark, sf, "region") // 5 rows/append
+    val store = new DeltaStore(spark, tmp)
+    store.writeBase(r.limit(0))
+    // below both thresholds: delta accumulates, no merge
+    assert(!store.appendWithMerge(r, maxDeltaRows = 100, maxDeltaFiles = 100))
+    assert(store.deltaCount() === 5)
+    // row threshold trips on the append that crosses it
+    assert(store.appendWithMerge(r, maxDeltaRows = 10, maxDeltaFiles = 100))
+    assert(store.deltaCount() === 0)
+    assert(store.read().count() === 10)
+    // file-count threshold trips independently of row count
+    var merged = false
+    var i = 0
+    while (!merged && i < 10) {
+      merged = store.appendWithMerge(r.limit(1),
+        maxDeltaRows = 1000000, maxDeltaFiles = 3)
+      i += 1
+    }
+    assert(merged && i <= 4, s"file trigger after $i appends")
+    assert(store.deltaCount() === 0)
+    assert(store.read().count() === 10 + i)
+  }
 }

@@ -580,6 +580,40 @@ class SqlSurfaceSpec extends AnyFunSuite {
       Seq("r_regionkey", "r_name", "note"))
   }
 
+  test("statement front-end: composite PRIMARY KEY drives the keyed " +
+      "statement forms (composite_primary_key.test shape)") {
+    import graft.sources.StatementRunner
+    import org.apache.spark.sql.functions.col
+    val runner = new StatementRunner(spark)
+    runner.run("CREATE TABLE comp_pk (a INT NOT NULL, b INT NOT NULL, " +
+      "v TEXT, PRIMARY KEY (a, b))")
+    runner.run("INSERT INTO comp_pk VALUES (1,1,'x'), (1,2,'y'), (2,1,'z')")
+    // REPLACE matches on BOTH key components
+    runner.run("REPLACE INTO comp_pk VALUES (1,2,'REPL'), (3,3,'new')")
+    def v(a: Int, b: Int): String = runner.run(
+      s"SELECT v FROM comp_pk WHERE a = $a AND b = $b").first().getString(0)
+    assert(v(1, 2) === "REPL")
+    assert(v(1, 1) === "x", "partial key match must NOT replace")
+    assert(v(3, 3) === "new")
+    // upsert: (1,1) collides -> update; (2,2) is new despite a=2 existing
+    val up = runner.run("INSERT INTO comp_pk VALUES (1,1,'i'), (2,2,'w') " +
+      "ON DUPLICATE KEY UPDATE v = concat(v, '+')").first()
+    assert(up.getAs[Long]("rows_updated") === 1L)
+    assert(up.getAs[Long]("rows_inserted") === 1L)
+    assert(v(1, 1) === "x+")
+    assert(v(2, 2) === "w")
+    // INSERT IGNORE respects the pair, not the components
+    runner.run("INSERT IGNORE INTO comp_pk VALUES (2,1,'dup'), (2,3,'ok')")
+    assert(v(2, 1) === "z")
+    assert(v(2, 3) === "ok")
+    // DELETE ... LIMIT orders over the composite key deterministically
+    val del = runner.run("DELETE FROM comp_pk WHERE a = 2 LIMIT 1").first()
+    assert(del.getAs[Long]("rows_deleted") === 1L)
+    assert(runner.run("SELECT COUNT(*) AS n FROM comp_pk WHERE a = 2")
+      .first().getLong(0) === 2L)
+    runner.run("DROP TABLE comp_pk")
+  }
+
   test("statement front-end: TEMPORARY tables, index DDL no-ops, and " +
       "database session statements") {
     import graft.sources.StatementRunner
