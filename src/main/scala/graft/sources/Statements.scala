@@ -160,11 +160,74 @@ class StatementRunner(spark: SparkSession) {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** MySQL range bounds for a target field: from the
+    * `graft.mysql.{min,max}` metadata a CREATE TABLE statement attached
+    * (exact MySQL semantics incl. UNSIGNED), else the Spark integral
+    * type's natural bounds (so inserts into attached parquet tables
+    * still reject wrap-around). Non-integral targets have no range
+    * semantics here. */
+  private def mysqlBounds(f: org.apache.spark.sql.types.StructField)
+      : Option[(BigDecimal, BigDecimal)] = {
+    import org.apache.spark.sql.types._
+    if (f.metadata.contains("graft.mysql.min"))
+      Some((BigDecimal(f.metadata.getString("graft.mysql.min")),
+        BigDecimal(f.metadata.getString("graft.mysql.max"))))
+    else f.dataType match {
+      case ByteType => Some((BigDecimal(Byte.MinValue), BigDecimal(Byte.MaxValue)))
+      case ShortType => Some((BigDecimal(Short.MinValue), BigDecimal(Short.MaxValue)))
+      case IntegerType => Some((BigDecimal(Int.MinValue), BigDecimal(Int.MaxValue)))
+      case LongType => Some((BigDecimal(Long.MinValue), BigDecimal(Long.MaxValue)))
+      case _ => None
+    }
+  }
+
+  /** MySQL strict-mode range enforcement (ER_WARN_DATA_OUT_OF_RANGE,
+    * error 1264 — the reference's out_of_range_issue1151.test rejects
+    * every overflowing INSERT): a numeric value destined for an
+    * integral column must lie inside the column's declared MySQL range;
+    * otherwise the whole statement throws, naming the columns. Without
+    * this, Spark's non-ANSI cast silently WRAPS (1234 → TINYINT = -46)
+    * — a silently-wrong row instead of MySQL's error. */
+  private def rangeCheck(named: DataFrame,
+                         schema: org.apache.spark.sql.types.StructType,
+                         provided: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, NumericType}
+    val checks = schema.toSeq.flatMap { f =>
+      if (!provided.contains(f.name)) None
+      else mysqlBounds(f).flatMap { case (lo, hi) =>
+        named.schema(f.name).dataType match {
+          case _: NumericType =>
+            // decimal(38,4) holds every in-range value of every MySQL
+            // integral type; an overflowing cast nulls → coalesce(true)
+            // counts it as out of range too
+            val x = col(f.name).cast(DecimalType(38, 4))
+            Some(when(col(f.name).isNotNull &&
+              coalesce(x < lit(lo.bigDecimal) || x > lit(hi.bigDecimal),
+                lit(true)),
+              lit(f.name)))
+          case _ => None
+        }
+      }
+    }
+    if (checks.nonEmpty) {
+      val bad = named.select(explode(array(checks: _*)).as("c"))
+        .filter(col("c").isNotNull)
+        .groupBy(col("c")).agg(count(lit(1)).as("n"))
+        .limit(5).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        "INSERT: out of range value for column(s) " +
+          bad.map(r => s"'${r.getString(0)}' (${r.getLong(1)} row(s))")
+            .mkString(", ") + " (MySQL strict mode, error 1264)")
+    }
+  }
+
   /** Name the incoming frame's columns from the statement's column list
-    * (or the table's own order) and cast positionally into the table
-    * schema; unmentioned columns = NULL (MySQL's permissive default —
-    * strict modes are appendStrict's job). Shared by every INSERT-shaped
-    * statement form (VALUES, SELECT, REPLACE, ON DUPLICATE KEY). */
+    * (or the table's own order), enforce MySQL range semantics
+    * ([[rangeCheck]]), and cast positionally into the table schema;
+    * unmentioned columns = NULL (MySQL's permissive default for
+    * non-NOT-NULL columns). Shared by every INSERT-shaped statement
+    * form (VALUES, SELECT, SET, IGNORE, REPLACE, ON DUPLICATE KEY). */
   private def alignToSchema(raw: DataFrame, colList: String,
                             schema: org.apache.spark.sql.types.StructType)
       : DataFrame = {
@@ -177,6 +240,7 @@ class StatementRunner(spark: SparkSession) {
         s"INSERT: ${raw.schema.length} values per row for " +
           s"${provided.length} target columns")
     val named = raw.toDF(provided: _*)
+    rangeCheck(named, schema, provided)
     named.select(schema.map { f =>
       if (provided.contains(f.name)) col(f.name).cast(f.dataType)
       else lit(null).cast(f.dataType).as(f.name)
@@ -274,16 +338,48 @@ class StatementRunner(spark: SparkSession) {
         colDef match {
           case ColRe(name, typ, mods) =>
             val m = mods.toUpperCase
-            val dt0 = sparkType(typ.replaceAll("\\s+", ""))
-            // §1.2: UNSIGNED BIGINT needs DECIMAL(20,0); UNSIGNED INT
-            // fits in a signed BIGINT
-            val dt =
-              if (m.contains("UNSIGNED")) dt0 match {
-                case LongType => DecimalType(20, 0)
-                case IntegerType => LongType
-                case other => other
-              } else dt0
-            Left(StructField(name, dt, nullable = !m.contains("NOT NULL")))
+            val unsigned = m.contains("UNSIGNED")
+            val typNorm = typ.replaceAll("\\s+", "")
+            val base = typNorm.toUpperCase.takeWhile(_ != '(')
+            // Integral MySQL types carry exact range semantics: store in
+            // the narrowest Spark type that HOLDS the full MySQL range
+            // (§1.2: UNSIGNED widens one tier — the reference instead
+            // caps unsigned at the signed max, its documented issue
+            // #1236; we implement the true range) and pin the declared
+            // bounds as field metadata for strict-mode INSERT checks.
+            val integral: Option[(DataType, BigDecimal, BigDecimal)] =
+              base match {
+                case "TINYINT" if typNorm.toUpperCase == "TINYINT(1)" => None
+                case "TINYINT" =>
+                  Some(if (unsigned) (ShortType, BigDecimal(0), BigDecimal(255))
+                  else (ByteType, BigDecimal(-128), BigDecimal(127)))
+                case "SMALLINT" =>
+                  Some(if (unsigned) (IntegerType, BigDecimal(0), BigDecimal(65535))
+                  else (ShortType, BigDecimal(-32768), BigDecimal(32767)))
+                case "MEDIUMINT" =>
+                  Some(if (unsigned) (IntegerType, BigDecimal(0), BigDecimal(16777215))
+                  else (IntegerType, BigDecimal(-8388608), BigDecimal(8388607)))
+                case "INT" | "INTEGER" =>
+                  Some(if (unsigned) (LongType, BigDecimal(0), BigDecimal(4294967295L))
+                  else (IntegerType, BigDecimal(Int.MinValue), BigDecimal(Int.MaxValue)))
+                case "BIGINT" =>
+                  Some(if (unsigned)
+                    (DecimalType(20, 0), BigDecimal(0), BigDecimal("18446744073709551615"))
+                  else (LongType, BigDecimal(Long.MinValue), BigDecimal(Long.MaxValue)))
+                case _ => None
+              }
+            val (dt, meta) = integral match {
+              case Some((t, lo, hi)) =>
+                val declared = base + (if (unsigned) " UNSIGNED" else "")
+                (t, new MetadataBuilder()
+                  .putString("graft.mysql.type", declared)
+                  .putString("graft.mysql.min", lo.toString)
+                  .putString("graft.mysql.max", hi.toString)
+                  .build())
+              case None => (sparkType(typNorm), Metadata.empty)
+            }
+            Left(StructField(name, dt, nullable = !m.contains("NOT NULL"),
+              metadata = meta))
           case other => throw new IllegalArgumentException(
             s"CREATE TABLE: unparseable column definition '$other'")
         }
@@ -445,6 +541,13 @@ class StatementRunner(spark: SparkSession) {
     val bad = assigns.map(_._1).filterNot(schema.fieldNames.contains)
     if (bad.nonEmpty) throw new IllegalArgumentException(
       s"INSERT SET: unknown column(s) ${bad.mkString(", ")}")
+    // range semantics before the cast (the alignToSchema discipline):
+    // evaluate each RHS in its natural type and bounds-check it
+    rangeCheck(
+      spark.range(1).select(assigns.map { case (c, rhs) =>
+        expr(rhs).as(c)
+      }: _*),
+      schema, assigns.map(_._1))
     val row = spark.range(1).select(schema.map { f =>
       assigns.find(_._1 == f.name) match {
         case Some((_, rhs)) => expr(rhs).cast(f.dataType).as(f.name)
@@ -695,6 +798,15 @@ class StatementRunner(spark: SparkSession) {
       case other => other.sql
     }
   }
+
+  /** Column type as DDL would render it: the DECLARED MySQL type when
+    * the CREATE TABLE statement pinned one in metadata (e.g. `TINYINT
+    * UNSIGNED`, which STORES as SMALLINT per §1.2), else the reverse
+    * type mapping. */
+  private def declaredType(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains("graft.mysql.type"))
+      f.metadata.getString("graft.mysql.type")
+    else mysqlType(f.dataType)
 
   private def schemaOf(table: String): org.apache.spark.sql.types.StructType =
     stores.get(table.toLowerCase).map(_.read().schema).getOrElse {
@@ -992,7 +1104,7 @@ class StatementRunner(spark: SparkSession) {
     case ShowCreateRe(table) =>
       import spark.implicits._
       val cols = schemaOf(table).fields.map(f =>
-        s"  `${f.name}` ${mysqlType(f.dataType)}" +
+        s"  `${f.name}` ${declaredType(f)}" +
           (if (f.nullable) "" else " NOT NULL"))
       val ddl = s"CREATE TABLE `$table` (\n${cols.mkString(",\n")}\n" +
         ") ENGINE=TIANMU"
@@ -1001,7 +1113,7 @@ class StatementRunner(spark: SparkSession) {
     case DescribeRe(table) =>
       import spark.implicits._
       schemaOf(table).fields.toSeq.map(f =>
-        (f.name, mysqlType(f.dataType), if (f.nullable) "YES" else "NO"))
+        (f.name, declaredType(f), if (f.nullable) "YES" else "NO"))
         .toDF("field", "type", "null")
 
     case CreateTableRe(table, body) =>

@@ -437,7 +437,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val desc = runner.run("DESCRIBE mtr_t1").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(desc("qty") === "DECIMAL(12,2)")
-    assert(desc("big_u") === "DECIMAL(20,0)", "UNSIGNED BIGINT → DEC(20,0)")
+    // declared type renders faithfully; storage is DEC(20,0) per §1.2
+    assert(desc("big_u") === "BIGINT UNSIGNED")
     // empty but queryable; INSERT VALUES fills it
     assert(runner.run("SELECT COUNT(*) AS n FROM mtr_t1")
       .first().getLong(0) === 0L)
@@ -578,6 +579,51 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(store.read().count() === 0)
     assert(store.read().columns.toSeq ===
       Seq("r_regionkey", "r_name", "note"))
+  }
+
+  test("statement front-end: strict-mode out-of-range INSERT rejection " +
+      "and true UNSIGNED ranges (out_of_range_issue1151.test)") {
+    import graft.sources.StatementRunner
+    val runner = new StatementRunner(spark)
+    runner.run("create table oor (a tinyint, b tinyint unsigned, " +
+      "c int, d bigint unsigned)")
+    // in-range values land (full MySQL ranges, incl. unsigned tops the
+    // reference itself cannot store — its issue #1236)
+    runner.run("insert into oor values (-128, 0, -2147483648, 0)")
+    runner.run("insert into oor values (127, 255, 2147483647, " +
+      "18446744073709551615)")
+    assert(runner.run("select count(*) as n from oor")
+      .first().getLong(0) === 2L)
+    val top = runner.run(
+      "select max(d) as m from oor").first().getDecimal(0)
+    assert(top.toBigInteger.toString === "18446744073709551615")
+    // every overflow rejects the statement (error 1264 analog), and the
+    // table is untouched
+    for (bad <- Seq(
+      "insert into oor values (-129, 0, 0, 0)",
+      "insert into oor values (128, 0, 0, 0)",
+      "insert into oor values (1234, 0, 0, 0)",
+      "insert into oor values (0, -1, 0, 0)",
+      "insert into oor values (0, 256, 0, 0)",
+      "insert into oor values (0, 0, 2147483648, 0)",
+      "insert into oor values (0, 0, 0, -1)",
+      "insert into oor values (0, 0, 0, 18446744073709551616)")) {
+      val e = intercept[IllegalArgumentException] { runner.run(bad) }
+      assert(e.getMessage.contains("out of range"), bad)
+    }
+    assert(runner.run("select count(*) as n from oor")
+      .first().getLong(0) === 2L)
+    // the range ride-along forms reject too
+    intercept[IllegalArgumentException] {
+      runner.run("insert into oor set a = 200")
+    }
+    // DESCRIBE renders the declared types, not the storage widening
+    val desc = runner.run("DESCRIBE oor").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("a") === "TINYINT")
+    assert(desc("b") === "TINYINT UNSIGNED")
+    assert(desc("d") === "BIGINT UNSIGNED")
+    runner.run("drop table oor")
   }
 
   test("statement front-end: composite PRIMARY KEY drives the keyed " +
