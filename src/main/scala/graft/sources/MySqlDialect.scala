@@ -17,7 +17,11 @@ import scala.util.matching.Regex
   *    logical OR unless PIPES_AS_CONCAT; Spark would parse it as string
   *    concat — use CONCAT(...) for concatenation, as MTR tests do);
   *  - `LIMIT offset, count` → `LIMIT count OFFSET offset`;
-  *  - `FROM DUAL` → `FROM (SELECT 1) AS DUAL` (Spark has no DUAL).
+  *  - `FROM DUAL` → `FROM (SELECT 1) AS DUAL` (Spark has no DUAL);
+  *  - bit literals `b'0101'` / `0b0101` → their integer value (MySQL
+  *    BIT-type notation, bit.test / bit_type.test; ≤63 bits per the
+  *    reference's cap, common_definitions.h:143 — Spark has no binary
+  *    integer literal).
   *
   * The scan is token-aware: text inside single/double-quoted string
   * literals (with backslash escapes and quote doubling), backtick-quoted
@@ -46,7 +50,28 @@ object MySqlDialect {
     var i = 0
     while (i < n) {
       val c = sql(i)
-      if (c == '\'' || c == '"') {
+      // bit literal b'0101' (checked before the string-literal branch —
+      // the quoted part would otherwise be protected as a string)
+      if ((c == 'b' || c == 'B') && i + 1 < n && sql(i + 1) == '\''
+          && (i == 0 || !isWordChar(sql(i - 1)))) {
+        val close = sql.indexOf('\'', i + 2)
+        val bits = if (close < 0) "" else sql.substring(i + 2, close)
+        if (bits.nonEmpty && bits.length <= 63
+            && bits.forall(ch => ch == '0' || ch == '1')) {
+          out.append(java.lang.Long.parseLong(bits, 2).toString)
+          i = close + 1
+        } else { out.append(c); i += 1 }
+      } else if (c == '0' && i + 1 < n && (sql(i + 1) == 'b' || sql(i + 1) == 'B')
+          && i + 2 < n && (sql(i + 2) == '0' || sql(i + 2) == '1')
+          && (i == 0 || !isWordChar(sql(i - 1)))) {
+        var j = i + 2
+        while (j < n && (sql(j) == '0' || sql(j) == '1')) j += 1
+        val bits = sql.substring(i + 2, j)
+        if (bits.length <= 63 && (j == n || !isWordChar(sql(j)))) {
+          out.append(java.lang.Long.parseLong(bits, 2).toString)
+          i = j
+        } else { out.append(c); i += 1 }
+      } else if (c == '\'' || c == '"') {
         // string literal: copy verbatim, honoring \-escapes and doubling
         out.append(c); i += 1
         var done = false

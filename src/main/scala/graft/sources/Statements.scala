@@ -250,7 +250,11 @@ class StatementRunner(spark: SparkSession) {
   private def valuesBatch(tuples: String, colList: String,
                           schema: org.apache.spark.sql.types.StructType)
       : DataFrame =
-    alignToSchema(spark.sql(s"SELECT * FROM VALUES $tuples"), colList, schema)
+    // tuples ride the dialect rewrite too (bit literals b'0101'/0b0101,
+    // &&/|| inside row expressions; string literals stay protected)
+    alignToSchema(
+      spark.sql(s"SELECT * FROM VALUES ${MySqlDialect.rewrite(tuples)}"),
+      colList, schema)
 
   private def runInsert(table: String, colList: String,
                         tuples: String): DataFrame = {
@@ -366,11 +370,26 @@ class StatementRunner(spark: SparkSession) {
                   Some(if (unsigned)
                     (DecimalType(20, 0), BigDecimal(0), BigDecimal("18446744073709551615"))
                   else (LongType, BigDecimal(Long.MinValue), BigDecimal(Long.MaxValue)))
+                case "BIT" =>
+                  // BIT(n), default n=1; the reference caps n at 63
+                  // (common_definitions.h:143) — enforce the same cap
+                  val nbits = typNorm.toUpperCase.stripPrefix("BIT")
+                    .stripPrefix("(").stripSuffix(")") match {
+                    case "" => 1
+                    case s => s.toInt
+                  }
+                  if (nbits < 1 || nbits > 63)
+                    throw new UnsupportedOperationException(
+                      s"BIT($nbits): the engine supports 1..63 bits " +
+                        "(the reference's cap, common_definitions.h:143)")
+                  Some((LongType, BigDecimal(0),
+                    BigDecimal((BigInt(1) << nbits) - 1)))
                 case _ => None
               }
             val (dt, meta) = integral match {
               case Some((t, lo, hi)) =>
-                val declared = base + (if (unsigned) " UNSIGNED" else "")
+                val declared = (if (base == "BIT") typNorm.toUpperCase
+                  else base) + (if (unsigned) " UNSIGNED" else "")
                 (t, new MetadataBuilder()
                   .putString("graft.mysql.type", declared)
                   .putString("graft.mysql.min", lo.toString)
@@ -769,6 +788,7 @@ class StatementRunner(spark: SparkSession) {
       case "DATE" => DateType
       case "DATETIME" | "TIMESTAMP" => TimestampType
       case "BLOB" | "VARBINARY" | "BINARY" => BinaryType
+      case "BIT" => LongType // ≤63 bits (common_definitions.h:143)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE: unsupported column type '$other'")
     }

@@ -626,6 +626,42 @@ class SqlSurfaceSpec extends AnyFunSuite {
     runner.run("drop table oor")
   }
 
+  test("statement front-end: BIT(n) columns and b''/0b literals " +
+      "(bit.test / bit_type.test shapes)") {
+    import graft.sources.StatementRunner
+    val runner = new StatementRunner(spark)
+    runner.run("CREATE TABLE bits (id INT NOT NULL, b BIT(8), w BIT(63))")
+    // MySQL bit-literal spellings evaluate to their integer value
+    runner.run("INSERT INTO bits SET id = 1, b = b'11111111'")
+    runner.run("INSERT INTO bits SET id = 2, b = B'1010'")
+    runner.run("INSERT INTO bits VALUES (3, 0b0101, 0b1)")
+    def b(id: Int): Long = runner.run(
+      s"SELECT b FROM bits WHERE id = $id").first().getLong(0)
+    assert(b(1) === 255L)
+    assert(b(2) === 10L)
+    assert(b(3) === 5L)
+    // bit literals work in predicates; strings stay strings
+    assert(runner.run("SELECT COUNT(*) AS n FROM bits WHERE b = b'1010'")
+      .first().getLong(0) === 1L)
+    assert(runner.run("SELECT 'b' AS s FROM DUAL").first().getString(0) === "b")
+    assert(runner.run("SELECT 'x 0b01 y' AS s FROM DUAL")
+      .first().getString(0) === "x 0b01 y")
+    // BIT(8) range is [0, 255]: 256 rejects (strict mode)
+    val e = intercept[IllegalArgumentException] {
+      runner.run("INSERT INTO bits VALUES (4, 256, 0)")
+    }
+    assert(e.getMessage.contains("out of range"))
+    // 63-bit column takes the full range; BIT(64) refuses at CREATE
+    runner.run("INSERT INTO bits SET id = 5, w = 9223372036854775807")
+    intercept[UnsupportedOperationException] {
+      runner.run("CREATE TABLE bits2 (x BIT(64))")
+    }
+    val desc = runner.run("DESCRIBE bits").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("b") === "BIT(8)")
+    runner.run("DROP TABLE bits")
+  }
+
   test("statement front-end: composite PRIMARY KEY drives the keyed " +
       "statement forms (composite_primary_key.test shape)") {
     import graft.sources.StatementRunner
