@@ -210,28 +210,59 @@ class StatementRunner(spark: SparkSession) {
         }
       }
     }
-    if (checks.nonEmpty) {
-      val bad = named.select(explode(array(checks: _*)).as("c"))
+    // NULL destined for a NOT NULL column is the other strict-mode
+    // rejection (ER_BAD_NULL_ERROR, 1048)
+    val nullChecks = schema.toSeq.flatMap { f =>
+      if (!provided.contains(f.name) || !requiredCol(f)) None
+      else Some(when(col(f.name).isNull,
+        lit(s"${f.name}: NULL into NOT NULL")))
+    }
+    val all = checks ++ nullChecks
+    if (all.nonEmpty) {
+      val bad = named.select(explode(array(all: _*)).as("c"))
         .filter(col("c").isNotNull)
         .groupBy(col("c")).agg(count(lit(1)).as("n"))
         .limit(5).collect()
       if (bad.nonEmpty) throw new IllegalArgumentException(
-        "INSERT: out of range value for column(s) " +
+        "INSERT: out of range or NULL value for column(s) " +
           bad.map(r => s"'${r.getString(0)}' (${r.getLong(1)} row(s))")
-            .mkString(", ") + " (MySQL strict mode, error 1264)")
+            .mkString(", ") + " (MySQL strict mode, errors 1264/1048)")
+    }
+  }
+
+  /** MySQL's implicit column default (what non-strict/IGNORE inserts
+    * substitute for NULL in a NOT NULL column): 0 for numbers, '' for
+    * strings, false, empty bytes, epoch for temporals. */
+  private def implicitDefault(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType => lit(0)
+      case StringType => lit("")
+      case BooleanType => lit(false)
+      case BinaryType => lit(Array.emptyByteArray)
+      case DateType | _: TimestampType | _: TimestampNTZType =>
+        lit("1970-01-01 00:00:00")
+      case _ => lit(null)
     }
   }
 
   /** Name the incoming frame's columns from the statement's column list
-    * (or the table's own order), enforce MySQL range semantics
-    * ([[rangeCheck]]), and cast positionally into the table schema;
-    * unmentioned columns = NULL (MySQL's permissive default for
-    * non-NOT-NULL columns). Shared by every INSERT-shaped statement
-    * form (VALUES, SELECT, SET, IGNORE, REPLACE, ON DUPLICATE KEY). */
+    * (or the table's own order) and cast positionally into the table
+    * schema. `strict = true` (the default, MySQL strict sql_mode):
+    * out-of-range and NULL-into-NOT-NULL values REJECT the statement
+    * ([[rangeCheck]]) and unmentioned NOT NULL columns refuse (error
+    * 1364). `strict = false` (the INSERT IGNORE regime): out-of-range
+    * values CLAMP to the nearest bound and NOT NULL columns receive the
+    * implicit default — MySQL's documented IGNORE downgrades of the
+    * same errors. Shared by every INSERT-shaped statement form. */
   private def alignToSchema(raw: DataFrame, colList: String,
-                            schema: org.apache.spark.sql.types.StructType)
+                            schema: org.apache.spark.sql.types.StructType,
+                            strict: Boolean = true)
       : DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, greatest, least, lit}
+    import org.apache.spark.sql.types.DecimalType
     val provided: Seq[String] =
       if (colList == null || colList.trim.isEmpty) schema.map(_.name).toSeq
       else splitTopLevel(colList).map(_.stripPrefix("`").stripSuffix("`"))
@@ -240,21 +271,45 @@ class StatementRunner(spark: SparkSession) {
         s"INSERT: ${raw.schema.length} values per row for " +
           s"${provided.length} target columns")
     val named = raw.toDF(provided: _*)
-    rangeCheck(named, schema, provided)
+    if (strict) {
+      val missingRequired = schema.filter(f =>
+        requiredCol(f) && !provided.contains(f.name)).map(_.name)
+      if (missingRequired.nonEmpty) throw new IllegalArgumentException(
+        s"INSERT: field(s) ${missingRequired.mkString(", ")} don't have " +
+          "a default value (MySQL strict mode, error 1364)")
+      rangeCheck(named, schema, provided)
+    }
     named.select(schema.map { f =>
-      if (provided.contains(f.name)) col(f.name).cast(f.dataType)
+      if (provided.contains(f.name)) {
+        val src = named.schema(f.name).dataType
+        val isNum = src.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        val clamped =
+          if (strict || !isNum) col(f.name)
+          else mysqlBounds(f) match {
+            case Some((lo, hi)) => least(greatest(
+              col(f.name).cast(DecimalType(38, 4)),
+              lit(lo.bigDecimal)), lit(hi.bigDecimal))
+            case None => col(f.name)
+          }
+        val cast = clamped.cast(f.dataType)
+        (if (!strict && requiredCol(f))
+          coalesce(cast, implicitDefault(f.dataType).cast(f.dataType))
+        else cast).as(f.name)
+      } else if (!strict && requiredCol(f))
+        implicitDefault(f.dataType).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
   }
 
   private def valuesBatch(tuples: String, colList: String,
-                          schema: org.apache.spark.sql.types.StructType)
+                          schema: org.apache.spark.sql.types.StructType,
+                          strict: Boolean = true)
       : DataFrame =
     // tuples ride the dialect rewrite too (bit literals b'0101'/0b0101,
     // &&/|| inside row expressions; string literals stay protected)
     alignToSchema(
       spark.sql(s"SELECT * FROM VALUES ${MySqlDialect.rewrite(tuples)}"),
-      colList, schema)
+      colList, schema, strict)
 
   private def runInsert(table: String, colList: String,
                         tuples: String): DataFrame = {
@@ -300,13 +355,17 @@ class StatementRunner(spark: SparkSession) {
     * an existing PRIMARY KEY (or an earlier batch row — MySQL keeps the
     * first occurrence) are skipped; survivors append through the delta
     * store. Unlike REPLACE/upsert this NEVER rewrites the base — it is
-    * a pure filtered append (one key-columns-only anti-join probe). */
+    * a pure filtered append (one key-columns-only anti-join probe).
+    * Data errors downgrade per MySQL's IGNORE rules (strict = false):
+    * out-of-range values clamp, NOT NULL columns take the implicit
+    * default. */
   private def runInsertIgnore(table: String, colList: String,
                               tuples: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val store = attachedStore(table)
     val keys = pkOf(table)
-    val batch = valuesBatch(tuples, colList, store.read().schema)
+    val batch = valuesBatch(tuples, colList, store.read().schema,
+      strict = false)
       .dropDuplicates(keys)
     val survivors = batch
       .join(store.read().select(keys.map(col): _*), keys, "left_anti")
@@ -386,19 +445,25 @@ class StatementRunner(spark: SparkSession) {
                     BigDecimal((BigInt(1) << nbits) - 1)))
                 case _ => None
               }
-            val (dt, meta) = integral match {
+            val notNull = m.contains("NOT NULL")
+            // nullability must ALSO live in metadata: a parquet read
+            // marks every column nullable, so the StructField flag is
+            // lost after the first store roundtrip — metadata survives
+            // (it rides the Catalyst schema stored in the footer)
+            val mb = new MetadataBuilder()
+            if (notNull) mb.putBoolean("graft.mysql.notnull", true)
+            val dt = integral match {
               case Some((t, lo, hi)) =>
                 val declared = (if (base == "BIT") typNorm.toUpperCase
                   else base) + (if (unsigned) " UNSIGNED" else "")
-                (t, new MetadataBuilder()
-                  .putString("graft.mysql.type", declared)
+                mb.putString("graft.mysql.type", declared)
                   .putString("graft.mysql.min", lo.toString)
                   .putString("graft.mysql.max", hi.toString)
-                  .build())
-              case None => (sparkType(typNorm), Metadata.empty)
+                t
+              case None => sparkType(typNorm)
             }
-            Left(StructField(name, dt, nullable = !m.contains("NOT NULL"),
-              metadata = meta))
+            Left(StructField(name, dt, nullable = !notNull,
+              metadata = mb.build()))
           case other => throw new IllegalArgumentException(
             s"CREATE TABLE: unparseable column definition '$other'")
         }
@@ -828,6 +893,13 @@ class StatementRunner(spark: SparkSession) {
       f.metadata.getString("graft.mysql.type")
     else mysqlType(f.dataType)
 
+  /** Is the column NOT NULL? Checks BOTH the StructField flag and the
+    * metadata twin — parquet reads mark every column nullable, so only
+    * the metadata survives a store roundtrip. */
+  private def requiredCol(f: org.apache.spark.sql.types.StructField): Boolean =
+    !f.nullable || (f.metadata.contains("graft.mysql.notnull") &&
+      f.metadata.getBoolean("graft.mysql.notnull"))
+
   private def schemaOf(table: String): org.apache.spark.sql.types.StructType =
     stores.get(table.toLowerCase).map(_.read().schema).getOrElse {
       if (spark.catalog.tableExists(table)) spark.table(table).schema
@@ -1125,7 +1197,7 @@ class StatementRunner(spark: SparkSession) {
       import spark.implicits._
       val cols = schemaOf(table).fields.map(f =>
         s"  `${f.name}` ${declaredType(f)}" +
-          (if (f.nullable) "" else " NOT NULL"))
+          (if (requiredCol(f)) " NOT NULL" else ""))
       val ddl = s"CREATE TABLE `$table` (\n${cols.mkString(",\n")}\n" +
         ") ENGINE=TIANMU"
       Seq((table, ddl)).toDF("table_name", "create_table")
@@ -1133,7 +1205,7 @@ class StatementRunner(spark: SparkSession) {
     case DescribeRe(table) =>
       import spark.implicits._
       schemaOf(table).fields.toSeq.map(f =>
-        (f.name, declaredType(f), if (f.nullable) "YES" else "NO"))
+        (f.name, declaredType(f), if (requiredCol(f)) "NO" else "YES"))
         .toDF("field", "type", "null")
 
     case CreateTableRe(table, body) =>

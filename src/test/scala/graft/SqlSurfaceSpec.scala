@@ -624,6 +624,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(desc("b") === "TINYINT UNSIGNED")
     assert(desc("d") === "BIGINT UNSIGNED")
     runner.run("drop table oor")
+    // strict mode also rejects NULL (1048) and missing values (1364)
+    // for NOT NULL columns…
+    runner.run("create table oor2 (a INT NOT NULL PRIMARY KEY, b TEXT " +
+      "NOT NULL, c INT)")
+    intercept[IllegalArgumentException] {
+      runner.run("insert into oor2 values (1, NULL, 5)")
+    }
+    intercept[IllegalArgumentException] {
+      runner.run("insert into oor2 (a, c) values (1, 5)")
+    }
+    // …while INSERT IGNORE downgrades them per MySQL's rules: ranges
+    // clamp to the nearest bound, NOT NULL takes the implicit default
+    runner.run("insert ignore into oor2 values (3000000000, NULL, 9)")
+    val row = runner.run("select a, b, c from oor2").first()
+    assert(row.getInt(0) === Int.MaxValue, "clamped, not wrapped")
+    assert(row.getString(1) === "", "implicit '' default for NOT NULL")
+    assert(row.getInt(2) === 9)
   }
 
   test("statement front-end: BIT(n) columns and b''/0b literals " +
