@@ -314,7 +314,8 @@ class StatementRunner(spark: SparkSession) {
   private def runInsert(table: String, colList: String,
                         tuples: String): DataFrame = {
     val store = attachedStore(table)
-    val aligned = valuesBatch(tuples, colList, store.read().schema)
+    val aligned = assignAutoInc(store,
+      valuesBatch(tuples, colList, store.read().schema))
     store.append(aligned)
     store.read().createOrReplaceTempView(table)
     import spark.implicits._
@@ -340,7 +341,7 @@ class StatementRunner(spark: SparkSession) {
     val store = attachedStore(table)
     val schema = store.read().schema
     val result = spark.sql(MySqlDialect.rewrite(select))
-    val aligned = alignToSchema(result, colList, schema)
+    val aligned = assignAutoInc(store, alignToSchema(result, colList, schema))
     val staging = java.nio.file.Files
       .createTempDirectory("graft-insert-select").toString + "/batch"
     aligned.write.parquet(staging)
@@ -364,8 +365,8 @@ class StatementRunner(spark: SparkSession) {
     import org.apache.spark.sql.functions.col
     val store = attachedStore(table)
     val keys = pkOf(table)
-    val batch = valuesBatch(tuples, colList, store.read().schema,
-      strict = false)
+    val batch = assignAutoInc(store,
+      valuesBatch(tuples, colList, store.read().schema, strict = false))
       .dropDuplicates(keys)
     val survivors = batch
       .join(store.read().select(keys.map(col): _*), keys, "left_anti")
@@ -452,6 +453,8 @@ class StatementRunner(spark: SparkSession) {
             // (it rides the Catalyst schema stored in the footer)
             val mb = new MetadataBuilder()
             if (notNull) mb.putBoolean("graft.mysql.notnull", true)
+            if (m.contains("AUTO_INCREMENT"))
+              mb.putBoolean("graft.mysql.autoinc", true)
             val dt = integral match {
               case Some((t, lo, hi)) =>
                 val declared = (if (base == "BIT") typNorm.toUpperCase
@@ -522,7 +525,8 @@ class StatementRunner(spark: SparkSession) {
                          tuples: String): DataFrame = {
     val store = attachedStore(table)
     val keys = pkOf(table)
-    val batch = valuesBatch(tuples, colList, store.read().schema)
+    val batch = assignAutoInc(store,
+      valuesBatch(tuples, colList, store.read().schema))
     store.rewriteWith(base => Dml.replaceInto(base, batch, keys))
     store.read().createOrReplaceTempView(table)
     import spark.implicits._
@@ -546,7 +550,7 @@ class StatementRunner(spark: SparkSession) {
     val store = attachedStore(table)
     val keys = pkOf(table)
     val schema = store.read().schema
-    val batch = valuesBatch(tuples, colList, schema)
+    val batch = assignAutoInc(store, valuesBatch(tuples, colList, schema))
     val assigns = splitTopLevel(updateList).map { a =>
       val i = a.indexOf('=')
       if (i < 0) throw new IllegalArgumentException(
@@ -625,6 +629,11 @@ class StatementRunner(spark: SparkSession) {
     val bad = assigns.map(_._1).filterNot(schema.fieldNames.contains)
     if (bad.nonEmpty) throw new IllegalArgumentException(
       s"INSERT SET: unknown column(s) ${bad.mkString(", ")}")
+    val missingRequired = schema.filter(f =>
+      requiredCol(f) && !assigns.exists(_._1 == f.name)).map(_.name)
+    if (missingRequired.nonEmpty) throw new IllegalArgumentException(
+      s"INSERT SET: field(s) ${missingRequired.mkString(", ")} don't " +
+        "have a default value (MySQL strict mode, error 1364)")
     // range semantics before the cast (the alignToSchema discipline):
     // evaluate each RHS in its natural type and bounds-check it
     rangeCheck(
@@ -638,7 +647,7 @@ class StatementRunner(spark: SparkSession) {
         case None => lit(null).cast(f.dataType).as(f.name)
       }
     }.toSeq: _*)
-    store.append(row)
+    store.append(assignAutoInc(store, row))
     store.read().createOrReplaceTempView(table)
     import spark.implicits._
     Seq((table, 1L)).toDF("table_name", "rows_inserted")
@@ -893,12 +902,48 @@ class StatementRunner(spark: SparkSession) {
       f.metadata.getString("graft.mysql.type")
     else mysqlType(f.dataType)
 
+  private def autoIncCol(f: org.apache.spark.sql.types.StructField): Boolean =
+    f.metadata.contains("graft.mysql.autoinc") &&
+      f.metadata.getBoolean("graft.mysql.autoinc")
+
   /** Is the column NOT NULL? Checks BOTH the StructField flag and the
     * metadata twin — parquet reads mark every column nullable, so only
-    * the metadata survives a store roundtrip. */
+    * the metadata survives a store roundtrip. An AUTO_INCREMENT column
+    * is exempt from the strict-mode checks: omitted/NULL values are
+    * ASSIGNED, not rejected (auto_increment.test). */
   private def requiredCol(f: org.apache.spark.sql.types.StructField): Boolean =
-    !f.nullable || (f.metadata.contains("graft.mysql.notnull") &&
-      f.metadata.getBoolean("graft.mysql.notnull"))
+    (!f.nullable || (f.metadata.contains("graft.mysql.notnull") &&
+      f.metadata.getBoolean("graft.mysql.notnull"))) && !autoIncCol(f)
+
+  /** AUTO_INCREMENT assignment for a statement batch: omitted/NULL id
+    * values continue from max(existing ids, explicit batch ids) in
+    * batch order (MySQL's counter semantics: an explicit insert above
+    * the counter advances it — init_auto_increment_value.test). The
+    * single-partition row_number is statement-batch-sized by
+    * construction; BULK keyless ingest goes through the distributed
+    * [[Dml.autoIncrement]] instead. */
+  private def assignAutoInc(store: DeltaStore, aligned: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = store.read().schema
+    schema.find(autoIncCol) match {
+      case None => aligned
+      case Some(f) =>
+        val idAsLong = col(f.name).cast("long")
+        val start = math.max(
+          store.read().agg(coalesce(max(idAsLong), lit(0L)))
+            .first().getLong(0),
+          aligned.agg(coalesce(max(idAsLong), lit(0L))).first().getLong(0))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("__mid"))
+        aligned.withColumn("__mid", monotonically_increasing_id())
+          .withColumn(f.name,
+            when(col(f.name).isNull,
+              (lit(start) + row_number().over(w)).cast(f.dataType))
+              .otherwise(col(f.name)))
+          .drop("__mid")
+    }
+  }
 
   private def schemaOf(table: String): org.apache.spark.sql.types.StructType =
     stores.get(table.toLowerCase).map(_.read().schema).getOrElse {

@@ -643,6 +643,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(row.getInt(2) === 9)
   }
 
+  test("statement front-end: AUTO_INCREMENT assigns omitted/NULL ids, " +
+      "explicit ids advance the counter (auto_increment.test)") {
+    import graft.sources.StatementRunner
+    val runner = new StatementRunner(spark)
+    runner.run("CREATE TABLE ai (id INT NOT NULL AUTO_INCREMENT " +
+      "PRIMARY KEY, v TEXT NOT NULL)")
+    // omitted column, NULL value, and column-list omission all assign
+    runner.run("INSERT INTO ai (v) VALUES ('a'), ('b')")
+    runner.run("INSERT INTO ai VALUES (NULL, 'c')")
+    runner.run("INSERT INTO ai SET v = 'd'")
+    def ids: Seq[(Int, String)] = runner.run(
+      "SELECT id, v FROM ai ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(ids === Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    // an explicit id above the counter advances it (MySQL semantics)
+    runner.run("INSERT INTO ai VALUES (10, 'j')")
+    runner.run("INSERT INTO ai (v) VALUES ('k')")
+    assert(ids.takeRight(2) === Seq((10, "j"), (11, "k")))
+    // batch order is preserved within one multi-row insert
+    runner.run("INSERT INTO ai (v) VALUES ('x'), ('y'), ('z')")
+    assert(ids.takeRight(3) === Seq((12, "x"), (13, "y"), (14, "z")))
+    runner.run("DROP TABLE ai")
+  }
+
   test("statement front-end: BIT(n) columns and b''/0b literals " +
       "(bit.test / bit_type.test shapes)") {
     import graft.sources.StatementRunner
