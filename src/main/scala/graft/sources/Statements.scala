@@ -217,16 +217,28 @@ class StatementRunner(spark: SparkSession) {
       else Some(when(col(f.name).isNull,
         lit(s"${f.name}: NULL into NOT NULL")))
     }
-    val all = checks ++ nullChecks
+    // over-length strings reject too (ER_DATA_TOO_LONG, 1406)
+    val lenChecks = schema.toSeq.flatMap { f =>
+      if (!provided.contains(f.name)) None
+      else maxLenOf(f).flatMap { cap =>
+        named.schema(f.name).dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            Some(when(length(col(f.name)) > cap,
+              lit(s"${f.name}: data too long for VARCHAR($cap)")))
+          case _ => None
+        }
+      }
+    }
+    val all = checks ++ nullChecks ++ lenChecks
     if (all.nonEmpty) {
       val bad = named.select(explode(array(all: _*)).as("c"))
         .filter(col("c").isNotNull)
         .groupBy(col("c")).agg(count(lit(1)).as("n"))
         .limit(5).collect()
       if (bad.nonEmpty) throw new IllegalArgumentException(
-        "INSERT: out of range or NULL value for column(s) " +
+        "INSERT: out of range, NULL, or over-length value for column(s) " +
           bad.map(r => s"'${r.getString(0)}' (${r.getLong(1)} row(s))")
-            .mkString(", ") + " (MySQL strict mode, errors 1264/1048)")
+            .mkString(", ") + " (MySQL strict mode, errors 1264/1048/1406)")
     }
   }
 
@@ -273,7 +285,8 @@ class StatementRunner(spark: SparkSession) {
     val named = raw.toDF(provided: _*)
     if (strict) {
       val missingRequired = schema.filter(f =>
-        requiredCol(f) && !provided.contains(f.name)).map(_.name)
+        requiredCol(f) && !provided.contains(f.name)
+          && declaredDefault(f).isEmpty).map(_.name)
       if (missingRequired.nonEmpty) throw new IllegalArgumentException(
         s"INSERT: field(s) ${missingRequired.mkString(", ")} don't have " +
           "a default value (MySQL strict mode, error 1364)")
@@ -283,21 +296,28 @@ class StatementRunner(spark: SparkSession) {
       if (provided.contains(f.name)) {
         val src = named.schema(f.name).dataType
         val isNum = src.isInstanceOf[org.apache.spark.sql.types.NumericType]
-        val clamped =
-          if (strict || !isNum) col(f.name)
-          else mysqlBounds(f) match {
+        val isStr = src == org.apache.spark.sql.types.StringType
+        val shaped =
+          if (strict) col(f.name)
+          else if (isNum) mysqlBounds(f) match {
             case Some((lo, hi)) => least(greatest(
               col(f.name).cast(DecimalType(38, 4)),
               lit(lo.bigDecimal)), lit(hi.bigDecimal))
             case None => col(f.name)
           }
-        val cast = clamped.cast(f.dataType)
+          else if (isStr) maxLenOf(f) match {
+            // IGNORE truncates over-length strings (MySQL note 1265)
+            case Some(cap) =>
+              org.apache.spark.sql.functions
+                .substring(col(f.name), 1, cap.toInt)
+            case None => col(f.name)
+          }
+          else col(f.name)
+        val cast = shaped.cast(f.dataType)
         (if (!strict && requiredCol(f))
           coalesce(cast, implicitDefault(f.dataType).cast(f.dataType))
         else cast).as(f.name)
-      } else if (!strict && requiredCol(f))
-        implicitDefault(f.dataType).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      } else fillUnprovided(f, strict)
     }.toSeq: _*)
   }
 
@@ -455,6 +475,16 @@ class StatementRunner(spark: SparkSession) {
             if (notNull) mb.putBoolean("graft.mysql.notnull", true)
             if (m.contains("AUTO_INCREMENT"))
               mb.putBoolean("graft.mysql.autoinc", true)
+            // DEFAULT literal: inserts omitting the column evaluate it
+            """(?is)DEFAULT\s+('(?:[^']|'')*'|[^\s,]+)""".r
+              .findFirstMatchIn(mods)
+              .foreach(dm => mb.putString("graft.mysql.default", dm.group(1)))
+            // CHAR/VARCHAR length cap → strict 1406 / IGNORE truncation
+            if ((base == "CHAR" || base == "VARCHAR")
+                && typNorm.contains("("))
+              mb.putLong("graft.mysql.maxlen",
+                typNorm.dropWhile(_ != '(').stripPrefix("(")
+                  .stripSuffix(")").toLong)
             val dt = integral match {
               case Some((t, lo, hi)) =>
                 val declared = (if (base == "BIT") typNorm.toUpperCase
@@ -630,7 +660,8 @@ class StatementRunner(spark: SparkSession) {
     if (bad.nonEmpty) throw new IllegalArgumentException(
       s"INSERT SET: unknown column(s) ${bad.mkString(", ")}")
     val missingRequired = schema.filter(f =>
-      requiredCol(f) && !assigns.exists(_._1 == f.name)).map(_.name)
+      requiredCol(f) && !assigns.exists(_._1 == f.name)
+        && declaredDefault(f).isEmpty).map(_.name)
     if (missingRequired.nonEmpty) throw new IllegalArgumentException(
       s"INSERT SET: field(s) ${missingRequired.mkString(", ")} don't " +
         "have a default value (MySQL strict mode, error 1364)")
@@ -644,7 +675,7 @@ class StatementRunner(spark: SparkSession) {
     val row = spark.range(1).select(schema.map { f =>
       assigns.find(_._1 == f.name) match {
         case Some((_, rhs)) => expr(rhs).cast(f.dataType).as(f.name)
-        case None => lit(null).cast(f.dataType).as(f.name)
+        case None => fillUnprovided(f, strict = true)
       }
     }.toSeq: _*)
     store.append(assignAutoInc(store, row))
@@ -905,6 +936,34 @@ class StatementRunner(spark: SparkSession) {
   private def autoIncCol(f: org.apache.spark.sql.types.StructField): Boolean =
     f.metadata.contains("graft.mysql.autoinc") &&
       f.metadata.getBoolean("graft.mysql.autoinc")
+
+  /** The column's declared DEFAULT literal (CREATE TABLE … DEFAULT x). */
+  private def declaredDefault(f: org.apache.spark.sql.types.StructField)
+      : Option[String] =
+    if (f.metadata.contains("graft.mysql.default"))
+      Some(f.metadata.getString("graft.mysql.default"))
+    else None
+
+  /** CHAR/VARCHAR declared length cap. */
+  private def maxLenOf(f: org.apache.spark.sql.types.StructField)
+      : Option[Long] =
+    if (f.metadata.contains("graft.mysql.maxlen"))
+      Some(f.metadata.getLong("graft.mysql.maxlen"))
+    else None
+
+  /** The value an insert that OMITS this column stores: the declared
+    * DEFAULT if any, else (non-strict NOT NULL) the implicit default,
+    * else NULL. */
+  private def fillUnprovided(f: org.apache.spark.sql.types.StructField,
+                             strict: Boolean): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    declaredDefault(f) match {
+      case Some(d) => expr(MySqlDialect.rewrite(d)).cast(f.dataType).as(f.name)
+      case None if !strict && requiredCol(f) =>
+        implicitDefault(f.dataType).cast(f.dataType).as(f.name)
+      case None => lit(null).cast(f.dataType).as(f.name)
+    }
+  }
 
   /** Is the column NOT NULL? Checks BOTH the StructField flag and the
     * metadata twin — parquet reads mark every column nullable, so only

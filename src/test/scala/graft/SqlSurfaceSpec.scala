@@ -643,6 +643,38 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(row.getInt(2) === 9)
   }
 
+  test("statement front-end: column DEFAULTs fill omitted values; " +
+      "VARCHAR length caps reject (1406) or truncate under IGNORE") {
+    import graft.sources.StatementRunner
+    val runner = new StatementRunner(spark)
+    runner.run("CREATE TABLE defs (id INT NOT NULL PRIMARY KEY, " +
+      "n INT DEFAULT 5, s VARCHAR(4) DEFAULT 'four', " +
+      "r TEXT NOT NULL DEFAULT 'req')")
+    // omitted columns evaluate their DEFAULT — including the NOT NULL
+    // one (a declared default satisfies the 1364 check)
+    runner.run("INSERT INTO defs (id) VALUES (1)")
+    runner.run("INSERT INTO defs SET id = 2, n = 9")
+    val r1 = runner.run("SELECT n, s, r FROM defs WHERE id = 1").first()
+    assert((r1.getInt(0), r1.getString(1), r1.getString(2))
+      === ((5, "four", "req")))
+    val r2 = runner.run("SELECT n, s FROM defs WHERE id = 2").first()
+    assert((r2.getInt(0), r2.getString(1)) === ((9, "four")))
+    // strict: over-length VARCHAR rejects (1406)…
+    val e = intercept[IllegalArgumentException] {
+      runner.run("INSERT INTO defs VALUES (3, 1, 'toolong', 'x')")
+    }
+    assert(e.getMessage.contains("too long"))
+    // …IGNORE truncates instead (note 1265)
+    runner.run("INSERT IGNORE INTO defs VALUES (3, 1, 'toolong', 'x')")
+    assert(runner.run("SELECT s FROM defs WHERE id = 3")
+      .first().getString(0) === "tool")
+    // exact-length strings pass untouched
+    runner.run("INSERT INTO defs VALUES (4, 1, 'abcd', 'x')")
+    assert(runner.run("SELECT s FROM defs WHERE id = 4")
+      .first().getString(0) === "abcd")
+    runner.run("DROP TABLE defs")
+  }
+
   test("statement front-end: AUTO_INCREMENT assigns omitted/NULL ids, " +
       "explicit ids advance the counter (auto_increment.test)") {
     import graft.sources.StatementRunner
