@@ -1693,6 +1693,45 @@ object Statements {
       |SELECT CAST(900001 AS BIGINT), 'FRESH#900001', CAST(3 AS INT),
       |  42.5""".stripMargin
 
+  /** The MySQL type-semantics stack end-to-end as ONE deterministic
+    * statement flow (out_of_range_issue1151 / bit_type /
+    * empty_string_not_null / auto_increment tiers composed):
+    * AUTO_INCREMENT assignment, TINYINT UNSIGNED's true range, BIT(8)
+    * with a b'' literal, VARCHAR(4) cap, DEFAULT literals, NOT NULL
+    * implicit defaults — strict inserts land exact values and the
+    * IGNORE insert exercises every downgrade at once (clamp ×2,
+    * truncate, implicit '' for NOT NULL, auto-assigned id). The whole
+    * table is statement-built, so the oracle is a pure VALUES literal
+    * replay of MySQL's documented results. */
+  def qSqlStrictTypes(s: SparkSession, dir: String): DataFrame = {
+    val runner = new StatementRunner(s)
+    runner.run(
+      """CREATE TABLE stmt_strict (
+        |  id INT NOT NULL AUTO_INCREMENT PRIMARY KEY,
+        |  t8 TINYINT UNSIGNED,
+        |  w BIT(8),
+        |  s4 VARCHAR(4),
+        |  n INT DEFAULT 7,
+        |  r TEXT NOT NULL DEFAULT 'req'
+        |)""".stripMargin)
+    runner.run("INSERT INTO stmt_strict (t8, w, s4) VALUES " +
+      "(255, b'1010', 'abcd')")
+    runner.run("INSERT INTO stmt_strict SET t8 = 0")
+    runner.run("INSERT IGNORE INTO stmt_strict VALUES " +
+      "(NULL, 300, 256, 'toolong', NULL, NULL)")
+    runner.run("SELECT id, t8, w, s4, n, r FROM stmt_strict")
+  }
+
+  val qSqlStrictTypesSql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS INT), CAST(255 AS SMALLINT), CAST(10 AS BIGINT),
+      |   'abcd', CAST(7 AS INT), 'req'),
+      |  (CAST(2 AS INT), CAST(0 AS SMALLINT), CAST(NULL AS BIGINT),
+      |   CAST(NULL AS VARCHAR), CAST(7 AS INT), 'req'),
+      |  (CAST(3 AS INT), CAST(255 AS SMALLINT), CAST(255 AS BIGINT),
+      |   'tool', CAST(NULL AS INT), '')
+      |) AS t(id, t8, w, s4, n, r)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_statement_roundtrip" -> (qSqlStatementRoundtrip _),
     "q_sql_select_roughly" -> (qRoughSqlStatement _),
@@ -1700,7 +1739,8 @@ object Statements {
     "q_sql_insert_select" -> (qSqlInsertSelect _),
     "q_sql_replace_upsert" -> (qSqlReplaceUpsert _),
     "q_sql_alter_table" -> (qSqlAlterTable _),
-    "q_sql_create_table" -> (qSqlCreateTable _))
+    "q_sql_create_table" -> (qSqlCreateTable _),
+    "q_sql_strict_types" -> (qSqlStrictTypes _))
 
   val oracles: Map[String, String] = Map(
     "q_sql_statement_roundtrip" -> qSqlStatementRoundtripSql,
@@ -1709,5 +1749,6 @@ object Statements {
     "q_sql_insert_select" -> qSqlInsertSelectSql,
     "q_sql_replace_upsert" -> qSqlReplaceUpsertSql,
     "q_sql_alter_table" -> qSqlAlterTableSql,
-    "q_sql_create_table" -> qSqlCreateTableSql)
+    "q_sql_create_table" -> qSqlCreateTableSql,
+    "q_sql_strict_types" -> qSqlStrictTypesSql)
 }
