@@ -846,6 +846,16 @@ class StatementRunner(spark: SparkSession) {
   private val UseDbRe: Regex = """(?is)^\s*USE\s+`?(\w+)`?\s*;?\s*$""".r
   private val DropDbRe: Regex =
     """(?is)^\s*DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$""".r
+  private val ShowDbsRe: Regex =
+    """(?is)^\s*SHOW\s+DATABASES\s*;?\s*$""".r
+  private val ShowIndexRe: Regex =
+    """(?is)^\s*SHOW\s+(?:INDEX|INDEXES|KEYS)\s+FROM\s+`?(\w+)`?\s*;?\s*$""".r
+  // MySQL session-SET spellings Spark's `SET key=value` grammar cannot
+  // parse (MTR prologues use all three): charset selection, user
+  // variables, scoped system variables — accepted as session no-ops;
+  // plain `SET key = value` still passes through to spark.sql.
+  private val SetSessionRe: Regex =
+    """(?is)^\s*SET\s+((?:NAMES\s+\S+|@\w+\s*=.*|(?:GLOBAL|SESSION)\s+.+))\s*;?\s*$""".r
   private val databases = scala.collection.mutable.Set[String]()
   private val DropRe: Regex =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$""".r
@@ -1346,6 +1356,24 @@ class StatementRunner(spark: SparkSession) {
       val existed = databases.remove(db.toLowerCase)
       Seq((db, if (existed) "database dropped" else "not created"))
         .toDF("database", "status")
+
+    case ShowDbsRe() =>
+      import spark.implicits._
+      databases.toSeq.sorted.toDF("database")
+
+    case ShowIndexRe(table) =>
+      import spark.implicits._
+      // primary key renders as the one "index"; secondary indexes are
+      // inert metadata here (no B-trees — the pack sidecar prunes)
+      schemaOf(table) // existence check
+      primaryKeys.getOrElse(table.toLowerCase, Seq.empty).zipWithIndex
+        .map { case (c, i) => (table, "PRIMARY", i + 1, c) }
+        .toDF("table_name", "key_name", "seq_in_index", "column_name")
+
+    case SetSessionRe(clause) =>
+      import spark.implicits._
+      Seq((clause.trim.take(64), "OK (session no-op)"))
+        .toDF("setting", "status")
 
     case CtasRe(table, select) =>
       import spark.implicits._

@@ -792,6 +792,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
     runner.run("drop table tmp_t")
     assert(runner.run("DROP DATABASE mtr_db").first()
       .getString(1) === "database dropped")
+    // SHOW DATABASES lists created names; session SETs are no-ops
+    runner.run("CREATE DATABASE showme")
+    assert(runner.run("SHOW DATABASES").collect()
+      .map(_.getString(0)).contains("showme"))
+    assert(runner.run("SET NAMES utf8mb4").first()
+      .getString(1).startsWith("OK"))
+    assert(runner.run("SET @x = 5").first().getString(1).startsWith("OK"))
+    assert(runner.run("SET SESSION sort_buffer_size = 1024").first()
+      .getString(1).startsWith("OK"))
+    // plain conf SET still reaches spark.sql
+    assert(runner.run("SET spark.sql.shuffle.partitions").collect()
+      .nonEmpty)
+    // SHOW INDEX renders the PK; empty for unkeyed tables
+    runner.run("CREATE TABLE idx_t (a INT NOT NULL, b INT NOT NULL, " +
+      "PRIMARY KEY (a, b))")
+    val idx = runner.run("SHOW INDEX FROM idx_t").collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getString(3))).toSeq
+    assert(idx === Seq(("PRIMARY", 1, "a"), ("PRIMARY", 2, "b")))
+    runner.run("CREATE TABLE idx_n (x INT)")
+    assert(runner.run("SHOW KEYS FROM idx_n").count() === 0)
+    runner.run("DROP TABLE idx_t")
+    runner.run("DROP TABLE idx_n")
   }
 
   test("statement front-end: ALTER TABLE MODIFY/CHANGE/RENAME " +
