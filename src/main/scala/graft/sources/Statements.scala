@@ -85,37 +85,47 @@ class StatementRunner(spark: SparkSession) {
   // matched BEFORE the plain InsertRe (whose non-greedy tuples group
   // would otherwise swallow the ON DUPLICATE clause).
   private val InsertOnDupRe: Regex =
-    """(?is)^\s*INSERT\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*INSERT\s+(?:LOW_PRIORITY\s+|DELAYED\s+|HIGH_PRIORITY\s+)?INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s+ON\s+DUPLICATE\s+KEY\s+UPDATE\s+(.+?)\s*;?\s*$""".r
   // INSERT IGNORE (reference insert_ignore path): rows whose PRIMARY KEY
   // already exists — or that duplicate an earlier batch row — are
   // silently skipped; the rest append through the delta store.
   private val InsertIgnoreRe: Regex =
-    """(?is)^\s*INSERT\s+IGNORE\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
+    """(?is)^\s*INSERT\s+(?:LOW_PRIORITY\s+|DELAYED\s+|HIGH_PRIORITY\s+)?IGNORE\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
   private val InsertRe: Regex =
-    """(?is)^\s*INSERT\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
+    """(?is)^\s*INSERT\s+(?:LOW_PRIORITY\s+|DELAYED\s+|HIGH_PRIORITY\s+)?INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
   // INSERT … SELECT — a first-class statement form in the reference
   // (core/engine_execute.cpp:470-513, incl. self-referencing inserts;
   // MTR insert_select.test / insert_into_select.test).
   private val InsertSelectRe: Regex =
-    """(?is)^\s*INSERT\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*(\(?\s*SELECT\b.*?\)?)\s*;?\s*$""".r
+    """(?is)^\s*INSERT\s+(?:LOW_PRIORITY\s+|DELAYED\s+|HIGH_PRIORITY\s+)?INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*(\(?\s*SELECT\b.*?\)?)\s*;?\s*$""".r
   private val ReplaceRe: Regex =
-    """(?is)^\s*REPLACE\s+INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
+    """(?is)^\s*REPLACE\s+(?:LOW_PRIORITY\s+|DELAYED\s+)?INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
+  // REPLACE's SELECT and SET forms (replace_into.test uses all three)
+  private val ReplaceSelectRe: Regex =
+    """(?is)^\s*REPLACE\s+(?:LOW_PRIORITY\s+|DELAYED\s+)?INTO\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*(\(?\s*SELECT\b.*?\)?)\s*;?\s*$""".r
+  private val ReplaceSetRe: Regex =
+    """(?is)^\s*REPLACE\s+(?:LOW_PRIORITY\s+|DELAYED\s+)?INTO\s+`?(\w+)`?\s+SET\s+(.+?)\s*;?\s*$""".r
   // MySQL's row-limited DML forms (reference delete.test: `DELETE FROM
   // t1 WHERE a > 0 ORDER BY a LIMIT 1`; aggregate.test UPDATE … LIMIT):
   // must be matched BEFORE the plain forms or the LIMIT clause lands
   // inside the WHERE expression.
   private val DeleteLimitRe: Regex =
-    """(?is)^\s*DELETE\s+FROM\s+`?(\w+)`?\s*(?:WHERE\s+(.+?))?\s*(?:ORDER\s+BY\s+(.+?))?\s*LIMIT\s+(\d+)\s*;?\s*$""".r
+    """(?is)^\s*DELETE\s+(?:LOW_PRIORITY\s+|QUICK\s+|IGNORE\s+)*FROM\s+`?(\w+)`?\s*(?:WHERE\s+(.+?))?\s*(?:ORDER\s+BY\s+(.+?))?\s*LIMIT\s+(\d+)\s*;?\s*$""".r
   private val UpdateLimitRe: Regex =
     """(?is)^\s*UPDATE\s+`?(\w+)`?\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*(?:ORDER\s+BY\s+(.+?))?\s*LIMIT\s+(\d+)\s*;?\s*$""".r
   private val DeleteRe: Regex =
-    """(?is)^\s*DELETE\s+FROM\s+`?(\w+)`?\s*(?:WHERE\s+(.+?))?\s*;?\s*$""".r
+    """(?is)^\s*DELETE\s+(?:LOW_PRIORITY\s+|QUICK\s+|IGNORE\s+)*FROM\s+`?(\w+)`?\s*(?:WHERE\s+(.+?))?\s*;?\s*$""".r
+  // `DELETE FROM t USING t WHERE …` — the self-referencing USING form
+  // (delete.test); the general multi-table USING join lives behind
+  // [[Dml.deleteJoin]].
+  private val DeleteUsingRe: Regex =
+    """(?is)^\s*DELETE\s+FROM\s+`?(\w+)`?\s+USING\s+`?(\w+)`?\s*(?:WHERE\s+(.+?))?\s*;?\s*$""".r
   private val UpdateRe: Regex =
     """(?is)^\s*UPDATE\s+`?(\w+)`?\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   // MySQL's `INSERT INTO t SET a = 1, b = 'x'` single-row form
   // (reference insert.test: `insert into t1 set a=1`).
   private val InsertSetRe: Regex =
-    """(?is)^\s*INSERT\s+INTO\s+`?(\w+)`?\s+SET\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*INSERT\s+(?:LOW_PRIORITY\s+|DELAYED\s+|HIGH_PRIORITY\s+)?INTO\s+`?(\w+)`?\s+SET\s+(.+?)\s*;?\s*$""".r
 
   private def attachedStore(table: String): DeltaStore =
     stores.getOrElse(table.toLowerCase,
@@ -313,7 +323,14 @@ class StatementRunner(spark: SparkSession) {
             case None => col(f.name)
           }
           else col(f.name)
-        val cast = shaped.cast(f.dataType)
+        // MySQL casts numbers into BLOB columns via their digit bytes;
+        // Spark has no direct numeric→binary cast — route via string
+        // (bigint_unsigned.test inserts numerics into blob)
+        val cast =
+          if (f.dataType == org.apache.spark.sql.types.BinaryType
+              && src != org.apache.spark.sql.types.BinaryType)
+            shaped.cast("string").cast("binary")
+          else shaped.cast(f.dataType)
         (if (!strict && requiredCol(f))
           coalesce(cast, implicitDefault(f.dataType).cast(f.dataType))
         else cast).as(f.name)
@@ -331,11 +348,57 @@ class StatementRunner(spark: SparkSession) {
       spark.sql(s"SELECT * FROM VALUES ${MySqlDialect.rewrite(tuples)}"),
       colList, schema, strict)
 
+  /** MySQL's duplicate-key rejection for plain strict INSERTs
+    * (ER_DUP_ENTRY, 1062 — composite_primary_key.test pins it): a batch
+    * row whose declared PRIMARY KEY exists in the base, or repeats
+    * within the batch, rejects the whole statement. Two bounded
+    * key-column-only probes (the Dml.appendStrict discipline). No-op
+    * when the table has no declared PK. */
+  private def enforcePkUnique(table: String, store: DeltaStore,
+                              batch: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val keys = primaryKeys.getOrElse(table.toLowerCase, return)
+    val inBatch = batch.groupBy(keys.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    if (inBatch.nonEmpty) throw new IllegalArgumentException(
+      s"INSERT: duplicate entry for PRIMARY KEY within the batch: " +
+        inBatch.head.mkString("(", ",", ")") + " (MySQL error 1062)")
+    val clash = batch.select(keys.map(col): _*)
+      .join(store.read().select(keys.map(col): _*), keys, "left_semi")
+      .limit(1).collect()
+    if (clash.nonEmpty) throw new IllegalArgumentException(
+      s"INSERT: duplicate entry ${clash.head.mkString("(", ",", ")")} " +
+        s"for PRIMARY KEY (${keys.mkString(", ")}) (MySQL error 1062)")
+  }
+
+  /** `INSERT INTO t VALUES()` — MySQL's all-defaults row. */
+  private def runInsertDefaults(table: String): DataFrame = {
+    val store = attachedStore(table)
+    val schema = store.read().schema
+    val missing = schema.filter(f =>
+      requiredCol(f) && declaredDefault(f).isEmpty).map(_.name)
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"INSERT: field(s) ${missing.mkString(", ")} don't have a default " +
+        "value (MySQL strict mode, error 1364)")
+    val row = spark.range(1)
+      .select(schema.map(f => fillUnprovided(f, strict = true)).toSeq: _*)
+    val aligned = assignAutoInc(store, row)
+    enforcePkUnique(table, store, aligned)
+    store.append(aligned)
+    store.read().createOrReplaceTempView(table)
+    import spark.implicits._
+    Seq((table, 1L)).toDF("table_name", "rows_inserted")
+  }
+
   private def runInsert(table: String, colList: String,
                         tuples: String): DataFrame = {
+    if (tuples.trim.matches("""\(\s*\)""") && (colList == null
+        || colList.trim.isEmpty))
+      return runInsertDefaults(table)
     val store = attachedStore(table)
     val aligned = assignAutoInc(store,
       valuesBatch(tuples, colList, store.read().schema))
+    enforcePkUnique(table, store, aligned)
     store.append(aligned)
     store.read().createOrReplaceTempView(table)
     import spark.implicits._
@@ -366,6 +429,7 @@ class StatementRunner(spark: SparkSession) {
       .createTempDirectory("graft-insert-select").toString + "/batch"
     aligned.write.parquet(staging)
     val staged = spark.read.parquet(staging)
+    enforcePkUnique(table, store, staged)
     store.append(staged)
     store.read().createOrReplaceTempView(table)
     import spark.implicits._
@@ -563,6 +627,56 @@ class StatementRunner(spark: SparkSession) {
     Seq((table, batch.count())).toDF("table_name", "rows_replaced")
   }
 
+  /** `REPLACE INTO t [cols] SELECT …` — the batch comes from a query
+    * (staged like INSERT…SELECT: the select may read the target). */
+  private def runReplaceSelect(table: String, colList0: String,
+                               select0: String): DataFrame = {
+    val (colList, select) =
+      if (colList0 != null && colList0.trim.toUpperCase.startsWith("SELECT"))
+        (null: String, colList0)
+      else (colList0, select0.trim.stripPrefix("(").stripSuffix(")"))
+    val store = attachedStore(table)
+    val keys = pkOf(table)
+    val aligned = assignAutoInc(store, alignToSchema(
+      spark.sql(MySqlDialect.rewrite(select)), colList,
+      store.read().schema))
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-replace-select").toString + "/batch"
+    aligned.write.parquet(staging)
+    val staged = spark.read.parquet(staging)
+    store.rewriteWith(base => Dml.replaceInto(base, staged, keys))
+    store.read().createOrReplaceTempView(table)
+    import spark.implicits._
+    Seq((table, staged.count())).toDF("table_name", "rows_replaced")
+  }
+
+  /** `REPLACE INTO t SET a = 1, …` — the named single-row form. */
+  private def runReplaceSet(table: String, setList: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val store = attachedStore(table)
+    val keys = pkOf(table)
+    val schema = store.read().schema
+    val assigns = parseAssigns(setList, "REPLACE SET")
+    val bad = assigns.map(_._1).filterNot(schema.fieldNames.contains)
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"REPLACE SET: unknown column(s) ${bad.mkString(", ")}")
+    rangeCheck(
+      spark.range(1).select(assigns.map { case (c, rhs) =>
+        expr(rhs).as(c)
+      }: _*),
+      schema, assigns.map(_._1))
+    val row = assignAutoInc(store, spark.range(1).select(schema.map { f =>
+      assigns.find(_._1 == f.name) match {
+        case Some((_, rhs)) => expr(rhs).cast(f.dataType).as(f.name)
+        case None => fillUnprovided(f, strict = true)
+      }
+    }.toSeq: _*))
+    store.rewriteWith(base => Dml.replaceInto(base, row, keys))
+    store.read().createOrReplaceTempView(table)
+    import spark.implicits._
+    Seq((table, 1L)).toDF("table_name", "rows_replaced")
+  }
+
   /** `VALUES(col)` references inside an ON DUPLICATE KEY UPDATE
     * assignment — MySQL's way of naming the would-be-inserted value. */
   private val ValuesRefRe: Regex = """(?i)VALUES\s*\(\s*`?(\w+)`?\s*\)""".r
@@ -678,7 +792,9 @@ class StatementRunner(spark: SparkSession) {
         case None => fillUnprovided(f, strict = true)
       }
     }.toSeq: _*)
-    store.append(assignAutoInc(store, row))
+    val aligned = assignAutoInc(store, row)
+    enforcePkUnique(table, store, aligned)
+    store.append(aligned)
     store.read().createOrReplaceTempView(table)
     import spark.implicits._
     Seq((table, 1L)).toDF("table_name", "rows_inserted")
@@ -716,15 +832,48 @@ class StatementRunner(spark: SparkSession) {
 
   /** `DELETE FROM t [WHERE …] [ORDER BY …] LIMIT n` (delete.test):
     * drop exactly the first n matching rows — one anti-join base
-    * rewrite against the staged key set. Requires a declared PRIMARY
-    * KEY (row identity; MySQL uses physical rowids). */
+    * rewrite against the staged key set. Needs a declared PRIMARY KEY
+    * for row identity (MySQL uses physical rowids) — EXCEPT when the
+    * match set is ≤ n anyway, where the LIMIT is vacuous and the plain
+    * DELETE path serves (delete.test's `… limit 1000` over ≤25 rows). */
   private def runDeleteLimit(table: String, whereClause: String,
                              orderClause: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit,
+      monotonically_increasing_id}
     val store = attachedStore(table)
-    val keys = pkOf(table)
-    val doomed = doomedKeys(table, store, whereClause, orderClause, n)
-    val hit = doomed.count()
-    store.rewriteWith(base => base.join(doomed, keys, "left_anti"))
+    val hit =
+      if (primaryKeys.contains(table.toLowerCase)) {
+        val keys = pkOf(table)
+        val doomed = doomedKeys(table, store, whereClause, orderClause, n)
+        val k = doomed.count()
+        store.rewriteWith(base => base.join(doomed, keys, "left_anti"))
+        k
+      } else {
+        // no declared PK: synthesize row identity by STAGING the table
+        // with a frozen rowid (MySQL deletes by physical rowid; staging
+        // freezes ours so both branches of the anti-join see the same
+        // ids — duplicates delete exactly n copies, like MySQL)
+        val staged = Staging.stage(store.read()
+          .withColumn("__rid", monotonically_increasing_id()),
+          "dml-limit-rid")
+        val cond =
+          if (whereClause == null) lit(true)
+          else expr(MySqlDialect.rewrite(whereClause))
+        val ord: Seq[org.apache.spark.sql.Column] =
+          if (orderClause == null) Seq(col("__rid"))
+          else splitTopLevel(orderClause).map { o =>
+            val desc = """(?i)\s+DESC\s*$""".r.findFirstIn(o).isDefined
+            val e = expr(MySqlDialect.rewrite(
+              o.trim.replaceAll("(?i)\\s+(ASC|DESC)\\s*$", "")))
+            if (desc) e.desc else e.asc
+          } :+ col("__rid").asc
+        val doomed = staged.filter(cond).orderBy(ord: _*).limit(n)
+          .select(col("__rid"))
+        val k = doomed.count()
+        store.rewriteWith(_ =>
+          staged.join(doomed, Seq("__rid"), "left_anti").drop("__rid"))
+        k
+      }
     store.read().createOrReplaceTempView(table)
     import spark.implicits._
     Seq((table, hit)).toDF("table_name", "rows_deleted")
@@ -829,7 +978,7 @@ class StatementRunner(spark: SparkSession) {
   // TEMPORARY is accepted and equivalent: every runner table is already
   // session-scoped (create_tmp.test / temporary.test).
   private val CreateTableRe: Regex =
-    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*\((.+)\)\s*(?:ENGINE\s*=\s*\w+\s*)?(?:DEFAULT\s+CHARSET\s*=\s*\w+\s*)?;?\s*$""".r
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*\((.+)\)\s*((?:ENGINE\s*=\s*\w+\s*|DEFAULT\s+CHARSET\s*=\s*\w+\s*|COLLATE\s*=?\s*\w+\s*|AUTO_INCREMENT\s*=\s*\d+\s*)*);?\s*$""".r
   // Secondary-index DDL (create_index.test / drop_index.test): accepted
   // as metadata no-ops — the engine has no B-trees; scan pruning comes
   // from the pack stats sidecar (the reference's Tianmu engine likewise
@@ -842,10 +991,20 @@ class StatementRunner(spark: SparkSession) {
   // the runner is single-namespace (a library, not a server), so these
   // track names only — CREATE/USE/DROP succeed, table names stay flat.
   private val CreateDbRe: Regex =
-    """(?is)^\s*CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$""".r
-  private val UseDbRe: Regex = """(?is)^\s*USE\s+`?(\w+)`?\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?`?([\w$]+)`?\s*;?\s*$""".r
+  private val UseDbRe: Regex = """(?is)^\s*USE\s+`?([\w$]+)`?\s*;?\s*$""".r
   private val DropDbRe: Regex =
-    """(?is)^\s*DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$""".r
+    """(?is)^\s*DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?`?([\w$]+)`?\s*;?\s*$""".r
+  // CREATE TABLE … LIKE clones schema + PK into a fresh empty store
+  // (truncate_table.test uses it); CREATE/DROP VIEW map to session temp
+  // views (this is a library — every view is session-scoped, the
+  // TEMPORARY-table equivalence).
+  private val CreateLikeRe: Regex =
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+LIKE\s+`?(\w+)`?\s*;?\s*$""".r
+  private val CreateViewRe: Regex =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+`?(\w+)`?\s+AS\s+(SELECT\b.*?)\s*;?\s*$""".r
+  private val DropViewRe: Regex =
+    """(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$""".r
   private val ShowDbsRe: Regex =
     """(?is)^\s*SHOW\s+DATABASES\s*;?\s*$""".r
   private val ShowIndexRe: Regex =
@@ -858,7 +1017,7 @@ class StatementRunner(spark: SparkSession) {
     """(?is)^\s*SET\s+((?:NAMES\s+\S+|@\w+\s*=.*|(?:GLOBAL|SESSION)\s+.+))\s*;?\s*$""".r
   private val databases = scala.collection.mutable.Set[String]()
   private val DropRe: Regex =
-    """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$""".r
+    """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([`\w][`\w\s,]*?)\s*;?\s*$""".r
   // ALTER TABLE forms (reference alter_table.test / alter_column.test;
   // TianmuTable add/drop, core/tianmu_table.h:73-76) — executed as staged
   // base rewrites through DeltaStore.alterAddColumn/alterDropColumn.
@@ -873,11 +1032,15 @@ class StatementRunner(spark: SparkSession) {
   // RENAME [TO] renames the table in the runner catalog
   // (alter_column.test / alter_table.test shapes).
   private val AlterModifyRe: Regex =
-    """(?is)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s+(?:COLUMN\s+)?`?(\w+)`?\s+(\w+(?:\([^)]*\))?)[^;]*?;?\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s+(?:COLUMN\s+)?`?(\w+)`?\s+(.+?)\s*;?\s*$""".r
   private val AlterChangeRe: Regex =
     """(?is)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+CHANGE\s+(?:COLUMN\s+)?`?(\w+)`?\s+`?(\w+)`?\s+(\w+(?:\([^)]*\))?)[^;]*?;?\s*$""".r
   private val AlterRenameRe: Regex =
     """(?is)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+RENAME\s+(?:TO\s+)?`?(\w+)`?\s*;?\s*$""".r
+  // Charset/collation alters are presentation-level no-ops here (the
+  // engine is UTF-8 native; alter_delete.test uses CONVERT TO)
+  private val AlterCharsetRe: Regex =
+    """(?is)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+(CONVERT\s+TO\s+CHARACTER\s+SET\s+.+?|(?:DEFAULT\s+)?(?:CHARACTER\s+SET|CHARSET)\s*=?\s*.+?)\s*;?\s*$""".r
   private val TruncateRe: Regex =
     """(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?`?(\w+)`?\s*;?\s*$""".r
 
@@ -902,7 +1065,12 @@ class StatementRunner(spark: SparkSession) {
         DecimalType(args.headOption.getOrElse(10), args.lift(1).getOrElse(0))
       case "DATE" => DateType
       case "DATETIME" | "TIMESTAMP" => TimestampType
-      case "BLOB" | "VARBINARY" | "BINARY" => BinaryType
+      case "BLOB" | "VARBINARY" | "BINARY"
+         | "LONGBLOB" | "MEDIUMBLOB" | "TINYBLOB" => BinaryType
+      case "TINYTEXT" => StringType
+      // Spark has no TIME-of-day type; the shim tier keeps TIME values
+      // as 'HH:mm:ss' strings (functions.MySql.secToTime convention)
+      case "TIME" => StringType
       case "BIT" => LongType // ≤63 bits (common_definitions.h:143)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE: unsupported column type '$other'")
@@ -984,13 +1152,17 @@ class StatementRunner(spark: SparkSession) {
     (!f.nullable || (f.metadata.contains("graft.mysql.notnull") &&
       f.metadata.getBoolean("graft.mysql.notnull"))) && !autoIncCol(f)
 
+  /** Declared counter starts (`CREATE TABLE … AUTO_INCREMENT = n`),
+    * stored as n−1 so the next assigned id is n. */
+  private val autoIncBase = scala.collection.mutable.Map[String, Long]()
+
   /** AUTO_INCREMENT assignment for a statement batch: omitted/NULL id
-    * values continue from max(existing ids, explicit batch ids) in
-    * batch order (MySQL's counter semantics: an explicit insert above
-    * the counter advances it — init_auto_increment_value.test). The
-    * single-partition row_number is statement-batch-sized by
-    * construction; BULK keyless ingest goes through the distributed
-    * [[Dml.autoIncrement]] instead. */
+    * values continue from max(declared start, existing ids, explicit
+    * batch ids) in batch order (MySQL's counter semantics: an explicit
+    * insert above the counter advances it —
+    * init_auto_increment_value.test). The single-partition row_number
+    * is statement-batch-sized by construction; BULK keyless ingest goes
+    * through the distributed [[Dml.autoIncrement]] instead. */
   private def assignAutoInc(store: DeltaStore, aligned: DataFrame)
       : DataFrame = {
     import org.apache.spark.sql.functions._
@@ -999,10 +1171,12 @@ class StatementRunner(spark: SparkSession) {
       case None => aligned
       case Some(f) =>
         val idAsLong = col(f.name).cast("long")
-        val start = math.max(
+        val declared = stores.find(_._2 eq store)
+          .flatMap(kv => autoIncBase.get(kv._1)).getOrElse(0L)
+        val start = Seq(declared,
           store.read().agg(coalesce(max(idAsLong), lit(0L)))
             .first().getLong(0),
-          aligned.agg(coalesce(max(idAsLong), lit(0L))).first().getLong(0))
+          aligned.agg(coalesce(max(idAsLong), lit(0L))).first().getLong(0)).max
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("__mid"))
         aligned.withColumn("__mid", monotonically_increasing_id())
@@ -1151,9 +1325,39 @@ class StatementRunner(spark: SparkSession) {
     (o, rest)
   }
 
+  /** Drop `db.` qualifiers for databases created in this session — the
+    * runner is single-namespace, so `db.t` addresses the attached `t`
+    * (MTR scripts qualify freely after CREATE DATABASE). Literal-aware
+    * scan: quoted strings/identifiers are never rewritten. */
+  private def stripDbPrefix(sql: String): String = {
+    if (databases.isEmpty) return sql
+    val out = new StringBuilder(sql.length)
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        out.append(c); i += 1
+        while (i < n && sql(i) != c) { out.append(sql(i)); i += 1 }
+        if (i < n) { out.append(c); i += 1 }
+      } else if (Character.isLetter(c) || c == '_') {
+        var j = i
+        while (j < n && (Character.isLetterOrDigit(sql(j)) || sql(j) == '_'))
+          j += 1
+        val w = sql.substring(i, j)
+        if (j < n && sql(j) == '.' && databases.contains(w.toLowerCase)
+            && j + 1 < n && (Character.isLetter(sql(j + 1))
+              || sql(j + 1) == '_' || sql(j + 1) == '`'))
+          i = j + 1 // drop "db."
+        else { out.append(w); i = j }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** Execute one statement; always returns a DataFrame (query result,
     * or a one-row summary for LOAD/OUTFILE). */
-  def run(sql: String): DataFrame = sql match {
+  def run(sqlRaw: String): DataFrame = stripDbPrefix(sqlRaw) match {
     case LoadRe(path, dupMode, table, tail) =>
       if (dupMode != null)
         throw new UnsupportedOperationException(
@@ -1210,6 +1414,12 @@ class StatementRunner(spark: SparkSession) {
     case ReplaceRe(table, colList, tuples) =>
       runReplace(table, colList, tuples)
 
+    case ReplaceSetRe(table, setList) =>
+      runReplaceSet(table, setList)
+
+    case ReplaceSelectRe(table, colList, select) =>
+      runReplaceSelect(table, colList, select)
+
     case AlterAddPkRe(table, cols) =>
       import spark.implicits._
       val keys = splitTopLevel(cols).map(_.stripPrefix("`").stripSuffix("`"))
@@ -1241,11 +1451,43 @@ class StatementRunner(spark: SparkSession) {
 
     case AlterModifyRe(table, colName, colType) =>
       import spark.implicits._
+      import org.apache.spark.sql.functions.{col, count, length, lit, when}
       val store = attachedStore(table)
       if (!store.read().columns.contains(colName))
         throw new IllegalArgumentException(
           s"ALTER TABLE: unknown column '$colName'")
-      store.alterModifyColumn(colName, sparkType(colType))
+      // parse the full MODIFY tail as a column definition so UNSIGNED,
+      // NOT NULL, and length caps carry their metadata twins
+      val f = parseColumnDef(s"$colName $colType") match {
+        case Left(field) => field
+        case Right(_) => throw new IllegalArgumentException(
+          s"ALTER TABLE MODIFY: unparseable type '$colType'")
+      }
+      // strict-mode data validation BEFORE the retype (the reference
+      // errors when existing rows violate the new type — e.g.
+      // bigint_unsigned.test MODIFYing negative data to UNSIGNED)
+      val src = store.read()
+      val viol = src.agg(count(when(
+        mysqlBounds(f).map { case (lo, hi) =>
+          val x = col(colName)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 4))
+          col(colName).isNotNull &&
+            (x < lit(lo.bigDecimal) || x > lit(hi.bigDecimal) || x.isNull)
+        }.getOrElse(lit(false)) ||
+        maxLenOf(f).map(cap =>
+          length(col(colName).cast("string")) > cap).getOrElse(lit(false)) ||
+        (if (requiredCol(f)) col(colName).isNull else lit(false)),
+        1))).first().getLong(0)
+      if (viol > 0) throw new IllegalArgumentException(
+        s"ALTER TABLE MODIFY: $viol existing row(s) violate the new " +
+          s"type '$colType' for '$colName' (MySQL strict mode, 1264/1048/1406)")
+      store.rewriteWith { df =>
+        df.select(df.schema.map { g =>
+          if (g.name == colName)
+            col(colName).cast(f.dataType).as(colName, f.metadata)
+          else col(g.name)
+        }.toSeq: _*)
+      }
       store.read().createOrReplaceTempView(table)
       Seq((table, s"MODIFY COLUMN $colName $colType"))
         .toDF("table_name", "status")
@@ -1265,6 +1507,12 @@ class StatementRunner(spark: SparkSession) {
       store.read().createOrReplaceTempView(table)
       Seq((table, s"CHANGE COLUMN $oldCol $newCol $colType"))
         .toDF("table_name", "status")
+
+    case AlterCharsetRe(table, clause) =>
+      import spark.implicits._
+      attachedStore(table) // table must exist; charset is presentation
+      Seq((table, s"${clause.trim.take(48)} accepted (engine is " +
+        "UTF-8 native)")).toDF("table_name", "status")
 
     case AlterRenameRe(table, newName) =>
       import spark.implicits._
@@ -1289,6 +1537,14 @@ class StatementRunner(spark: SparkSession) {
       store.truncate()
       store.read().createOrReplaceTempView(table)
       Seq((table, "truncated")).toDF("table_name", "status")
+
+    case DeleteUsingRe(table, using, whereClause) =>
+      if (using.toLowerCase != table.toLowerCase)
+        throw new UnsupportedOperationException(
+          "DELETE … USING across tables: use Dml.deleteJoin (the " +
+            "delete_join.test tier); only the self-referencing form is " +
+            "statement text")
+      runDelete(table, whereClause)
 
     case DeleteLimitRe(table, whereClause, orderClause, n) =>
       runDeleteLimit(table, whereClause, orderClause, n.toInt)
@@ -1322,8 +1578,53 @@ class StatementRunner(spark: SparkSession) {
         (f.name, declaredType(f), if (requiredCol(f)) "NO" else "YES"))
         .toDF("field", "type", "null")
 
-    case CreateTableRe(table, body) =>
-      runCreateTable(table, body)
+    case CreateLikeRe(table, src) =>
+      import spark.implicits._
+      val key = table.toLowerCase
+      if (stores.contains(key))
+        throw new IllegalArgumentException(
+          s"CREATE TABLE: '$table' already exists in this runner")
+      val schema = schemaOf(src) // carries the MySQL metadata twins
+      val empty = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq.empty[org.apache.spark.sql.Row], 1), schema)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-like-$key").toString
+      val store = new DeltaStore(spark, root)
+      store.writeBase(empty)
+      attach(table, store)
+      ownedRoots(key) = root
+      primaryKeys.get(src.toLowerCase)
+        .foreach(declarePrimaryKey(table, _))
+      Seq((table, s"LIKE $src")).toDF("table_name", "status")
+
+    case CreateViewRe(name, select) =>
+      import spark.implicits._
+      spark.sql(MySqlDialect.rewrite(select)).createOrReplaceTempView(name)
+      Seq((name, "view created (session-scoped)"))
+        .toDF("view_name", "status")
+
+    case DropViewRe(name) =>
+      import spark.implicits._
+      val existed = spark.catalog.dropTempView(name)
+      Seq((name, if (existed) "view dropped" else "not a view"))
+        .toDF("view_name", "status")
+
+    case CreateTableRe(ifNotExists, table, body, options) =>
+      if (ifNotExists != null && stores.contains(table.toLowerCase)) {
+        import spark.implicits._
+        Seq((table, "already exists (IF NOT EXISTS)"))
+          .toDF("table_name", "status")
+      } else {
+        val res = runCreateTable(table, body)
+        // table option AUTO_INCREMENT=n sets the counter's start
+        // (init_auto_increment_value.test)
+        if (options != null)
+          """(?i)AUTO_INCREMENT\s*=\s*(\d+)""".r.findFirstMatchIn(options)
+            .foreach(m =>
+              autoIncBase(table.toLowerCase) = m.group(1).toLong - 1)
+        res
+      }
 
     case CreateIndexRe(index, table, cols) =>
       import spark.implicits._
@@ -1338,8 +1639,24 @@ class StatementRunner(spark: SparkSession) {
       Seq((table, s"INDEX $index dropped (metadata only)"))
         .toDF("table_name", "status")
 
-    case CreateDbRe(db) =>
+    case CreateDbRe(ifNotExists, db) =>
       import spark.implicits._
+      // MySQL's 64-char identifier cap (ER_TOO_LONG_IDENT 1059 —
+      // create_db.test pins it)
+      if (db.length > 64) throw new IllegalArgumentException(
+        s"CREATE DATABASE: identifier name '${db.take(20)}…' is too " +
+          "long (max 64, MySQL error 1059)")
+      // an unquoted identifier may not consist solely of digits
+      // (MySQL ER_PARSE_ERROR — create_db.test)
+      if (db.forall(_.isDigit)) throw new IllegalArgumentException(
+        s"CREATE DATABASE: '$db' is not a valid unquoted identifier " +
+          "(all digits, MySQL error 1064)")
+      // duplicate create errors unless IF NOT EXISTS (ER_DB_CREATE_EXISTS
+      // 1007 — create_db.test)
+      if (databases.contains(db.toLowerCase) && ifNotExists == null)
+        throw new IllegalArgumentException(
+          s"CREATE DATABASE: can't create database '$db'; database " +
+            "exists (MySQL error 1007)")
       databases += db.toLowerCase
       Seq((db, "database created (single-namespace runner)"))
         .toDF("database", "status")
@@ -1353,6 +1670,9 @@ class StatementRunner(spark: SparkSession) {
 
     case DropDbRe(db) =>
       import spark.implicits._
+      if (db.length > 64) throw new IllegalArgumentException(
+        s"DROP DATABASE: identifier name '${db.take(20)}…' is too long " +
+          "(max 64, MySQL error 1059)")
       val existed = databases.remove(db.toLowerCase)
       Seq((db, if (existed) "database dropped" else "not created"))
         .toDF("database", "status")
@@ -1391,17 +1711,22 @@ class StatementRunner(spark: SparkSession) {
       Seq((table, store.read().count()))
         .toDF("table_name", "rows_created")
 
-    case DropRe(table) =>
+    case DropRe(tableList) =>
       import spark.implicits._
-      val key = table.toLowerCase
-      val existed = stores.remove(key).isDefined
-      packedTables.remove(key)
-      spark.catalog.dropTempView(table)
-      ownedRoots.remove(key).foreach(root =>
-        org.apache.commons.io.FileUtils
-          .deleteDirectory(new java.io.File(root)))
-      Seq((table, if (existed) "dropped" else "not attached"))
-        .toDF("table_name", "status")
+      // multi-table form (`DROP TABLE t1, t2, t3` — create_table.test)
+      splitTopLevel(tableList)
+        .map(_.stripPrefix("`").stripSuffix("`"))
+        .map { table =>
+          val key = table.toLowerCase
+          val existed = stores.remove(key).isDefined
+          packedTables.remove(key)
+          primaryKeys.remove(key)
+          spark.catalog.dropTempView(table)
+          ownedRoots.remove(key).foreach(root =>
+            org.apache.commons.io.FileUtils
+              .deleteDirectory(new java.io.File(root)))
+          (table, if (existed) "dropped" else "not attached")
+        }.toDF("table_name", "status")
 
     case OptimizeRe(table) =>
       import spark.implicits._

@@ -539,13 +539,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val hits = runner.run("select a from mtr_lim where b = 'hit' order by a")
       .collect().map(_.getInt(0)).toSeq
     assert(hits === Seq(1, 2))
-    // without a PK the row-limited forms refuse (row identity needed)
+    // without a PK, DELETE … LIMIT synthesizes row identity (staged
+    // rowid — MySQL's physical-rowid behavior) and deletes exactly n
     val store2 = new graft.sources.DeltaStore(spark,
       java.nio.file.Files.createTempDirectory("graft_lim2").toString)
     store2.writeBase(Engine.table(spark, sf, "region"))
     runner.attach("mtr_lim2", store2)
+    val d2 = runner.run("DELETE FROM mtr_lim2 LIMIT 1").first()
+    assert(d2.getAs[Long]("rows_deleted") === 1L)
+    assert(store2.read().count() === 4L)
+    // …including exactly one copy of duplicate rows (no key to speak of)
+    store2.append(store2.read().limit(1))
+    val before = store2.read().count()
+    runner.run("DELETE FROM mtr_lim2 LIMIT 1")
+    assert(store2.read().count() === before - 1)
+    // UPDATE … LIMIT still needs the PK (no rewrite-identity shortcut)
     intercept[IllegalArgumentException] {
-      runner.run("DELETE FROM mtr_lim2 LIMIT 1")
+      runner.run("UPDATE mtr_lim2 SET r_name = 'x' LIMIT 1")
     }
     runner.run("drop table mtr_lim")
   }
