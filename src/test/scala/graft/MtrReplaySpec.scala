@@ -92,37 +92,143 @@ class MtrReplaySpec extends AnyFunSuite {
     assert(skipped <= 1, s"$skipped skipped (expected only CREATE PROCEDURE)")
   }
 
-  /** The pinned compatibility corpus: reference MTR files that replay
-    * END TO END with success/error parity (minimum statement-count
-    * floors so a silently-shortened parse can't fake a pass). Files NOT
-    * here fail on documented boundaries: multi-table DELETE `t1.*, t2.*
-    * FROM …` (the Dml.deleteJoin tier), charset CONVERT(… USING ucs2),
-    * backtick identifiers containing spaces/slashes, MySQL's
-    * bare-string-alias and VALUES-references-column quirks. */
-  private val PinnedFiles: Seq[(String, Int)] = Seq(
-    "create_db.test" -> 19,
-    "dropdb.test" -> 4,
-    "truncate.test" -> 11,
-    "between_and.test" -> 17,
-    "select_distinct.test" -> 19,
-    "select_limit.test" -> 24,
-    "where_conditions.test" -> 29,
-    "replace_into.test" -> 38,
-    "having.test" -> 16,
-    "select_order_by.test" -> 58,
-    "select_group_by.test" -> 43,
-    "orquery.test" -> 9,
-    "composite_primary_key.test" -> 8,
-    "drop_column.test" -> 8,
-    "add_column.test" -> 11,
-    "alter_delete.test" -> 13,
-    "alter_update.test" -> 12)
+  /** The pinned compatibility corpus: every reference MTR file that
+    * replays END TO END with success/error parity — 109 of the
+    * suite's 290 non-bulk files, 2122 statements total. Per-file
+    * statement-count floors stop a silently-shortened parse from faking
+    * a pass; skip counts are pinned exactly (they mark LFS fixtures
+    * absent from the checkout, nothing else). Files not in the list
+    * fail on documented boundaries: multi-table DELETE `t1.*, t2.* FROM
+    * …` (the Dml.deleteJoin tier), charset CONVERT(… USING ucs2),
+    * backtick identifiers containing spaces/slashes, stored
+    * procedures/triggers, session variables in expressions, and MySQL's
+    * bare-string-alias / VALUES-references-column parser quirks. */
+  private val PinnedFiles: Seq[(String, Int, Int)] = Seq(
+    ("add_column.test", 11, 1),
+    ("aggregate.test", 108, 0),
+    ("alter_bit.test", 42, 0),
+    ("alter_delete.test", 13, 0),
+    ("alter_table.test", 20, 0),
+    ("alter_table_negative.test", 18, 0),
+    ("alter_table_null.test", 15, 0),
+    ("alter_update.test", 12, 0),
+    ("avg_function.test", 10, 0),
+    ("between_and.test", 17, 0),
+    ("casewhen.test", 7, 0),
+    ("cast_data_types.test", 15, 0),
+    ("char_length_function.test", 21, 0),
+    ("coalesce_ascii_func.test", 26, 0),
+    ("composite_primary_key.test", 8, 0),
+    ("concat.test", 10, 0),
+    ("create_db.test", 19, 0),
+    ("create_index.test", 8, 0),
+    ("ctas.test", 10, 0),
+    ("date_function.test", 11, 0),
+    ("day_function.test", 11, 0),
+    ("dayname_function.test", 11, 0),
+    ("dayofmonth_function.test", 11, 0),
+    ("dayofyear_function.test", 11, 0),
+    ("derived_table.test", 23, 0),
+    ("div_func.test", 16, 0),
+    ("drop_column.test", 8, 0),
+    ("dropdb.test", 4, 0),
+    ("empty_string_not_null.test", 35, 0),
+    ("flow_control_function.test", 15, 0),
+    ("having.test", 16, 0),
+    ("hour_function.test", 13, 0),
+    ("insert_on_duplicate_update.test", 8, 0),
+    ("issue1006.test", 8, 0),
+    ("issue1070.test", 13, 0),
+    ("issue1079_366.test", 35, 0),
+    ("issue1175.test", 7, 0),
+    ("issue1251.test", 1, 0),
+    ("issue1258.test", 12, 0),
+    ("issue1363.test", 12, 0),
+    ("issue1385.test", 11, 0),
+    ("issue1394.test", 35, 0),
+    ("issue1402.test", 20, 0),
+    ("issue1564.test", 21, 0),
+    ("issue1599.test", 19, 0),
+    ("issue1625.test", 8, 0),
+    ("issue1708.test", 9, 0),
+    ("issue1808.test", 7, 0),
+    ("issue1864.test", 16, 0),
+    ("issue226.test", 14, 0),
+    ("issue281.test", 11, 0),
+    ("issue282.test", 19, 0),
+    ("issue405.test", 8, 0),
+    ("issue417.test", 8, 0),
+    ("issue430.test", 8, 0),
+    ("issue467.test", 8, 0),
+    ("issue487.test", 5, 0),
+    ("issue496.test", 12, 0),
+    ("issue502.test", 10, 0),
+    ("issue515.test", 9, 0),
+    ("issue581.test", 20, 2),
+    ("issue736.test", 10, 0),
+    ("issue763.test", 59, 0),
+    ("issue767.test", 42, 0),
+    ("issue829.test", 27, 0),
+    ("issue852.test", 8, 0),
+    ("issue906.test", 12, 0),
+    ("issue947.test", 18, 0),
+    ("issue959.test", 61, 0),
+    ("issue962.test", 7, 0),
+    ("issue971.test", 20, 0),
+    ("issue981.test", 10, 0),
+    ("issue998.test", 48, 0),
+    ("last_day_function.test", 13, 0),
+    ("left_function.test", 14, 0),
+    ("left_right_func.test", 10, 0),
+    ("like_not_like.test", 8, 0),
+    ("max_function.test", 10, 0),
+    ("min_function.test", 10, 0),
+    ("multi_join.test", 11, 0),
+    ("null_functions.test", 27, 0),
+    ("order_by.test", 16, 0),
+    ("orquery.test", 9, 0),
+    ("orquery1.test", 9, 0),
+    ("out_of_range_issue1151.test", 74, 0),
+    ("replace.test", 29, 0),
+    ("replace_func.test", 12, 0),
+    ("replace_into.test", 38, 0),
+    ("right_function.test", 14, 0),
+    ("select_distinct.test", 19, 0),
+    ("select_from.test", 37, 0),
+    ("select_group_by.test", 43, 0),
+    ("select_limit.test", 24, 0),
+    ("select_order_by.test", 58, 0),
+    ("ssb_small.test", 9, 0),
+    ("substr_function.test", 27, 0),
+    ("substring_function.test", 27, 0),
+    ("sum_function.test", 10, 0),
+    ("timestampadd_function.test", 42, 0),
+    ("timestampdiff_function.test", 42, 0),
+    ("truncate.test", 11, 1),
+    ("truncate_table.test", 47, 1),
+    ("union_case.test", 30, 0),
+    ("unsigned_join.test", 13, 0),
+    ("various_subquery.test", 38, 0),
+    ("weekday_function.test", 13, 0),
+    ("weekofyear_function.test", 14, 0),
+    ("where_conditions.test", 29, 0),
+    ("year_function.test", 14, 0))
 
-  PinnedFiles.foreach { case (file, floor) =>
-    test(s"the reference's $file replays with success/error parity") {
-      val (ran, skipped) = replay(file)
-      assert(ran >= floor, s"only $ran statements ran (floor $floor)")
-      assert(skipped <= 1, s"$skipped statements skipped")
+  test(s"${PinnedFiles.size} reference MTR files replay with " +
+      "success/error parity (statement floors pinned)") {
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    var total = 0
+    PinnedFiles.foreach { case (file, floor, maxSkip) =>
+      scala.util.Try(replay(file)) match {
+        case scala.util.Success((ran, skipped)) =>
+          total += ran
+          if (ran < floor) failures += s"$file: ran $ran < floor $floor"
+          if (skipped > maxSkip) failures += s"$file: skipped $skipped"
+        case scala.util.Failure(e) =>
+          failures += s"$file: ${e.getMessage.take(160)}"
+      }
     }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    assert(total >= 2122, s"corpus shrank: $total statements")
   }
 }
