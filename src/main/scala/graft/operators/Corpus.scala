@@ -172,7 +172,7 @@ object Corpus {
     // frame ONCE: it feeds three consumers (budget, full-bucket filter,
     // boundary filter) and would otherwise re-run the corpus scoring agg
     // per consumer (measured: 6 corpus scans → 3).
-    val wq = Window.orderBy(col("q").desc)
+    val wq = Scale.boundedWindow(col("q").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withCum = perQ
       .withColumn("cum", sum(col("bucket_tokens")).over(wq))
@@ -439,7 +439,7 @@ object Corpus {
     val pos = per.where(col("w6") > 0)
     val tot = per.agg(sum(col("capacity")).as("tc"))
       .crossJoin(pos.agg(sum(col("w6")).as("tw")))
-    val w = Window.orderBy(col("ratio"), col("source"))
+    val w = Scale.boundedWindow(col("ratio"), col("source"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val ranked = pos.crossJoin(broadcast(tot))
       .withColumn("budget", expr("tc div 2"))

@@ -15,6 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Window spec for a frame that is provably BOUNDED by construction
+    * (quality buckets, per-source totals, top-k shortlists — never
+    * corpus-sized rows). Partitioning on a constant runs identically to
+    * an unpartitioned window (one group, one total order) but makes the
+    * single-partition choice explicit: an empty partition spec makes
+    * WindowExec warn "moving all data to a single partition" — the
+    * right alarm for corpus-sized frames, pure noise for frames whose
+    * bound the call site states. Callers MUST document the bound. */
+  def boundedWindow(order: Column*)
+      : org.apache.spark.sql.expressions.WindowSpec =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(order: _*)
+
   /** Two-stage aggregation for skewed group keys: stage 1 aggregates
     * (key, salt) — spreading a hot key over `salts` reducers — stage 2
     * folds the partials. Correct for any algebraic aggregate expressed as

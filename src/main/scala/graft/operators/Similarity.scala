@@ -993,7 +993,6 @@ object Similarity {
     * Contributions are fixed-point longs (1e6/(k+rank) floored), so the
     * fused score is engine-exact. */
   def qRetrievalRrf(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
     def contrib(rank: Column): Column =
       coalesce(floor(lit(1000000.0) / (lit(RrfK) + rank) + lit(0.5))
         .cast("long"), lit(0L))
@@ -1001,12 +1000,14 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id")).limit(10)
       .select(col("vec_id").as("doc_id"), col("cos"))
       .withColumn("vec_rank",
-        row_number().over(w.orderBy(col("cos").desc, col("doc_id")))
+        row_number()
+          .over(Scale.boundedWindow(col("cos").desc, col("doc_id")))
           .cast("long"))
       .drop("cos")
     val lex = Lexicon.bm25TopK(t(s, dir, "documents"), Lexicon.Bm25Terms)
       .withColumn("lex_rank",
-        row_number().over(w.orderBy(col("bm25").desc, col("doc_id")))
+        row_number()
+          .over(Scale.boundedWindow(col("bm25").desc, col("doc_id")))
           .cast("long"))
       .select(col("doc_id"), col("lex_rank"))
     vec.join(lex, Seq("doc_id"), "full_outer")

@@ -1160,9 +1160,16 @@ class StatementRunner(spark: SparkSession) {
     * values continue from max(declared start, existing ids, explicit
     * batch ids) in batch order (MySQL's counter semantics: an explicit
     * insert above the counter advances it —
-    * init_auto_increment_value.test). The single-partition row_number
-    * is statement-batch-sized by construction; BULK keyless ingest goes
-    * through the distributed [[Dml.autoIncrement]] instead. */
+    * init_auto_increment_value.test). Numbering is the same
+    * per-partition-offset prefix sum as [[Dml.autoIncrement]] — NOT a
+    * global row_number window — so an `INSERT … SELECT` whose source is
+    * corpus-sized never serializes through one task: the only
+    * cross-partition state is the per-partition row counts (≤ one row
+    * per partition, folded by a bounded window and broadcast back).
+    * The counts pass recomputes the batch subtree, which is safe here
+    * because statement batches are deterministic plans (VALUES local
+    * relations or SELECTs over the attached parquet stores — no
+    * round-robin repartition anywhere on the path). */
   private def assignAutoInc(store: DeltaStore, aligned: DataFrame)
       : DataFrame = {
     import org.apache.spark.sql.functions._
@@ -1177,14 +1184,29 @@ class StatementRunner(spark: SparkSession) {
           store.read().agg(coalesce(max(idAsLong), lit(0L)))
             .first().getLong(0),
           aligned.agg(coalesce(max(idAsLong), lit(0L))).first().getLong(0)).max
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("__mid"))
-        aligned.withColumn("__mid", monotonically_increasing_id())
+        val stamped = aligned
+          .withColumn("__pid", spark_partition_id().cast("long"))
+          .withColumn("__mid", monotonically_increasing_id())
+        // cumulative count of rows in EARLIER partitions; the frame is
+        // bounded by the batch's partition count
+        val offW = graft.operators.Scale.boundedWindow(col("__pid"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        val offsets = stamped.groupBy(col("__pid"))
+          .agg(count(lit(1)).as("__cnt"))
+          .withColumn("__off", coalesce(sum(col("__cnt")).over(offW), lit(0L)))
+          .drop("__cnt")
+        stamped
+          .join(broadcast(offsets), Seq("__pid"))
           .withColumn(f.name,
             when(col(f.name).isNull,
-              (lit(start) + row_number().over(w)).cast(f.dataType))
+              (lit(start) + col("__off")
+                + (col("__mid") - col("__pid") * lit(1L << 33)) + lit(1L))
+                .cast(f.dataType))
               .otherwise(col(f.name)))
-          .drop("__mid")
+          // the USING-join moved __pid first; restore the batch's
+          // column order exactly (store appends are positional)
+          .select(aligned.columns.map(col): _*)
     }
   }
 
