@@ -1,0 +1,67 @@
+package graft
+
+/** Triage harness (test scope, not shipped): attempts to replay every
+  * reference MTR file NOT in the pinned corpus and prints the first
+  * failing statement per file, so corpus growth targets the real
+  * boundaries instead of guessing. Run:
+  * `sbt "Test/runMain graft.MtrTriage"`. */
+object MtrTriage {
+  private val MtrDir = "/root/reference/mysql-test/suite/tianmu/t"
+
+  def main(args: Array[String]): Unit = {
+    val spark = TestSession.spark
+    val pinned = classOf[MtrReplaySpec]
+    val spec = new MtrReplaySpec
+    // reflectively reuse the spec's parser + scope predicate
+    val parse = pinned.getDeclaredMethod("parseMtr", classOf[String])
+    parse.setAccessible(true)
+    val oos = pinned.getDeclaredMethod("outOfScope", classOf[String])
+    oos.setAccessible(true)
+    val pinnedNames = {
+      val f = pinned.getDeclaredField("PinnedFiles")
+      f.setAccessible(true)
+      f.get(spec).asInstanceOf[Seq[(String, Int, Int)]].map(_._1).toSet +
+        "truncate_table.test"
+    }
+    val all = new java.io.File(MtrDir).listFiles()
+      .filter(_.getName.endsWith(".test")).map(_.getName).sorted
+      .filterNot(pinnedNames)
+    val only: Seq[String] = if (args.nonEmpty) args.toSeq else all.toSeq
+    var ok = 0
+    only.foreach { file =>
+      val runner = new sources.StatementRunner(spark)
+      val stmts = scala.util.Try(
+        parse.invoke(spec, s"$MtrDir/$file")
+          .asInstanceOf[Seq[(String, Boolean)]]).getOrElse(Seq.empty)
+      if (stmts.isEmpty) println(s"TRIAGE $file: PARSE-EMPTY")
+      else {
+        var failed: Option[String] = None
+        var ran = 0
+        var skipped = 0
+        val it = stmts.iterator
+        while (failed.isEmpty && it.hasNext) {
+          val (stmt, expectsError) = it.next()
+          if (oos.invoke(spec, stmt).asInstanceOf[Boolean]) skipped += 1
+          else {
+            val r = scala.util.Try(runner.run(stmt).collect())
+            if (expectsError && r.isSuccess)
+              failed = Some(s"EXPECTED-ERROR-GOT-SUCCESS: $stmt")
+            else if (!expectsError && r.isFailure)
+              failed = Some(s"FAIL: $stmt ||| " +
+                r.failed.get.toString.replace('\n', ' ').take(200))
+            else ran += 1
+          }
+        }
+        failed match {
+          case None =>
+            ok += 1
+            println(s"TRIAGE $file: OK ran=$ran skipped=$skipped")
+          case Some(msg) =>
+            println(s"TRIAGE $file: at stmt ${ran + 1} " +
+              msg.replace('\n', ' ').take(320))
+        }
+      }
+    }
+    println(s"TRIAGE TOTAL: ${only.length} tried, $ok clean")
+  }
+}
