@@ -148,6 +148,82 @@ object MySql {
     when(t.startsWith("-"), -secs).otherwise(secs)
   }
 
+  /** [[timeToSec]] for MySQL's full time-literal grammar
+    * `'[-][D ]H:MM:SS[.f]'` — the `D ` day prefix and fractional
+    * seconds ADDTIME accepts (AddTime_function.test). Returns DOUBLE
+    * seconds. */
+  def timeToSecFull(t: Column): Column = {
+    val trimmed = trim(t)
+    val neg = trimmed.startsWith("-")
+    val clean = regexp_replace(trimmed, "^-", "")
+    val days = coalesce(
+      regexp_extract(clean, "^(\\d+)\\s", 1).cast("long"), lit(0L))
+    val hms = regexp_replace(clean, "^\\d+\\s+", "")
+    val parts = split(hms, ":")
+    val secs = days * 86400 + parts.getItem(0).cast("long") * 3600 +
+      parts.getItem(1).cast("long") * 60 +
+      parts.getItem(2).cast("double")
+    when(neg, -secs).otherwise(secs)
+  }
+
+  /** MySQL `ADDTIME(a, t)` full semantics for the SQL surface: datetime
+    * first arg → 'yyyy-MM-dd HH:mm:ss' string; pure-time first arg →
+    * unwrapped 'HH:MM:SS' clock arithmetic (hours past 24 preserved:
+    * ADDTIME('22:22:22','03:11:22') = '25:33:44'). */
+  def addtimeFull(a: Column, t: Column, sign: Int = 1): Column = {
+    val ts = a.cast("timestamp")
+    val sec = timeToSecFull(t) * sign
+    val dtBranch = date_format(
+      ts + make_dt_interval(lit(0), lit(0), lit(0), sec),
+      "yyyy-MM-dd HH:mm:ss")
+    val timeBranch = secToTime(timeToSecFull(a) + sec)
+    when(ts.isNotNull, dtBranch).otherwise(timeBranch)
+  }
+
+  /** MySQL `ADDDATE(d, n)` / `SUBDATE(d, n)` integer-days form: keeps
+    * the time part for datetime input (Spark's date_add truncates to
+    * DATE), date-only stays date-shaped (AddDate_function.test). */
+  def adddateDays(d: Column, n: Column): Column = {
+    val ts = d.cast("timestamp") +
+      make_interval(lit(0), lit(0), lit(0), n.cast("int"),
+        lit(0), lit(0), lit(0))
+    when(d.cast("string").rlike("\\d:\\d"),
+      date_format(ts, "yyyy-MM-dd HH:mm:ss"))
+      .otherwise(date_format(ts, "yyyy-MM-dd"))
+  }
+
+  /** `ADDDATE(d, INTERVAL …)` / DATE_ADD / DATE_SUB — the interval is
+    * already an ANSI interval Column. Result renders date-shaped when
+    * neither the input nor the result carries a time-of-day (MySQL's
+    * DATE-in/DATE-out rule), datetime-shaped otherwise. */
+  def adddateInterval(d: Column, iv: Column): Column = {
+    val res = d.cast("timestamp") + iv
+    when(d.cast("string").rlike("\\d:\\d")
+        || unix_micros(res) % lit(86400000000L) =!= 0,
+      date_format(res, "yyyy-MM-dd HH:mm:ss"))
+      .otherwise(date_format(res, "yyyy-MM-dd"))
+  }
+
+  /** MySQL STR_TO_DATE with a RUNTIME format column
+    * (date_formats_func.test stores formats in a table). Plain-Scala
+    * parse per row: %-pattern → java.time with lenient single-digit
+    * fields, NULL on mismatch (MySQL's NULL-with-warning contract). */
+  def strToDateRuntime(s: String, fmt: String): java.sql.Timestamp = {
+    if (s == null || fmt == null) return null
+    try {
+      val javaFmt = mysqlFormatToJava(fmt)
+        .replace("yyyy", "y").replace("dd", "d").replace("MM", "M")
+        .replace("HH", "H").replace("mm", "m").replace("ss", "s")
+      val f = java.time.format.DateTimeFormatter.ofPattern(javaFmt)
+      val parsed = f.parse(s.trim)
+      val date = try java.time.LocalDate.from(parsed)
+        catch { case _: Exception => java.time.LocalDate.of(1970, 1, 1) }
+      val time = try java.time.LocalTime.from(parsed)
+        catch { case _: Exception => java.time.LocalTime.MIDNIGHT }
+      java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(date, time))
+    } catch { case _: Exception => null }
+  }
+
   /** MySQL `ADDTIME(ts, 'HH:MM:SS')`. */
   def addtime(ts: Column, t: Column): Column =
     ts + make_dt_interval(lit(0), lit(0), lit(0), timeToSec(t).cast("double"))
@@ -231,7 +307,19 @@ object MySql {
     * week-year paired with %V/%v. */
   private val WeekSpecifiers: Set[Char] = Set('U', 'u', 'V', 'v', 'X', 'x')
 
+  /** Specifiers spliced in as columns: the week set plus %D (English
+    * ordinal day — 1st, 2nd, 22nd — date_formats_func.test). */
+  private val SplicedSpecifiers: Set[Char] = WeekSpecifiers + 'D'
+
   private def weekSpecColumn(d: Column, spec: Char): Column = spec match {
+    case 'D' =>
+      val dd = dayofmonth(d)
+      concat(dd.cast("string"),
+        when(dd % 100 >= 11 && dd % 100 <= 13, "th")
+          .when(dd % 10 === 1, "st")
+          .when(dd % 10 === 2, "nd")
+          .when(dd % 10 === 3, "rd")
+          .otherwise("th"))
     case 'U' => lpad(week(d, 0).cast("string"), 2, "0")
     case 'u' => lpad(week(d, 1).cast("string"), 2, "0")
     case 'V' => lpad(week(d, 2).cast("string"), 2, "0")
@@ -245,7 +333,7 @@ object MySql {
     * columns around the java.time-formatted segments. */
   def dateFormat(d: Column, fmt: String): Column = {
     val hasWeek = fmt.zipWithIndex.exists { case (c, i) =>
-      c == '%' && i + 1 < fmt.length && WeekSpecifiers(fmt.charAt(i + 1)) &&
+      c == '%' && i + 1 < fmt.length && SplicedSpecifiers(fmt.charAt(i + 1)) &&
         (i == 0 || fmt.charAt(i - 1) != '%')
     }
     if (!hasWeek) date_format(d, mysqlFormatToJava(fmt))
@@ -258,7 +346,7 @@ object MySql {
       var i = 0
       while (i < fmt.length) {
         val c = fmt.charAt(i)
-        if (c == '%' && i + 1 < fmt.length && WeekSpecifiers(fmt.charAt(i + 1))) {
+        if (c == '%' && i + 1 < fmt.length && SplicedSpecifiers(fmt.charAt(i + 1))) {
           flush(); segs += weekSpecColumn(d, fmt.charAt(i + 1)); i += 2
         } else if (c == '%' && i + 1 < fmt.length) {
           buf.append(c).append(fmt.charAt(i + 1)); i += 2

@@ -50,5 +50,154 @@ object Registry {
       exprs => LshOps.SigAgree(exprs.head, exprs(1)))
     GraftSqlBridge.registerFunction(spark, "jaccard_long",
       exprs => LshOps.JaccardLong(exprs.head, exprs(1)))
+    registerMySqlSql(spark)
+  }
+
+  /** SQL-name registration for the MySQL scalar shims in [[MySql]] —
+    * the reference's SQL dialect IS MySQL's function surface
+    * (core/mysql_expression.h:34 evaluates MySQL Item trees), so
+    * verbatim MTR statement text must resolve these names. Column-level
+    * shims are lifted through [[GraftSqlBridge]]; literal arguments
+    * (WEEK modes, DATE_FORMAT patterns) are extracted by constant
+    * evaluation at registration. */
+  private def registerMySqlSql(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.functions._
+    def fn(name: String)(builder: Seq[Column] => Column): Unit =
+      GraftSqlBridge.registerFunction(spark, name, exprs =>
+        GraftSqlBridge.expression(builder(exprs.map(GraftSqlBridge.column))))
+    def litOf(e: Expression): Option[Any] =
+      scala.util.Try(e.eval(null)).toOption.filter(_ != null)
+    def isInterval(e: Expression): Boolean =
+      scala.util.Try(e.dataType).toOption.exists(dt =>
+        dt.typeName.contains("interval"))
+
+    // adddate/subdate need the raw expressions for interval detection
+    GraftSqlBridge.registerFunction(spark, "adddate", exprs => {
+      val d = GraftSqlBridge.column(exprs.head)
+      GraftSqlBridge.expression(
+        if (isInterval(exprs(1)))
+          MySql.adddateInterval(d, GraftSqlBridge.column(exprs(1)))
+        else MySql.adddateDays(d, GraftSqlBridge.column(exprs(1))))
+    })
+    GraftSqlBridge.registerFunction(spark, "subdate", exprs => {
+      val d = GraftSqlBridge.column(exprs.head)
+      GraftSqlBridge.expression(
+        if (isInterval(exprs(1)))
+          MySql.adddateInterval(d, -GraftSqlBridge.column(exprs(1)))
+        else MySql.adddateDays(d,
+          -GraftSqlBridge.column(exprs(1)).cast("int")))
+    })
+    // DATE_ADD/DATE_SUB with INTERVAL (MySQL's primary form —
+    // date_formats_func.test); integer second args keep Spark's own
+    // date_add/date_sub semantics via the Catalyst expressions
+    GraftSqlBridge.registerFunction(spark, "date_add", exprs =>
+      if (isInterval(exprs(1)))
+        GraftSqlBridge.expression(MySql.adddateInterval(
+          GraftSqlBridge.column(exprs.head),
+          GraftSqlBridge.column(exprs(1))))
+      else org.apache.spark.sql.catalyst.expressions.DateAdd(
+        exprs.head, exprs(1)))
+    GraftSqlBridge.registerFunction(spark, "date_sub", exprs =>
+      if (isInterval(exprs(1)))
+        GraftSqlBridge.expression(MySql.adddateInterval(
+          GraftSqlBridge.column(exprs.head),
+          -GraftSqlBridge.column(exprs(1))))
+      else org.apache.spark.sql.catalyst.expressions.DateSub(
+        exprs.head, exprs(1)))
+    fn("addtime")(cs => MySql.addtimeFull(cs.head, cs(1)))
+    fn("subtime")(cs => MySql.addtimeFull(cs.head, cs(1), sign = -1))
+    fn("timediff")(cs => MySql.timediff(cs.head, cs(1)))
+    fn("sec_to_time")(cs => MySql.secToTime(cs.head))
+    fn("time_to_sec")(cs => MySql.timeToSecFull(cs.head).cast("long"))
+    fn("maketime")(cs => MySql.maketime(cs.head, cs(1), cs(2)))
+    fn("makedate")(cs => MySql.makedate(cs.head, cs(1)))
+    fn("to_days")(cs => MySql.toDays(cs.head))
+    fn("from_days")(cs => MySql.fromDays(cs.head))
+    fn("period_add")(cs => MySql.periodAdd(cs.head, cs(1)))
+    fn("period_diff")(cs => MySql.periodDiff(cs.head, cs(1)))
+    fn("dayname")(cs => MySql.dayname(cs.head))
+    fn("monthname")(cs => MySql.monthname(cs.head))
+    fn("strcmp")(cs => MySql.strcmp(cs.head, cs(1)))
+    fn("elt")(cs => MySql.elt(cs.head, cs.tail: _*))
+    fn("field")(cs => MySql.field(cs.head, cs.tail: _*))
+    fn("insert")(cs => MySql.insertStr(cs.head, cs(1), cs(2), cs(3)))
+    fn("mid")(cs => cs.head.substr(cs(1), cs(2)))
+    fn("oct")(cs => conv(cs.head.cast("string"), 10, 8))
+    GraftSqlBridge.registerFunction(spark, "format", exprs =>
+      org.apache.spark.sql.catalyst.expressions.FormatNumber(
+        GraftSqlBridge.expression(
+          GraftSqlBridge.column(exprs.head).cast("double")),
+        GraftSqlBridge.expression(
+          GraftSqlBridge.column(exprs(1)).cast("int"))))
+    // MySQL's md5 stringifies any argument (md5_function.test hashes
+    // BIGINTs); Spark's builtin requires BINARY. Built directly as the
+    // Catalyst Md5 — functions.md5 would resolve back to THIS
+    // registration and loop
+    GraftSqlBridge.registerFunction(spark, "md5", exprs =>
+      org.apache.spark.sql.catalyst.expressions.Md5(
+        GraftSqlBridge.expression(
+          GraftSqlBridge.column(exprs.head).cast("string").cast("binary"))))
+    // WEEK/YEARWEEK take a literal mode (0-7); default 0
+    GraftSqlBridge.registerFunction(spark, "week", exprs => {
+      val mode = if (exprs.length > 1)
+        litOf(exprs(1)).map(_.toString.toInt).getOrElse(0) else 0
+      GraftSqlBridge.expression(
+        MySql.week(GraftSqlBridge.column(exprs.head), mode))
+    })
+    GraftSqlBridge.registerFunction(spark, "yearweek", exprs => {
+      val mode = if (exprs.length > 1)
+        litOf(exprs(1)).map(_.toString.toInt).getOrElse(0) else 0
+      GraftSqlBridge.expression(
+        MySql.yearweek(GraftSqlBridge.column(exprs.head), mode))
+    })
+    // DATE_FORMAT with a %-pattern literal is MySQL's grammar; a
+    // pattern without '%' falls through to Spark's own date_format
+    GraftSqlBridge.registerFunction(spark, "date_format", exprs => {
+      val fmt = litOf(exprs(1)).map(_.toString)
+      val d = GraftSqlBridge.column(exprs.head)
+      fmt match {
+        case Some(f) if f.contains("%") =>
+          GraftSqlBridge.expression(MySql.dateFormat(d, f))
+        // terminal branches build DateFormatClass directly —
+        // functions.date_format would resolve back here and loop
+        case Some(f) => org.apache.spark.sql.catalyst.expressions
+          .DateFormatClass(
+            GraftSqlBridge.expression(d.cast("timestamp")),
+            org.apache.spark.sql.catalyst.expressions.Literal(f))
+        case None => org.apache.spark.sql.catalyst.expressions
+          .DateFormatClass(exprs.head, exprs(1))
+      }
+    })
+    // TIMESTAMP(d[, t]): the 2-arg form adds a time literal to a
+    // datetime (issue429); 1-arg keeps the builtin cast behavior
+    GraftSqlBridge.registerFunction(spark, "timestamp", exprs =>
+      if (exprs.length >= 2)
+        GraftSqlBridge.expression(
+          GraftSqlBridge.column(exprs.head).cast("timestamp") +
+            org.apache.spark.sql.functions.make_dt_interval(
+              org.apache.spark.sql.functions.lit(0),
+              org.apache.spark.sql.functions.lit(0),
+              org.apache.spark.sql.functions.lit(0),
+              MySql.timeToSecFull(GraftSqlBridge.column(exprs(1)))))
+      else org.apache.spark.sql.catalyst.expressions.Cast(
+        exprs.head, org.apache.spark.sql.types.TimestampType))
+    // TIME(x): Spark has no TIME type — MySQL renders 'HH:mm:ss'
+    fn("time")(cs =>
+      date_format(cs.head.cast("timestamp"), "HH:mm:ss"))
+    // CONVERT_TZ(ts, from, to) (issue464)
+    fn("convert_tz")(cs => from_utc_timestamp(
+      to_utc_timestamp(cs.head.cast("timestamp"), cs(1)), cs(2)))
+    // MySQL ATAN2 accepts one argument (= ATAN; bit_type.test)
+    GraftSqlBridge.registerFunction(spark, "atan2", exprs =>
+      if (exprs.length == 1)
+        org.apache.spark.sql.catalyst.expressions.Atan(exprs.head)
+      else org.apache.spark.sql.catalyst.expressions.Atan2(
+        exprs.head, exprs(1)))
+    // runtime-format STR_TO_DATE (formats live in table columns in
+    // date_formats_func.test) — a Scala UDF, the one non-codegen shim
+    spark.udf.register("str_to_date",
+      (s: String, f: String) => MySql.strToDateRuntime(s, f))
   }
 }

@@ -140,5 +140,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(new BandedRangeJoinRule(_))
     ext.injectOptimizerRule(new EditDistanceBandRule(_))
+    ext.injectResolutionRule(new MySqlCoercionRule(_))
   }
 }

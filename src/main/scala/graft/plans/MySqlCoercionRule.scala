@@ -1,0 +1,208 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** MySQL 5.7 implicit-coercion semantics the reference inherits through
+  * its MySQL front end (storage/tianmu/core/mysql_expression.h evaluates
+  * MySQL Item trees, which coerce freely) and Spark's ANSI-off mode
+  * still rejects:
+  *
+  *  - numbers in boolean context: `WHERE b > 2 OR 1` (issue301),
+  *    `(v1 = 20) OR (…) AND (1)` (issue469) — a numeric operand of
+  *    AND/OR/NOT or a numeric WHERE/HAVING condition means `x <> 0`;
+  *  - date/time vs number comparison: `IF(c > 0, …)` over a DATE column
+  *    (if_function.test) — MySQL compares the temporal value's digit
+  *    string as a number (DATE '2020-01-02' ≡ 20200102);
+  *  - SUM/AVG over a boolean: `SUM(x IS NULL)` (issue1942) — MySQL
+  *    booleans are integers.
+  *
+  * Injected as an analyzer resolution rule via [[GraftExtensions]],
+  * inert unless `spark.graft.mysqlCoercion.enabled` is true (the
+  * [[graft.sources.StatementRunner]] enables it — the dialect surface is
+  * where MySQL text arrives; DataFrame-API plans never need it). Every
+  * rewrite is guarded on resolved children and produces a well-typed
+  * tree, so the fixed-point analyzer applies each at most once. */
+class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    spark.conf.getOption("spark.graft.mysqlCoercion.enabled")
+      .exists(_.toBoolean)
+
+  private def isNumeric(e: Expression): Boolean =
+    e.resolved && e.dataType.isInstanceOf[NumericType]
+
+  private def isTemporal(e: Expression): Boolean =
+    e.resolved && (e.dataType.isInstanceOf[DateType] ||
+      e.dataType.isInstanceOf[TimestampType] ||
+      e.dataType.isInstanceOf[TimestampNTZType])
+
+  /** Numeric → boolean the MySQL way: x <> 0 (NULL stays NULL). */
+  private def asBool(e: Expression): Expression =
+    if (isNumeric(e)) Not(EqualTo(e, Cast(Literal(0), e.dataType))) else e
+
+  /** Temporal → the number MySQL compares it as: its digit string
+    * (DATE '2020-01-02' → 20200102, DATETIME → 20200102103000). */
+  private def temporalAsNumber(e: Expression): Expression =
+    Cast(RegExpReplace(Cast(e, StringType), Literal("[^0-9]"), Literal("")),
+      DecimalType(20, 0))
+
+  private def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def nonIntegralOperand(children: Seq[Expression]): Boolean =
+    children.forall(_.resolved) &&
+      children.exists(c => !isIntegral(c.dataType) &&
+        c.dataType != NullType)
+
+  private def toIntegral(e: Expression): Expression =
+    if (isIntegral(e.dataType) || e.dataType == NullType) e
+    else Cast(e, LongType)
+
+  /** MySQL 5.7 without ONLY_FULL_GROUP_BY (the suite's master.opt
+    * sql_mode): a selected column outside the GROUP BY keys returns
+    * some value from the group — first() is that semantics
+    * (bit.test `select sum(a1), b2+0 … group by b1`). Output exprIds
+    * are preserved so parent operators keep resolving. */
+  private def looseGroupBy(a: Aggregate): Aggregate = {
+    def grouped(e: Expression): Boolean =
+      a.groupingExpressions.exists(_.semanticEquals(e))
+    def fix(e: Expression): Expression = e match {
+      case _ if grouped(e) => e
+      case _: aggregate.AggregateExpression => e
+      // a correlated outer column is legal ungrouped — leave it
+      case _: OuterReference => e
+      case ar: AttributeReference =>
+        aggregate.First(ar, ignoreNulls = false).toAggregateExpression()
+      case other => other.mapChildren(fix)
+    }
+    val rewritten = a.aggregateExpressions.map {
+      case ar: AttributeReference if !grouped(ar) =>
+        Alias(fix(ar), ar.name)(exprId = ar.exprId)
+      case al @ Alias(child, name) =>
+        val f = fix(child)
+        if (f eq child) al else Alias(f, name)(exprId = al.exprId)
+      case other => other
+    }
+    a.copy(aggregateExpressions = rewritten)
+  }
+
+  /** Loose grouping applies only when the session's sql_mode was
+    * explicitly SET without ONLY_FULL_GROUP_BY (issue1784 does; MySQL
+    * 5.7's DEFAULT mode includes it, and select_group_by.test pins the
+    * error under the default). */
+  private def looseGroupByMode: Boolean =
+    spark.conf.getOption("spark.graft.mysql.sqlMode")
+      .exists(m => m != "__default__" &&
+        !m.toUpperCase.contains("ONLY_FULL_GROUP_BY"))
+
+  /** Empty grouping too: `select age, sum(age) from t1` with no GROUP
+    * BY returns one row in MySQL (issue1784) — Spark's MISSING_GROUP_BY. */
+  private def needsLooseGroupBy(a: Aggregate): Boolean =
+    looseGroupByMode && a.resolved &&
+      // `GROUP BY 1` ordinals are still integer Literals until
+      // ResolveOrdinal rewrites them — firing before that would wrap
+      // the real grouping column in first()
+      !a.groupingExpressions.exists(_.isInstanceOf[Literal]) && {
+      def grouped(e: Expression): Boolean =
+        a.groupingExpressions.exists(_.semanticEquals(e))
+      def offenders(e: Expression): Boolean = e match {
+        case _ if grouped(e) => false
+        case _: aggregate.AggregateExpression => false
+        case _: OuterReference => false
+        case _: AttributeReference => true
+        case other => other.children.exists(offenders)
+      }
+      a.aggregateExpressions.exists {
+        case al: Alias => offenders(al.child)
+        case ar: AttributeReference => !grouped(ar)
+        case other => offenders(other)
+      }
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.resolveOperatorsUp {
+      case f @ Filter(cond, _) if isNumeric(cond) =>
+        f.copy(condition = asBool(cond))
+      case a: Aggregate if needsLooseGroupBy(a) => looseGroupBy(a)
+      case p =>
+        p.transformExpressionsUp {
+          case And(l, r) if isNumeric(l) || isNumeric(r) =>
+            And(asBool(l), asBool(r))
+          case Or(l, r) if isNumeric(l) || isNumeric(r) =>
+            Or(asBool(l), asBool(r))
+          case Not(e) if isNumeric(e) => Not(asBool(e))
+          case c: BinaryComparison
+              if isTemporal(c.left) && isNumeric(c.right) =>
+            c.withNewChildren(Seq(temporalAsNumber(c.left),
+              Cast(c.right, DecimalType(20, 0))))
+          case c: BinaryComparison
+              if isNumeric(c.left) && isTemporal(c.right) =>
+            c.withNewChildren(Seq(Cast(c.left, DecimalType(20, 0)),
+              temporalAsNumber(c.right)))
+          // CASE branches MySQL resolves to string where Spark's own
+          // coercion gives up: any mix of string/numeric/temporal that
+          // is not all-numeric (case_function.test: THEN int_col ELSE
+          // datetime_col)
+          case cw @ CaseWhen(branches, elseValue)
+              if (branches.map(_._2) ++ elseValue).forall(_.resolved) && {
+                val ts = (branches.map(_._2) ++ elseValue)
+                  .map(_.dataType).filter(_ != NullType).distinct
+                def mixable(t: DataType): Boolean =
+                  t == StringType || t.isInstanceOf[NumericType] ||
+                    t.isInstanceOf[DateType] ||
+                    t.isInstanceOf[TimestampType] ||
+                    t.isInstanceOf[TimestampNTZType]
+                ts.size > 1 && ts.forall(mixable) &&
+                  !ts.forall(_.isInstanceOf[NumericType])
+              } =>
+            def str(e: Expression): Expression =
+              if (e.dataType == StringType || e.dataType == NullType) e
+              else Cast(e, StringType)
+            CaseWhen(branches.map(b => (b._1, str(b._2))),
+              elseValue.map(str))
+          // bit operators coerce any operand to integer in MySQL
+          // (func_bit.test applies & | ^ << >> to DECIMAL and DOUBLE
+          // columns, and `(CASE …) | 0` to a string)
+          case b: BitwiseAnd if nonIntegralOperand(b.children) =>
+            b.withNewChildren(b.children.map(toIntegral))
+          case b: BitwiseOr if nonIntegralOperand(b.children) =>
+            b.withNewChildren(b.children.map(toIntegral))
+          case b: BitwiseXor if nonIntegralOperand(b.children) =>
+            b.withNewChildren(b.children.map(toIntegral))
+          case b: ShiftLeft if nonIntegralOperand(b.children) =>
+            b.withNewChildren(b.children.map(toIntegral))
+          case b: ShiftRight if nonIntegralOperand(b.children) =>
+            b.withNewChildren(b.children.map(toIntegral))
+          case b: BitwiseCount if nonIntegralOperand(b.children) =>
+            b.withNewChildren(b.children.map(toIntegral))
+          // DATE(numeric): MySQL goes through the value's string form
+          // (DATE(2020) → NULL with warning; issue464's YEAR column)
+          case c: Cast if c.child.resolved && c.dataType == DateType &&
+              c.child.dataType.isInstanceOf[NumericType] =>
+            c.withNewChildren(Seq(Cast(c.child, StringType)))
+          // `a IN (NOT NULL)` — boolean list element against a numeric
+          // probe coerces to the probe's type (issue1332)
+          case in @ In(v, list) if v.resolved &&
+              v.dataType.isInstanceOf[NumericType] &&
+              list.forall(_.resolved) &&
+              list.exists(_.dataType == BooleanType) =>
+            In(v, list.map(e =>
+              if (e.dataType == BooleanType) Cast(e, v.dataType) else e))
+          case s: Sum if s.child.resolved &&
+              s.child.dataType == BooleanType =>
+            s.withNewChildren(Seq(Cast(s.child, IntegerType)))
+          case a: Average if a.child.resolved &&
+              a.child.dataType == BooleanType =>
+            a.withNewChildren(Seq(Cast(a.child, IntegerType)))
+        }
+    }
+  }
+}

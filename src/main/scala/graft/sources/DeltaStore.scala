@@ -164,7 +164,24 @@ class DeltaStore(spark: SparkSession, root: String) {
     * UPDATE/DELETE compaction jobs do. */
   def rewriteWith(f: DataFrame => DataFrame): Unit = {
     compact()
-    rewriteBase(f(spark.read.parquet(basePath)))
+    val base = spark.read.parquet(basePath)
+    val result = f(base)
+    // re-stamp column METADATA the transform's projections dropped
+    // (withColumn loses it): the declared MySQL semantics — autoinc,
+    // notnull, range bounds, defaults — ride field metadata, and an
+    // UPDATE must not strip a column's AUTO_INCREMENT declaration
+    // (init_auto_increment_value.test updates then expects counter
+    // assignment to keep working)
+    val orig = base.schema
+    val restamped = result.select(result.schema.map { rf =>
+      orig.find(_.name == rf.name) match {
+        case Some(of) if of.dataType == rf.dataType
+            && of.metadata != rf.metadata =>
+          result(rf.name).as(rf.name, of.metadata)
+        case _ => result(rf.name)
+      }
+    }.toSeq: _*)
+    rewriteBase(restamped)
   }
 
   /** ALTER TABLE … ADD COLUMN analog (TianmuTable add/drop,

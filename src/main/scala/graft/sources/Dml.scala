@@ -27,7 +27,11 @@ object Dml {
     * row sharing a key with the incoming batch, then insert the batch. */
   def replaceInto(base: DataFrame, incoming: DataFrame,
                   keys: Seq[String]): DataFrame =
+    // the USING-join reorders key columns first — restore the base's
+    // declared order (a REPLACE-rewritten store must keep positional
+    // alignment for later statements; replace.test replaces twice)
     base.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .select(base.columns.map(col).toIndexedSeq: _*)
       .unionByName(incoming)
 
   /** MySQL `INSERT … ON DUPLICATE KEY UPDATE` semantics
@@ -42,12 +46,14 @@ object Dml {
     val joinCond = keys.map(k => col(s"b.$k") === col(s"i.$k")).reduce(_ && _)
     val untouched =
       base.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .select(base.columns.map(col).toIndexedSeq: _*)
     val updated = b.join(i, joinCond)
       .select(base.columns.toIndexedSeq.map { c =>
         (if (updateCols.contains(c)) col(s"i.$c") else col(s"b.$c")).as(c)
       }: _*)
     val inserted =
       incoming.join(base.select(keys.map(col): _*), keys, "left_anti")
+        .select(incoming.columns.map(col).toIndexedSeq: _*)
     untouched.unionByName(updated).unionByName(inserted)
   }
 

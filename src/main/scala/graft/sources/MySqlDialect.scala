@@ -48,7 +48,190 @@ object MySqlDialect {
       (pos == 0 || !isWordChar(sql(pos - 1))) &&
       (pos + w.length == sql.length || !isWordChar(sql(pos + w.length)))
 
-  def rewrite(sql: String): String = {
+  /** Index just past the ')' matching the '(' at `open` (which must
+    * point at a '('), honoring nested parens and string literals;
+    * -1 when unbalanced. */
+  private def matchParen(sql: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < sql.length) {
+      sql(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' =>
+          depth -= 1; i += 1
+          if (depth == 0) return i
+        case q @ ('\'' | '"') =>
+          i += 1
+          while (i < sql.length && sql(i) != q) {
+            if (sql(i) == '\\') i += 1
+            i += 1
+          }
+          i += 1
+        case _ => i += 1
+      }
+    }
+    -1
+  }
+
+  /** Split on top-level commas (paren- and string-aware). */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case q @ ('\'' | '"') =>
+          i += 1
+          while (i < s.length && s(i) != q) {
+            if (s(i) == '\\') i += 1
+            i += 1
+          }
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  /** MySQL CAST/CONVERT target type → Spark type text (§1.2 mapping). */
+  private def castTarget(t: String): Option[String] = {
+    val up = t.trim.toUpperCase
+    if (up == "UNSIGNED" || up == "UNSIGNED INTEGER") Some("DECIMAL(20,0)")
+    else if (up == "SIGNED" || up == "SIGNED INTEGER") Some("BIGINT")
+    else if (up == "CHAR" || up.startsWith("CHAR(") ||
+      up == "NCHAR" || up.startsWith("NCHAR(")) Some("STRING")
+    else if (up == "DATE") Some("DATE")
+    else if (up == "DATETIME" || up.startsWith("DATETIME(") ||
+      up == "TIMESTAMP") Some("TIMESTAMP")
+    else if (up.startsWith("DECIMAL")) Some(up)
+    else if (up == "BINARY" || up.startsWith("BINARY(")) Some("BINARY")
+    else if (up == "DOUBLE" || up == "FLOAT" || up == "REAL") Some("DOUBLE")
+    else None
+  }
+
+  /** MySQL EXTRACT composite units → the documented positional-digit
+    * arithmetic (EXTRACT(DAY_HOUR FROM x) = day·100 + hour, …). */
+  private def compositeExtract(unit: String, x: String): Option[String] = {
+    val u = unit.trim.toUpperCase
+    def d = s"day($x)"
+    def h = s"hour($x)"
+    def mi = s"minute($x)"
+    def se = s"second($x)"
+    u match {
+      case "YEAR_MONTH" => Some(s"(year($x)*100 + month($x))")
+      case "DAY_HOUR" => Some(s"($d*100 + $h)")
+      case "DAY_MINUTE" => Some(s"($d*10000 + $h*100 + $mi)")
+      case "DAY_SECOND" => Some(s"($d*1000000 + $h*10000 + $mi*100 + $se)")
+      case "HOUR_MINUTE" => Some(s"($h*100 + $mi)")
+      case "HOUR_SECOND" => Some(s"($h*10000 + $mi*100 + $se)")
+      case "MINUTE_SECOND" => Some(s"($mi*100 + $se)")
+      // Spark's EXTRACT has no MICROSECOND field (issue845)
+      case "MICROSECOND" =>
+        Some(s"(unix_micros(CAST($x AS TIMESTAMP)) % 1000000)")
+      case "SECOND_MICROSECOND" =>
+        Some(s"($se*1000000 + unix_micros(CAST($x AS TIMESTAMP)) % 1000000)")
+      case _ => None
+    }
+  }
+
+  /** MySQL composite interval unit → Spark ranged interval spelling. */
+  private val IntervalUnits: Seq[(String, String)] = Seq(
+    "DAY_SECOND" -> "DAY TO SECOND",
+    "DAY_MINUTE" -> "DAY TO MINUTE",
+    "DAY_HOUR" -> "DAY TO HOUR",
+    "HOUR_SECOND" -> "HOUR TO SECOND",
+    "HOUR_MINUTE" -> "HOUR TO MINUTE",
+    "MINUTE_SECOND" -> "MINUTE TO SECOND",
+    "YEAR_MONTH" -> "YEAR TO MONTH")
+
+  /** Words that legitimately precede a string literal — a literal after
+    * any OTHER identifier-ish token is MySQL's bare string alias
+    * (`SELECT col 'alias'`, aliases.test). */
+  private val NotAliasBefore: Set[String] = Set(
+    "SELECT", "DISTINCT", "ALL", "AS", "LIKE", "RLIKE", "REGEXP",
+    "ESCAPE", "BINARY", "THEN", "ELSE", "WHEN", "IS", "IN", "AND", "OR",
+    "XOR", "NOT", "BETWEEN", "SEPARATOR", "COLLATE", "BY", "FROM",
+    "WHERE", "ON", "USING", "SET", "VALUES", "DEFAULT", "INTERVAL",
+    "MOD", "DIV", "ANY", "SOME", "EXISTS", "IF", "CASE", "RETURN",
+    "HAVING", "LIMIT", "OFFSET", "UNION", "EXCEPT", "INTERSECT",
+    "DATE", "TIME", "TIMESTAMP", "DATETIME", "CHARSET", "INTO",
+    "OUTFILE", "INFILE", "TERMINATED", "ENCLOSED", "ESCAPED", "STARTING",
+    "COMMENT", "ENGINE", "ROW", "ROWS", "PRECEDING", "FOLLOWING", "KEY")
+
+  /** The word (or `)` / backtick) immediately before position `i` in
+    * the REWRITTEN output, skipping whitespace; empty when none. */
+  private def prevToken(out: StringBuilder): String = {
+    var j = out.length - 1
+    while (j >= 0 && Character.isWhitespace(out(j))) j -= 1
+    if (j < 0) return ""
+    out(j) match {
+      case ')' => ")"
+      case '`' => "`"
+      case c if isWordChar(c) =>
+        val end = j + 1
+        while (j >= 0 && isWordChar(out(j))) j -= 1
+        out.substring(j + 1, end)
+      case _ => ""
+    }
+  }
+
+  /** `LIKE pat ESCAPE c` with a custom escape char, folded to Spark's
+    * default-backslash form. Spark validates patterns strictly (a
+    * trailing or misplaced escape char is an error); MySQL treats those
+    * as literals (escape.test `LIKE "a%a" ESCAPE "a"`, issue1157), so
+    * the pattern is rewritten char-wise: esc+wildcard → escaped
+    * wildcard, esc+other → that char, trailing esc → itself. */
+  private val LikeEscRe: Regex =
+    """(?is)\bLIKE\s+('(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")\s+ESCAPE\s+('(?:[^'\\]|\\.)'|"(?:[^"\\]|\\.)")""".r
+
+  private def unquoteSqlString(q: String): String = {
+    val body = q.substring(1, q.length - 1)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      if (body(i) == '\\' && i + 1 < body.length) {
+        sb.append(body(i + 1) match {
+          case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+          case other => other
+        })
+        i += 2
+      } else { sb.append(body(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def translateLikeEscape(sql: String): String =
+    LikeEscRe.replaceAllIn(sql, m => {
+      val esc = unquoteSqlString(m.group(2))
+      if (esc.length != 1 || esc.head == '\\')
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
+        val raw = unquoteSqlString(m.group(1))
+        val e = esc.head
+        val pat = new StringBuilder
+        var i = 0
+        while (i < raw.length) {
+          val c = raw(i)
+          if (c == e && i + 1 < raw.length) {
+            val nxt = raw(i + 1)
+            if (nxt == '%' || nxt == '_') pat.append('\\').append(nxt)
+            else pat.append(nxt)
+            i += 2
+          } else { pat.append(c); i += 1 }
+        }
+        val lit = pat.toString.replace("\\", "\\\\").replace("'", "\\'")
+        java.util.regex.Matcher.quoteReplacement(s"LIKE '$lit'")
+      }
+    })
+
+  def rewrite(sqlIn: String): String = {
+    val sql = translateLikeEscape(sqlIn)
     val out = new StringBuilder(sql.length + 16)
     val n = sql.length
     var i = 0
@@ -59,13 +242,16 @@ object MySqlDialect {
       if ((c == 'b' || c == 'B') && i + 1 < n && sql(i + 1) == '\''
           && (i == 0 || !isWordChar(sql(i - 1)))) {
         val close = sql.indexOf('\'', i + 2)
-        val bits = if (close < 0) "" else sql.substring(i + 2, close)
-        if (bits.nonEmpty && bits.length <= 63
+        val bits = if (close < 0) null else sql.substring(i + 2, close)
+        // b'' is MySQL's legal zero-length bit literal (= 0, bit.test)
+        if (bits != null && bits.length <= 63
             && bits.forall(ch => ch == '0' || ch == '1')) {
-          out.append(java.lang.Long.parseLong(bits, 2).toString)
+          out.append(
+            if (bits.isEmpty) "0"
+            else java.lang.Long.parseLong(bits, 2).toString)
           i = close + 1
         } else { out.append(c); i += 1 }
-      } else if (c == '0' && i + 1 < n && (sql(i + 1) == 'b' || sql(i + 1) == 'B')
+      } else if (c == '0' && i + 1 < n && sql(i + 1) == 'b'
           && i + 2 < n && (sql(i + 2) == '0' || sql(i + 2) == '1')
           && (i == 0 || !isWordChar(sql(i - 1)))) {
         var j = i + 2
@@ -75,7 +261,7 @@ object MySqlDialect {
           out.append(java.lang.Long.parseLong(bits, 2).toString)
           i = j
         } else { out.append(c); i += 1 }
-      } else if (c == '0' && i + 1 < n && (sql(i + 1) == 'x' || sql(i + 1) == 'X')
+      } else if (c == '0' && i + 1 < n && sql(i + 1) == 'x'
           && i + 2 < n && Character.digit(sql(i + 2), 16) >= 0
           && (i == 0 || !isWordChar(sql(i - 1)))) {
         // hex integer literal 0xFF (MySQL numeric context;
@@ -87,6 +273,30 @@ object MySqlDialect {
           out.append(new java.math.BigInteger(hex, 16).toString)
           i = j
         } else { out.append(c); i += 1 }
+      } else if (c == '\'' && {
+        // MySQL bare string alias: a single-quoted literal right after
+        // an identifier-ish token (`SELECT t1_int 'Serial no'`,
+        // aliases.test). Keywords that legitimately take a string
+        // operand are excluded; charset introducers (_utf8…) and
+        // adjacent-literal concatenation don't produce a word/)/`
+        // prev-token so they fall through to the literal branch.
+        // whitespace before the literal is REQUIRED: x'ab' / b'01' hex
+        // and bit literals are token-adjacent (issue1070) and must not
+        // read as aliases
+        val pt = prevToken(out)
+        i > 0 && Character.isWhitespace(sql(i - 1)) &&
+          (pt == ")" || pt == "`" ||
+            (pt.nonEmpty && (pt.head.isLetter || pt.forall(_.isDigit)) &&
+              !NotAliasBefore.contains(pt.toUpperCase)))
+      } && sql.indexOf('\'', i + 1) > 0 && {
+        val close = sql.indexOf('\'', i + 1)
+        val content = sql.substring(i + 1, close)
+        !content.contains("`") && !content.contains("\\") &&
+          (close + 1 >= n || sql(close + 1) != '\'')
+      }) {
+        val close = sql.indexOf('\'', i + 1)
+        out.append("AS `").append(sql.substring(i + 1, close)).append('`')
+        i = close + 1
       } else if (c == '\'' || c == '"') {
         // string literal: copy verbatim, honoring \-escapes and doubling
         out.append(c); i += 1
@@ -133,6 +343,190 @@ object MySqlDialect {
         out.append(" AND "); i += 2
       } else if (c == '|' && i + 1 < n && sql(i + 1) == '|') {
         out.append(" OR "); i += 2
+      } else if (c == '_' && {
+        // charset introducer `_latin1'…'` / `_utf8mb4"…"` — the literal
+        // is already a Unicode string here; the introducer drops
+        // (case_when.test).
+        val m = """^_(?:latin1|ascii|utf8\w*|ucs2|utf16\w*|utf32|binary|gbk|big5)\s*(?=['"])"""
+          .r.findPrefixMatchOf(sql.substring(i))
+        m.isDefined && (i == 0 || !isWordChar(sql(i - 1))) && {
+          out.append(' '); i += m.get.end; true
+        }
+      }) {
+        // handled in the guard (append + advance)
+      } else if (c == '_' && {
+        // introducer before a HEX literal is string-from-bytes
+        // (`_utf8mb4 0xE1B482`, different_charsets tests): decode the
+        // bytes in the introducer's charset into a string literal
+        val m = """^_(latin1|ascii|utf8\w*)\s*0x([0-9a-fA-F]+)"""
+          .r.findPrefixMatchOf(sql.substring(i))
+        m.isDefined && (i == 0 || !isWordChar(sql(i - 1))) && {
+          val hex0 = m.get.group(2)
+          val hex = if (hex0.length % 2 == 1) "0" + hex0 else hex0
+          val bytes = hex.grouped(2)
+            .map(Integer.parseInt(_, 16).toByte).toArray
+          val cs = if (m.get.group(1).toLowerCase.startsWith("utf8"))
+            java.nio.charset.StandardCharsets.UTF_8
+          else java.nio.charset.StandardCharsets.ISO_8859_1
+          val decoded = new String(bytes, cs)
+            .replace("\\", "\\\\").replace("'", "\\'")
+          out.append('\'').append(decoded).append('\'')
+          i += m.get.end; true
+        }
+      }) {
+        // handled in the guard
+      } else if (wordAt(sql, i, "COLLATE") && {
+        val m = """(?is)^COLLATE\s+[\w`]+""".r
+          .findPrefixMatchOf(sql.substring(i))
+        // collation qualifiers drop: the engine's one collation surface
+        // is the CI kernel behind operators/Collation (SURVEY §2.10);
+        // expression-level COLLATE picks MySQL-specific tailorings this
+        // engine does not carry — byte-order comparison stands in
+        m.isDefined && { out.append(' '); i += m.get.end; true }
+      }) {
+        // handled in the guard
+      } else if (wordAt(sql, i, "BINARY") && {
+        // MySQL's unary BINARY operator forces byte-wise comparison —
+        // Spark string comparison is already binary, so the word drops
+        // (case_when.test `CASE BINARY "b" WHEN …`). Kept when it's a
+        // type name: after AS/CAST targets or declaring `col BINARY(n)`
+        var j = i + 6
+        while (j < n && Character.isWhitespace(sql(j))) j += 1
+        // restricted to quoted operands — `BINARY col` could also be a
+        // column DECLARATION (`c BINARY NOT NULL`) which must survive
+        !prevToken(out).equalsIgnoreCase("AS") && j < n &&
+          (sql(j) == '\'' || sql(j) == '"')
+      }) {
+        i += 6
+        while (i < n && Character.isWhitespace(sql(i))) i += 1
+      } else if (wordAt(sql, i, "GROUP_CONCAT")) {
+        // MySQL GROUP_CONCAT clause grammar (DISTINCT / ORDER BY /
+        // SEPARATOR — group_concat.test, group_concat2.test, issue938,
+        // issue1848): routed to the registered UDAFs where they fit
+        // (comma separator — their sorted + 1024-truncated contract is
+        // the engine's documented convention) and composed from
+        // sort_array/array_join for custom separators. Arguments are
+        // stringified — MySQL concatenates any type.
+        val open = i + 12 + sql.substring(i + 12).takeWhile(_.isWhitespace).length
+        val end = if (open < n && sql(open) == '(') matchParen(sql, open) else -1
+        val rewritten: Option[String] = if (end > 0) {
+          val inner = sql.substring(open + 1, end - 1)
+          """(?is)^\s*(DISTINCT\s+)?(.*?)(?:\s+ORDER\s+BY\s+(.*?)(\s+DESC|\s+ASC)?)?(?:\s+SEPARATOR\s+('[^']*'|"[^"]*"))?\s*$"""
+            .r.findFirstMatchIn(inner).flatMap { m =>
+              val distinct = m.group(1) != null
+              val e = rewrite(m.group(2)).trim
+              val cast = s"CAST($e AS STRING)"
+              val orderKey = Option(m.group(3)).map(k => rewrite(k).trim)
+              val desc = Option(m.group(4)).exists(_.trim
+                .equalsIgnoreCase("DESC"))
+              val sep = Option(m.group(5))
+                .map(_.trim.drop(1).dropRight(1)).getOrElse(",")
+              val sepLit = "'" + sep.replace("\\", "\\\\")
+                .replace("'", "\\'") + "'"
+              if (orderKey.isEmpty && sep == ",")
+                Some(if (distinct) s"group_concat_distinct($cast)"
+                else s"group_concat($cast)")
+              else if (orderKey.contains(e) && !distinct) {
+                val arr = if (desc)
+                  s"reverse(sort_array(collect_list($cast)))"
+                else s"sort_array(collect_list($cast))"
+                Some(s"substring(array_join($arr, $sepLit), 1, 1024)")
+              } else if (orderKey.isDefined && sep == "," && !distinct)
+                Some(s"group_concat_order_by${if (desc) "_desc" else ""}" +
+                  s"(${orderKey.get}, $cast)")
+              else if (orderKey.isEmpty) {
+                val base = if (distinct)
+                  s"array_distinct(collect_list($cast))"
+                else s"collect_list($cast)"
+                Some(s"substring(array_join(sort_array($base), $sepLit)" +
+                  ", 1, 1024)")
+              } else None
+            }
+        } else None
+        rewritten match {
+          case Some(r) => out.append(r); i = end
+          case None => out.append(c); i += 1
+        }
+      } else if (wordAt(sql, i, "CONVERT")) {
+        // MySQL CONVERT(expr, type) → CAST (§1.2 mapping); CONVERT(expr
+        // USING utf8*) is an encoding no-op here (the engine is UTF-8
+        // native); other charsets stay untranslated — the documented
+        // ucs2 boundary, they error downstream exactly like the
+        // unsupported path should
+        val open = i + 7 + sql.substring(i + 7).takeWhile(_.isWhitespace).length
+        val end = if (open < n && sql(open) == '(') matchParen(sql, open) else -1
+        val handled = if (end > 0) {
+          val inner = sql.substring(open + 1, end - 1)
+          val usingM = """(?is)^(.*)\sUSING\s+(\w+)\s*$""".r
+            .findFirstMatchIn(inner)
+          if (usingM.isDefined) {
+            // encoding conversion is a no-op over an engine whose
+            // strings are Unicode: every charset's round-trip through
+            // a Spark string preserves the value (byte-layout details
+            // like ucs2 width are a storage concern the engine does
+            // not model — SURVEY §1.2)
+            out.append('(').append(rewrite(usingM.get.group(1)))
+              .append(')')
+            i = end; true
+          } else splitArgs(inner) match {
+            case Seq(expr, t) if t.trim.toUpperCase == "TIME" =>
+              out.append("date_format(CAST(").append(rewrite(expr))
+                .append(" AS TIMESTAMP), 'HH:mm:ss')")
+              i = end; true
+            case Seq(expr, t) if castTarget(t).isDefined =>
+              out.append("CAST(").append(rewrite(expr))
+                .append(" AS ").append(castTarget(t).get).append(')')
+              i = end; true
+            case _ => false
+          }
+        } else false
+        if (!handled) { out.append(c); i += 1 }
+      } else if (wordAt(sql, i, "EXTRACT")) {
+        // composite EXTRACT units (DAY_HOUR …, issue845) become the
+        // documented positional-digit arithmetic; standard units pass
+        // through to Spark's own EXTRACT
+        val open = i + 7 + sql.substring(i + 7).takeWhile(_.isWhitespace).length
+        val end = if (open < n && sql(open) == '(') matchParen(sql, open) else -1
+        val handled = if (end > 0) {
+          val inner = sql.substring(open + 1, end - 1)
+          """(?is)^\s*(\w+)\s+FROM\s+(.+)$""".r.findFirstMatchIn(inner)
+            .flatMap(m =>
+              compositeExtract(m.group(1), rewrite(m.group(2)))) match {
+            case Some(e) => out.append(e); i = end; true
+            case None => false
+          }
+        } else false
+        if (!handled) { out.append(c); i += 1 }
+      } else if (wordAt(sql, i, "IS")) {
+        // MySQL `x IS [NOT] TRUE/FALSE` (issue1942): Spark's parser has
+        // no IS TRUE — null-safe-equality is the exact translation
+        val rest = sql.substring(i)
+        val m = """(?is)^IS\s+(NOT\s+)?(TRUE|FALSE)\b""".r
+          .findPrefixMatchOf(rest)
+        if (m.isDefined) {
+          if (m.get.group(1) != null)
+            out.append("IS DISTINCT FROM ").append(m.get.group(2).toUpperCase)
+          else out.append("<=> ").append(m.get.group(2).toUpperCase)
+          i += m.get.end
+        } else { out.append(c); i += 1 }
+      } else if (IntervalUnits.exists(u => wordAt(sql, i, u._1))) {
+        // MySQL composite INTERVAL units → Spark's ranged spelling
+        // (INTERVAL '12 10:11:12' DAY_SECOND → DAY TO SECOND, issue464).
+        // EXTRACT's composites never reach here (handled above), so a
+        // bare composite unit word is always interval syntax.
+        val (from, to) = IntervalUnits.find(u => wordAt(sql, i, u._1)).get
+        out.append(to); i += from.length
+      } else if (wordAt(sql, i, "XOR")) {
+        // MySQL's logical XOR operator — Spark has none. `<>` is the
+        // truthiness-exact translation for 0/1 operands (BIT columns,
+        // bit_type.test); the coercion tier normalizes NULL behavior.
+        out.append(" != "); i += 3
+      } else if (wordAt(sql, i, "STRAIGHT_JOIN")) {
+        // MySQL join-order hint (issue270): as a SELECT modifier it
+        // drops; as a join keyword it is INNER JOIN with a forced order
+        // Catalyst re-decides anyway
+        if (!prevToken(out).equalsIgnoreCase("SELECT")) out.append("JOIN")
+        i += "STRAIGHT_JOIN".length
       } else if (wordAt(sql, i, "AS")) {
         // MySQL-isms in AS position: single-quoted aliases
         // (`COUNT(*) AS 'Total Rows'`, aliases.test) and the
@@ -140,8 +534,12 @@ object MySqlDialect {
         // UNSIGNED → DECIMAL(20,0), SIGNED → BIGINT)
         val rest = sql.substring(i)
         val alias = """(?is)^AS\s+'([^']*)'""".r.findPrefixMatchOf(rest)
-        val uns = """(?is)^AS\s+UNSIGNED\b""".r.findPrefixMatchOf(rest)
-        val sgn = """(?is)^AS\s+SIGNED\b""".r.findPrefixMatchOf(rest)
+        val uns = """(?is)^AS\s+UNSIGNED(\s+INTEGER)?\b""".r
+          .findPrefixMatchOf(rest)
+        val sgn = """(?is)^AS\s+SIGNED(\s+INTEGER)?\b""".r
+          .findPrefixMatchOf(rest)
+        val dtm = """(?is)^AS\s+DATETIME(\(\d*\))?\b""".r
+          .findPrefixMatchOf(rest)
         if (alias.isDefined) {
           out.append("AS `").append(alias.get.group(1)).append('`')
           i += alias.get.end
@@ -149,6 +547,9 @@ object MySqlDialect {
           out.append("AS DECIMAL(20,0)"); i += uns.get.end
         } else if (sgn.isDefined) {
           out.append("AS BIGINT"); i += sgn.get.end
+        } else if (dtm.isDefined) {
+          // MySQL's DATETIME cast target (date_formats.test)
+          out.append("AS TIMESTAMP"); i += dtm.get.end
         } else { out.append(c); i += 1 }
       } else if (wordAt(sql, i, "MOD")) {
         // infix `a MOD b` → `a % b` (MySQL operator; Spark only has the

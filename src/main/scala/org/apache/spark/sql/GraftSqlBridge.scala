@@ -10,7 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * `classic.ExpressionUtils`. */
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
-  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  /** Column → Expression, converting the ColumnNode EAGERLY: the lazy
+    * ColumnNodeExpression wrapper is only unwrapped at Column→plan
+    * boundaries, so an expression returned from a FunctionRegistry
+    * builder (where no such boundary follows) would reach codegen
+    * unconverted. */
+  def expression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 
   /** Register a Catalyst expression builder as a SQL function. */
   def registerFunction(spark: SparkSession, name: String,

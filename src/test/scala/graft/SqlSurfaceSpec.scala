@@ -422,6 +422,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     import graft.sources.StatementRunner
     import org.apache.spark.sql.functions.col
     val runner = new StatementRunner(spark)
+    // the engine rejects secondary KEY clauses under the server default
+    // (reference ER_TIANMU_NOT_SUPPORTED_SECONDARY_INDEX, issue1185);
+    // tianmu_no_key_error=ON downgrades them to inert metadata —
+    // the drop_index.test master.opt configuration
+    intercept[UnsupportedOperationException] {
+      runner.run(
+        """CREATE TABLE mtr_t1 (id BIGINT NOT NULL, label VARCHAR(32),
+          |  PRIMARY KEY (id), KEY idx_label (label)) ENGINE=TIANMU"""
+          .stripMargin)
+    }
+    runner.run("SET SESSION tianmu_no_key_error=ON")
     val created = runner.run(
       """CREATE TABLE mtr_t1 (
         |  id BIGINT NOT NULL,
@@ -598,8 +609,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     runner.run("create table oor (a tinyint, b tinyint unsigned, " +
       "c int, d bigint unsigned)")
     // in-range values land (full MySQL ranges, incl. unsigned tops the
-    // reference itself cannot store — its issue #1236)
-    runner.run("insert into oor values (-128, 0, -2147483648, 0)")
+    // reference itself cannot store — its issue #1236). The 32/64-bit
+    // MINIMA are excluded: the engine reserves them as its NULL
+    // sentinels exactly like the reference (common_definitions.h
+    // NULL_VALUE_32/64; integer_range.test rejects -2147483648)
+    runner.run("insert into oor values (-128, 0, -2147483647, 0)")
     runner.run("insert into oor values (127, 255, 2147483647, " +
       "18446744073709551615)")
     assert(runner.run("select count(*) as n from oor")
@@ -616,6 +630,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "insert into oor values (0, -1, 0, 0)",
       "insert into oor values (0, 256, 0, 0)",
       "insert into oor values (0, 0, 2147483648, 0)",
+      "insert into oor values (0, 0, -2147483648, 0)",
       "insert into oor values (0, 0, 0, -1)",
       "insert into oor values (0, 0, 0, 18446744073709551616)")) {
       val e = intercept[IllegalArgumentException] { runner.run(bad) }
@@ -792,10 +807,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     runner.run("insert into tmp_t values (1, 'x')")
     assert(runner.run("select count(*) as n from tmp_t")
       .first().getLong(0) === 1L)
-    // index DDL is accepted metadata (no B-trees; pack stats prune)
+    // index DDL on a Tianmu table errors under the server default
+    // (issue1185) and is accepted as inert metadata under
+    // tianmu_no_key_error=ON (no B-trees; pack stats prune)
+    intercept[UnsupportedOperationException] {
+      runner.run("CREATE INDEX idx_a ON tmp_t (a)")
+    }
+    runner.run("SET SESSION tianmu_no_key_error=ON")
     val ci = runner.run("CREATE INDEX idx_a ON tmp_t (a)").first()
     assert(ci.getString(1).contains("metadata only"))
     runner.run("DROP INDEX idx_a ON tmp_t")
+    runner.run("SET SESSION tianmu_no_key_error=OFF")
     intercept[IllegalArgumentException] {
       runner.run("CREATE INDEX i2 ON never_attached (x)")
     }
