@@ -435,6 +435,13 @@ object MySql {
   def fromDays(n: Column): Column =
     date_add(lit("1970-01-01").cast("date"), (n - EpochToDays).cast("int"))
 
+  /** MySQL TO_SECONDS: seconds since year 0 — TO_DAYS of the date part
+    * ×86400 plus the time-of-day (issue464.test). */
+  def toSeconds(d: Column): Column =
+    toDays(d.cast("date")) * 86400L +
+      (unix_seconds(d.cast("timestamp")) -
+        unix_seconds(d.cast("date").cast("timestamp")))
+
   /** MySQL `TIMESTAMPDIFF(unit, a, b)` — complete units from a to b,
     * truncated toward zero. */
   def timestampDiff(unit: String, a: Column, b: Column): Column = {

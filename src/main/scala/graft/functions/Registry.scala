@@ -115,6 +115,39 @@ object Registry {
     fn("makedate")(cs => MySql.makedate(cs.head, cs(1)))
     fn("to_days")(cs => MySql.toDays(cs.head))
     fn("from_days")(cs => MySql.fromDays(cs.head))
+    fn("to_seconds")(cs => MySql.toSeconds(cs.head))
+    // introspection shims: the engine is UTF-8 native (SURVEY §1.2) —
+    // one charset, one collation (bit_type.test calls both)
+    fn("charset")(_ => lit("utf8mb4"))
+    fn("collation")(_ => lit("utf8mb4_general_ci"))
+    // MySQL TRUNCATE(x, d): toward-zero truncation at d decimal places
+    // (bit_type.test); negative d zeroes digits left of the point
+    fn("truncate") { cs =>
+      val p = pow(lit(10.0), cs(1).cast("int"))
+      (signum(cs.head) * floor(abs(cs.head.cast("double")) * p) / p)
+    }
+    // JSON_CONTAINS(target, candidate[, path]) → 1/0 (MySQL containment
+    // rules, JsonOps); one name serves both arities
+    locally {
+      val jc2 = udf(JsonOps.contains _)
+      val jc3 = udf(JsonOps.containsAt _)
+      fn("json_contains")(cs =>
+        (if (cs.size >= 3)
+          jc3(cs(0).cast("string"), cs(1).cast("string"),
+            cs(2).cast("string"))
+        else jc2(cs(0).cast("string"), cs(1).cast("string"))).cast("int"))
+    }
+    // JSON_ARRAY(v1, v2, …): each element JSON-rendered by its own type
+    // (to_json of a 1-element array, brackets stripped, preserves
+    // numeric vs string vs null rendering and string escaping)
+    fn("json_array") { cs =>
+      if (cs.isEmpty) lit("[]")
+      else {
+        val elems = cs.map(c => coalesce(
+          regexp_replace(to_json(array(c)), "^\\[|\\]$", ""), lit("null")))
+        concat(lit("["), concat_ws(", ", elems: _*), lit("]"))
+      }
+    }
     fn("period_add")(cs => MySql.periodAdd(cs.head, cs(1)))
     fn("period_diff")(cs => MySql.periodDiff(cs.head, cs(1)))
     fn("dayname")(cs => MySql.dayname(cs.head))

@@ -39,7 +39,8 @@ object CsvLoader {
            delimiter: String = ",", quote: String = "\"",
            trailingDelimiter: Boolean = false,
            nullValue: String = "\\N",
-           escape: String = "\\"): LoadResult = {
+           escape: String = "\\",
+           skipLines: Int = 0): LoadResult = {
     import org.apache.spark.sql.types.{DateType, TimestampType, TimestampNTZType}
     def isTemporal(f: org.apache.spark.sql.types.StructField) =
       f.dataType == DateType || f.dataType == TimestampType ||
@@ -52,7 +53,7 @@ object CsvLoader {
       if (trailingDelimiter) parseSchema.add("_trailing", "string")
       else parseSchema
     val readSchema = readSchema0.add(CorruptCol, "string")
-    val raw = spark.read
+    val reader = spark.read
       .schema(readSchema)
       .option("delimiter", delimiter)
       .option("quote", quote)
@@ -62,7 +63,8 @@ object CsvLoader {
       .option("nullValue", nullValue)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
-      .csv(path)
+    val raw = (if (skipLines <= 0) reader.csv(path)
+      else reader.csv(skipLeadingLines(spark, path, skipLines)))
       .cache() // one pass parses; clean/reject split reuses it
     val clean = raw.filter(col(CorruptCol).isNull)
       .select(schema.fields.map { f =>
@@ -76,6 +78,37 @@ object CsvLoader {
     val rejects = raw.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))
     LoadResult(clean, rejects)
+  }
+
+  /** `IGNORE n LINES`: drop the first n lines of the (single) input
+    * file. The driver reads only those n lines to learn the byte offset
+    * where kept data starts; the bulk read is then a distributed
+    * Hadoop text scan filtered on each line's start offset — no
+    * driver-side materialization of the data itself, so an arbitrarily
+    * large file skips its header at scan parallelism. */
+  private def skipLeadingLines(spark: SparkSession, path: String,
+                               n: Int): org.apache.spark.sql.Dataset[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(fs.getFileStatus(p).getPath)
+    var cutoff = 0L
+    try {
+      var lines = 0
+      var b = in.read()
+      while (lines < n && b >= 0) {
+        cutoff += 1
+        if (b == '\n') lines += 1
+        b = if (lines < n) in.read() else -1
+      }
+    } finally in.close()
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+      path,
+      classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+      classOf[org.apache.hadoop.io.LongWritable],
+      classOf[org.apache.hadoop.io.Text], conf)
+      .filter(_._1.get() >= cutoff).map(_._2.toString)
+    spark.createDataset(rdd)(org.apache.spark.sql.Encoders.STRING)
   }
 
   /** `SELECT … INTO OUTFILE` parity (core/engine.h:338

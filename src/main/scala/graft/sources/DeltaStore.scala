@@ -175,7 +175,11 @@ class DeltaStore(spark: SparkSession, root: String) {
     val orig = base.schema
     val restamped = result.select(result.schema.map { rf =>
       orig.find(_.name == rf.name) match {
+        // only when the transform DROPPED the metadata entirely — a
+        // transform that deliberately rewrote it (ALTER … SET DEFAULT)
+        // keeps its version
         case Some(of) if of.dataType == rf.dataType
+            && rf.metadata == org.apache.spark.sql.types.Metadata.empty
             && of.metadata != rf.metadata =>
           result(rf.name).as(rf.name, of.metadata)
         case _ => result(rf.name)

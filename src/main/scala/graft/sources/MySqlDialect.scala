@@ -188,7 +188,7 @@ object MySqlDialect {
     * the pattern is rewritten char-wise: esc+wildcard → escaped
     * wildcard, esc+other → that char, trailing esc → itself. */
   private val LikeEscRe: Regex =
-    """(?is)\bLIKE\s+('(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")\s+ESCAPE\s+('(?:[^'\\]|\\.)'|"(?:[^"\\]|\\.)")""".r
+    """(?is)\bLIKE\s+('(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")\s+ESCAPE\s+('(?:[^'\\]|\\.)?'|"(?:[^"\\]|\\.)?")""".r
 
   private def unquoteSqlString(q: String): String = {
     val body = q.substring(1, q.length - 1)
@@ -209,7 +209,14 @@ object MySqlDialect {
   private def translateLikeEscape(sql: String): String =
     LikeEscRe.replaceAllIn(sql, m => {
       val esc = unquoteSqlString(m.group(2))
-      if (esc.length != 1 || esc.head == '\\')
+      if (esc.isEmpty) {
+        // ESCAPE '' disables escaping entirely (issue271.test) — Spark
+        // still treats \ as an escape, so neutralize any backslash in
+        // the pattern and drop the clause
+        val raw = unquoteSqlString(m.group(1))
+        val lit = raw.replace("\\", "\\\\").replace("'", "\\'")
+        java.util.regex.Matcher.quoteReplacement(s"LIKE '$lit'")
+      } else if (esc.length != 1 || esc.head == '\\')
         java.util.regex.Matcher.quoteReplacement(m.matched)
       else {
         val raw = unquoteSqlString(m.group(1))
@@ -230,8 +237,113 @@ object MySqlDialect {
       }
     })
 
+  /** MySQL 5.7 permits ASC/DESC inside GROUP BY (implicit sort,
+    * issue415.test); the modifiers are order hints with no relational
+    * meaning — strip them from each GROUP BY span. */
+  private val GroupBySpanRe =
+    """(?is)\bGROUP\s+BY\s+(.+?)(?=\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|\bWINDOW\b|\)|;|$)""".r
+  private def stripGroupByOrder(sql: String): String =
+    if (!"""(?is)\b(ASC|DESC)\b""".r.findFirstIn(sql).isDefined) sql
+    else GroupBySpanRe.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        "GROUP BY " + m.group(1).replaceAll("(?i)\\s+(ASC|DESC)\\b", "")))
+
+  /** MySQL `~` on an out-of-long-range literal works in 64-bit unsigned
+    * space (other_bit.test `~18446744073709551615`); Spark's `~` takes
+    * integral types only. Fold the literal case: ~x = (2^64−1) − x. */
+  private def translateBigNot(sql: String): String =
+    """~\s*(\d{10,20})(?:[eE]\+?0+)?\b""".r.replaceAllIn(sql, m => {
+      val x = BigInt(m.group(1))
+      val full = (BigInt(1) << 64) - 1
+      val isFloat = m.matched.toLowerCase.contains("e")
+      // MySQL converts a float operand to BIGINT UNSIGNED first
+      // (saturating), then complements in 64-bit space
+      if ((x > Long.MaxValue || isFloat) && x <= full)
+        (full - x).toString
+      else java.util.regex.Matcher.quoteReplacement(m.matched)
+    })
+
+  /** MySQL truthiness in a searched CASE: `CASE WHEN 1 THEN …`
+    * (case_when.test) — Spark requires BOOLEAN. Only the
+    * immediately-after-CASE position is rewritten (a value-match
+    * `CASE x WHEN 1 THEN` must stay equality). */
+  private def translateCaseTruthiness(sql: String): String =
+    """(?is)\bCASE\s+WHEN\s+(\d+(?:\.\d+)?)\s+THEN\b""".r.replaceAllIn(
+      sql, m => s"CASE WHEN ${m.group(1)} <> 0 THEN")
+
+  /** MySQL allows a column/expression as the INTERVAL quantity
+    * (`DATE_ADD(d, INTERVAL a DAY)`, bit_type.test); Spark's INTERVAL
+    * literal takes constants only — rewrite identifier quantities to
+    * make_interval. */
+  private val IntervalColUnits = Map(
+    "YEAR" -> 0, "MONTH" -> 1, "WEEK" -> 2, "DAY" -> 3,
+    "HOUR" -> 4, "MINUTE" -> 5, "SECOND" -> 6)
+  private def translateIntervalCol(sql: String): String =
+    """(?i)\bINTERVAL\s+([a-zA-Z_]\w*(?:\.\w+)?)\s+(YEAR|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)\b""".r
+      .replaceAllIn(sql, m => {
+        val slot = IntervalColUnits(m.group(2).toUpperCase)
+        val args = (0 to 6).map(i =>
+          if (i == slot) s"CAST(${m.group(1)} AS INT)" else "0")
+        java.util.regex.Matcher.quoteReplacement(
+          s"make_interval(${args.mkString(", ")})")
+      })
+
+  /** MySQL GET_FORMAT(type, region) — a pure lookup table (the server's
+    * own is static, date_formats.test). Folded textually because the
+    * first argument is a bare keyword, not an expression. */
+  private val GetFormats: Map[(String, String), String] = Map(
+    ("DATE", "USA") -> "%m.%d.%Y", ("DATE", "JIS") -> "%Y-%m-%d",
+    ("DATE", "ISO") -> "%Y-%m-%d", ("DATE", "EUR") -> "%d.%m.%Y",
+    ("DATE", "INTERNAL") -> "%Y%m%d",
+    ("TIME", "USA") -> "%h:%i:%s %p", ("TIME", "JIS") -> "%H:%i:%s",
+    ("TIME", "ISO") -> "%H:%i:%s", ("TIME", "EUR") -> "%H.%i.%s",
+    ("TIME", "INTERNAL") -> "%H%i%s",
+    ("DATETIME", "USA") -> "%Y-%m-%d %H.%i.%s",
+    ("DATETIME", "JIS") -> "%Y-%m-%d %H:%i:%s",
+    ("DATETIME", "ISO") -> "%Y-%m-%d %H:%i:%s",
+    ("DATETIME", "EUR") -> "%Y-%m-%d %H.%i.%s",
+    ("DATETIME", "INTERNAL") -> "%Y%m%d%H%i%s")
+  private def translateGetFormat(sql: String): String =
+    """(?i)\bGET_FORMAT\s*\(\s*(DATE|TIME|DATETIME|TIMESTAMP)\s*,\s*'(\w+)'\s*\)""".r
+      .replaceAllIn(sql, m => {
+        val t = m.group(1).toUpperCase match {
+          case "TIMESTAMP" => "DATETIME"; case x => x
+        }
+        GetFormats.get((t, m.group(2).toUpperCase))
+          .map(f => java.util.regex.Matcher.quoteReplacement(s"'$f'"))
+          .getOrElse("NULL")
+      })
+
+  /** MySQL SELECT cache/result-size hints carry no semantics here
+    * (range.test SQL_NO_CACHE). */
+  private def stripSelectHints(sql: String): String =
+    sql.replaceAll(
+      "(?i)\\b(SQL_NO_CACHE|SQL_CACHE|SQL_BIG_RESULT|SQL_SMALL_RESULT" +
+        "|SQL_BUFFER_RESULT)\\s+", "")
+
+  /** Spark requires a foldable RAND seed; MySQL accepts a per-row
+    * expression (bit_type.test `rand(a)`). The values of a seeded RAND
+    * are implementation-defined anyway — degrade a non-literal seed to
+    * a fixed one. */
+  private def translateRandSeed(sql: String): String =
+    """(?i)\bRAND\s*\(\s*([^()',\s][^()',]*)\)""".r.replaceAllIn(sql, m => {
+      val arg = m.group(1).trim
+      if (arg.matches("-?\\d+(\\.\\d+)?"))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else "RAND(0)"
+    })
+
+  /** Quantified comparisons Spark lacks: `= ANY (SELECT …)` ≡ IN,
+    * `<> ALL (SELECT …)` ≡ NOT IN (in_withpk.test). */
+  private def translateQuantified(sql: String): String =
+    sql.replaceAll("(?is)=\\s*(?:ANY|SOME)\\s*\\(", " IN (")
+      .replaceAll("(?is)(?:<>|!=)\\s*ALL\\s*\\(", " NOT IN (")
+
   def rewrite(sqlIn: String): String = {
-    val sql = translateLikeEscape(sqlIn)
+    val sql = stripGroupByOrder(translateRandSeed(translateBigNot(
+      translateQuantified(translateLikeEscape(translateCaseTruthiness(
+        translateIntervalCol(stripSelectHints(
+          translateGetFormat(sqlIn)))))))))
     val out = new StringBuilder(sql.length + 16)
     val n = sql.length
     var i = 0
@@ -355,6 +467,29 @@ object MySqlDialect {
       }) {
         // handled in the guard (append + advance)
       } else if (c == '_' && {
+        // introducer before a BIT literal is likewise string-from-bytes
+        // (`_latin1 b'1000001'` = 'A', `_utf8mb4 0b1000001` —
+        // bit_type.test)
+        val mb = """^_(latin1|ascii|utf8\w*)\s*(?:[bB]'([01]+)'|0[bB]([01]+))"""
+          .r.findPrefixMatchOf(sql.substring(i))
+        mb.isDefined && (i == 0 || !isWordChar(sql(i - 1))) && {
+          val bits = BigInt(Option(mb.get.group(2))
+            .getOrElse(mb.get.group(3)), 2)
+          val bytes = bits.toByteArray.dropWhile(_ == 0) match {
+            case Array() => Array(0.toByte)
+            case a => a
+          }
+          val cs = if (mb.get.group(1).toLowerCase.startsWith("utf8"))
+            java.nio.charset.StandardCharsets.UTF_8
+          else java.nio.charset.StandardCharsets.ISO_8859_1
+          val decoded = new String(bytes, cs)
+            .replace("\\", "\\\\").replace("'", "\\'")
+          out.append('\'').append(decoded).append('\'')
+          i += mb.get.end; true
+        }
+      }) {
+        // handled in the guard (append + advance)
+      } else if (c == '_' && {
         // introducer before a HEX literal is string-from-bytes
         // (`_utf8mb4 0xE1B482`, different_charsets tests): decode the
         // bytes in the introducer's charset into a string literal
@@ -392,10 +527,19 @@ object MySqlDialect {
         // type name: after AS/CAST targets or declaring `col BINARY(n)`
         var j = i + 6
         while (j < n && Character.isWhitespace(sql(j))) j += 1
-        // restricted to quoted operands — `BINARY col` could also be a
-        // column DECLARATION (`c BINARY NOT NULL`) which must survive
-        !prevToken(out).equalsIgnoreCase("AS") && j < n &&
-          (sql(j) == '\'' || sql(j) == '"')
+        // quoted operands always strip; a bare identifier strips only in
+        // clear EXPRESSION position (after an opener/operator —
+        // `charset(binary a)`, bit_type.test). A column DECLARATION
+        // (`c BINARY NOT NULL`) has an identifier before it and must
+        // survive; so must `CAST(x AS BINARY)`.
+        !prevToken(out).equalsIgnoreCase("AS") && j < n && {
+          var p = out.length - 1
+          while (p >= 0 && Character.isWhitespace(out(p))) p -= 1
+          val prevCh = if (p >= 0) out(p) else ' '
+          (sql(j) == '\'' || sql(j) == '"') ||
+            ("(,=<>+-".indexOf(prevCh) >= 0 &&
+              (Character.isLetter(sql(j)) || sql(j) == '`'))
+        }
       }) {
         i += 6
         while (i < n && Character.isWhitespace(sql(i))) i += 1
@@ -533,7 +677,8 @@ object MySqlDialect {
         // CAST … AS UNSIGNED/SIGNED target types (§1.2 mapping:
         // UNSIGNED → DECIMAL(20,0), SIGNED → BIGINT)
         val rest = sql.substring(i)
-        val alias = """(?is)^AS\s+'([^']*)'""".r.findPrefixMatchOf(rest)
+        val alias = """(?is)^AS\s+['"]([^'"]*)['"]""".r
+          .findPrefixMatchOf(rest)
         val uns = """(?is)^AS\s+UNSIGNED(\s+INTEGER)?\b""".r
           .findPrefixMatchOf(rest)
         val sgn = """(?is)^AS\s+SIGNED(\s+INTEGER)?\b""".r
@@ -556,8 +701,12 @@ object MySqlDialect {
         // mod(a, b) FUNCTION form — keep calls untouched)
         var j = i + 3
         while (j < n && Character.isWhitespace(sql(j))) j += 1
-        if (j < n && sql(j) == '(') { out.append(sql, i, i + 3); i += 3 }
-        else { out.append(" % "); i += 3 }
+        // (substring, not append(x, start, end) — Scala's StringBuilder
+        // lacks that overload and auto-tupling silently appended the
+        // TUPLE's toString, corrupting `MOD(a,b)` calls)
+        if (j < n && sql(j) == '(') {
+          out.append(sql.substring(i, i + 3)); i += 3
+        } else { out.append(" % "); i += 3 }
       } else if (wordAt(sql, i, "LIMIT")) {
         val rest = sql.substring(i)
         val huge = """(?is)^LIMIT\s+(\d{10,})\b""".r.findPrefixMatchOf(rest)

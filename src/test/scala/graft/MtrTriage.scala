@@ -30,6 +30,17 @@ object MtrTriage {
     var ok = 0
     only.foreach { file =>
       val runner = new sources.StatementRunner(spark)
+      // apply <file>-master.opt server flags, like replay() does
+      val opt = new java.io.File(
+        s"$MtrDir/${file.stripSuffix(".test")}-master.opt")
+      if (opt.exists()) {
+        val osrc = scala.io.Source.fromFile(opt)
+        val txt = try osrc.mkString finally osrc.close()
+        txt.split("--").map(_.trim).filter(_.contains("=")).foreach { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          scala.util.Try(runner.run(s"SET SESSION $k=$v").collect())
+        }
+      }
       val stmts = scala.util.Try(
         parse.invoke(spec, s"$MtrDir/$file")
           .asInstanceOf[Seq[(String, Boolean)]]).getOrElse(Seq.empty)
@@ -58,7 +69,7 @@ object MtrTriage {
             println(s"TRIAGE $file: OK ran=$ran skipped=$skipped")
           case Some(msg) =>
             println(s"TRIAGE $file: at stmt ${ran + 1} " +
-              msg.replace('\n', ' ').take(320))
+              msg.replace('\n', ' ').take(900))
         }
       }
     }
