@@ -3547,7 +3547,80 @@ object Statements {
       |   'tool', CAST(NULL AS INT), '')
       |) AS t(id, t8, w, s4, n, r)""".stripMargin
 
+  /** MySQL's multi-table DML statement forms end-to-end (the handler
+    * path the reference routes through sql/ha_my_tianmu.cpp join-DML;
+    * update_join.test / delete_join.test): a join-UPDATE stamps each
+    * nation's comment with its region name, then a multi-target DELETE
+    * drops one region's nations. The oracle replays both as join
+    * algebra over the original tables. */
+  def qSqlMultiTableDml(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-mtdml-gate").toString
+    val nStore = new DeltaStore(s, s"$tmp/nation_store")
+    nStore.writeBase(graft.Engine.table(s, dir, "nation"))
+    val rStore = new DeltaStore(s, s"$tmp/region_store")
+    rStore.writeBase(graft.Engine.table(s, dir, "region"))
+    val runner = new StatementRunner(s)
+    runner.attach("stmt_mt_nation", nStore)
+    runner.attach("stmt_mt_region", rStore)
+    runner.run(
+      """UPDATE stmt_mt_nation JOIN stmt_mt_region
+        |  ON n_regionkey = r_regionkey
+        |SET stmt_mt_nation.n_name = stmt_mt_region.r_name""".stripMargin)
+    runner.run(
+      """DELETE stmt_mt_nation FROM stmt_mt_nation, stmt_mt_region
+        |WHERE n_regionkey = r_regionkey AND r_name = 'ASIA'""".stripMargin)
+    runner.run(
+      """SELECT n_name AS region_name, COUNT(*) AS n
+        |FROM stmt_mt_nation GROUP BY n_name""".stripMargin)
+  }
+
+  val qSqlMultiTableDmlSql: String =
+    """SELECT r.r_name AS region_name, COUNT(*) AS n
+      |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name <> 'ASIA'
+      |GROUP BY r.r_name""".stripMargin
+
+  /** Session-statement surface: user variables substitute into later
+    * statements, `INSERT … SELECT … ON DUPLICATE KEY UPDATE` merges a
+    * query batch into a keyed store (insert_update.test), and
+    * PREPARE/EXECUTE replays recorded text. The oracle replays the
+    * upsert as left-join algebra over region. */
+  def qSqlSessionForms(s: SparkSession, dir: String): DataFrame = {
+    graft.Engine.table(s, dir, "region")
+      .createOrReplaceTempView("stmt_sess_region_src")
+    val runner = new StatementRunner(s)
+    runner.run("CREATE TABLE stmt_sess_t (k INT PRIMARY KEY, " +
+      "v VARCHAR(30))")
+    runner.run("INSERT INTO stmt_sess_t VALUES (1,'a'),(2,'b')")
+    runner.run("SET @suffix = '_x'")
+    runner.run(
+      """INSERT INTO stmt_sess_t
+        |SELECT r_regionkey, concat(r_name, @suffix)
+        |FROM stmt_sess_region_src WHERE r_regionkey < 4
+        |ON DUPLICATE KEY UPDATE v = concat(VALUES(v), '!')""".stripMargin)
+    runner.run("PREPARE sess_q FROM 'SELECT k, v FROM stmt_sess_t'")
+    runner.run("EXECUTE sess_q")
+  }
+
+  val qSqlSessionFormsSql: String =
+    """WITH sel AS (
+      |  SELECT CAST(r_regionkey AS INT) AS k, r_name || '_x' AS v
+      |  FROM region WHERE r_regionkey < 4
+      |), base(k, v) AS (VALUES (1, 'a'), (2, 'b')),
+      |updated AS (
+      |  SELECT b.k,
+      |    CASE WHEN s.k IS NOT NULL THEN s.v || '!' ELSE b.v END AS v
+      |  FROM base b LEFT JOIN sel s ON b.k = s.k
+      |), inserted AS (
+      |  SELECT k, v FROM sel WHERE k NOT IN (SELECT k FROM base)
+      |)
+      |SELECT k, v FROM updated
+      |UNION ALL SELECT k, v FROM inserted""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_multi_table_dml" -> (qSqlMultiTableDml _),
+    "q_sql_session_forms" -> (qSqlSessionForms _),
     "q_sql_statement_roundtrip" -> (qSqlStatementRoundtrip _),
     "q_sql_select_roughly" -> (qRoughSqlStatement _),
     "q_sql_dml_statements" -> (qSqlDmlStatements _),
@@ -3558,6 +3631,8 @@ object Statements {
     "q_sql_strict_types" -> (qSqlStrictTypes _))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_multi_table_dml" -> qSqlMultiTableDmlSql,
+    "q_sql_session_forms" -> qSqlSessionFormsSql,
     "q_sql_statement_roundtrip" -> qSqlStatementRoundtripSql,
     "q_sql_select_roughly" -> qRoughSqlStatementSql,
     "q_sql_dml_statements" -> qSqlDmlStatementsSql,
