@@ -145,6 +145,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Engine.defaultParallelism.toString).toInt
     val spark = Engine.session(s"local[$cpus]", cpus, "graft-bench")
+    // ERROR-only logging for the bench run: WARN-level noise (e.g.
+    // WindowExec's single-partition notices on oracle-shaped bounded
+    // frames) flooded the driver's 2000-char stdout tail in r14 and
+    // nearly displaced the summary JSON line the driver parses.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // JVM/codegen warmup on the smallest query so per-query numbers
     // measure the plan, not classloading.

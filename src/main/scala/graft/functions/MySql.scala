@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object MySql {
 
+  /** MySQL's DOUBLE→string rendering: integral values print without the
+    * trailing `.0` ('2000'+1 = 2001 renders '2001', insert_select.test).
+    * Called via StaticInvoke from [[graft.plans.MySqlCoercionRule]]. */
+  def doubleToUtf8(d: Double): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      if (d == math.floor(d) && !d.isInfinite && math.abs(d) < 1e15)
+        java.lang.Long.toString(d.toLong)
+      else java.lang.Double.toString(d))
+
   /** MySQL `a DIV b` — integer division truncating toward zero. */
   def div(a: Column, b: Column): Column =
     GraftSqlBridge.column(IntegralDivide(

@@ -112,6 +112,17 @@ object Registry {
     fn("sec_to_time")(cs => MySql.secToTime(cs.head))
     fn("time_to_sec")(cs => MySql.timeToSecFull(cs.head).cast("long"))
     fn("maketime")(cs => MySql.maketime(cs.head, cs(1), cs(2)))
+    // MICROSECOND(expr): the fractional-seconds part in microseconds.
+    // MySQL prefix-parses string temporals ('…59.01XXXX' → 10000,
+    // date_formats.test) — read the first fraction digits from the
+    // string form, so garbage tails degrade like MySQL instead of
+    // nulling the whole cast.
+    fn("microsecond")(cs => {
+      val frac = regexp_extract(cs.head.cast("string"),
+        "\\.(\\d{1,6})", 1)
+      when(length(frac) > 0, rpad(frac, 6, "0").cast("long"))
+        .otherwise(lit(0L))
+    })
     fn("makedate")(cs => MySql.makedate(cs.head, cs(1)))
     fn("to_days")(cs => MySql.toDays(cs.head))
     fn("from_days")(cs => MySql.fromDays(cs.head))

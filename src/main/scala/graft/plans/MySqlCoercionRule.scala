@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 
@@ -41,9 +41,14 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       e.dataType.isInstanceOf[TimestampType] ||
       e.dataType.isInstanceOf[TimestampNTZType])
 
-  /** Numeric → boolean the MySQL way: x <> 0 (NULL stays NULL). */
+  /** Numeric → boolean the MySQL way: x <> 0 (NULL stays NULL);
+    * temporals go through their digit-string number first
+    * (issue1910's `LEFT JOIN … ON created_date`). */
   private def asBool(e: Expression): Expression =
-    if (isNumeric(e)) Not(EqualTo(e, Cast(Literal(0), e.dataType))) else e
+    if (isNumeric(e)) Not(EqualTo(e, Cast(Literal(0), e.dataType)))
+    else if (isTemporal(e))
+      Not(EqualTo(temporalAsNumber(e), Literal(BigDecimal(0))))
+    else e
 
   /** Temporal → the number MySQL compares it as: its digit string
     * (DATE '2020-01-02' → 20200102, DATETIME → 20200102103000). */
@@ -102,6 +107,24 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .exists(m => m != "__default__" &&
         !m.toUpperCase.contains("ONLY_FULL_GROUP_BY"))
 
+  /** A resolved `CAST(double-ish AS STRING)` — the shape Spark's own
+    * IF/CASE string-coercion inserts around a numeric branch. */
+  private def isDoubleStrCast(e: Expression): Boolean = e match {
+    case c: Cast => c.child.resolved && c.dataType == StringType &&
+      (c.child.dataType == DoubleType || c.child.dataType == FloatType)
+    case _ => false
+  }
+
+  /** Replace that cast with MySQL's rendering (integral doubles carry
+    * no trailing `.0`) — a StaticInvoke, so the rewrite cannot rematch. */
+  private def mysqlDoubleStr(e: Expression): Expression = e match {
+    case c: Cast if isDoubleStrCast(c) =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        graft.functions.MySql.getClass, StringType, "doubleToUtf8",
+        Seq(Cast(c.child, DoubleType)), Seq(DoubleType))
+    case other => other
+  }
+
   /** Empty grouping too: `select age, sum(age) from t1` with no GROUP
     * BY returns one row in MySQL (issue1784) — Spark's MISSING_GROUP_BY. */
   private def needsLooseGroupBy(a: Aggregate): Boolean =
@@ -129,8 +152,13 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.resolveOperatorsUp {
-      case f @ Filter(cond, _) if isNumeric(cond) =>
+      case f @ Filter(cond, _) if isNumeric(cond) || isTemporal(cond) =>
         f.copy(condition = asBool(cond))
+      // a non-boolean JOIN condition is truthiness too (issue1910:
+      // `LEFT JOIN t1 ON created_date`)
+      case j: Join if j.condition.exists(c =>
+          isNumeric(c) || isTemporal(c)) =>
+        j.copy(condition = j.condition.map(asBool))
       case a: Aggregate if needsLooseGroupBy(a) => looseGroupBy(a)
       case p =>
         p.transformExpressionsUp {
@@ -168,6 +196,20 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
               else Cast(e, StringType)
             CaseWhen(branches.map(b => (b._1, str(b._2))),
               elseValue.map(str))
+          // a double branch Spark string-coerced inside IF/CASE renders
+          // MySQL-style — no trailing `.0` on integral values
+          // (insert_select.test `if(max(f1) is null,'2000',max(f1)+1)`
+          // into VARCHAR(5): MySQL stores '2001', not '2001.0')
+          case i: If if i.childrenResolved &&
+              (isDoubleStrCast(i.trueValue) ||
+                isDoubleStrCast(i.falseValue)) =>
+            i.copy(trueValue = mysqlDoubleStr(i.trueValue),
+              falseValue = mysqlDoubleStr(i.falseValue))
+          case cw: CaseWhen if cw.childrenResolved &&
+              (cw.branches.exists(b => isDoubleStrCast(b._2)) ||
+                cw.elseValue.exists(isDoubleStrCast)) =>
+            CaseWhen(cw.branches.map(b => (b._1, mysqlDoubleStr(b._2))),
+              cw.elseValue.map(mysqlDoubleStr))
           // bit operators coerce any operand to integer in MySQL
           // (func_bit.test applies & | ^ << >> to DECIMAL and DOUBLE
           // columns, and `(CASE …) | 0` to a string)
@@ -202,6 +244,43 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case a: Average if a.child.resolved &&
               a.child.dataType == BooleanType =>
             a.withNewChildren(Seq(Cast(a.child, IntegerType)))
+          // MIN/MAX over a boolean are 0/1 integers in MySQL, and a
+          // boolean compared against a number coerces to 0/1 (issue415:
+          // `min((a+b)=11) <= 37`)
+          case m: aggregate.Min if m.child.resolved &&
+              m.child.dataType == BooleanType =>
+            m.withNewChildren(Seq(Cast(m.child, IntegerType)))
+          case m: aggregate.Max if m.child.resolved &&
+              m.child.dataType == BooleanType =>
+            m.withNewChildren(Seq(Cast(m.child, IntegerType)))
+          case c: BinaryComparison if c.left.resolved && c.right.resolved &&
+              c.left.dataType == BooleanType && isNumeric(c.right) =>
+            c.withNewChildren(Seq(Cast(c.left, IntegerType), c.right))
+          case c: BinaryComparison if c.left.resolved && c.right.resolved &&
+              isNumeric(c.left) && c.right.dataType == BooleanType =>
+            c.withNewChildren(Seq(c.left, Cast(c.right, IntegerType)))
+          // IN-subquery operand mismatches MySQL coerces numerically:
+          // boolean subquery output takes the probe's type (issue433's
+          // `42 in (select !null …)`), string-vs-number compares as
+          // DOUBLE (in_withpk.test's `c2 in (select 1 …)`)
+          case in @ InSubquery(values, l: ListQuery)
+              if values.length == 1 && values.head.resolved &&
+                l.plan.resolved && l.plan.output.length == 1 &&
+                values.head.dataType != l.plan.output.head.dataType && {
+                  val (p, s) = (values.head.dataType,
+                    l.plan.output.head.dataType)
+                  (s == BooleanType && p.isInstanceOf[NumericType]) ||
+                    (p == StringType && s.isInstanceOf[NumericType]) ||
+                    (p.isInstanceOf[NumericType] && s == StringType)
+                } =>
+            val probe = values.head
+            val sub = l.plan.output.head
+            val (newProbe, target): (Expression, DataType) =
+              if (sub.dataType == BooleanType) (probe, probe.dataType)
+              else (Cast(probe, DoubleType), DoubleType)
+            val castedPlan = Project(
+              Seq(Alias(Cast(sub, target), sub.name)()), l.plan)
+            InSubquery(Seq(newProbe), l.copy(plan = castedPlan))
         }
     }
   }

@@ -40,7 +40,8 @@ object CsvLoader {
            trailingDelimiter: Boolean = false,
            nullValue: String = "\\N",
            escape: String = "\\",
-           skipLines: Int = 0): LoadResult = {
+           skipLines: Int = 0,
+           lineSep: Option[String] = None): LoadResult = {
     import org.apache.spark.sql.types.{DateType, TimestampType, TimestampNTZType}
     def isTemporal(f: org.apache.spark.sql.types.StructField) =
       f.dataType == DateType || f.dataType == TimestampType ||
@@ -63,6 +64,10 @@ object CsvLoader {
       .option("nullValue", nullValue)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
+    // custom record terminator (LINES TERMINATED BY ';', issue1209):
+    // Spark CSV accepts a 1-character lineSep; \n and \r\n stay on
+    // auto-detect (the reader handles both without the option)
+    lineSep.foreach(ls => reader.option("lineSep", ls))
     val raw = (if (skipLines <= 0) reader.csv(path)
       else reader.csv(skipLeadingLines(spark, path, skipLines)))
       .cache() // one pass parses; clean/reject split reuses it

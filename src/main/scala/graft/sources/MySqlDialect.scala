@@ -320,6 +320,12 @@ object MySqlDialect {
     sql.replaceAll(
       "(?i)\\b(SQL_NO_CACHE|SQL_CACHE|SQL_BIG_RESULT|SQL_SMALL_RESULT" +
         "|SQL_BUFFER_RESULT)\\s+", "")
+      // per-table index hints are optimizer metadata with no relational
+      // meaning here (date_formats.test `LEFT JOIN t2 IGNORE
+      // INDEX(PRIMARY) ON …`) — the pack sidecar prunes instead
+      .replaceAll(
+        "(?i)\\b(?:USE|IGNORE|FORCE)\\s+(?:INDEX|KEY)\\s*" +
+          "(?:FOR\\s+(?:JOIN|ORDER\\s+BY|GROUP\\s+BY)\\s*)?\\([^)]*\\)", "")
 
   /** Spark requires a foldable RAND seed; MySQL accepts a per-row
     * expression (bit_type.test `rand(a)`). The values of a seeded RAND

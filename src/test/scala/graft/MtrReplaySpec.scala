@@ -101,8 +101,10 @@ class MtrReplaySpec extends AnyFunSuite {
     * scope rationale) — skipping is explicit and counted. */
   private def outOfScope(stmt: String): Boolean =
     // stored-routine DDL only — `FUNCTION` is also a legal column name
-    // (range.test:294), so the keyword alone is not a scope signal
-    """(?i)^\s*(?:CREATE|DROP|ALTER)\s+(?:DEFINER\s*=\s*\S+\s+)?(?:PROCEDURE|TRIGGER|FUNCTION)\b""".r
+    // (range.test:294), so the keyword alone is not a scope signal.
+    // FUNCTIONs themselves are IN scope now (StatementRunner expands
+    // stored SQL functions); PROCEDURE/TRIGGER remain out.
+    """(?i)^\s*(?:CREATE|DROP|ALTER)\s+(?:DEFINER\s*=\s*\S+\s+)?(?:PROCEDURE|TRIGGER)\b""".r
       .findFirstIn(stmt).isDefined || // SURVEY §2.13: routed to MySQL
       // CALL invokes a stored procedure — same scope boundary
       """(?i)^\s*CALL\b""".r.findFirstIn(stmt).isDefined ||
