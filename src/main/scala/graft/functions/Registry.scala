@@ -233,6 +233,35 @@ object Registry {
     // CONVERT_TZ(ts, from, to) (issue464)
     fn("convert_tz")(cs => from_utc_timestamp(
       to_utc_timestamp(cs.head.cast("timestamp"), cs(1)), cs(2)))
+    // CEILING/FLOOR return BIGINT in MySQL — an argument past the
+    // signed range is 1690 out-of-range (func_math.test's
+    // `ceiling(18446744073709551614)`); assert_true carries the throw
+    // without changing the in-range value
+    def bigintRangeChecked(name: String,
+                           f: org.apache.spark.sql.catalyst.expressions
+                             .Expression =>
+                             org.apache.spark.sql.catalyst.expressions
+                               .Expression): Unit =
+      fn(name)(cs => {
+        val x = cs.head
+        // CaseWhen evaluates branches lazily per row, so the throw only
+        // fires on actually-out-of-range values; the value's type is
+        // preserved (NullType coerces to it). The wrapped function MUST
+        // be the raw Catalyst expression: a functions.* builder inside
+        // its own registration resolves back through THIS registry and
+        // expands forever.
+        val checked = when(abs(x.cast("decimal(38,4)"))
+            > lit(new java.math.BigDecimal(Long.MaxValue)),
+            assert_true(lit(false)))
+          .otherwise(x)
+        GraftSqlBridge.column(f(GraftSqlBridge.expression(checked)))
+      })
+    bigintRangeChecked("ceiling",
+      org.apache.spark.sql.catalyst.expressions.Ceil(_))
+    bigintRangeChecked("ceil",
+      org.apache.spark.sql.catalyst.expressions.Ceil(_))
+    bigintRangeChecked("floor",
+      org.apache.spark.sql.catalyst.expressions.Floor(_))
     // MySQL ATAN2 accepts one argument (= ATAN; bit_type.test)
     GraftSqlBridge.registerFunction(spark, "atan2", exprs =>
       if (exprs.length == 1)

@@ -107,6 +107,90 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .exists(m => m != "__default__" &&
         !m.toUpperCase.contains("ONLY_FULL_GROUP_BY"))
 
+  /** Cheap pre-check: does the select list carry a BARE ungrouped
+    * attribute at all? (select-list-only scan — the expensive child
+    * walk in [[equalToGroupedOffenders]] only runs when this is true,
+    * which on valid Spark plans it never is). */
+  private def hasBareUngrouped(a: Aggregate): Boolean = {
+    def grouped(e: Expression): Boolean =
+      a.groupingExpressions.exists(_.semanticEquals(e))
+    def scan(e: Expression): Boolean = e match {
+      case _ if grouped(e) => false
+      case _: aggregate.AggregateExpression => false
+      case _: OuterReference => false
+      case _: AttributeReference => true
+      case other => other.children.exists(scan)
+    }
+    a.aggregateExpressions.exists {
+      case al: Alias => scan(al.child)
+      case ar: AttributeReference => !grouped(ar)
+      case other => scan(other)
+    }
+  }
+
+  /** ExprIds of ungrouped attributes in the select list that are
+    * EQUAL to a grouping attribute via the child plan's equi-conditions
+    * (join ON / WHERE equalities, transitively closed). Empty when the
+    * aggregate is already valid — the rewrite never fires on plans
+    * Spark would accept. */
+  private def equalToGroupedOffenders(a: Aggregate): Set[ExprId] = {
+    def grouped(e: Expression): Boolean =
+      a.groupingExpressions.exists(_.semanticEquals(e))
+    // offending bare attributes (ungrouped, outside aggregates)
+    val offenders = scala.collection.mutable.Set[AttributeReference]()
+    def scan(e: Expression): Unit = e match {
+      case _ if grouped(e) =>
+      case _: aggregate.AggregateExpression =>
+      case _: OuterReference =>
+      case ar: AttributeReference => offenders += ar
+      case other => other.children.foreach(scan)
+    }
+    a.aggregateExpressions.foreach {
+      case al: Alias => scan(al.child)
+      case other => scan(other)
+    }
+    if (offenders.isEmpty) return Set.empty
+    // equi-pairs from the child plan's conditions
+    val pairs = scala.collection.mutable.ArrayBuffer[(ExprId, ExprId)]()
+    def conds(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Unit = {
+      val cs = p match {
+        case f: Filter => Seq(f.condition)
+        case j: Join => j.condition.toSeq
+        case _ => Seq.empty
+      }
+      // only TOP-LEVEL conjuncts guarantee equality (an EqualTo under
+      // OR is no functional dependency)
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      cs.flatMap(conjuncts).foreach {
+        case EqualTo(l: AttributeReference, r: AttributeReference) =>
+          pairs += ((l.exprId, r.exprId))
+        case _ =>
+      }
+      p.children.foreach(conds)
+    }
+    conds(a.child)
+    if (pairs.isEmpty) return Set.empty
+    // transitive closure from the grouped attribute ids
+    val reached = scala.collection.mutable.Set[ExprId]()
+    a.groupingExpressions.foreach {
+      case ar: AttributeReference => reached += ar.exprId
+      case _ =>
+    }
+    var changed = true
+    while (changed) {
+      changed = false
+      pairs.foreach { case (l, r) =>
+        if (reached(l) && !reached(r)) { reached += r; changed = true }
+        if (reached(r) && !reached(l)) { reached += l; changed = true }
+      }
+    }
+    offenders.map(_.exprId).filter(reached).toSet
+  }
+
   /** A resolved `CAST(double-ish AS STRING)` — the shape Spark's own
     * IF/CASE string-coercion inserts around a numeric branch. */
   private def isDoubleStrCast(e: Expression): Boolean = e match {
@@ -160,6 +244,33 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
           isNumeric(c) || isTemporal(c)) =>
         j.copy(condition = j.condition.map(asBool))
       case a: Aggregate if needsLooseGroupBy(a) => looseGroupBy(a)
+      // MySQL 5.7's ONLY_FULL_GROUP_BY accepts an ungrouped column that
+      // is FUNCTIONALLY EQUAL to a grouping column through the query's
+      // own equi-conditions (bit.test: `sum(a1), b1+0, b2+0 … join on
+      // b1 = b2 group by b1`) — Spark has no such analysis. Wrapping
+      // the equal column in first() is exact: within a group all its
+      // values equal the group key.
+      case a: Aggregate if a.resolved &&
+          !a.groupingExpressions.exists(_.isInstanceOf[Literal]) &&
+          hasBareUngrouped(a) =>
+        val fixable = equalToGroupedOffenders(a)
+        if (fixable.isEmpty) a else {
+        val rewritten = a.aggregateExpressions.map {
+          case ar: AttributeReference if fixable.contains(ar.exprId) =>
+            Alias(aggregate.First(ar, ignoreNulls = false)
+              .toAggregateExpression(), ar.name)(exprId = ar.exprId)
+          case al @ Alias(child, name) =>
+            val f = child.transformUp {
+              case ar: AttributeReference
+                  if fixable.contains(ar.exprId) =>
+                aggregate.First(ar, ignoreNulls = false)
+                  .toAggregateExpression()
+            }
+            if (f eq child) al else Alias(f, name)(exprId = al.exprId)
+          case other => other
+        }
+        a.copy(aggregateExpressions = rewritten)
+        }
       case p =>
         p.transformExpressionsUp {
           case And(l, r) if isNumeric(l) || isNumeric(r) =>
@@ -210,6 +321,23 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 cw.elseValue.exists(isDoubleStrCast)) =>
             CaseWhen(cw.branches.map(b => (b._1, mysqlDoubleStr(b._2))),
               cw.elseValue.map(mysqlDoubleStr))
+          // BIGINT arithmetic overflow is an ERROR in MySQL (1690,
+          // bit_type.test's `a * 1234567891011121312`), where Spark's
+          // non-ANSI mode wraps silently. Guarded to multiplications
+          // carrying a >2^32 literal so intentional wraparound hashing
+          // (rolling fingerprints multiply by small constants) is
+          // untouched; the ANSI cast back to BIGINT carries the throw.
+          case m: Multiply
+              if m.left.resolved && m.right.resolved &&
+                isIntegral(m.left.dataType) && isIntegral(m.right.dataType) &&
+                Seq(m.left, m.right).exists {
+                  case Literal(v: Long, LongType) =>
+                    math.abs(v) > (1L << 32)
+                  case _ => false
+                } =>
+            Cast(Multiply(Cast(m.left, DecimalType(38, 0)),
+              Cast(m.right, DecimalType(38, 0))), LongType,
+              None, EvalMode.ANSI)
           // bit operators coerce any operand to integer in MySQL
           // (func_bit.test applies & | ^ << >> to DECIMAL and DOUBLE
           // columns, and `(CASE …) | 0` to a string)
@@ -269,17 +397,40 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 values.head.dataType != l.plan.output.head.dataType && {
                   val (p, s) = (values.head.dataType,
                     l.plan.output.head.dataType)
+                  def stringy(t: DataType) =
+                    t == StringType || t == BinaryType
                   (s == BooleanType && p.isInstanceOf[NumericType]) ||
-                    (p == StringType && s.isInstanceOf[NumericType]) ||
-                    (p.isInstanceOf[NumericType] && s == StringType)
+                    (stringy(p) && s.isInstanceOf[NumericType]) ||
+                    (p.isInstanceOf[NumericType] && stringy(s)) ||
+                    (p == BinaryType && s == StringType) ||
+                    (p == StringType && s == BinaryType)
                 } =>
             val probe = values.head
             val sub = l.plan.output.head
+            // boolean elements take the probe's type; string/binary vs
+            // number compares as DOUBLE (MySQL's numeric comparison);
+            // binary vs string compares as STRING
             val (newProbe, target): (Expression, DataType) =
               if (sub.dataType == BooleanType) (probe, probe.dataType)
-              else (Cast(probe, DoubleType), DoubleType)
+              else if ((probe.dataType == BinaryType &&
+                  sub.dataType == StringType) ||
+                (probe.dataType == StringType &&
+                  sub.dataType == BinaryType))
+                (Cast(probe, StringType), StringType)
+              else {
+                // binary has no direct numeric cast — route via string
+                val p0 =
+                  if (probe.dataType == BinaryType)
+                    Cast(probe, StringType)
+                  else probe
+                (Cast(p0, DoubleType), DoubleType)
+              }
+            val sub0: Expression =
+              if (sub.dataType == BinaryType && target != StringType)
+                Cast(sub, StringType)
+              else sub
             val castedPlan = Project(
-              Seq(Alias(Cast(sub, target), sub.name)()), l.plan)
+              Seq(Alias(Cast(sub0, target), sub.name)()), l.plan)
             InSubquery(Seq(newProbe), l.copy(plan = castedPlan))
         }
     }

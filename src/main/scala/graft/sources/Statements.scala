@@ -181,7 +181,7 @@ class StatementRunner(spark: SparkSession) {
   private val UpdateLimitRe: Regex =
     """(?is)^\s*UPDATE\s+(?:LOW_PRIORITY\s+|IGNORE\s+)*`?(\w+)`?\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*(?:ORDER\s+BY\s+(.+?))?\s*LIMIT\s+(\d+)\s*;?\s*$""".r
   private val DeleteRe: Regex =
-    """(?is)^\s*DELETE\s+(?:LOW_PRIORITY\s+|QUICK\s+|IGNORE\s+)*FROM\s+`?(\w+)`?\s*(?:WHERE\s+(.+?))?\s*;?\s*$""".r
+    """(?is)^\s*DELETE\s+(?:LOW_PRIORITY\s+|QUICK\s+)*(IGNORE\s+)?FROM\s+`?(\w+)`?\s*(?:WHERE\s+(.+?))?\s*;?\s*$""".r
   // `DELETE FROM t USING t WHERE …` — the self-referencing USING form
   // (delete.test); the general multi-table USING join lives behind
   // [[Dml.deleteJoin]].
@@ -270,6 +270,17 @@ class StatementRunner(spark: SparkSession) {
     * (drop_index.test). */
   private val indexDefs = scala.collection.mutable
     .Map[String, scala.collection.mutable.Map[String, String]]()
+  /** MySQL 5.7 under NO_ENGINE_SUBSTITUTION (the suite's default
+    * sql_mode): an unknown storage engine is 1286
+    * (alter_table_negative.test pins `ENGINE=Invalid`). */
+  private val KnownEngines = Set("TIANMU", "STONEDB", "INNODB", "MYISAM",
+    "MEMORY", "HEAP", "CSV", "ARCHIVE", "BLACKHOLE", "MERGE",
+    "MRG_MYISAM", "FEDERATED", "NDB", "NDBCLUSTER", "PERFORMANCE_SCHEMA")
+  private def requireKnownEngine(engine: String): Unit =
+    if (!KnownEngines.contains(engine.toUpperCase))
+      throw new IllegalArgumentException(
+        s"Unknown storage engine '$engine' (MySQL error 1286)")
+
   private def engineOf(table: String): String =
     tableEngines.getOrElse(table.toLowerCase, "TIANMU")
   /** Gate for index DDL against a Tianmu table: error under the server
@@ -417,7 +428,8 @@ class StatementRunner(spark: SparkSession) {
     // surrogate pairs in the string
     val charsetChecks = schema.toSeq.flatMap { f =>
       if (!provided.contains(f.name) ||
-        !f.metadata.contains("graft.mysql.charset")) None
+        !f.metadata.contains("graft.mysql.charset") ||
+        f.metadata.getString("graft.mysql.charset") != "utf8") None
       else named.schema(f.name).dataType match {
         case org.apache.spark.sql.types.StringType =>
           // the regex engine matches whole CODE POINTS (a surrogate
@@ -950,7 +962,7 @@ class StatementRunner(spark: SparkSession) {
     // optional CONSTRAINT prefix and optional index name both occur in
     // the reference corpus (alter_table_primarykey.test, issue964)
     val PkRe =
-      """(?is)^(?:CONSTRAINT\s+`?\w+`?\s+)?PRIMARY\s+KEY\s*(?:`?\w+`?\s*)?\(([^)]*)\)$""".r
+      """(?is)^(?:CONSTRAINT\s+`?\w+`?\s+)?PRIMARY\s+KEY\s*(?:`?\w+`?\s*)?\(([^)]*)\)(?:\s+USING\s+\w+)?$""".r
     d.trim match {
       case PkRe(cols) =>
         Right(Some(splitTopLevel(cols)
@@ -965,7 +977,7 @@ class StatementRunner(spark: SparkSession) {
         Right(None)
       case colDef =>
         val ColRe =
-          """(?is)^`?(\w+)`?\s+(\w+(?:\s*\([^)]*\))?)\s*(.*)$""".r
+          """(?is)^(?:`?\w+`?\.)?`?(\w+)`?\s+(\w+(?:\s*\([^)]*\))?)\s*(.*)$""".r
         colDef match {
           case ColRe(name, typ, mods) =>
             val m = mods.toUpperCase
@@ -1051,6 +1063,10 @@ class StatementRunner(spark: SparkSession) {
                     BigDecimal((BigInt(1) << nbits) - 1)))
                 case _ => None
               }
+            if (name.length > 64 && !name.startsWith("__q_"))
+              throw new IllegalArgumentException(
+                s"CREATE TABLE: identifier name '${name.take(20)}…' is " +
+                  "too long (MySQL error 1059)")
             val notNull = m.contains("NOT NULL")
             // nullability must ALSO live in metadata: a parquet read
             // marks every column nullable, so the StructField flag is
@@ -1061,9 +1077,33 @@ class StatementRunner(spark: SparkSession) {
             if (m.contains("AUTO_INCREMENT"))
               mb.putBoolean("graft.mysql.autoinc", true)
             // DEFAULT literal: inserts omitting the column evaluate it
-            """(?is)DEFAULT\s+('(?:[^']|'')*'|[^\s,]+)""".r
-              .findFirstMatchIn(mods)
-              .foreach(dm => mb.putString("graft.mysql.default", dm.group(1)))
+            val defaultLit = """(?is)DEFAULT\s+('(?:[^']|'')*'|[^\s,]+)""".r
+              .findFirstMatchIn(mods).map(_.group(1))
+            defaultLit.foreach(d => mb.putString("graft.mysql.default", d))
+            // invalid DEFAULT is 1067 (create_table.test): a default on
+            // an AUTO_INCREMENT column, a numeric default outside the
+            // declared range, an over-length string default
+            defaultLit.filterNot(_.equalsIgnoreCase("NULL")).foreach { d =>
+              def bad(why: String) = throw new IllegalArgumentException(
+                s"CREATE TABLE: invalid default value for '$name' — " +
+                  s"$why (MySQL error 1067)")
+              if (m.contains("AUTO_INCREMENT"))
+                bad("AUTO_INCREMENT columns take no default")
+              integral.foreach { case (_, lo, hi) =>
+                scala.util.Try(BigDecimal(d)).toOption match {
+                  case Some(v) if v < lo || v > hi =>
+                    bad(s"$d outside [$lo, $hi]")
+                  case _ =>
+                }
+              }
+              if ((base == "CHAR" || base == "VARCHAR")
+                  && typNorm.contains("(") && d.startsWith("'")) {
+                val cap = typNorm.dropWhile(_ != '(').stripPrefix("(")
+                  .stripSuffix(")").toLong
+                if (d.stripPrefix("'").stripSuffix("'").length > cap)
+                  bad(s"string longer than $cap")
+              }
+            }
             // CHAR/VARCHAR length cap → strict 1406 / IGNORE truncation
             if ((base == "CHAR" || base == "VARCHAR")
                 && typNorm.contains("("))
@@ -1076,6 +1116,9 @@ class StatementRunner(spark: SparkSession) {
             if ("""(?i)(?:CHARACTER\s+SET|CHARSET)\s*=?\s*utf8(?:mb3)?\b"""
               .r.findFirstIn(mods).isDefined)
               mb.putString("graft.mysql.charset", "utf8")
+            else if ("""(?i)(?:CHARACTER\s+SET|CHARSET)\s*=?\s*utf8mb4\b"""
+              .r.findFirstIn(mods).isDefined)
+              mb.putString("graft.mysql.charset", "utf8mb4")
             val dt = integral match {
               case Some((t, lo, hi)) =>
                 val declared =
@@ -1097,12 +1140,20 @@ class StatementRunner(spark: SparkSession) {
   }
 
   private def runCreateTable(table: String, body: String,
-                             engine: String = "TIANMU"): DataFrame = {
+                             engine: String = "TIANMU",
+                             defaultUtf8: Boolean = false): DataFrame = {
     import spark.implicits._
     val key = table.toLowerCase
     if (stores.contains(key))
       throw new IllegalArgumentException(
         s"CREATE TABLE: '$table' already exists in this runner")
+    requireKnownEngine(engine)
+    // MySQL's 64-char identifier cap (create_table.test pins 1059);
+    // __q_-sanitized names are exempt — their ORIGINAL was ≤64
+    if (table.length > 64 && !table.startsWith("__q_"))
+      throw new IllegalArgumentException(
+        s"CREATE TABLE: identifier name '${table.take(20)}…' is too " +
+          "long (MySQL error 1059)")
     val defs = splitTopLevel(body)
     val fields = scala.collection.mutable.ArrayBuffer[
       org.apache.spark.sql.types.StructField]()
@@ -1147,7 +1198,20 @@ class StatementRunner(spark: SparkSession) {
     }
     if (fields.isEmpty) throw new IllegalArgumentException(
       "CREATE TABLE: no column definitions")
-    val schema = org.apache.spark.sql.types.StructType(fields.toSeq)
+    // table-level DEFAULT CHARSET utf8: string columns without their
+    // own charset declaration inherit the 3-byte cap
+    val fields1 =
+      if (!defaultUtf8) fields.toSeq
+      else fields.toSeq.map { f =>
+        if (f.dataType == org.apache.spark.sql.types.StringType &&
+            !f.metadata.contains("graft.mysql.charset"))
+          f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString("graft.mysql.charset", "utf8").build())
+        else f
+      }
+    val schema = org.apache.spark.sql.types.StructType(fields1)
     // ONE empty partition, not emptyRDD's zero: a zero-partition write
     // emits no parquet footers and the store's read-back cannot infer
     // the schema
@@ -1280,7 +1344,11 @@ class StatementRunner(spark: SparkSession) {
     result.columns.zip(provided).foreach { case (srcName, tgt) =>
       if (!schema.fieldNames.exists(_.equalsIgnoreCase(srcName)))
         updates = updates.replaceAll(
-          "\\b" + java.util.regex.Pattern.quote(srcName) + "\\b",
+          // a ref already inside VALUES(…) is NOT the rename shorthand —
+          // it must stay and fail 1054 (insert_select.test's
+          // `update x=values(z)` with z only a source column)
+          "(?i)(?<!values\\()\\b" +
+            java.util.regex.Pattern.quote(srcName) + "\\b",
           java.util.regex.Matcher.quoteReplacement(s"VALUES($tgt)"))
     }
     val batch = Staging.stage(assignAutoInc(store,
@@ -1293,17 +1361,6 @@ class StatementRunner(spark: SparkSession) {
                           updateList: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, expr, lit, when}
     val store = attachedStore(table)
-    // without any unique key nothing can conflict: MySQL runs the ODKU
-    // form as a plain insert (insert.test on a keyless t1)
-    if (!primaryKeys.contains(table.toLowerCase)) {
-      val n = batch.count()
-      store.append(batch)
-      refreshTableView(table, store)
-      import spark.implicits._
-      return Seq((table, 0L, n)).toDF(
-        "table_name", "rows_updated", "rows_inserted")
-    }
-    val keys = pkOf(table)
     val schema = store.read().schema
     val assigns = splitTopLevel(updateList).map { a =>
       val i = a.indexOf('=')
@@ -1316,16 +1373,41 @@ class StatementRunner(spark: SparkSession) {
         MySqlDialect.rewrite(a.substring(i + 1).trim)
           .replaceAll("(?i)\\b" +
             java.util.regex.Pattern.quote(table) + "\\.", ""),
-        m => "__v_" + m.group(1))
+        m => {
+          // VALUES(col) must name a column of the TARGET table
+          // (insert_select.test pins 1054 for `values(z)` where z is
+          // only a source column)
+          if (!schema.fieldNames.exists(_.equalsIgnoreCase(m.group(1))))
+            throw new IllegalArgumentException(
+              s"ON DUPLICATE KEY UPDATE: VALUES(${m.group(1)}) does " +
+                "not name a target column (MySQL error 1054)")
+          "__v_" + m.group(1)
+        })
       (lhs, rhs)
     }
     val bad = assigns.map(_._1).filterNot(schema.fieldNames.contains)
     if (bad.nonEmpty) throw new IllegalArgumentException(
       s"ON DUPLICATE KEY UPDATE: unknown column(s) ${bad.mkString(", ")}")
+    // without any unique key nothing can conflict: MySQL runs the ODKU
+    // form as a plain insert (insert.test on a keyless t1) — but the
+    // update list is still VALIDATED above (1054 fires either way)
+    if (!primaryKeys.contains(table.toLowerCase)) {
+      val n = batch.count()
+      store.append(batch)
+      refreshTableView(table, store)
+      import spark.implicits._
+      return Seq((table, 0L, n)).toDF(
+        "table_name", "rows_updated", "rows_inserted")
+    }
+    val keys = pkOf(table)
     val matchedCount = store.read()
       .join(batch.select(keys.map(col): _*), keys, "left_semi")
       .agg(count(lit(1))).first().getLong(0)
-    store.rewriteWith { base =>
+    // refresh in a finally: rewriteWith compacts FIRST, so even a
+    // failed statement (unresolvable update expr, insert.test's
+    // `update f1 = f3 + 10` through a view) has moved the base files —
+    // a stale temp view would fail every later read of the table
+    try store.rewriteWith { base =>
       val inc = batch.select(
         schema.map(f => col(f.name).as(s"__v_${f.name}")).toSeq: _*)
       val joinCond = keys.map(k => col(k) === col(s"__v_$k")).reduce(_ && _)
@@ -1342,8 +1424,7 @@ class StatementRunner(spark: SparkSession) {
       val inserted = batch.join(base.select(keys.map(col): _*), keys,
         "left_anti")
       updated.unionByName(inserted)
-    }
-    refreshTableView(table, store)
+    } finally refreshTableView(table, store)
     import spark.implicits._
     Seq((table, matchedCount, batch.count() - matchedCount))
       .toDF("table_name", "rows_updated", "rows_inserted")
@@ -1427,6 +1508,7 @@ class StatementRunner(spark: SparkSession) {
     val store = attachedStore(table)
     checkSafeUpdates(table, whereClause)
     val before = store.read().count()
+    try {
     if (whereClause == null) store.truncate()
     else {
       // a WHERE carrying a subquery goes straight to full SQL
@@ -1463,7 +1545,8 @@ class StatementRunner(spark: SparkSession) {
         }
       }
     }
-    refreshTableView(table, store)
+    // finally: a failed rewrite may still have compacted the base files
+    } finally refreshTableView(table, store)
     import spark.implicits._
     Seq((table, before - store.read().count()))
       .toDF("table_name", "rows_deleted")
@@ -1763,8 +1846,8 @@ class StatementRunner(spark: SparkSession) {
           s"UPDATE: duplicate entry for PRIMARY KEY " +
             s"(${keys.mkString(", ")}) (MySQL error 1062)")
       }
-    store.rewriteWith(project)
-    refreshTableView(table, store)
+    try store.rewriteWith(project)
+    finally refreshTableView(table, store)
     import spark.implicits._
     Seq((table, touched)).toDF("table_name", "rows_updated")
   }
@@ -1836,7 +1919,9 @@ class StatementRunner(spark: SparkSession) {
   private val CreateLikeRe: Regex =
     """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+LIKE\s+`?(\w+)`?\s*;?\s*$""".r
   private val CreateViewRe: Regex =
-    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+`?(\w+)`?\s+AS\s+(SELECT\b.*?)\s*;?\s*$""".r
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:ALGORITHM\s*=\s*\w+\s+)?""" +
+      """(?:DEFINER\s*=\s*\S+\s+)?(?:SQL\s+SECURITY\s+\w+\s+)?""" +
+      """VIEW\s+`?(\w+)`?\s+AS\s+(SELECT\b.*?)\s*;?\s*$""").r
   private val DropViewRe: Regex =
     """(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([`\w][`\w\s,]*?)\s*;?\s*$""".r
   private val ShowCreateViewRe: Regex =
@@ -2005,6 +2090,19 @@ class StatementRunner(spark: SparkSession) {
         "graft_info_schema_views")
       .replaceAll("(?i)information_schema\\.tables",
         "graft_info_schema_tables")
+  }
+
+  /** True when every occurrence of `needle` is inside a quoted
+    * literal (or absent). */
+  private def inStringLiteralFree(sql: String, needle: String): Boolean = {
+    var from = 0
+    while (true) {
+      val at = sql.indexOf(needle, from)
+      if (at < 0) return true
+      if (!inStringLiteral(sql, at)) return false
+      from = at + 1
+    }
+    true
   }
 
   /** True when position `at` falls inside a quoted literal. */
@@ -2668,6 +2766,12 @@ class StatementRunner(spark: SparkSession) {
     * unquoted form) is \w-only, so map offending identifiers to a
     * deterministic \w-safe spelling — same statement text, same name,
     * every time. */
+  // sanitized-name memory: an identifier created BACKTICKED can be
+  // referenced UNQUOTED later (issue362's `INSERT INTO abc?def`) —
+  // remember original -> sanitized and rewrite bare occurrences too
+  private val sanitizedNames =
+    scala.collection.mutable.LinkedHashMap[String, String]()
+
   private def sanitizeIdentifiers(sql: String): String = {
     val quoted = """`([^`]*)`""".r.replaceAllIn(sql, m => {
       val name = m.group(1)
@@ -2677,33 +2781,64 @@ class StatementRunner(spark: SparkSession) {
       // `rename to ``` pins 1103) — keep it verbatim so the
       // statement fails downstream instead of minting a ghost name
       else if (name.isEmpty) "``"
+      // the #mysql50# prefix is MySQL's reserved pre-5.1 upgrade
+      // encoding — 5.7 rejects it as a table name (issue487 pins 1030)
+      else if (name.startsWith("#mysql50#"))
+        throw new IllegalArgumentException(
+          s"invalid table name '${name.take(24)}' — the #mysql50# " +
+            "prefix is reserved (MySQL error 1030/ER_WRONG_TABLE_NAME)")
       else java.util.regex.Matcher.quoteReplacement(
         // ASCII-only mapping (regex \w is ASCII — a kept Unicode letter
         // would dodge every statement regex, issue362/issue1054) plus a
         // short hash so distinct originals that flatten to the same
         // ASCII skeleton (several all-CJK column names in one CREATE,
         // issue1054) stay distinct
-        "`__q_" + name.map(c =>
-          if ((c.isLetterOrDigit && c < 128) || c == '_') c else '_') +
-          "_" + (name.hashCode & 0xffff).toHexString + "`")
+        { val safe = "__q_" + name.map(c =>
+            if ((c.isLetterOrDigit && c < 128) || c == '_') c else '_') +
+            "_" + (name.hashCode & 0xffff).toHexString
+          sanitizedNames(name) = safe
+          s"`$safe`" })
     })
-    if (!quoted.contains("$")) quoted
+    // bare references to remembered weird names (longest first so a
+    // name that prefixes another cannot steal its match)
+    val bare = sanitizedNames.keys.toSeq.sortBy(-_.length)
+      .foldLeft(quoted) { (acc, orig) =>
+        if (!acc.contains(orig)) acc
+        else {
+          val out = new StringBuilder(acc.length)
+          var i = 0
+          val n = acc.length
+          while (i < n) {
+            val c = acc(i)
+            if (c == '\'' || c == '"' || c == '`') {
+              val close = acc.indexOf(c, i + 1)
+              val end = if (close < 0) n else close + 1
+              out.append(acc.substring(i, end)); i = end
+            } else if (acc.startsWith(orig, i)) {
+              out.append(sanitizedNames(orig)); i += orig.length
+            } else { out.append(c); i += 1 }
+          }
+          out.toString
+        }
+      }
+    val quotedDone = bare
+    if (!quotedDone.contains("$")) quotedDone
     else {
       // unquoted $-identifiers, outside string literals
-      val out = new StringBuilder(quoted.length)
+      val out = new StringBuilder(quotedDone.length)
       var i = 0
-      val n = quoted.length
+      val n = quotedDone.length
       while (i < n) {
-        val c = quoted(i)
+        val c = quotedDone(i)
         if (c == '\'' || c == '"') {
-          val close = quoted.indexOf(c, i + 1)
+          val close = quotedDone.indexOf(c, i + 1)
           val end = if (close < 0) n else close + 1
-          out.append(quoted.substring(i, end)); i = end
+          out.append(quotedDone.substring(i, end)); i = end
         } else if (c == '$' || (Character.isLetterOrDigit(c) || c == '_')) {
           var j = i
-          while (j < n && (Character.isLetterOrDigit(quoted(j)) ||
-            quoted(j) == '_' || quoted(j) == '$')) j += 1
-          val w = quoted.substring(i, j)
+          while (j < n && (Character.isLetterOrDigit(quotedDone(j)) ||
+            quotedDone(j) == '_' || quotedDone(j) == '$')) j += 1
+          val w = quotedDone.substring(i, j)
           out.append(if (w.contains("$")) w.replace("$", "_dl_") else w)
           i = j
         } else { out.append(c); i += 1 }
@@ -2732,6 +2867,23 @@ class StatementRunner(spark: SparkSession) {
       if ("""(?is)^\s*(?:CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?FUNCTION|DROP\s+FUNCTION|SHOW\s+CREATE\s+FUNCTION)\b""".r
         .findFirstIn(resolved1).isDefined) resolved1
       else expandStoredFuncs(resolved1)
+    // MySQL-parser shape checks Spark would accept:
+    // an EMPTY backtick identifier is 1103 (alter_table_v1.test's
+    // `rename to ```), and a bare `*` after other select items without
+    // a table qualifier is 1064 (create_view.test's `SELECT 1, *`)
+    if (!inStringLiteralFree(resolved, "``"))
+      throw new IllegalArgumentException(
+        "incorrect name: empty identifier (MySQL error 1103)")
+    if (resolved.contains("::") && !inStringLiteralFree(resolved, "::"))
+      throw new IllegalArgumentException(
+        ":: is not MySQL cast syntax (MySQL error 1064)")
+    if ("""(?is),\s*\*\s*(?:,|\bFROM\b)""".r
+      .findFirstIn(resolved).isDefined &&
+      !inStringLiteral(resolved,
+        """(?is),\s*\*\s*(?:,|\bFROM\b)""".r
+          .findFirstMatchIn(resolved).get.start))
+      throw new IllegalArgumentException(
+        "unqualified * must be the first select item (MySQL error 1064)")
     // ROW_COUNT(): rows changed by the previous DML (insert.test)
     if ("""(?is)^\s*SELECT\s+ROW_COUNT\s*\(\s*\)\s*;?\s*$""".r
       .findFirstIn(resolved).isDefined) {
@@ -2769,13 +2921,15 @@ class StatementRunner(spark: SparkSession) {
       // subset (issue1865.test); @vars bind fields for the SET
       // expressions (issue1000.test); unlisted columns take
       // NULL/default through alignToSchema
-      val ColsSet = """(?is)^\(([^)]*)\)\s*(?:SET\s+(.+))?$""".r
+      val ColsSet =
+        """(?is)^(?:\(([^)]*)\)\s*)?(?:SET\s+(.+))?$""".r
       val colsSetOpt = ColsSet.findFirstMatchIn(rest.trim)
-        .map(m => (m.group(1), Option(m.group(2))))
+        .filter(m => m.group(1) != null || m.group(2) != null)
+        .map(m => (Option(m.group(1)), Option(m.group(2))))
       if (rest.trim.nonEmpty && colsSetOpt.isEmpty)
         throw new UnsupportedOperationException(
           s"LOAD DATA: unsupported trailing clause: '${rest.trim.take(60)}'")
-      val colListOpt = colsSetOpt.map(_._1)
+      val colListOpt = colsSetOpt.flatMap(_._1)
       // Spark's CSV reader auto-detects \n / \r\n and accepts any other
       // SINGLE-char record terminator via lineSep (issue1209's ';');
       // multi-char custom terminators stay export-only.
@@ -2804,9 +2958,19 @@ class StatementRunner(spark: SparkSession) {
       val res = CsvLoader.load(spark, resolveReadPath(path), parseSchema,
         delimiter = opts.delimiter, quote = opts.quote,
         escape = opts.escape, skipLines = skipLines, lineSep = customSep)
-      val clean = slots match {
+      val clean = (slots match {
+        case None if colsSetOpt.flatMap(_._2).isEmpty => None
+        // a SET clause WITHOUT a column list applies over the full
+        // positional parse (issue1153's `set a = @var1/2`)
+        case None => Some(schema.map(f =>
+          Left(f.name): Either[String, String]).toSeq)
+        case some => some
+      }) match {
         case None => res.clean
         case Some(ss) =>
+          // @refs bound by the column list become synthetic field
+          // columns; any OTHER @ref is a session user variable
+          val fieldVars = ss.collect { case Right(v) => v }.toSet
           val setAssigns = colsSetOpt.flatMap(_._2).toSeq
             .flatMap(splitTopLevel(_)).map { a =>
               val i = a.indexOf('=')
@@ -2814,9 +2978,13 @@ class StatementRunner(spark: SparkSession) {
                 s"LOAD DATA SET: malformed assignment '$a'")
               val tgt = a.substring(0, i).trim
                 .stripPrefix("`").stripSuffix("`")
-              // @var refs in the rhs become the synthetic columns
-              val rhs = MySqlDialect.rewrite(a.substring(i + 1).trim
-                .replaceAll("@(\\w+)", "__v_$1"))
+              val bound = """@(\w+)""".r.replaceAllIn(
+                a.substring(i + 1).trim, m =>
+                  if (fieldVars.contains("__v_" + m.group(1)))
+                    "__v_" + m.group(1)
+                  else java.util.regex.Matcher.quoteReplacement(
+                    userVars.getOrElse(m.group(1).toLowerCase, "NULL")))
+              val rhs = MySqlDialect.rewrite(bound)
               (tgt, rhs)
             }
           val withSets = setAssigns.foldLeft(res.clean) { case (df, (t, r)) =>
@@ -2883,6 +3051,7 @@ class StatementRunner(spark: SparkSession) {
     case AlterEngineRe(table, engine) =>
       import spark.implicits._
       attachedStore(table)
+      requireKnownEngine(engine)
       tableEngines(table.toLowerCase) = engine.toUpperCase
       Seq((table, s"ENGINE=$engine")).toDF("table_name", "status")
 
@@ -2953,6 +3122,27 @@ class StatementRunner(spark: SparkSession) {
       if (!store.read().columns.exists(_.equalsIgnoreCase(colName)))
         throw new IllegalArgumentException(
           s"ALTER TABLE: unknown column '$colName'")
+      // invalid defaults are 1067 here too (create_table.test ALTERs
+      // an over-length default onto a VARCHAR(5))
+      if (defaultVal != null && !defaultVal.trim.equalsIgnoreCase("NULL")) {
+        val f = store.read().schema.find(
+          _.name.equalsIgnoreCase(colName)).get
+        val d = defaultVal.trim
+        maxLenOf(f).foreach { cap =>
+          if (d.startsWith("'") &&
+              d.stripPrefix("'").stripSuffix("'").length > cap)
+            throw new IllegalArgumentException(
+              s"ALTER TABLE: invalid default for '$colName' — string " +
+                s"longer than $cap (MySQL error 1067)")
+        }
+        mysqlBounds(f).foreach { case (lo, hi) =>
+          scala.util.Try(BigDecimal(d)).toOption.foreach { v =>
+            if (v < lo || v > hi) throw new IllegalArgumentException(
+              s"ALTER TABLE: invalid default for '$colName' — $d " +
+                s"outside [$lo, $hi] (MySQL error 1067)")
+          }
+        }
+      }
       store.rewriteWith { df =>
         df.select(df.schema.map { f =>
           if (!f.name.equalsIgnoreCase(colName)) org.apache.spark.sql
@@ -3184,7 +3374,20 @@ class StatementRunner(spark: SparkSession) {
     case DeleteLimitRe(table, whereClause, orderClause, n) =>
       runDeleteLimit(table, whereClause, orderClause, n.toInt)
 
-    case DeleteRe(table, whereClause) =>
+    case DeleteRe(ignoreMod, table, whereClause) =>
+      if (ignoreMod != null)
+        // DELETE IGNORE downgrades runtime evaluation errors (the 1242
+        // multi-row scalar subquery in delete.test) to warnings; the
+        // offending rows are simply not deleted
+        try runDelete(table, whereClause)
+        catch {
+          case e: Exception
+              if e.isInstanceOf[org.apache.spark.SparkThrowable] &&
+                String.valueOf(e.getMessage).contains("SCALAR_SUBQUERY") =>
+            import spark.implicits._
+            Seq((table, 0L)).toDF("table_name", "rows_deleted")
+        }
+      else
       runDelete(table, whereClause)
 
     case UpdateJoinRe(fromSpec, setList, whereClause)
@@ -3197,6 +3400,9 @@ class StatementRunner(spark: SparkSession) {
       val names = splitTopLevel(targets).map(_.trim
         .stripSuffix(".*").stripPrefix("`").stripSuffix("`"))
       names.foreach(attachedStore) // all targets must be attached
+      // safe-update mode guards multi-table deletes too (delete.test
+      // pins 1175 for `DELETE t2 FROM t1 JOIN t2 WHERE t1.a = 10`)
+      names.foreach(checkSafeUpdates(_, whereClause))
       val ignore = modifiers != null &&
         modifiers.toUpperCase.contains("IGNORE")
       // evaluate the join ONCE (over the current temp views), staged so
@@ -3404,7 +3610,13 @@ class StatementRunner(spark: SparkSession) {
           """(?i)ENGINE\s*=\s*(\w+)""".r.findFirstMatchIn(o)
             .map(_.group(1)))
           .getOrElse(if (temporary != null) "INNODB" else "TIANMU")
-        val res = runCreateTable(table, body, engine)
+        // table-level `DEFAULT CHARACTER SET utf8` gives every string
+        // column the 3-byte cap unless it declares its own charset
+        // (different_charsets_b.test's second block)
+        val defaultUtf8 = options != null &&
+          """(?i)(?:DEFAULT\s+)?(?:CHARSET|CHARACTER\s+SET)\s*=?\s*utf8(?:mb3)?\b(?!mb4)"""
+            .r.findFirstIn(options).isDefined
+        val res = runCreateTable(table, body, engine, defaultUtf8)
         if (temporary != null) tempTables += table.toLowerCase
         // table option AUTO_INCREMENT=n sets the counter's start
         // (init_auto_increment_value.test)

@@ -138,7 +138,9 @@ class MtrReplaySpec extends AnyFunSuite {
       // loops — issue1876.test): its value lives in harness control
       // flow this replayer does not interpret. Quoted ones ($MYSQLTEST_
       // VARDIR paths) still run — the IO sandbox resolves them.
-      """\$\w+""".r.findFirstIn(
+      // only at word START: `$i` is a harness variable, but `e$8b` is
+      // a legal MySQL identifier with an embedded $ (create_db.test)
+      """(?<!\w)\$\w+""".r.findFirstIn(
         stmt.replaceAll("'[^']*'|\"[^\"]*\"", "")).isDefined ||
       // `@x := …` INSIDE a query is MySQL's row-order-dependent
       // accumulator hack (issue1897/1903/1910, range.test:189) — no
@@ -147,8 +149,10 @@ class MtrReplaySpec extends AnyFunSuite {
         """@\w+\s*:=""".r.findFirstIn(
           stmt.replaceAll("'[^']*'|\"[^\"]*\"", "")).isDefined)
 
-  private def replay(file: String): (Int, Int) = {
-    val runner = new sources.StatementRunner(spark)
+  private def replay(file: String,
+                     session: org.apache.spark.sql.SparkSession = spark)
+      : (Int, Int) = {
+    val runner = new sources.StatementRunner(session)
     // MTR applies <file>-master.opt server flags before the file runs
     // (drop_index.test needs tianmu_no_key_error=ON); replay them as
     // session SETs — the engine models them as session variables.
@@ -384,16 +388,38 @@ class MtrReplaySpec extends AnyFunSuite {
 
   test(s"${PinnedFiles.size} reference MTR files replay with " +
       "success/error parity (statement floors pinned)") {
+    // files are independent sessions — `spark.newSession()` isolates
+    // temp views / session conf per file, so the corpus replays in
+    // PARALLEL (8 files at a time on the shared local[32] context);
+    // the serial sweep outgrew an hour at ~4500 statements
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futs = PinnedFiles.map { case (file, floor, maxSkip) =>
+      scala.concurrent.Future {
+        val t0 = System.nanoTime()
+        val res = scala.util.Try(replay(file, spark.newSession()))
+        val secs = (System.nanoTime() - t0) / 1e9
+        // per-file wall time to stdout: a pathological straggler must
+        // be visible by NAME, not as a silent hour
+        println(f"[mtr-replay] $file%-36s ${secs}%7.1fs ok=${res.isSuccess}")
+        (file, floor, maxSkip, res)
+      }
+    }
+    val results = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futs),
+      scala.concurrent.duration.Duration(90, "min"))
+    pool.shutdown()
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     var total = 0
-    PinnedFiles.foreach { case (file, floor, maxSkip) =>
-      scala.util.Try(replay(file)) match {
+    results.foreach { case (file, floor, maxSkip, res) =>
+      res match {
         case scala.util.Success((ran, skipped)) =>
           total += ran
           if (ran < floor) failures += s"$file: ran $ran < floor $floor"
           if (skipped > maxSkip) failures += s"$file: skipped $skipped"
         case scala.util.Failure(e) =>
-          failures += s"$file: ${e.getMessage.take(160)}"
+          failures += s"$file: ${String.valueOf(e.getMessage).take(160)}"
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))

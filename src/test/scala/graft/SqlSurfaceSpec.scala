@@ -225,17 +225,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
     intercept[UnsupportedOperationException] {
       runner.run("LOAD DATA INFILE '/tmp/x' REPLACE INTO TABLE stmt_region_x")
     }
-    intercept[UnsupportedOperationException] {
+    // IGNORE n LINES is a SUPPORTED load clause now (skip-lines read
+    // path) — the missing fixture is the only failure left here
+    intercept[java.io.FileNotFoundException] {
       runner.run(
         "LOAD DATA INFILE '/tmp/x' INTO TABLE stmt_region_x IGNORE 1 LINES")
     }
     intercept[IllegalArgumentException] {
       runner.run("LOAD DATA INFILE '/tmp/x' INTO TABLE never_attached")
     }
-    // custom record terminators are export-only; loading must refuse
+    // MULTI-char custom record terminators are export-only; loading
+    // must refuse (single-char ones load via Spark CSV's lineSep —
+    // issue1209's ';')
     intercept[UnsupportedOperationException] {
       runner.run("LOAD DATA INFILE '/tmp/x' INTO TABLE stmt_region_x " +
-        "LINES TERMINATED BY ';'")
+        "LINES TERMINATED BY 'EOL'")
     }
   }
 
@@ -564,10 +568,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val before = store2.read().count()
     runner.run("DELETE FROM mtr_lim2 LIMIT 1")
     assert(store2.read().count() === before - 1)
-    // UPDATE … LIMIT still needs the PK (no rewrite-identity shortcut)
-    intercept[IllegalArgumentException] {
-      runner.run("UPDATE mtr_lim2 SET r_name = 'x' LIMIT 1")
-    }
+    // UPDATE … LIMIT without a PK updates exactly n rows through the
+    // staged-rowid identity (issue781.test's keyless shape)
+    val u2 = runner.run("UPDATE mtr_lim2 SET r_name = 'x' LIMIT 1").first()
+    assert(u2.getAs[Long]("rows_updated") === 1L)
+    assert(store2.read().filter("r_name = 'x'").count() === 1L)
     runner.run("drop table mtr_lim")
   }
 
@@ -807,17 +812,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
     runner.run("insert into tmp_t values (1, 'x')")
     assert(runner.run("select count(*) as n from tmp_t")
       .first().getLong(0) === 1L)
-    // index DDL on a Tianmu table errors under the server default
+    // index DDL on a TIANMU table errors under the server default
     // (issue1185) and is accepted as inert metadata under
-    // tianmu_no_key_error=ON (no B-trees; pack stats prune)
+    // tianmu_no_key_error=ON (no B-trees; pack stats prune). tmp_t is
+    // TEMPORARY — those live in the server's default engine (InnoDB)
+    // where indexes are ordinary, so the rejection is pinned on an
+    // explicit engine=tianmu table.
+    runner.run("create table idx_t (a INT) engine=tianmu")
     intercept[UnsupportedOperationException] {
-      runner.run("CREATE INDEX idx_a ON tmp_t (a)")
+      runner.run("CREATE INDEX idx_a ON idx_t (a)")
     }
     runner.run("SET SESSION tianmu_no_key_error=ON")
-    val ci = runner.run("CREATE INDEX idx_a ON tmp_t (a)").first()
+    val ci = runner.run("CREATE INDEX idx_a ON idx_t (a)").first()
     assert(ci.getString(1).contains("metadata only"))
-    runner.run("DROP INDEX idx_a ON tmp_t")
+    runner.run("DROP INDEX idx_a ON idx_t")
     runner.run("SET SESSION tianmu_no_key_error=OFF")
+    runner.run("drop table idx_t")
     intercept[IllegalArgumentException] {
       runner.run("CREATE INDEX i2 ON never_attached (x)")
     }
