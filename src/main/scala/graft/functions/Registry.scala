@@ -135,7 +135,15 @@ object Registry {
     // (bit_type.test); negative d zeroes digits left of the point
     fn("truncate") { cs =>
       val p = pow(lit(10.0), cs(1).cast("int"))
-      (signum(cs.head) * floor(abs(cs.head.cast("double")) * p) / p)
+      // temporal input coerces through its digit string
+      // (type_timestamp.test TRUNCATEs a TIMESTAMP column:
+      // '2020-01-02 03:04:05' ≡ 20200102030405); everything else keeps
+      // the plain numeric path
+      val s = cs.head.cast("string")
+      val x = when(s.rlike("^\\d{4}-\\d{2}-\\d{2}"),
+        regexp_replace(s, "[^0-9]", "").cast("double"))
+        .otherwise(cs.head.cast("double"))
+      (signum(x) * floor(abs(x) * p) / p)
     }
     // JSON_CONTAINS(target, candidate[, path]) → 1/0 (MySQL containment
     // rules, JsonOps); one name serves both arities
@@ -242,20 +250,58 @@ object Registry {
                              .Expression =>
                              org.apache.spark.sql.catalyst.expressions
                                .Expression): Unit =
-      fn(name)(cs => {
-        val x = cs.head
+      GraftSqlBridge.registerFunction(spark, name, exprs => {
+        val x = GraftSqlBridge.column(exprs.head)
+        // temporal input goes through its digit number (CEIL(ts) ≡
+        // CEIL(20200102030405), type_timestamp.test); everything else
+        // keeps its own type
+        val isTemporalArg = scala.util.Try(exprs.head.dataType)
+          .toOption.exists(dt =>
+            dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+              dt.isInstanceOf[org.apache.spark.sql.types
+                .TimestampNTZType] ||
+              dt.isInstanceOf[org.apache.spark.sql.types.DateType])
+        val x0 =
+          if (isTemporalArg)
+            regexp_replace(x.cast("string"), "[^0-9]", "")
+              .cast("decimal(38,4)")
+          else x
         // CaseWhen evaluates branches lazily per row, so the throw only
         // fires on actually-out-of-range values; the value's type is
         // preserved (NullType coerces to it). The wrapped function MUST
         // be the raw Catalyst expression: a functions.* builder inside
         // its own registration resolves back through THIS registry and
         // expands forever.
-        val checked = when(abs(x.cast("decimal(38,4)"))
+        val checked = when(abs(x0.cast("decimal(38,4)"))
             > lit(new java.math.BigDecimal(Long.MaxValue)),
             assert_true(lit(false)))
-          .otherwise(x)
-        GraftSqlBridge.column(f(GraftSqlBridge.expression(checked)))
+          .otherwise(x0)
+        f(GraftSqlBridge.expression(checked))
       })
+    // ROUND over a temporal coerces through its digit number too
+    GraftSqlBridge.registerFunction(spark, "round", exprs => {
+      val isTemporalArg = scala.util.Try(exprs.head.dataType)
+        .toOption.exists(dt =>
+          dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+            dt.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType] ||
+            dt.isInstanceOf[org.apache.spark.sql.types.DateType])
+      val head =
+        if (!isTemporalArg) exprs.head
+        else GraftSqlBridge.expression(
+          regexp_replace(GraftSqlBridge.column(exprs.head).cast("string"),
+            "[^0-9]", "").cast("decimal(38,4)"))
+      val scale = if (exprs.length > 1) exprs(1)
+        else org.apache.spark.sql.catalyst.expressions.Literal(0)
+      org.apache.spark.sql.catalyst.expressions.Round(head, scale)
+    })
+    // DATABASE()/SCHEMA(): the session's current database — the
+    // StatementRunner maintains it in a session conf on USE
+    GraftSqlBridge.registerFunction(spark, "database", _ =>
+      GraftSqlBridge.expression(
+        lit(spark.conf.get("spark.graft.currentDb", "test"))))
+    GraftSqlBridge.registerFunction(spark, "schema", _ =>
+      GraftSqlBridge.expression(
+        lit(spark.conf.get("spark.graft.currentDb", "test"))))
     bigintRangeChecked("ceiling",
       org.apache.spark.sql.catalyst.expressions.Ceil(_))
     bigintRangeChecked("ceil",

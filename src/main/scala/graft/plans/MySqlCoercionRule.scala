@@ -338,6 +338,21 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
             Cast(Multiply(Cast(m.left, DecimalType(38, 0)),
               Cast(m.right, DecimalType(38, 0))), LongType,
               None, EvalMode.ANSI)
+          // GREATEST/LEAST over mixed temporal/string compares as the
+          // temporal type in MySQL (type_timestamp.test's
+          // `GREATEST(a, '2020-07-01')`)
+          case g: Greatest if g.children.forall(_.resolved) &&
+              g.children.exists(isTemporal) &&
+              g.children.exists(_.dataType == StringType) =>
+            val t = g.children.find(isTemporal).get.dataType
+            Greatest(g.children.map(c =>
+              if (c.dataType == StringType) Cast(c, t) else c))
+          case l: Least if l.children.forall(_.resolved) &&
+              l.children.exists(isTemporal) &&
+              l.children.exists(_.dataType == StringType) =>
+            val t = l.children.find(isTemporal).get.dataType
+            Least(l.children.map(c =>
+              if (c.dataType == StringType) Cast(c, t) else c))
           // bit operators coerce any operand to integer in MySQL
           // (func_bit.test applies & | ^ << >> to DECIMAL and DOUBLE
           // columns, and `(CASE …) | 0` to a string)

@@ -248,6 +248,47 @@ object MySqlDialect {
       java.util.regex.Matcher.quoteReplacement(
         "GROUP BY " + m.group(1).replaceAll("(?i)\\s+(ASC|DESC)\\b", "")))
 
+  /** MySQL's nested-join grammar: `t1 LEFT JOIN t2 LEFT JOIN t3 ON e1
+    * ON e2` binds the INNER join first — Spark's parser has no
+    * double-ON form (issue887.test, left_join.test). Parenthesize the
+    * inner join; repeat for deeper nests. */
+  private def translateNestedJoinOn(sql: String): String = {
+    val Re = ("""(?is)\bJOIN\s+(\w+(?:\s+(?:AS\s+)?""" +
+      """(?!ON\b|LEFT\b|RIGHT\b|INNER\b|CROSS\b|JOIN\b|USING\b|WHERE\b|GROUP\b|ORDER\b|LIMIT\b)\w+)?)\s+""" +
+      """((?:LEFT|RIGHT|INNER|CROSS)(?:\s+OUTER)?\s+JOIN\b.+?\bON\b.+?)\s+\bON\b""").r
+    var cur = sql
+    var n = 0
+    var changed = true
+    while (changed && n < 8) {
+      n += 1
+      changed = false
+      cur = Re.replaceAllIn(cur, m => {
+        changed = true
+        java.util.regex.Matcher.quoteReplacement(
+          s"JOIN (${m.group(1)} ${m.group(2)}) ON")
+      })
+    }
+    cur
+  }
+
+  /** Spark's parser rejects a float literal whose DIGITS exceed double
+    * precision near the e308 boundary
+    * (signed_boundary.test's 1.7976931348623157081…e+308); MySQL rounds
+    * it into range. Clamp such literals to the nearest double. */
+  private def clampDoubleLiterals(sql: String): String =
+    """\b(\d+\.\d{17,}[eE]\+?(\d{3}))\b""".r.replaceAllIn(sql, m => {
+      if (m.group(2).toInt > 308) m.group(1) // beyond range: error stays
+      else scala.util.Try(new java.math.BigDecimal(m.group(1)))
+        .toOption match {
+        // IEEE round-to-nearest (what MySQL does): finite after the
+        // BigDecimal→double conversion means in range — the raw digits
+        // may exceed Double.MaxValue by less than half an ULP
+        case Some(v) if !v.doubleValue.isInfinite =>
+          v.doubleValue.toString.toUpperCase
+        case _ => m.group(1)
+      }
+    })
+
   /** MySQL `~` on an out-of-long-range literal works in 64-bit unsigned
     * space (other_bit.test `~18446744073709551615`); Spark's `~` takes
     * integral types only. Fold the literal case: ~x = (2^64−1) − x. */
@@ -346,10 +387,11 @@ object MySqlDialect {
       .replaceAll("(?is)(?:<>|!=)\\s*ALL\\s*\\(", " NOT IN (")
 
   def rewrite(sqlIn: String): String = {
-    val sql = stripGroupByOrder(translateRandSeed(translateBigNot(
-      translateQuantified(translateLikeEscape(translateCaseTruthiness(
-        translateIntervalCol(stripSelectHints(
-          translateGetFormat(sqlIn)))))))))
+    val sql = translateNestedJoinOn(
+      clampDoubleLiterals(stripGroupByOrder(translateRandSeed(
+      translateBigNot(translateQuantified(translateLikeEscape(
+        translateCaseTruthiness(translateIntervalCol(stripSelectHints(
+          translateGetFormat(sqlIn)))))))))))
     val out = new StringBuilder(sql.length + 16)
     val n = sql.length
     var i = 0

@@ -92,7 +92,7 @@ class StatementRunner(spark: SparkSession) {
   private val LoadRe: Regex =
     """(?is)^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INFILE\s+'([^']*)'\s+(?:(REPLACE|IGNORE)\s+)?INTO\s+TABLE\s+`?(\w+)`?\s*(.*)$""".r
   private val OutfileRe: Regex =
-    """(?is)\bINTO\s+OUTFILE\s+'([^']*)'""".r
+    """(?is)\bINTO\s+OUTFILE\s+['"]([^'"]*)['"]""".r
   private val IgnoreLinesRe: Regex = """(?is)\bIGNORE\s+\d+\s+LINES""".r
 
   /** MTR scripts name OUTFILE/INFILE paths relative to the server's
@@ -324,6 +324,44 @@ class StatementRunner(spark: SparkSession) {
     }
     if (cur.nonEmpty) out += cur.toString
     out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** MySQL strict mode raises 1365 when an INSERT/UPDATE value divides
+    * by a literal zero (select_precision.test `INSERT … SET col = 1/0`);
+    * Spark's non-ANSI divide yields NULL silently. Literal-aware text
+    * check on the value expression. */
+  private def rejectLiteralDivZero(valueText: String, what: String): Unit = {
+    val stripped = valueText.replaceAll("'[^']*'|\"[^\"]*\"", "")
+    if ("""(?:/|\bDIV\s+|%\s*)\s*0(?![\dx.])""".r
+      .findFirstIn(stripped).isDefined &&
+      !"""(?i)nullif\s*\(""".r.findFirstIn(stripped).isDefined)
+      throw new IllegalArgumentException(
+        s"$what: division by zero (MySQL strict mode, error 1365)")
+  }
+
+  /** Split `set-list [WHERE cond]` at the TOP-LEVEL WHERE — quote- and
+    * paren-aware, so a scalar subquery's internal WHERE stays put. */
+  private def splitTopLevelWhere(s: String): (String, Option[String]) = {
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'w' | 'W' if depth == 0 &&
+            s.regionMatches(true, i, "WHERE", 0, 5) &&
+            (i == 0 || !Character.isLetterOrDigit(s(i - 1))) &&
+            (i + 5 >= s.length || !Character.isLetterOrDigit(s(i + 5))) =>
+          return (s.substring(0, i).trim, Some(s.substring(i + 5).trim))
+        case _ =>
+      }
+      i += 1
+    }
+    (s.trim, None)
   }
 
   /** Split on top-level semicolons (quote- and paren-aware) — stored
@@ -676,6 +714,7 @@ class StatementRunner(spark: SparkSession) {
       : DataFrame = {
     // tuples ride the dialect rewrite too (bit literals b'0101'/0b0101,
     // &&/|| inside row expressions; string literals stay protected)
+    if (strict && strictMode) rejectLiteralDivZero(tuples, "INSERT")
     val rewritten =
       MySqlDialect.rewrite(substituteDefaultKeyword(tuples, colList, schema))
     val df = try spark.sql(s"SELECT * FROM VALUES $rewritten") catch {
@@ -721,7 +760,7 @@ class StatementRunner(spark: SparkSession) {
     // downgrades NULL to the column default with a warning — the
     // STRICT_TRANS_TABLES mode does not harden non-transactional
     // engines' multi-row inserts (insert.test pins both behaviors)
-    alignToSchema(df, colList, schema, strict,
+    alignToSchema(df, colList, schema, strict && strictMode,
       strictNulls = topLevelTuples(rewritten).length <= 1)
   }
 
@@ -1570,6 +1609,7 @@ class StatementRunner(spark: SparkSession) {
     * insert (insert.test); unmentioned columns arrive NULL. */
   private def runInsertSet(table0: String, setList: String): DataFrame = {
     import org.apache.spark.sql.functions.{expr, lit}
+    if (strictMode) rejectLiteralDivZero(setList, "INSERT SET")
     val table = dmlTableFor(table0,
       splitTopLevel(setList).map(_.takeWhile(_ != '=').trim
         .stripPrefix("`").stripSuffix("`")))
@@ -1597,15 +1637,31 @@ class StatementRunner(spark: SparkSession) {
       s"INSERT SET: field(s) ${missingRequired.mkString(", ")} don't " +
         "have a default value (MySQL strict mode, error 1364)")
     // range semantics before the cast (the alignToSchema discipline):
-    // evaluate each RHS in its natural type and bounds-check it
-    rangeCheck(
+    // evaluate each RHS in its natural type and bounds-check it —
+    // strict mode only; `SET sql_mode=''` clamps instead
+    if (strictMode) rangeCheck(
       spark.range(1).select(assigns.map { case (c, rhs) =>
         expr(rhs).as(c)
       }: _*),
       schema, assigns.map(_._1))
     val row = spark.range(1).select(schema.map { f =>
       assigns.find(_._1 == f.name) match {
-        case Some((_, rhs)) => expr(rhs).cast(f.dataType).as(f.name)
+        case Some((_, rhs)) =>
+          val raw = expr(rhs)
+          // non-strict mode CLAMPS to the declared range (the IGNORE
+          // discipline) instead of letting Spark's cast wrap 128 → -128
+          val shaped =
+            if (strictMode) raw
+            else mysqlBounds(f) match {
+              case Some((lo, hi)) =>
+                org.apache.spark.sql.functions.least(
+                  org.apache.spark.sql.functions.greatest(
+                    raw.cast(org.apache.spark.sql.types
+                      .DecimalType(38, 4)), lit(lo.bigDecimal)),
+                  lit(hi.bigDecimal))
+              case None => raw
+            }
+          shaped.cast(f.dataType).as(f.name)
         case None => fillUnprovided(f, strict = true)
       }
     }.toSeq: _*)
@@ -1821,7 +1877,7 @@ class StatementRunner(spark: SparkSession) {
     // affected rows (unsigned.test updates a BIGINT UNSIGNED to a
     // negative — MySQL 1264), checked on the PRE-cast expression;
     // UPDATE IGNORE skips the check (values clamp in project instead)
-    if (!ignore) {
+    if (!ignore && strictMode) {
       val probe = store.read().filter(cond)
         .select(assigns.map { case (c, rhs) => expr(rhs).as(c) }: _*)
       // quoted-literal assignments keep byte semantics for BIT targets;
@@ -2128,7 +2184,7 @@ class StatementRunner(spark: SparkSession) {
   // variables, scoped system variables — accepted as session no-ops;
   // plain `SET key = value` still passes through to spark.sql.
   private val SetSessionRe: Regex =
-    """(?is)^\s*SET\s+((?:NAMES\s+\S+|@@?[\w.]+\s*=.*|(?:GLOBAL|SESSION)\s+.+|(?:sql_\w+|character_set_\w+|collation_\w+|tianmu_\w+|autocommit|unique_checks|foreign_key_checks|big_tables|max_\w+|default_\w+)\s*=.*))\s*;?\s*$""".r
+    """(?is)^\s*SET\s+((?:NAMES\s+\S+|@@?[\w.]+\s*:?=.*|(?:GLOBAL|SESSION)\s+.+|(?:sql_\w+|character_set_\w+|collation_\w+|tianmu_\w+|autocommit|unique_checks|foreign_key_checks|big_tables|max_\w+|default_\w+)\s*=.*))\s*;?\s*$""".r
   /** Recorded MySQL system variables (`SET [GLOBAL|SESSION] x = v`,
     * `SET @@x = v`). The one with engine behavior behind it is
     * `tianmu_no_key_error` (handler/ha_tianmu.cpp:1704): OFF (the
@@ -2136,6 +2192,13 @@ class StatementRunner(spark: SparkSession) {
     * Tianmu table an error; ON downgrades it to inert metadata —
     * several reference MTR files flip it via their master.opt. */
   private val sessionVars = scala.collection.mutable.Map[String, String]()
+  /** Strict mode tracks the session's sql_mode: the server default is
+    * STRICT_TRANS_TABLES, and a `SET sql_mode=''` downgrades inserts to
+    * clamp-and-warn (select_precision.test flips it mid-file). */
+  private def strictMode: Boolean =
+    sessionVars.get("sql_mode")
+      .map(_.toUpperCase.contains("STRICT")).getOrElse(true)
+
   private def noKeyError: Boolean =
     sessionVars.getOrElse("tianmu_no_key_error", "OFF")
       .equalsIgnoreCase("ON")
@@ -2535,6 +2598,10 @@ class StatementRunner(spark: SparkSession) {
             max(when(!col("__isauto"), idAsLong - col("__lauto")))
               .as("__pmax"))
           .collect().sortBy(_.getLong(0))
+        // LAST_INSERT_ID bookkeeping: any auto rows in this batch set
+        // it to the first generated value (the counter before + 1)
+        if (perPart.exists(_.getLong(1) > 0))
+          lastInsertId = start + 1
         var aoff = 0L
         var best = Long.MinValue
         val statsRows = perPart.map { r =>
@@ -2877,6 +2944,10 @@ class StatementRunner(spark: SparkSession) {
     if (resolved.contains("::") && !inStringLiteralFree(resolved, "::"))
       throw new IllegalArgumentException(
         ":: is not MySQL cast syntax (MySQL error 1064)")
+    // a bare == is not a MySQL operator (select_expressions.test)
+    if (resolved.contains("==") && !inStringLiteralFree(resolved, "=="))
+      throw new IllegalArgumentException(
+        "== is not a MySQL operator (MySQL error 1064)")
     if ("""(?is),\s*\*\s*(?:,|\bFROM\b)""".r
       .findFirstIn(resolved).isDefined &&
       !inStringLiteral(resolved,
@@ -2884,13 +2955,21 @@ class StatementRunner(spark: SparkSession) {
           .findFirstMatchIn(resolved).get.start))
       throw new IllegalArgumentException(
         "unqualified * must be the first select item (MySQL error 1064)")
+    // LAST_INSERT_ID(): first auto id generated by the last insert
+    // (update_v1.test uses it in WHERE)
+    val resolvedLi =
+      if ("""(?i)last_insert_id\s*\(\s*\)""".r
+        .findFirstIn(resolved).isDefined)
+        resolved.replaceAll("(?i)last_insert_id\\s*\\(\\s*\\)",
+          lastInsertId.toString)
+      else resolved
     // ROW_COUNT(): rows changed by the previous DML (insert.test)
     if ("""(?is)^\s*SELECT\s+ROW_COUNT\s*\(\s*\)\s*;?\s*$""".r
       .findFirstIn(resolved).isDefined) {
       import spark.implicits._
       return Seq(lastRowCount).toDF("row_count()")
     }
-    val df = dispatch(resolved)
+    val df = dispatch(resolvedLi)
     val dmlCols = Set("rows_inserted", "rows_updated", "rows_deleted",
       "rows_matched", "rows_loaded")
     df.columns.find(dmlCols) foreach { c =>
@@ -2903,6 +2982,10 @@ class StatementRunner(spark: SparkSession) {
     df
   }
   private var lastRowCount: Long = 0L
+  // first auto-generated id of the LAST insert (MySQL LAST_INSERT_ID();
+  // update_v1.test); assignAutoInc refreshes it from the per-partition
+  // stats it already collects driver-side
+  private var lastInsertId: Long = 0L
 
   private def dispatch(stmtText: String): DataFrame = stmtText match {
     case LoadRe(path, dupMode, table, tail) =>
@@ -3391,7 +3474,8 @@ class StatementRunner(spark: SparkSession) {
       runDelete(table, whereClause)
 
     case UpdateJoinRe(fromSpec, setList, whereClause)
-        if setList.contains(".") =>
+        if setList.contains(".") &&
+          """(?i)\bJOIN\b|,""".r.findFirstIn(fromSpec).isDefined =>
       runUpdateJoin(fromSpec, setList, whereClause)
 
     case DeleteMultiRe(modifiers, targets, fromClause, whereClause) =>
@@ -3442,7 +3526,16 @@ class StatementRunner(spark: SparkSession) {
       runUpdateLimit(table, setList, whereClause, orderClause, n.toInt)
 
     case UpdateRe(ignoreMod, table, setList, whereClause) =>
-      runUpdate(table, setList, whereClause, ignore = ignoreMod != null)
+      // the regex split is not paren-aware: a scalar-subquery SET value
+      // tears at ITS internal WHERE (update_v1.test `SET f2 = (SELECT
+      // … WHERE …)`) — re-split the tail at the TOP-LEVEL WHERE and
+      // strip self-qualified column refs
+      val full = setList +
+        (if (whereClause == null) "" else " WHERE " + whereClause)
+      val (setPart, wherePart) = splitTopLevelWhere(full)
+      runUpdate(table, setPart.replaceAll(
+        "(?i)\\b" + java.util.regex.Pattern.quote(table) + "\\.", ""),
+        wherePart.orNull, ignore = ignoreMod != null)
 
     case ShowTablesRe() =>
       import spark.implicits._
@@ -3695,6 +3788,7 @@ class StatementRunner(spark: SparkSession) {
         throw new IllegalArgumentException(
           s"USE: unknown database '$db' (CREATE DATABASE first)")
       currentDb = db.toLowerCase
+      spark.conf.set("spark.graft.currentDb", currentDb)
       Seq((db, "database changed")).toDF("database", "status")
 
     case DropDbRe(db) =>

@@ -27,8 +27,26 @@ object MtrTriage {
       .filter(_.getName.endsWith(".test")).map(_.getName).sorted
       .filterNot(pinnedNames)
     val only: Seq[String] = if (args.nonEmpty) args.toSeq else all.toSeq
-    var ok = 0
-    only.foreach { file =>
+    val okCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futs = only.map { file => scala.concurrent.Future {
+      triageOne(file, spark.newSession(), parse, oos, spec, okCount)
+    } }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futs),
+      scala.concurrent.duration.Duration(120, "min"))
+    pool.shutdown()
+    println(s"TRIAGE TOTAL: ${only.length} tried, ${okCount.get} clean")
+  }
+
+  private def triageOne(file: String,
+      spark: org.apache.spark.sql.SparkSession,
+      parse: java.lang.reflect.Method, oos: java.lang.reflect.Method,
+      spec: MtrReplaySpec,
+      okCount: java.util.concurrent.atomic.AtomicInteger): Unit = {
+    {
       val runner = new sources.StatementRunner(spark)
       // apply <file>-master.opt server flags, like replay() does
       val opt = new java.io.File(
@@ -65,7 +83,7 @@ object MtrTriage {
         }
         failed match {
           case None =>
-            ok += 1
+            okCount.incrementAndGet()
             println(s"TRIAGE $file: OK ran=$ran skipped=$skipped")
           case Some(msg) =>
             println(s"TRIAGE $file: at stmt ${ran + 1} " +
@@ -73,6 +91,5 @@ object MtrTriage {
         }
       }
     }
-    println(s"TRIAGE TOTAL: ${only.length} tried, $ok clean")
   }
 }
