@@ -133,18 +133,33 @@ object Registry {
     fn("collation")(_ => lit("utf8mb4_general_ci"))
     // MySQL TRUNCATE(x, d): toward-zero truncation at d decimal places
     // (bit_type.test); negative d zeroes digits left of the point
-    fn("truncate") { cs =>
-      val p = pow(lit(10.0), cs(1).cast("int"))
-      // temporal input coerces through its digit string
-      // (type_timestamp.test TRUNCATEs a TIMESTAMP column:
-      // '2020-01-02 03:04:05' ≡ 20200102030405); everything else keeps
-      // the plain numeric path
-      val s = cs.head.cast("string")
-      val x = when(s.rlike("^\\d{4}-\\d{2}-\\d{2}"),
-        regexp_replace(s, "[^0-9]", "").cast("double"))
-        .otherwise(cs.head.cast("double"))
-      (signum(x) * floor(abs(x) * p) / p)
-    }
+    GraftSqlBridge.registerFunction(spark, "truncate", exprs => {
+      val c = GraftSqlBridge.column(exprs.head)
+      val p = pow(lit(10.0), GraftSqlBridge.column(exprs(1)).cast("int"))
+      // only a TEMPORAL-typed argument coerces through its digit
+      // string (type_timestamp.test TRUNCATEs a TIMESTAMP column:
+      // '2020-01-02 03:04:05' ≡ 20200102030405) — the check is on the
+      // resolved dataType, NOT the rendered value: a VARCHAR holding
+      // '2020-01-02' prefix-parses to 2020 in MySQL, never 20200102
+      val isTemporalArg = scala.util.Try(exprs.head.dataType)
+        .toOption.exists(dt =>
+          dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+            dt.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType] ||
+            dt.isInstanceOf[org.apache.spark.sql.types.DateType])
+      val isStringArg = scala.util.Try(exprs.head.dataType).toOption
+        .contains(org.apache.spark.sql.types.StringType)
+      val x =
+        if (isTemporalArg)
+          regexp_replace(c.cast("string"), "[^0-9]", "").cast("double")
+        else if (isStringArg)
+          // MySQL prefix-parses string numerics ('2020-01-02' → 2020,
+          // 'abc' → 0); Spark's cast would null the whole value
+          coalesce(regexp_extract(c,
+            "^\\s*(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)", 1)
+            .cast("double"), lit(0.0))
+        else c.cast("double")
+      GraftSqlBridge.expression(signum(x) * floor(abs(x) * p) / p)
+    })
     // JSON_CONTAINS(target, candidate[, path]) → 1/0 (MySQL containment
     // rules, JsonOps); one name serves both arities
     locally {
@@ -252,31 +267,50 @@ object Registry {
                                .Expression): Unit =
       GraftSqlBridge.registerFunction(spark, name, exprs => {
         val x = GraftSqlBridge.column(exprs.head)
+        val dtOpt = scala.util.Try(exprs.head.dataType).toOption
         // temporal input goes through its digit number (CEIL(ts) ≡
         // CEIL(20200102030405), type_timestamp.test); everything else
         // keeps its own type
-        val isTemporalArg = scala.util.Try(exprs.head.dataType)
-          .toOption.exists(dt =>
-            dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
-              dt.isInstanceOf[org.apache.spark.sql.types
-                .TimestampNTZType] ||
-              dt.isInstanceOf[org.apache.spark.sql.types.DateType])
-        val x0 =
-          if (isTemporalArg)
-            regexp_replace(x.cast("string"), "[^0-9]", "")
-              .cast("decimal(38,4)")
-          else x
-        // CaseWhen evaluates branches lazily per row, so the throw only
-        // fires on actually-out-of-range values; the value's type is
-        // preserved (NullType coerces to it). The wrapped function MUST
-        // be the raw Catalyst expression: a functions.* builder inside
-        // its own registration resolves back through THIS registry and
-        // expands forever.
-        val checked = when(abs(x0.cast("decimal(38,4)"))
-            > lit(new java.math.BigDecimal(Long.MaxValue)),
-            assert_true(lit(false)))
-          .otherwise(x0)
-        f(GraftSqlBridge.expression(checked))
+        val isTemporalArg = dtOpt.exists(dt =>
+          dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+            dt.isInstanceOf[org.apache.spark.sql.types
+              .TimestampNTZType] ||
+            dt.isInstanceOf[org.apache.spark.sql.types.DateType])
+        // the 1690 out-of-range throw applies to EXACT-value numeric
+        // arguments only (integral/decimal, func_math.test's
+        // `ceiling(18446744073709551614)` — a DecimalType literal);
+        // CEILING/FLOOR of a DOUBLE returns a float result in MySQL,
+        // so 1.8e19 passes through unchecked
+        val isExactNumeric = dtOpt.exists {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _: org.apache.spark.sql.types.DecimalType => true
+          case _ => false
+        }
+        if (!isTemporalArg && !isExactNumeric) f(exprs.head)
+        else {
+          val x0 =
+            if (isTemporalArg)
+              regexp_replace(x.cast("string"), "[^0-9]", "")
+                .cast("decimal(38,4)")
+            else x
+          // CaseWhen evaluates branches lazily per row, so the throw
+          // only fires on actually-out-of-range values; the value's
+          // type is preserved (NullType coerces to it). An exact value
+          // that OVERFLOWS the decimal(38,4) probe (null comparison)
+          // is out of range a fortiori — coalesce counts it. The
+          // wrapped function MUST be the raw Catalyst expression: a
+          // functions.* builder inside its own registration resolves
+          // back through THIS registry and expands forever.
+          val checked = when(x0.isNull, x0)
+            .when(coalesce(abs(x0.cast("decimal(38,4)"))
+              > lit(new java.math.BigDecimal(Long.MaxValue)), lit(true)),
+              assert_true(lit(false)))
+            .otherwise(x0)
+          f(GraftSqlBridge.expression(checked))
+        }
       })
     // ROUND over a temporal coerces through its digit number too
     GraftSqlBridge.registerFunction(spark, "round", exprs => {

@@ -156,7 +156,14 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
         : Unit = {
       val cs = p match {
         case f: Filter => Seq(f.condition)
-        case j: Join => j.condition.toSeq
+        // only an INNER join's ON equi-pairs are functional
+        // dependencies on every output row — a LEFT JOIN's
+        // `t1.a = t2.b` says nothing about t2.b on null-extended
+        // rows, so harvesting it would let First() return NULL for
+        // queries MySQL's ONLY_FULL_GROUP_BY rejects
+        case j: Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.Inner =>
+          j.condition.toSeq
         case _ => Seq.empty
       }
       // only TOP-LEVEL conjuncts guarantee equality (an EqualTo under

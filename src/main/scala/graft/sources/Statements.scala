@@ -47,6 +47,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * ([[Dml.replaceInto]] / [[Dml.appendStrict]]) — failing fast beats
   * silently dropping a requested behavior.
   */
+object StatementRunner {
+  /** Monotonic id source for per-runner I/O sandboxes (parallel MTR
+    * replay runs 8 runners concurrently). */
+  private[sources] val sandboxSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 class StatementRunner(spark: SparkSession) {
 
   // the runner's dialect includes the MySQL function surface — make
@@ -101,9 +107,14 @@ class StatementRunner(spark: SparkSession) {
     * deterministically under `target/mtr_io/` (same mapping on the
     * write and the read side, so OUTFILE→LOAD round-trips work) instead
     * of littering the process working directory. */
+  // keyed per-runner: the 8-way parallel MTR replay would otherwise
+  // race two files that use the same relative/$MYSQLTEST_VARDIR path
+  // text on one shared target/mtr_io/ file
+  private val sandboxId =
+    "r" + StatementRunner.sandboxSeq.incrementAndGet()
   private def sandboxIoPath(path: String): String =
     if (path.startsWith("/") && !path.contains("$")) path
-    else "target/mtr_io/" +
+    else s"target/mtr_io/$sandboxId/" +
       path.replaceAll("[^\\w.-]+", "_").stripPrefix("_")
 
   /** Read-side resolution: MTR scripts address fixtures relative to the
@@ -534,8 +545,7 @@ class StatementRunner(spark: SparkSession) {
         f.dataType.isInstanceOf[TimestampNTZType]
       // numeric 0 is MySQL's legal zero date unless NO_ZERO_DATE is in
       // the session sql_mode (issue682 flips it mid-file)
-      val zeroDateAllowed = !sessionVars.getOrElse("sql_mode", "")
-        .toUpperCase.contains("NO_ZERO_DATE")
+      val zeroDateAllowed = !sessionSqlMode.contains("NO_ZERO_DATE")
       if (!provided.contains(f.name) || !isTemporal) None
       else named.schema(f.name).dataType match {
         case _: NumericType =>
@@ -624,9 +634,10 @@ class StatementRunner(spark: SparkSession) {
   private def alignToSchema(raw: DataFrame, colList: String,
                             schema: org.apache.spark.sql.types.StructType,
                             strict: Boolean = true,
-                            strictNulls: Boolean = true)
+                            strictNulls: Boolean = true,
+                            ignoreMode: Boolean = false)
       : DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, greatest, least, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, greatest, least, lit, when}
     import org.apache.spark.sql.types.DecimalType
     val provided: Seq[String] =
       if (colList == null || colList.trim.isEmpty) schema.map(_.name).toSeq
@@ -644,6 +655,24 @@ class StatementRunner(spark: SparkSession) {
         s"INSERT: field(s) ${missingRequired.mkString(", ")} don't have " +
           "a default value (MySQL strict mode, error 1364)")
       rangeCheck(named, schema, provided, strictNulls)
+    } else if (strictNulls && !ignoreMode) {
+      // explicit NULL into NOT NULL is 1048 even under NON-strict
+      // sql_mode when the insert is SINGLE-row (insert.test runs under
+      // NO_ENGINE_SUBSTITUTION and still pins the error); only the
+      // multi-row form downgrades to the implicit default with a
+      // warning — MySQL's documented asymmetry. INSERT IGNORE
+      // (ignoreMode) downgrades even the single-row form.
+      import org.apache.spark.sql.functions.{array, explode}
+      val req = schema.toSeq.filter(f =>
+        provided.contains(f.name) && requiredCol(f))
+      if (req.nonEmpty) {
+        val bad = named.select(explode(array(req.map(f =>
+          when(col(f.name).isNull, lit(f.name))): _*)).as("c"))
+          .filter(col("c").isNotNull).limit(1).collect()
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"INSERT: column '${bad.head.getString(0)}' cannot be null " +
+            "(MySQL error 1048)")
+      }
     }
     named.select(schema.map { f =>
       if (provided.contains(f.name)) {
@@ -653,9 +682,15 @@ class StatementRunner(spark: SparkSession) {
         val shaped =
           if (strict) col(f.name)
           else if (isNum) mysqlBounds(f) match {
-            case Some((lo, hi)) => least(greatest(
-              col(f.name).cast(DecimalType(38, 4)),
-              lit(lo.bigDecimal)), lit(hi.bigDecimal))
+            // NULL is never out-of-range: Spark's greatest/least SKIP
+            // nulls, so an unguarded clamp would turn a NULL cell into
+            // the type's lower bound — fatal for auto-increment columns
+            // whose NULL means "assign the next id" (insert.test's
+            // multi-row DEFAULT rows under non-strict sql_mode)
+            case Some((lo, hi)) => when(col(f.name).isNull, lit(null))
+              .otherwise(least(greatest(
+                col(f.name).cast(DecimalType(38, 4)),
+                lit(lo.bigDecimal)), lit(hi.bigDecimal)))
             case None => col(f.name)
           }
           else if (isStr) maxLenOf(f) match {
@@ -761,7 +796,12 @@ class StatementRunner(spark: SparkSession) {
     // STRICT_TRANS_TABLES mode does not harden non-transactional
     // engines' multi-row inserts (insert.test pins both behaviors)
     alignToSchema(df, colList, schema, strict && strictMode,
-      strictNulls = topLevelTuples(rewritten).length <= 1)
+      strictNulls = topLevelTuples(rewritten).length <= 1,
+      // the caller's strict=false IS the IGNORE regime (runInsertIgnore
+      // passes it); a session-level non-strict sql_mode arrives with
+      // strict=true + strictMode=false and keeps the 1048 single-row
+      // rejection above
+      ignoreMode = !strict)
   }
 
   /** Contents of each top-level `(…)` tuple group (string-aware). */
@@ -1630,6 +1670,12 @@ class StatementRunner(spark: SparkSession) {
     val bad = assigns.map(_._1).filterNot(schema.fieldNames.contains)
     if (bad.nonEmpty) throw new IllegalArgumentException(
       s"INSERT SET: unknown column(s) ${bad.mkString(", ")}")
+    // `SET a=1,b=2,a=1` — naming a column twice is ER_FIELD_SPECIFIED
+    // _TWICE (insert.test pins 1110)
+    assigns.groupBy(_._1.toLowerCase).collectFirst {
+      case (n, vs) if vs.size > 1 => n
+    }.foreach(n => throw new IllegalArgumentException(
+      s"INSERT SET: column '$n' specified twice (MySQL error 1110)"))
     val missingRequired = schema.filter(f =>
       requiredCol(f) && !assigns.exists(_._1 == f.name)
         && declaredDefault(f).isEmpty).map(_.name)
@@ -1653,12 +1699,16 @@ class StatementRunner(spark: SparkSession) {
           val shaped =
             if (strictMode) raw
             else mysqlBounds(f) match {
+              // NULL is never out-of-range (greatest/least skip nulls,
+              // so an unguarded clamp turns NULL into the lower bound —
+              // see alignToSchema's identical guard)
               case Some((lo, hi)) =>
-                org.apache.spark.sql.functions.least(
-                  org.apache.spark.sql.functions.greatest(
-                    raw.cast(org.apache.spark.sql.types
-                      .DecimalType(38, 4)), lit(lo.bigDecimal)),
-                  lit(hi.bigDecimal))
+                org.apache.spark.sql.functions.when(raw.isNull, lit(null))
+                  .otherwise(org.apache.spark.sql.functions.least(
+                    org.apache.spark.sql.functions.greatest(
+                      raw.cast(org.apache.spark.sql.types
+                        .DecimalType(38, 4)), lit(lo.bigDecimal)),
+                    lit(hi.bigDecimal)))
               case None => raw
             }
           shaped.cast(f.dataType).as(f.name)
@@ -2192,12 +2242,34 @@ class StatementRunner(spark: SparkSession) {
     * Tianmu table an error; ON downgrades it to inert metadata —
     * several reference MTR files flip it via their master.opt. */
   private val sessionVars = scala.collection.mutable.Map[String, String]()
+  /** Composite sql_mode values imply member modes (MySQL 5.7 manual
+    * §5.1.10 "combination modes"): TRADITIONAL bundles both STRICT
+    * modes plus the zero-date and division hardening; ANSI bundles the
+    * ANSI-compat modes. A raw substring test loses them —
+    * insert_update.test sets `SQL_MODE='TRADITIONAL'` and expects
+    * strict-insert errors (ER_NO_DEFAULT_FOR_FIELD). */
+  private def expandSqlMode(raw: String): String = {
+    raw.toUpperCase.split(",").map(_.trim).filter(_.nonEmpty).flatMap {
+      case "TRADITIONAL" => Seq("TRADITIONAL", "STRICT_TRANS_TABLES",
+        "STRICT_ALL_TABLES", "NO_ZERO_IN_DATE", "NO_ZERO_DATE",
+        "ERROR_FOR_DIVISION_BY_ZERO", "NO_AUTO_CREATE_USER",
+        "NO_ENGINE_SUBSTITUTION")
+      case "ANSI" => Seq("ANSI", "REAL_AS_FLOAT", "PIPES_AS_CONCAT",
+        "ANSI_QUOTES", "IGNORE_SPACE", "ONLY_FULL_GROUP_BY")
+      case m => Seq(m)
+    }.mkString(",")
+  }
+
+  /** The session sql_mode with composite modes expanded; the server
+    * default is STRICT_TRANS_TABLES. Every mode-membership test in the
+    * runner goes through this accessor. */
+  private def sessionSqlMode: String =
+    expandSqlMode(sessionVars.getOrElse("sql_mode", "STRICT_TRANS_TABLES"))
+
   /** Strict mode tracks the session's sql_mode: the server default is
     * STRICT_TRANS_TABLES, and a `SET sql_mode=''` downgrades inserts to
     * clamp-and-warn (select_precision.test flips it mid-file). */
-  private def strictMode: Boolean =
-    sessionVars.get("sql_mode")
-      .map(_.toUpperCase.contains("STRICT")).getOrElse(true)
+  private def strictMode: Boolean = sessionSqlMode.contains("STRICT")
 
   private def noKeyError: Boolean =
     sessionVars.getOrElse("tianmu_no_key_error", "OFF")
@@ -2215,7 +2287,7 @@ class StatementRunner(spark: SparkSession) {
         // (loose GROUP BY applies only when an explicit SET removed
         // ONLY_FULL_GROUP_BY — MySQL 5.7's default includes it)
         if (name == "sql_mode")
-          spark.conf.set("spark.graft.mysql.sqlMode", value)
+          spark.conf.set("spark.graft.mysql.sqlMode", expandSqlMode(value))
       }
   // MTR runs against a server whose default schema `test` always
   // exists — seed it so verbatim `USE test` prologues work.
@@ -2562,8 +2634,7 @@ class StatementRunner(spark: SparkSession) {
         // NULL means "assign"; 0 too under MySQL's default sql_mode
         // (auto_increment.test) unless NO_AUTO_VALUE_ON_ZERO is set
         // (a session SET this runner tracks)
-        val zeroAssigns = !sessionVars.getOrElse("sql_mode", "")
-          .toUpperCase.contains("NO_AUTO_VALUE_ON_ZERO")
+        val zeroAssigns = !sessionSqlMode.contains("NO_AUTO_VALUE_ON_ZERO")
         val isAuto =
           if (zeroAssigns) col(f.name).isNull || col(f.name) === lit(0)
           else col(f.name).isNull
@@ -2875,13 +2946,21 @@ class StatementRunner(spark: SparkSession) {
           val out = new StringBuilder(acc.length)
           var i = 0
           val n = acc.length
+          def word(ch: Char): Boolean =
+            (ch.isLetterOrDigit && ch < 128) || ch == '_'
           while (i < n) {
             val c = acc(i)
             if (c == '\'' || c == '"' || c == '`') {
               val close = acc.indexOf(c, i + 1)
               val end = if (close < 0) n else close + 1
               out.append(acc.substring(i, end)); i = end
-            } else if (acc.startsWith(orig, i)) {
+            } else if (acc.startsWith(orig, i) &&
+                // word boundaries on both sides: a remembered `a b`
+                // must not match inside "a between" — substitution
+                // only where the original reads as a standalone token
+                (i == 0 || !(word(acc(i - 1)) && word(orig.head))) &&
+                (i + orig.length >= n ||
+                  !(word(acc(i + orig.length)) && word(orig.last)))) {
               out.append(sanitizedNames(orig)); i += orig.length
             } else { out.append(c); i += 1 }
           }

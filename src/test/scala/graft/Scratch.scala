@@ -4,12 +4,15 @@ package graft
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = TestSession.spark
-    val dir = "/root/testdata/sf0.01"
-    println("=== q_sql_multi_table_dml")
-    sources.Statements.qSqlMultiTableDml(spark, dir)
-      .orderBy("region_name").show(30, false)
-    println("=== q_sql_session_forms")
-    sources.Statements.qSqlSessionForms(spark, dir)
-      .orderBy("k").show(30, false)
+    val r = new sources.StatementRunner(spark)
+    r.run("SET sql_mode = 'NO_ENGINE_SUBSTITUTION'")
+    r.run("""create table t1 (a int not null auto_increment,
+      primary key (a),
+      t timestamp NOT NULL DEFAULT CURRENT_TIMESTAMP ON UPDATE CURRENT_TIMESTAMP,
+      c char(10) default "hello", i int)engine=tianmu""")
+    try {
+      r.run("""insert into t1 values (default,default,default,default), (default,default,default,default), (4,0,"a",5),(default,default,default,default)""")
+      r.run("select a,t>0,c,i from t1").orderBy("a").show(10, false)
+    } catch { case e: Throwable => println("FAIL: " + e) }
   }
 }
