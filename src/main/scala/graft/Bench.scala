@@ -130,7 +130,7 @@ object Bench {
   def interleavedSamples(spark: SparkSession,
                          sfDir: String): Seq[Map[String, Double]] =
     (1 to RunsPerQuery).map(_ =>
-      headline.map(n => n -> runOne(spark, n, sfDir)).toMap)
+      filteredHeadline.map(n => n -> runOne(spark, n, sfDir)).toMap)
 
   /** Failures are first-class in the artifact: a benched query that
     * errors must scream from the parsed JSON (`"failed":["name",…]`),
@@ -139,6 +139,16 @@ object Bench {
   def failedJson(results: Seq[(String, (Double, Double))]): String =
     results.collect { case (k, (med, _)) if med < 0 => s""""$k"""" }
       .mkString("[", ",", "]")
+
+  /** Optional regex filter over the headline set
+    * (`SPARK_GRAFT_BENCH_FILTER=q\d\d_.*` restricts an sf1 run to the
+    * TPC-H gates — the text-pipeline queries have no scaled corpus
+    * there). */
+  def filteredHeadline: Seq[String] =
+    sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+      case Some(re) => headline.filter(_.matches(re))
+      case None => headline
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -156,7 +166,7 @@ object Bench {
     runOne(spark, "q06_forecast_revenue", sfDir)
 
     val samples = interleavedSamples(spark, sfDir)
-    val results = headline.map { n =>
+    val results = filteredHeadline.map { n =>
       val ts = samples.map(_(n))
       n -> (if (ts.exists(_ < 0)) (-1.0, -1.0)
             else (ts.sorted.apply(RunsPerQuery / 2), ts.min))
@@ -184,6 +194,25 @@ object Bench {
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // ALSO write a per-round copy (BENCH_DETAIL_r{N}.json, N = next
+    // after the highest committed BENCH_r*.json): the mutable
+    // BENCH_DETAIL.json is overwritten every run, so round-over-round
+    // per-query diffs needed git archaeology before this.
+    try {
+      val repo = java.nio.file.Paths.get(detailPath).getParent
+      val rn = java.nio.file.Files.list(repo).iterator()
+        .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      var maxR = 0
+      while (rn.hasNext) {
+        val f = rn.next().getFileName.toString
+        """^BENCH_r(\d+)\.json$""".r.findFirstMatchIn(f)
+          .foreach(m => maxR = math.max(maxR, m.group(1).toInt))
+      }
+      java.nio.file.Files.write(
+        repo.resolve(f"BENCH_DETAIL_r${maxR + 1}%02d.json"),
+        (detail + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] round detail write failed: ${e.getMessage}") }
     // Compact summary printed LAST so the driver's tail capture always
     // gets a parseable JSON line. Bounded size FOREVER: no per-query map
     // here — total + failed + provenance only (`failed` is empty on a

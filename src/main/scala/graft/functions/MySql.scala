@@ -23,6 +23,120 @@ object MySql {
         java.lang.Long.toString(d.toLong)
       else java.lang.Double.toString(d))
 
+  // --- checked integer/double arithmetic (MySQL error 1690) -------------
+  // The reference evaluates integer expressions in int64 (its engine
+  // stores one 64-bit cell per value — common_definitions.h) and MySQL
+  // raises ER_DATA_OUT_OF_RANGE on overflow instead of wrapping
+  // (func_math.test `9223372036854775807 - -1`, bit_type.test
+  // `a * <unsigned literal>`). Spark's non-ANSI long arithmetic wraps
+  // silently — these helpers are StaticInvoke'd by MySqlCoercionRule in
+  // statement mode only, so the DataFrame surface keeps Spark semantics.
+  private def overflow(op: String): Nothing =
+    throw new ArithmeticException(
+      s"BIGINT value is out of range in '$op' (MySQL error 1690)")
+
+  // `unsigned` marks MySQL's BIGINT-UNSIGNED result context (an
+  // unsigned column/cast/oversize literal among the operands): a
+  // NEGATIVE result is out of range there (func_math.test
+  // `CAST(1 AS UNSIGNED) - 2`, `select a-b` over unsigned columns).
+  def longAddChecked(l: Long, r: Long, unsigned: Boolean): Long =
+    try {
+      val x = Math.addExact(l, r)
+      if (unsigned && x < 0) overflow(s"($l + $r) [unsigned]")
+      x
+    } catch { case _: ArithmeticException => overflow(s"($l + $r)") }
+
+  def longSubChecked(l: Long, r: Long, unsigned: Boolean): Long =
+    try {
+      val x = Math.subtractExact(l, r)
+      if (unsigned && x < 0) overflow(s"($l - $r) [unsigned]")
+      x
+    } catch { case _: ArithmeticException => overflow(s"($l - $r)") }
+
+  def longMulChecked(l: Long, r: Long, unsigned: Boolean): Long =
+    try {
+      val x = Math.multiplyExact(l, r)
+      if (unsigned && x < 0) overflow(s"($l * $r) [unsigned]")
+      x
+    } catch { case _: ArithmeticException => overflow(s"($l * $r)") }
+
+  /** ABS over signed BIGINT: |i64min| does not exist in the type —
+    * MySQL raises 1690 (func_math.test `ABS(-9223372036854775808)`)
+    * where Spark's non-ANSI negate wraps back to i64min. */
+  def absLongChecked(x: Long): Long =
+    if (x >= 0) x
+    else if (x == Long.MinValue) overflow(s"ABS($x)")
+    else -x
+
+  private val U64Max = new java.math.BigDecimal("18446744073709551615")
+
+  /** Integer-tier DECIMAL arithmetic in an UNSIGNED context (an
+    * unsigned cast/column or an above-signed-max integer literal among
+    * the operands): the result must land in [0, 2^64-1]
+    * (func_math.test `-2 + CAST(1 AS UNSIGNED)`,
+    * `CAST(0 AS UNSIGNED) - 9223372036854775809`). */
+  def decArithChecked(l: org.apache.spark.sql.types.Decimal,
+                      r: org.apache.spark.sql.types.Decimal,
+                      op: Int): org.apache.spark.sql.types.Decimal = {
+    val a = l.toJavaBigDecimal
+    val b = r.toJavaBigDecimal
+    val x = op match {
+      case 0 => a.add(b)
+      case 1 => a.subtract(b)
+      case _ => a.multiply(b)
+    }
+    if (x.signum < 0 || x.compareTo(U64Max) > 0)
+      throw new ArithmeticException(
+        "BIGINT UNSIGNED value is out of range (MySQL error 1690)")
+    org.apache.spark.sql.types.Decimal(x)
+  }
+
+  /** DOUBLE overflow: finite operands whose +,-,* result leaves the
+    * finite range is MySQL 1690 (func_math.test `1e308 + 1e308`). */
+  def doubleArithChecked(l: Double, r: Double, op: Int): Double = {
+    val x = op match {
+      case 0 => l + r
+      case 1 => l - r
+      case _ => l * r
+    }
+    if (x.isInfinite && !l.isInfinite && !r.isInfinite)
+      throw new ArithmeticException(
+        s"DOUBLE value is out of range in '($l ${"+-*".charAt(op)} $r)' " +
+          "(MySQL error 1690)")
+    x
+  }
+
+  /** DOUBLE division: divisor 0 keeps Spark/MySQL's NULL; a finite
+    * dividend whose quotient overflows to ±Infinity is 1690
+    * (func_math.test `1e300 / 1e-300`). Boxed return so the NULL
+    * survives StaticInvoke. */
+  def doubleDivChecked(l: Double, r: Double): java.lang.Double = {
+    if (r == 0.0) null
+    else {
+      val x = l / r
+      if (x.isInfinite && !l.isInfinite)
+        throw new ArithmeticException(
+          s"DOUBLE value is out of range in '($l / $r)' (MySQL error 1690)")
+      java.lang.Double.valueOf(x)
+    }
+  }
+
+  /** MySQL `DIV` with overflow semantics: the quotient must fit signed
+    * BIGINT (func_math.test `-9999999999999999991 DIV -1` and the
+    * i64min/-1 corner are 1690); divisor 0 keeps the NULL result.
+    * Operands ride DECIMAL so oversized integer-tier values reach the
+    * check instead of wrapping in the long cast. */
+  def decDivChecked(l: org.apache.spark.sql.types.Decimal,
+                    r: org.apache.spark.sql.types.Decimal): java.lang.Long = {
+    val rv = r.toJavaBigDecimal
+    if (rv.signum == 0) return null
+    val q = l.toJavaBigDecimal.divideToIntegralValue(rv)
+    if (q.abs.compareTo(new java.math.BigDecimal(Long.MaxValue)) > 0)
+      throw new ArithmeticException(
+        "BIGINT value is out of range in DIV (MySQL error 1690)")
+    java.lang.Long.valueOf(q.longValueExact)
+  }
+
   /** MySQL `a DIV b` — integer division truncating toward zero. */
   def div(a: Column, b: Column): Column =
     GraftSqlBridge.column(IntegralDivide(

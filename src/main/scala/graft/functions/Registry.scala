@@ -160,6 +160,45 @@ object Registry {
         else c.cast("double")
       GraftSqlBridge.expression(signum(x) * floor(abs(x) * p) / p)
     })
+    // EXP/POW overflow to ±Infinity from finite arguments is MySQL
+    // 1690 (func_math.test `EXP(750)`, `POW(10, 309)`) — Spark returns
+    // Infinity silently
+    locally {
+      // the inner expression MUST be the raw Catalyst node — a
+      // functions.exp/pow call inside its own registration resolves
+      // back through THIS registry and expands forever
+      def rawD(e: Expression): Column = GraftSqlBridge.column(
+        org.apache.spark.sql.catalyst.expressions.Cast(e,
+          org.apache.spark.sql.types.DoubleType))
+      def infChecked(name: String, f: Seq[Expression] => Expression): Unit =
+        GraftSqlBridge.registerFunction(spark, name, exprs => {
+          val x = rawD(f(exprs))
+          GraftSqlBridge.expression(
+            when(x === lit(Double.PositiveInfinity) ||
+                x === lit(Double.NegativeInfinity),
+              assert_true(lit(false),
+                lit(s"DOUBLE value is out of range in $name() " +
+                  "(MySQL error 1690)")).cast("double"))
+              .otherwise(x))
+        })
+      def dbl(e: Expression): Expression =
+        org.apache.spark.sql.catalyst.expressions.Cast(e,
+          org.apache.spark.sql.types.DoubleType)
+      infChecked("exp", es =>
+        org.apache.spark.sql.catalyst.expressions.Exp(dbl(es.head)))
+      infChecked("pow", es =>
+        org.apache.spark.sql.catalyst.expressions.Pow(
+          dbl(es.head), dbl(es(1))))
+      infChecked("power", es =>
+        org.apache.spark.sql.catalyst.expressions.Pow(
+          dbl(es.head), dbl(es(1))))
+      // COT(0) divides by zero → MySQL 1690 (func_math.test); DEGREES
+      // of a near-max double overflows the same way
+      infChecked("cot", es =>
+        org.apache.spark.sql.catalyst.expressions.Cot(dbl(es.head)))
+      infChecked("degrees", es =>
+        org.apache.spark.sql.catalyst.expressions.ToDegrees(dbl(es.head)))
+    }
     // JSON_CONTAINS(target, candidate[, path]) → 1/0 (MySQL containment
     // rules, JsonOps); one name serves both arities
     locally {

@@ -41,13 +41,21 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       e.dataType.isInstanceOf[TimestampType] ||
       e.dataType.isInstanceOf[TimestampNTZType])
 
+  private def isStringy(e: Expression): Boolean =
+    e.resolved && e.dataType == StringType
+
   /** Numeric → boolean the MySQL way: x <> 0 (NULL stays NULL);
     * temporals go through their digit-string number first
-    * (issue1910's `LEFT JOIN … ON created_date`). */
+    * (issue1910's `LEFT JOIN … ON created_date`); strings coerce
+    * through their numeric value — MySQL parses 'abc' as 0 (false),
+    * Spark's cast nulls it, and a NULL condition filters the row the
+    * same way false does (issue1910's `ON b.nm`). */
   private def asBool(e: Expression): Expression =
     if (isNumeric(e)) Not(EqualTo(e, Cast(Literal(0), e.dataType)))
     else if (isTemporal(e))
       Not(EqualTo(temporalAsNumber(e), Literal(BigDecimal(0))))
+    else if (isStringy(e))
+      Not(EqualTo(Cast(e, DoubleType), Literal(0.0)))
     else e
 
   /** Temporal → the number MySQL compares it as: its digit string
@@ -240,15 +248,83 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
 
+  private val LongMaxBD = new java.math.BigDecimal(Long.MaxValue)
+
+  private def isSubLongIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType => true
+    case _ => false
+  }
+
+  private def isIntDecimal(t: DataType): Boolean = t match {
+    case dt: DecimalType => dt.scale == 0
+    case _ => false
+  }
+
+  /** Does the arithmetic subtree carry MySQL's UNSIGNED result
+    * context? An unsigned column (metadata type), the dialect's
+    * `CAST(… AS UNSIGNED)` spelling (DECIMAL(20,0) cast target), or an
+    * integer literal above the signed-BIGINT max. */
+  private def unsignedMarker(e: Expression): Boolean = e match {
+    // the dialect's CAST(… AS UNSIGNED) spelling
+    case c: Cast if c.dataType == DecimalType(20, 0) => true
+    // CAST(… AS SIGNED) re-signs its operand — an oversize literal
+    // UNDER it must not leak the unsigned context out
+    // (union.test `CAST(0xFFFFFFFFFFFFFF80 AS SIGNED)+2` is signed
+    // -128 + 2, not an unsigned overflow). Only casts over a
+    // DECIMAL-tier child count: Spark's own integral PROMOTION casts
+    // (short→int around an unsigned tinyint column) must keep
+    // traversing to the attribute underneath.
+    case c: Cast if (c.dataType == LongType ||
+        c.dataType == IntegerType || c.dataType == ShortType ||
+        c.dataType == ByteType) && c.child.resolved &&
+        c.child.dataType.isInstanceOf[DecimalType] => false
+    case l: Literal =>
+      l.value != null && (l.dataType match {
+        case dt: DecimalType if dt.scale == 0 =>
+          l.value.asInstanceOf[Decimal].toJavaBigDecimal
+            .abs.compareTo(LongMaxBD) > 0
+        case _ => false
+      })
+    case a: AttributeReference =>
+      a.metadata.contains("graft.mysql.type") &&
+        a.metadata.getString("graft.mysql.type").endsWith("UNSIGNED")
+    case other => other.children.exists(unsignedMarker)
+  }
+
+  private def checkedLong(fn: String, l: Expression, r: Expression,
+                          unsigned: Boolean): Expression =
+    org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      graft.functions.MySql.getClass, LongType, fn,
+      Seq(Cast(l, LongType), Cast(r, LongType), Literal(unsigned)),
+      Seq(LongType, LongType, BooleanType))
+
+  private def checkedDec(op: Int, e: BinaryArithmetic): Expression =
+    Cast(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        graft.functions.MySql.getClass, DecimalType(38, 0),
+        "decArithChecked",
+        Seq(Cast(e.left, DecimalType(38, 0)),
+          Cast(e.right, DecimalType(38, 0)), Literal(op)),
+        Seq(DecimalType(38, 0), DecimalType(38, 0), IntegerType)),
+      e.dataType)
+
+  private def checkedDouble(op: Int, l: Expression, r: Expression)
+      : Expression =
+    org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      graft.functions.MySql.getClass, DoubleType, "doubleArithChecked",
+      Seq(Cast(l, DoubleType), Cast(r, DoubleType), Literal(op)),
+      Seq(DoubleType, DoubleType, IntegerType))
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.resolveOperatorsUp {
-      case f @ Filter(cond, _) if isNumeric(cond) || isTemporal(cond) =>
+      case f @ Filter(cond, _)
+          if isNumeric(cond) || isTemporal(cond) || isStringy(cond) =>
         f.copy(condition = asBool(cond))
       // a non-boolean JOIN condition is truthiness too (issue1910:
-      // `LEFT JOIN t1 ON created_date`)
+      // `LEFT JOIN t1 ON created_date`, `ON b.nm` with a string column)
       case j: Join if j.condition.exists(c =>
-          isNumeric(c) || isTemporal(c)) =>
+          isNumeric(c) || isTemporal(c) || isStringy(c)) =>
         j.copy(condition = j.condition.map(asBool))
       case a: Aggregate if needsLooseGroupBy(a) => looseGroupBy(a)
       // MySQL 5.7's ONLY_FULL_GROUP_BY accepts an ungrouped column that
@@ -280,6 +356,81 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       case p =>
         p.transformExpressionsUp {
+          // MySQL raises 1690 on BIGINT overflow where Spark's
+          // non-ANSI long arithmetic wraps silently (func_math.test
+          // `9223372036854775807 - -1`, unsigned_support_issue1267's
+          // `b * 123456789101112131`). StaticInvoke of an -Exact
+          // helper: no Add/Subtract/Multiply node survives, so the
+          // fixed-point analyzer cannot rematch, and the call stays
+          // inside whole-stage codegen.
+          case a: Add if a.children.forall(_.resolved) &&
+              a.dataType == LongType =>
+            checkedLong("longAddChecked", a.left, a.right, unsignedMarker(a))
+          case s: Subtract if s.children.forall(_.resolved) &&
+              s.dataType == LongType =>
+            checkedLong("longSubChecked", s.left, s.right, unsignedMarker(s))
+          case m: Multiply if m.children.forall(_.resolved) &&
+              m.dataType == LongType =>
+            checkedLong("longMulChecked", m.left, m.right, unsignedMarker(m))
+          // sub-long integral arithmetic only needs a check in the
+          // UNSIGNED context (tinyint-unsigned minus int goes negative,
+          // func_math.test `select a-b` over a ZEROFILL column)
+          case a: Add if a.children.forall(_.resolved) &&
+              isSubLongIntegral(a.dataType) && unsignedMarker(a) =>
+            Cast(checkedLong("longAddChecked", a.left, a.right, true),
+              a.dataType)
+          case s: Subtract if s.children.forall(_.resolved) &&
+              isSubLongIntegral(s.dataType) && unsignedMarker(s) =>
+            Cast(checkedLong("longSubChecked", s.left, s.right, true),
+              s.dataType)
+          case m: Multiply if m.children.forall(_.resolved) &&
+              isSubLongIntegral(m.dataType) && unsignedMarker(m) =>
+            Cast(checkedLong("longMulChecked", m.left, m.right, true),
+              m.dataType)
+          // DECIMAL-typed integer-tier arithmetic in the unsigned
+          // context: result must land in [0, 2^64-1] (func_math.test
+          // `-2 + CAST(1 AS UNSIGNED)`)
+          case a: Add if a.children.forall(_.resolved) &&
+              isIntDecimal(a.dataType) && unsignedMarker(a) =>
+            checkedDec(0, a)
+          case s: Subtract if s.children.forall(_.resolved) &&
+              isIntDecimal(s.dataType) && unsignedMarker(s) =>
+            checkedDec(1, s)
+          case m: Multiply if m.children.forall(_.resolved) &&
+              isIntDecimal(m.dataType) && unsignedMarker(m) =>
+            checkedDec(2, m)
+          // |i64min| overflows signed BIGINT (ABS(-9223372036854775808))
+          case ab: Abs if ab.child.resolved && ab.dataType == LongType =>
+            org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+              graft.functions.MySql.getClass, LongType, "absLongChecked",
+              Seq(Cast(ab.child, LongType)), Seq(LongType))
+          // DOUBLE overflow to ±Infinity from finite operands is 1690
+          // too (func_math.test `1e308 + 1e308`)
+          case a: Add if a.children.forall(_.resolved) &&
+              a.dataType == DoubleType =>
+            checkedDouble(0, a.left, a.right)
+          case s: Subtract if s.children.forall(_.resolved) &&
+              s.dataType == DoubleType =>
+            checkedDouble(1, s.left, s.right)
+          case m: Multiply if m.children.forall(_.resolved) &&
+              m.dataType == DoubleType =>
+            checkedDouble(2, m.left, m.right)
+          // MySQL DIV: quotient beyond signed BIGINT is 1690 where
+          // Spark's IntegralDivide nulls (func_math.test); decimal
+          // operands keep their full width on the way in
+          case d: IntegralDivide if d.children.forall(_.resolved) =>
+            org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+              graft.functions.MySql.getClass, LongType, "decDivChecked",
+              Seq(Cast(d.left, DecimalType(38, 6)),
+                Cast(d.right, DecimalType(38, 6))),
+              Seq(DecimalType(38, 6), DecimalType(38, 6)))
+          case d: Divide if d.children.forall(_.resolved) &&
+              d.dataType == DoubleType =>
+            org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+              graft.functions.MySql.getClass, DoubleType,
+              "doubleDivChecked",
+              Seq(Cast(d.left, DoubleType), Cast(d.right, DoubleType)),
+              Seq(DoubleType, DoubleType))
           case And(l, r) if isNumeric(l) || isNumeric(r) =>
             And(asBool(l), asBool(r))
           case Or(l, r) if isNumeric(l) || isNumeric(r) =>

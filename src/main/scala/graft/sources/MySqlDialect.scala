@@ -733,6 +733,12 @@ object MySqlDialect {
           .findPrefixMatchOf(rest)
         val dtm = """(?is)^AS\s+DATETIME(\(\d*\))?\b""".r
           .findPrefixMatchOf(rest)
+        // MySQL CAST targets Spark's parser refuses: bare CHAR (no
+        // length) is a string cast, TIME has no Spark type — both ride
+        // STRING (create_table.test `cast('5:4:3' as time)`,
+        // `cast('b' as char)`)
+        val chr = """(?is)^AS\s+(?:CHAR|TIME)\s*(\(\d*\))?\s*(?=\)|,)""".r
+          .findPrefixMatchOf(rest)
         if (alias.isDefined) {
           out.append("AS `").append(alias.get.group(1)).append('`')
           i += alias.get.end
@@ -743,6 +749,8 @@ object MySqlDialect {
         } else if (dtm.isDefined) {
           // MySQL's DATETIME cast target (date_formats.test)
           out.append("AS TIMESTAMP"); i += dtm.get.end
+        } else if (chr.isDefined) {
+          out.append("AS STRING"); i += chr.get.end
         } else { out.append(c); i += 1 }
       } else if (wordAt(sql, i, "MOD")) {
         // infix `a MOD b` → `a % b` (MySQL operator; Spark only has the

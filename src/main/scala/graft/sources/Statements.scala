@@ -51,6 +51,17 @@ object StatementRunner {
   /** Monotonic id source for per-runner I/O sandboxes (parallel MTR
     * replay runs 8 runners concurrently). */
   private[sources] val sandboxSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The MySQL 5.7 server-default sql_mode minus ONLY_FULL_GROUP_BY
+    * (the reference suite's master.opt removes it). NO_ZERO_IN_DATE /
+    * NO_ZERO_DATE ARE part of the 5.7 default — delete.test relies on
+    * that (zero date into DATE NOT NULL is 1292 with no SET in the
+    * file), while issue682's explicit SET without them legalizes the
+    * same insert. */
+  val DefaultSqlMode: String =
+    "STRICT_TRANS_TABLES,NO_ZERO_IN_DATE,NO_ZERO_DATE," +
+      "ERROR_FOR_DIVISION_BY_ZERO,NO_AUTO_CREATE_USER," +
+      "NO_ENGINE_SUBSTITUTION"
 }
 
 class StatementRunner(spark: SparkSession) {
@@ -191,8 +202,11 @@ class StatementRunner(spark: SparkSession) {
     """(?is)^\s*DELETE\s+(?:LOW_PRIORITY\s+|QUICK\s+|IGNORE\s+)*FROM\s+`?(\w+)`?\s*(?:WHERE\s+(.+?))?\s*(?:ORDER\s+BY\s+(.+?))?\s*LIMIT\s+(\d+)\s*;?\s*$""".r
   private val UpdateLimitRe: Regex =
     """(?is)^\s*UPDATE\s+(?:LOW_PRIORITY\s+|IGNORE\s+)*`?(\w+)`?\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*(?:ORDER\s+BY\s+(.+?))?\s*LIMIT\s+(\d+)\s*;?\s*$""".r
+  // a trailing ORDER BY without LIMIT is inert on a full DELETE —
+  // MySQL accepts and ignores it (delete.test `DELETE FROM t1 WHERE
+  // t1.a > 0 ORDER BY t1.a`)
   private val DeleteRe: Regex =
-    """(?is)^\s*DELETE\s+(?:LOW_PRIORITY\s+|QUICK\s+)*(IGNORE\s+)?FROM\s+`?(\w+)`?\s*(?:WHERE\s+(.+?))?\s*;?\s*$""".r
+    """(?is)^\s*DELETE\s+(?:LOW_PRIORITY\s+|QUICK\s+)*(IGNORE\s+)?FROM\s+`?(\w+)`?\s*(?:WHERE\s+(.+?))?(?:\s+ORDER\s+BY\s+[^;]+?)?\s*;?\s*$""".r
   // `DELETE FROM t USING t WHERE …` — the self-referencing USING form
   // (delete.test); the general multi-table USING join lives behind
   // [[Dml.deleteJoin]].
@@ -348,6 +362,63 @@ class StatementRunner(spark: SparkSession) {
       !"""(?i)nullif\s*\(""".r.findFirstIn(stripped).isDefined)
       throw new IllegalArgumentException(
         s"$what: division by zero (MySQL strict mode, error 1365)")
+  }
+
+  /** The reference evaluates the integer tier in int64 (one 64-bit
+    * cell per value): an integer literal beyond the signed-BIGINT range
+    * feeding +,-,*,/ is rejected at the statement level
+    * (func_math.test `18446744073709551615 - 1`,
+    * unsigned_support_issue1267 `b * 12345678910111213123`, and the
+    * 65-digit DECIMAL tier `@a + @a`). Comparisons and bare renders of
+    * the same literal stay legal (range.test
+    * `where x = 18446744073709551601`, bigint_unsigned.test inserts). */
+  private def rejectOversizeIntArith(sql: String): Unit = {
+    if (!"""\d{19}""".r.findFirstIn(sql).isDefined) return
+    // only TABLE-reading expressions run on the engine's int64
+    // evaluator; a FROM-less `select 9223372036854775808+1` is served
+    // by the MySQL layer's unsigned/decimal arithmetic and succeeds
+    // (bigint_unsigned.test) — func_math's erroring forms all carry
+    // `from t1`
+    if ("""(?i)\bFROM\b""".r.findFirstIn(sql).isEmpty) return
+    val bare = sql
+      .replaceAll("'(?:[^'\\\\]|\\\\.)*'", "''")
+      .replaceAll("\"(?:[^\"\\\\]|\\\\.)*\"", "\"\"")
+    val Lit = """(?<![\w.])(\d{19,})(?![\w.])""".r
+    for (m <- Lit.findAllMatchIn(bare)) {
+      if (BigInt(m.group(1)) > Long.MaxValue) {
+        val before = bare.substring(0, m.start).reverse
+          .dropWhile(_.isWhitespace)
+        val after = bare.substring(m.end).dropWhile(_.isWhitespace)
+        // `-`/`+` before the literal are unary signs unless an operand
+        // ends right before them (`SELECT +99…9` is a sign,
+        // `x * 99…9` is arithmetic — bigint_unsigned.test renders
+        // signed oversize literals without arithmetic)
+        val opBefore = before.headOption.exists(c => "+*/".contains(c)) && {
+          if (before.headOption.exists(c => "*/".contains(c))) true
+          else {
+            // `+` is binary only when an OPERAND ends before it — a
+            // keyword there makes it a unary sign
+            // (`select +9999999999999999999`, bigint_unsigned.test)
+            val prior = before.drop(1).dropWhile(_.isWhitespace)
+            val tok = prior.takeWhile(c =>
+              c.isLetterOrDigit || c == '_').reverse.toUpperCase
+            prior.headOption.exists(c =>
+              c.isLetterOrDigit || c == '_' || c == ')') &&
+              !Set("SELECT", "WHERE", "AND", "OR", "XOR", "NOT", "WHEN",
+                "THEN", "ELSE", "BY", "ON", "HAVING", "UNION", "ALL",
+                "IN", "LIKE", "SET", "VALUES", "LIMIT", "OFFSET",
+                "CASE", "INTERVAL", "DIV", "MOD", "AS", "BETWEEN",
+                "IS", "REGEXP", "RLIKE", "ESCAPE", "DISTINCT", "FROM",
+                "RETURN", "ROW", "IF", "IFNULL", "NULLIF",
+                "COALESCE")(tok)
+          }
+        }
+        val opAfter = after.headOption.exists(c => "+-*/".contains(c))
+        if (opBefore || opAfter) throw new ArithmeticException(
+          "BIGINT value is out of range in arithmetic over literal " +
+            s"${m.group(1).take(24)} (MySQL error 1690)")
+      }
+    }
   }
 
   /** Split `set-list [WHERE cond]` at the TOP-LEVEL WHERE — quote- and
@@ -544,7 +615,9 @@ class StatementRunner(spark: SparkSession) {
         f.dataType.isInstanceOf[TimestampType] ||
         f.dataType.isInstanceOf[TimestampNTZType]
       // numeric 0 is MySQL's legal zero date unless NO_ZERO_DATE is in
-      // the session sql_mode (issue682 flips it mid-file)
+      // the session sql_mode — the SERVER DEFAULT includes it (MySQL
+      // 5.7), so delete.test errors with no SET in sight while
+      // issue682's explicit SET without it inserts the same 0 fine
       val zeroDateAllowed = !sessionSqlMode.contains("NO_ZERO_DATE")
       if (!provided.contains(f.name) || !isTemporal) None
       else named.schema(f.name).dataType match {
@@ -735,8 +808,12 @@ class StatementRunner(spark: SparkSession) {
           else shaped.cast(f.dataType)
         // an explicit NULL downgrading into a NOT NULL column takes the
         // IMPLICIT default, not the declared one (insert.test: DEFAULT 8
-        // column stores 0 for the multi-row NULL)
-        (if ((!strict || !strictNulls) && requiredCol(f))
+        // column stores 0 for the multi-row NULL) — EXCEPT temporal
+        // targets, whose implicit default is the zero date and the
+        // engine stores that as the NULL sentinel (issue682's
+        // `insert ignore … (0)` rows answer `where a is null`)
+        (if ((!strict || !strictNulls) && requiredCol(f)
+            && !isTemporalTarget)
           coalesce(cast, implicitDefault(f.dataType).cast(f.dataType))
         else cast).as(f.name)
       } else fillUnprovided(f, strict)
@@ -1034,7 +1111,8 @@ class StatementRunner(spark: SparkSession) {
   /** One column definition (or table-level constraint) from a CREATE
     * TABLE body. Returns Left(field) for a column, Right(pkCols) for a
     * PRIMARY KEY clause, None-equivalent for ignorable index clauses. */
-  private def parseColumnDef(d: String, tianmu: Boolean = true)
+  private def parseColumnDef(d: String, tianmu: Boolean = true,
+                             forTable: String = "")
       : Either[org.apache.spark.sql.types.StructField, Option[Seq[String]]] = {
     import org.apache.spark.sql.types._
     val up = d.trim.toUpperCase
@@ -1056,11 +1134,22 @@ class StatementRunner(spark: SparkSession) {
         Right(None)
       case colDef =>
         val ColRe =
-          """(?is)^(?:`?\w+`?\.)?`?(\w+)`?\s+(\w+(?:\s*\([^)]*\))?)\s*(.*)$""".r
+          """(?is)^(?:`?(\w+)`?\.)?`?(\w+)`?\s+(\w+(?:\s*\([^)]*\))?)\s*(.*)$""".r
         colDef match {
-          case ColRe(name, typ, mods) =>
+          case ColRe(qual, name, typ, mods) =>
+            // a QUALIFIED column in CREATE must name the table being
+            // created (create_table.test: `t1.name int` is legal in
+            // `create table t1`, `column.name int` is 1064)
+            if (qual != null && forTable.nonEmpty &&
+                !qual.equalsIgnoreCase(forTable))
+              throw new IllegalArgumentException(
+                s"CREATE TABLE: column qualifier '$qual' does not name " +
+                  s"table '$forTable' (MySQL error 1064)")
             val m = mods.toUpperCase
-            val unsigned = m.contains("UNSIGNED")
+            // ZEROFILL implies UNSIGNED (MySQL; func_math.test's
+            // `tinyint zerofill` column pins the unsigned-subtraction
+            // 1690)
+            val unsigned = m.contains("UNSIGNED") || m.contains("ZEROFILL")
             val typNorm = typ.replaceAll("\\s+", "")
             val base = typNorm.toUpperCase.takeWhile(_ != '(')
             // Integral MySQL types carry exact range semantics: store in
@@ -1089,8 +1178,18 @@ class StatementRunner(spark: SparkSession) {
                   Some(if (unsigned) (LongType, BigDecimal(0), BigDecimal(4294967295L))
                   else (IntegerType, BigDecimal(Int.MinValue) + 1, BigDecimal(Int.MaxValue)))
                 case "BIGINT" =>
+                  // unsigned BIGINT keeps the DECIMAL(20,0) storage
+                  // mapping (§1.2) but the TIANMU-declared max is the
+                  // signed bound: the reference stores one int64 cell
+                  // per value and rejects 2^63..2^64-1 with 1264
+                  // (unsigned_type.test `SET CUBIGINT=
+                  // 18446744073709551613`; its issue #1236). A
+                  // non-tianmu side table (engine=innodb in the same
+                  // file) keeps MySQL's full u64 range.
                   Some(if (unsigned)
-                    (DecimalType(20, 0), BigDecimal(0), BigDecimal("18446744073709551615"))
+                    (DecimalType(20, 0), BigDecimal(0),
+                      if (tianmu) BigDecimal(Long.MaxValue)
+                      else BigDecimal("18446744073709551615"))
                   else (LongType, BigDecimal(Long.MinValue) + 2, BigDecimal(Long.MaxValue)))
                 // MySQL integer-width aliases (integer_range.test,
                 // issue1361) carry the same exact-range semantics
@@ -1182,6 +1281,25 @@ class StatementRunner(spark: SparkSession) {
                 if (d.stripPrefix("'").stripSuffix("'").length > cap)
                   bad(s"string longer than $cap")
               }
+              // a temporal default must be a VALID date — Feb 31 is
+              // 1067 (create_table.test `dt datetime default
+              // '2008-02-31 00:00:00'`); zero and partial-zero dates
+              // stay legal (the engine's zero-date convention), and
+              // ALLOW_INVALID_DATES / non-strict modes accept it with
+              // a warning (the same file flips @@sql_mode and repeats)
+              if (Set("DATE", "DATETIME", "TIMESTAMP")(base)
+                  && d.startsWith("'") &&
+                  !sessionSqlMode.contains("ALLOW_INVALID_DATES")) {
+                val s = d.stripPrefix("'").stripSuffix("'")
+                """^(\d{1,4})-(\d{1,2})-(\d{1,2})""".r
+                  .findFirstMatchIn(s).foreach { dm =>
+                    val (y, mo, dd) = (dm.group(1).toInt,
+                      dm.group(2).toInt, dm.group(3).toInt)
+                    if (mo > 0 && dd > 0 && scala.util.Try(
+                        java.time.LocalDate.of(y, mo, dd)).isFailure)
+                      bad(s"invalid temporal default $d")
+                  }
+              }
             }
             // CHAR/VARCHAR length cap → strict 1406 / IGNORE truncation
             if ((base == "CHAR" || base == "VARCHAR")
@@ -1234,13 +1352,24 @@ class StatementRunner(spark: SparkSession) {
         s"CREATE TABLE: identifier name '${table.take(20)}…' is too " +
           "long (MySQL error 1059)")
     val defs = splitTopLevel(body)
+    // an EMPTY definition slot — trailing/leading/doubled comma — is a
+    // parse error (create_table.test pins 1064 for `(a int,)`,
+    // `(a int,,b int)`, `(,b int)`)
+    if (defs.exists(_.trim.isEmpty) || body.trim.endsWith(",") ||
+        body.trim.startsWith(",") ||
+        """,\s*,""".r.findFirstIn(
+          body.replaceAll("'[^']*'", "''")).isDefined)
+      throw new IllegalArgumentException(
+        "CREATE TABLE: empty column definition — stray comma " +
+          "(MySQL error 1064)")
     val fields = scala.collection.mutable.ArrayBuffer[
       org.apache.spark.sql.types.StructField]()
     var pk: Option[Seq[String]] = None
     val pendingIndexes =
       scala.collection.mutable.ArrayBuffer[(String, String)]()
     defs.foreach { d =>
-      parseColumnDef(d, tianmu = engine.equalsIgnoreCase("TIANMU")) match {
+      parseColumnDef(d, tianmu = engine.equalsIgnoreCase("TIANMU"),
+        forTable = table) match {
         case Left(f) =>
           // inline `col TYPE PRIMARY KEY` — or MySQL's bare `col TYPE
           // KEY` synonym (reference insert_select.test:
@@ -1277,11 +1406,26 @@ class StatementRunner(spark: SparkSession) {
     }
     if (fields.isEmpty) throw new IllegalArgumentException(
       "CREATE TABLE: no column definitions")
+    // PRIMARY KEY columns are implicitly NOT NULL even without the
+    // modifier (create_table.test: `primary key(k1,k2)` then
+    // `insert … (NULL, 3)` pins 1048)
+    val fields0 = pk match {
+      case None => fields.toSeq
+      case Some(cols) => fields.toSeq.map { f =>
+        if (!cols.exists(_.equalsIgnoreCase(f.name)) ||
+            (f.metadata.contains("graft.mysql.notnull") &&
+              f.metadata.getBoolean("graft.mysql.notnull"))) f
+        else f.copy(nullable = false, metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putBoolean("graft.mysql.notnull", true).build())
+      }
+    }
     // table-level DEFAULT CHARSET utf8: string columns without their
     // own charset declaration inherit the 3-byte cap
     val fields1 =
-      if (!defaultUtf8) fields.toSeq
-      else fields.toSeq.map { f =>
+      if (!defaultUtf8) fields0
+      else fields0.map { f =>
         if (f.dataType == org.apache.spark.sql.types.StringType &&
             !f.metadata.contains("graft.mysql.charset"))
           f.copy(metadata =
@@ -1420,6 +1564,20 @@ class StatementRunner(spark: SparkSession) {
       if (colList == null || colList.trim.isEmpty) schema.map(_.name).toSeq
       else splitTopLevel(colList).map(_.stripPrefix("`").stripSuffix("`"))
     var updates = updateList
+    // a SOURCE-alias-qualified ref (`UPDATE f1 = 100 + src.f1`,
+    // insert_select.test) denotes the to-be-inserted value; strip the
+    // qualifier so the bare name rides the rename/VALUES machinery
+    // below (for a key column the old and incoming values coincide on
+    // a duplicate, so bare resolution is exact either way)
+    """(?is)\b(?:FROM|JOIN)\s+`?\w+`?\s+(?:AS\s+)?`?(\w+)`?""".r
+      .findAllMatchIn(select).map(_.group(1))
+      .filterNot(a => Set("WHERE", "ON", "GROUP", "ORDER", "LIMIT",
+        "HAVING", "UNION", "JOIN", "LEFT", "RIGHT", "INNER", "CROSS",
+        "SET", "AS", "USING").contains(a.toUpperCase))
+      .foreach { a =>
+        updates = updates.replaceAll(
+          "(?i)\\b" + java.util.regex.Pattern.quote(a) + "\\.", "")
+      }
     result.columns.zip(provided).foreach { case (srcName, tgt) =>
       if (!schema.fieldNames.exists(_.equalsIgnoreCase(srcName)))
         updates = updates.replaceAll(
@@ -1441,6 +1599,13 @@ class StatementRunner(spark: SparkSession) {
     import org.apache.spark.sql.functions.{col, count, expr, lit, when}
     val store = attachedStore(table)
     val schema = store.read().schema
+    // a table-QUALIFIED name inside VALUES() is not valid MySQL —
+    // VALUES takes a bare target column (insert_select.test pins the
+    // error for `update x=values(t2.x)`)
+    """(?i)VALUES\s*\(\s*`?\w+`?\s*\.""".r.findFirstIn(updateList)
+      .foreach(_ => throw new IllegalArgumentException(
+        "ON DUPLICATE KEY UPDATE: VALUES() takes an unqualified target " +
+          "column name (MySQL error 1064)"))
     val assigns = splitTopLevel(updateList).map { a =>
       val i = a.indexOf('=')
       if (i < 0) throw new IllegalArgumentException(
@@ -1586,6 +1751,36 @@ class StatementRunner(spark: SparkSession) {
     import org.apache.spark.sql.functions.{expr, not}
     val store = attachedStore(table)
     checkSafeUpdates(table, whereClause)
+    // under NO_ZERO_DATE the zero-date rows of a NOT NULL temporal
+    // column (stored as the NULL sentinel per the zero-date
+    // convention) cannot be addressed: evaluating `col IS NULL` or
+    // `col = 0` against them re-renders the invalid '0000-00-00' and
+    // the reference raises 1292 (issue682 pins both DELETE forms)
+    if (whereClause != null && sessionSqlMode.contains("NO_ZERO_DATE")) {
+      import org.apache.spark.sql.types._
+      store.read().schema.foreach { f =>
+        val temporal = f.dataType == DateType ||
+          f.dataType.isInstanceOf[TimestampType] ||
+          f.dataType.isInstanceOf[TimestampNTZType]
+        if (temporal && requiredCol(f)) {
+          val n = java.util.regex.Pattern.quote(f.name)
+          val addressed = (s"(?i)\\b$n\\s+is\\s+null").r
+            .findFirstIn(whereClause).isDefined ||
+            (s"(?i)\\b$n\\s*=\\s*0(?![\\d.])").r
+              .findFirstIn(whereClause).isDefined
+          // data-dependent: the error fires only when sentinel rows
+          // EXIST (delete.test runs the same DELETE on an empty table
+          // and succeeds; issue682's table holds ignore-inserted zero
+          // dates and errors)
+          if (addressed && store.read()
+              .filter(org.apache.spark.sql.functions.col(f.name).isNull)
+              .limit(1).count() > 0)
+            throw new IllegalArgumentException(
+              s"incorrect date value '0000-00-00' for column " +
+                s"'${f.name}' (MySQL error 1292, NO_ZERO_DATE)")
+        }
+      }
+    }
     val before = store.read().count()
     try {
     if (whereClause == null) store.truncate()
@@ -1966,8 +2161,10 @@ class StatementRunner(spark: SparkSession) {
     """(?is)^\s*SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+`?\w+`?)?\s*;?\s*$""".r
   private val ShowCreateRe: Regex =
     """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?\s*;?\s*$""".r
+  // bare `EXPLAIN t` is MySQL's DESCRIBE synonym (create_table.test);
+  // the single-word tail keeps EXPLAIN SELECT/DML on their own regexes
   private val DescribeRe: Regex =
-    """(?is)^\s*(?:DESCRIBE|DESC|SHOW\s+COLUMNS\s+FROM)\s+`?(\w+)`?\s*;?\s*$""".r
+    """(?is)^\s*(?:DESCRIBE|DESC|SHOW\s+COLUMNS\s+FROM|EXPLAIN)\s+`?(\w+)`?\s*;?\s*$""".r
   private val ExplainRe: Regex =
     """(?is)^\s*EXPLAIN\s+(SELECT\b.*)$""".r
   private val ExplainDmlRe: Regex =
@@ -1981,17 +2178,22 @@ class StatementRunner(spark: SparkSession) {
     """(?is)^\s*OPTIMIZE\s+TABLE\s+`?(\w+)`?\s*;?\s*$""".r
   private val AnalyzeRe: Regex =
     """(?is)^\s*ANALYZE\s+TABLE\s+`?(\w+)`?\s*;?\s*$""".r
+  // CHECK TABLE = integrity probe (delete.test checks after a delete);
+  // a parquet-backed store's invariant is that its files read — one
+  // full count() IS the check
+  private val CheckTableRe: Regex =
+    """(?is)^\s*CHECK\s+TABLE\s+([`\w\s,]+?)(?:\s+(?:QUICK|FAST|MEDIUM|EXTENDED|CHANGED|FOR\s+UPGRADE))*\s*;?\s*$""".r
   // DDL pair: CTAS materializes the SELECT into a runner-managed store
   // (every later statement — LOAD, DML, OPTIMIZE — works on it like any
   // attached table); DROP detaches and deletes ONLY runner-created
   // stores (a table the caller attached owns its own files).
   private val CtasRe: Regex =
-    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+`?(\w+)`?\s+(?:AS\s+)?(\(?\s*SELECT\b.*?\)?)\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+(?:AS\s+)?(\(?\s*SELECT\b.*?\)?)\s*;?\s*$""".r
   // MySQL's hybrid form: explicit column definitions AND a SELECT
   // (ctas1.test, issue228.test, case_when.test). Declared columns come
   // first; SELECT columns merge by name, unmatched ones append.
   private val CreateTableSelectRe: Regex =
-    """(?is)^\s*CREATE\s+(TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*\(((?!\s*SELECT\b).+?)\)\s*((?:ENGINE\s*=\s*\w+\s*|(?:DEFAULT\s+)?(?:CHARSET|CHARACTER\s+SET)\s*=?\s*\w+\s*|(?:DEFAULT\s+)?COLLATE\s*=?\s*\w+\s*|AUTO_INCREMENT\s*=\s*\d+\s*|ROW_FORMAT\s*=\s*\w+\s*|COMMENT\s*=?\s*'[^']*'\s*)*)\s*(?:AS\s+)?(SELECT\b.+?)\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+(TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*\(((?!\s*SELECT\b).+?)\)\s*((?:ENGINE\s*=\s*\w+\s*|(?:DEFAULT\s+)?(?:CHARSET|CHARACTER\s+SET)\s*=?\s*\w+\s*|(?:DEFAULT\s+)?COLLATE\s*=?\s*\w+\s*|AUTO_INCREMENT\s*=\s*\d+\s*|ROW_FORMAT\s*=\s*\w+\s*|COMMENT\s*=?\s*'[^']*'\s*)*)\s*(?:AS\s+)?(SELECT\b.+?)\s*;?\s*$""".r
   // CREATE TABLE with column definitions (the reference's DDL entry —
   // every MTR test opens with one, e.g. ssb_small.test:12-42): parses
   // the §1.2 type surface into a Spark schema, creates an EMPTY
@@ -2023,7 +2225,7 @@ class StatementRunner(spark: SparkSession) {
   // views (this is a library — every view is session-scoped, the
   // TEMPORARY-table equivalence).
   private val CreateLikeRe: Regex =
-    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+LIKE\s+`?(\w+)`?\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+LIKE\s+`?(\w+)`?\s*;?\s*$""".r
   private val CreateViewRe: Regex =
     ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:ALGORITHM\s*=\s*\w+\s+)?""" +
       """(?:DEFINER\s*=\s*\S+\s+)?(?:SQL\s+SECURITY\s+\w+\s+)?""" +
@@ -2138,6 +2340,14 @@ class StatementRunner(spark: SparkSession) {
                 s"FUNCTION $fname: incorrect number of arguments — " +
                   s"expected ${f.params.length}, got ${args.length} " +
                   "(MySQL error 1318)")
+            // argument evaluation runs in STORED-PROGRAM context, where
+            // ERROR_FOR_DIVISION_BY_ZERO + strict raises 1365 instead
+            // of the bare-SELECT NULL-with-warning
+            // (select_function_calls.test `SELECT func(@b/0)`)
+            if (strictMode &&
+                sessionSqlMode.contains("ERROR_FOR_DIVISION_BY_ZERO"))
+              args.foreach(a =>
+                rejectLiteralDivZero(a, s"FUNCTION $fname"))
             f.preStmts.foreach(s => run(substParams(s, f.params, args)))
             val repl = "(" + substParams(f.returnExpr, f.params, args) + ")"
             return Some(sql.substring(0, at) + repl + sql.substring(q))
@@ -2260,11 +2470,13 @@ class StatementRunner(spark: SparkSession) {
     }.mkString(",")
   }
 
-  /** The session sql_mode with composite modes expanded; the server
-    * default is STRICT_TRANS_TABLES. Every mode-membership test in the
-    * runner goes through this accessor. */
+  /** The session sql_mode with composite modes expanded; the default is
+    * the MySQL 5.7 server default (ONLY_FULL_GROUP_BY removed by the
+    * suite's master.opt). Every mode-membership test in the runner goes
+    * through this accessor. */
   private def sessionSqlMode: String =
-    expandSqlMode(sessionVars.getOrElse("sql_mode", "STRICT_TRANS_TABLES"))
+    expandSqlMode(sessionVars.getOrElse("sql_mode",
+      StatementRunner.DefaultSqlMode))
 
   /** Strict mode tracks the session's sql_mode: the server default is
     * STRICT_TRANS_TABLES, and a `SET sql_mode=''` downgrades inserts to
@@ -2281,13 +2493,38 @@ class StatementRunner(spark: SparkSession) {
       .foreach { m =>
         val name = m.group(1).toLowerCase.stripPrefix("session.")
           .stripPrefix("global.")
-        val value = m.group(2).trim.stripPrefix("'").stripSuffix("'")
-        sessionVars(name) = value
+        val raw = m.group(2).trim
+        // `SET @@sql_mode = @old_mode` restores from a user variable
+        // (create_table.test's save/restore pair)
+        val value0 =
+          if (raw.matches("@\\w+"))
+            userVars.getOrElse(raw.stripPrefix("@").toLowerCase, "")
+          else raw
+        val value = value0.trim.stripPrefix("'").stripSuffix("'")
+        // `SET x = DEFAULT` restores the server default (func_math.test
+        // `set SQL_MODE=default`) — drop the override instead of
+        // storing the keyword as a value
+        if (value.equalsIgnoreCase("default")) sessionVars.remove(name)
+        else sessionVars(name) = value
+        // a SET of an unknown storage engine is 1286 even though the
+        // variable write itself would "succeed" (create_table.test
+        // `set session default_storage_engine="gemini"`)
+        if (name == "default_storage_engine" ||
+            name == "storage_engine") {
+          val eng = value.stripPrefix("\"").stripSuffix("\"")
+          if (!value.equalsIgnoreCase("default") &&
+              !KnownEngines.contains(eng.toUpperCase)) {
+            sessionVars.remove(name)
+            throw new IllegalArgumentException(
+              s"unknown storage engine '$eng' (MySQL error 1286)")
+          }
+        }
         // the analyzer-side coercion rule reads sql_mode from the conf
         // (loose GROUP BY applies only when an explicit SET removed
         // ONLY_FULL_GROUP_BY — MySQL 5.7's default includes it)
         if (name == "sql_mode")
-          spark.conf.set("spark.graft.mysql.sqlMode", expandSqlMode(value))
+          spark.conf.set("spark.graft.mysql.sqlMode",
+            expandSqlMode(sessionVars.getOrElse("sql_mode", "")))
       }
   // MTR runs against a server whose default schema `test` always
   // exists — seed it so verbatim `USE test` prologues work.
@@ -2695,10 +2932,40 @@ class StatementRunner(spark: SparkSession) {
             coalesce(col("__lpref") - col("__aoff"), lit(Long.MinValue)))
             .cast(dec))
         val cappedId =
-          if (f.metadata.contains("graft.mysql.max"))
-            least(rawId, lit(new java.math.BigDecimal(
-              f.metadata.getString("graft.mysql.max"))).cast(dec))
-          else rawId
+          if (f.metadata.contains("graft.mysql.max")) {
+            val declared = new java.math.BigDecimal(
+              f.metadata.getString("graft.mysql.max"))
+            // UNSIGNED counter overflow, reference parity
+            // (auto_increment.test, whose edited unsigned blocks pin
+            // the engine's issue-#1236 family): the MEDIUMINT/INT/
+            // BIGINT UNSIGNED auto-counters evaluate in the SIGNED
+            // range of their width — one step past the signed max
+            // WRAPS to 0 (explicit signed-max id → next auto row
+            // stores 0 → the one after is Duplicate entry '0').
+            // TINYINT/SMALLINT UNSIGNED (and every signed type)
+            // saturate at the declared max instead, re-issuing it so
+            // the NEXT insert is the 1062 duplicate.
+            val t =
+              if (f.metadata.contains("graft.mysql.type"))
+                f.metadata.getString("graft.mysql.type")
+              else ""
+            val wrapCap: Option[java.math.BigDecimal] =
+              if (!t.endsWith("UNSIGNED")) None
+              else if (t.startsWith("MEDIUMINT"))
+                Some(new java.math.BigDecimal(8388607))
+              else if (t.startsWith("INT"))
+                Some(new java.math.BigDecimal(Int.MaxValue))
+              else if (t.startsWith("BIGINT"))
+                Some(new java.math.BigDecimal(Long.MaxValue))
+              else None
+            wrapCap match {
+              case Some(cap) =>
+                when(rawId > lit(cap).cast(dec),
+                  lit(java.math.BigDecimal.ZERO).cast(dec))
+                  .otherwise(rawId)
+              case None => least(rawId, lit(declared).cast(dec))
+            }
+          } else rawId
         val wide = stamped
           .join(broadcast(stats), Seq("__pid"))
           .withColumn(f.name,
@@ -2824,6 +3091,63 @@ class StatementRunner(spark: SparkSession) {
   /** Consume FIELDS/LINES option clauses from the head of `s`; returns
     * (opts, rest-of-string). Shared by both statement forms — MySQL uses
     * the identical grammar for load and export options. */
+  /** MySQL enclosure grammar over the raw file, counting fields per
+    * row: inside an enclosed field the quote char doubles to escape
+    * (`""`), a single one CLOSES the field (so `"""` is
+    * literal-quote-then-close — issue1263-3's malformed row), and a
+    * record terminator inside an open enclosure is field data (rows
+    * legally span lines — issue1263-2). A row with FEWER fields than
+    * the column list is MySQL 1261 under strict mode. */
+  private def validateEnclosedRows(path: String, delim: String,
+      quote: String, lineSep: String, ncols: Int): Unit = {
+    if (delim.length != 1 || quote.length != 1 || ncols <= 1) return
+    val f = new java.io.File(path)
+    if (!f.isFile) return
+    val d = delim.charAt(0)
+    val q = quote.charAt(0)
+    val nl = if (lineSep == "\r\n") '\n' else lineSep.charAt(0)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.io.FileInputStream(f),
+      java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      var fields = 1
+      var inQuote = false
+      var atStart = true
+      var any = false
+      var row = 1L
+      def endRow(): Unit = {
+        if (any && fields < ncols) throw new IllegalArgumentException(
+          s"LOAD DATA: row $row does not contain data for all columns " +
+            "(MySQL error 1261)")
+        fields = 1; atStart = true; any = false; row += 1
+      }
+      var c = in.read()
+      while (c >= 0) {
+        val ch = c.toChar
+        if (inQuote) {
+          if (ch == q) {
+            in.mark(1)
+            val nx = in.read()
+            if (nx != q) { // single quote closes; doubled is a literal
+              inQuote = false
+              if (nx >= 0) {
+                val nc = nx.toChar
+                if (nc == d) { fields += 1; atStart = true }
+                else if (nc == nl) endRow()
+              }
+            }
+          }
+        } else if (atStart && ch == q) {
+          inQuote = true; atStart = false; any = true
+        } else if (ch == d) { fields += 1; atStart = true; any = true }
+        else if (ch == nl) endRow()
+        else { atStart = false; if (!ch.isWhitespace) any = true }
+        c = in.read()
+      }
+      endRow()
+    } finally in.close()
+  }
+
   private def parseOpts(s: String): (ExportOpts, String) = {
     var rest = s
     var o = ExportOpts()
@@ -2895,7 +3219,45 @@ class StatementRunner(spark: SparkSession) {
         else { out.append(w); i = j }
       } else { out.append(c); i += 1 }
     }
-    out.toString
+    val res = out.toString
+    // MySQL reads `FROM db.t` with the IMPLICIT alias `t` — later bare
+    // refs (`SELECT t1.* FROM bug21774_1.t1`, insert_select.test)
+    // resolve against it. The mangled name loses that, so stamp the
+    // alias back where no explicit one follows.
+    val aliased =
+      if (!res.contains("__")) res
+      else databases.foldLeft(res) { (acc, db) =>
+        if (db == currentDb || db == "test" || !acc.contains(db + "__")) acc
+        else acc.replaceAll(
+          "(?i)\\b(FROM|JOIN)\\s+(" +
+            java.util.regex.Pattern.quote(db) + "__(\\w+))" +
+            "(?=\\s*(?:[,);]|$)|\\s+(?:WHERE|ON|GROUP|ORDER|LIMIT|" +
+            "HAVING|UNION|JOIN|LEFT|RIGHT|INNER|CROSS|STRAIGHT_JOIN|" +
+            "SET|FOR|INTO)\\b)",
+          "$1 $2 AS $3")
+      }
+    // under `USE db` (db ≠ test) a BARE table name denotes db.t — the
+    // attach registry holds the mangled spelling, so rewrite table
+    // positions whose bare name only resolves through the current db
+    // (insert_select.test: `use bug21774_1; INSERT … SELECT t1.* FROM
+    // t1`); FROM/JOIN positions also regain MySQL's implicit alias
+    if (currentDb == "test") aliased
+    else
+      ("""(?i)\b(FROM|JOIN|INTO|TABLE|UPDATE)\s+(\w+)""" +
+        """(?=\s*(?:[,();]|$)|\s+(?:WHERE|ON|GROUP|ORDER|LIMIT|HAVING|""" +
+        """UNION|JOIN|LEFT|RIGHT|INNER|CROSS|STRAIGHT_JOIN|SET|FOR|""" +
+        """SELECT|VALUES)\b)""").r
+        .replaceAllIn(aliased, m => {
+          val kw = m.group(1)
+          val w = m.group(2)
+          val mangled = s"${currentDb}__${w.toLowerCase}"
+          if (stores.contains(w.toLowerCase) ||
+              !stores.contains(mangled)) m.matched
+          else java.util.regex.Matcher.quoteReplacement(
+            if (kw.equalsIgnoreCase("FROM") || kw.equalsIgnoreCase("JOIN"))
+              s"$kw $mangled AS $w"
+            else s"$kw $mangled")
+        })
   }
 
   /** MySQL identifiers may contain ANY character when backticked
@@ -2925,6 +3287,13 @@ class StatementRunner(spark: SparkSession) {
         throw new IllegalArgumentException(
           s"invalid table name '${name.take(24)}' — the #mysql50# " +
             "prefix is reserved (MySQL error 1030/ER_WRONG_TABLE_NAME)")
+      // a TRAILING space is illegal in any identifier (create_table
+      // .test pins 1103 for `t1 ` and 1166 for `a `); interior spaces
+      // stay legal
+      else if (name.endsWith(" "))
+        throw new IllegalArgumentException(
+          s"incorrect name '${name.take(24)}' — identifiers cannot end " +
+            "with a space (MySQL error 1103/1166)")
       else java.util.regex.Matcher.quoteReplacement(
         // ASCII-only mapping (regex \w is ASCII — a kept Unicode letter
         // would dodge every statement regex, issue362/issue1054) plus a
@@ -3027,6 +3396,47 @@ class StatementRunner(spark: SparkSession) {
     if (resolved.contains("==") && !inStringLiteralFree(resolved, "=="))
       throw new IllegalArgumentException(
         "== is not a MySQL operator (MySQL error 1064)")
+    rejectOversizeIntArith(resolved)
+    // MySQL caps a join at 61 tables (ER_TOO_MANY_TABLES, 1116 —
+    // select_joins.test pins it with a 62-way self-join)
+    if ("""(?i)\bSELECT\b""".r.findFirstIn(resolved).isDefined &&
+        """(?i)\bJOIN\b""".r.findAllIn(resolved).size >= 61)
+      throw new IllegalArgumentException(
+        "too many tables; MySQL can only use 61 tables in a join " +
+          "(MySQL error 1116)")
+    // mixing explicit COLLATE clauses of equal precedence WITHIN one
+    // CASE…END is ER_CANT_AGGREGATE_2COLLATIONS (case_when.test:
+    // `CASE WHEN 1 THEN _latin1'a' COLLATE latin1_danish_ci ELSE
+    // _latin1'a' COLLATE latin1_swedish_ci END` pins 1267; a statement
+    // whose SEPARATE CASE expressions each carry one collation is
+    // legal — the scope is the individual CASE block)
+    if ("""(?i)\bCOLLATE\b""".r.findFirstIn(resolved).isDefined) {
+      def mixed(span: String, op: String): Unit = {
+        val collations = """(?i)\bCOLLATE\s+(\w+)""".r
+          .findAllMatchIn(span).map(_.group(1).toLowerCase)
+          .toSeq.distinct
+        if (collations.size > 1)
+          throw new IllegalArgumentException(
+            s"illegal mix of collations (${collations.take(2)
+              .mkString(", ")}) for operation '$op' (MySQL error 1267)")
+      }
+      val noStr = resolved.replaceAll("'(?:[^'\\\\]|\\\\.)*'", "''")
+      """(?is)\bCASE\b(.*?)\bEND\b""".r.findAllMatchIn(noStr)
+        .foreach(m => mixed(m.group(1), "case"))
+      // sibling arguments of one function call mix the same way
+      // (case_when.test `IFNULL('a' COLLATE x, 'b' COLLATE y)`)
+      val opens = scala.collection.mutable.Stack[Int]()
+      var ci = 0
+      while (ci < noStr.length) {
+        noStr(ci) match {
+          case '(' => opens.push(ci)
+          case ')' if opens.nonEmpty =>
+            mixed(noStr.substring(opens.pop() + 1, ci), "function call")
+          case _ =>
+        }
+        ci += 1
+      }
+    }
     if ("""(?is),\s*\*\s*(?:,|\bFROM\b)""".r
       .findFirstIn(resolved).isDefined &&
       !inStringLiteral(resolved,
@@ -3117,6 +3527,22 @@ class StatementRunner(spark: SparkSession) {
             v, org.apache.spark.sql.types.StringType)
         })
       }
+      // strict-mode enclosure validation (issue1263: an ODD stray
+      // quote — `"""` — closes the field early, leaving the row short
+      // of columns; MySQL rejects with 1261 where a permissive CSV
+      // parse would null-pad). Streamed once on the driver — the same
+      // sequential scan MySQL's own single-threaded LOAD performs;
+      // the bulk load below stays the distributed CSV read.
+      // LOAD DATA **LOCAL** downgrades malformed-input errors to
+      // warnings (MySQL: the server cannot abort a client-side
+      // transfer — issue1209's messy enclosed file loads with
+      // warnings); only the server-side form hard-errors
+      if (strictMode && skipLines == 0 &&
+          """(?is)^\s*LOAD\s+DATA\s+LOCAL\b""".r
+            .findFirstIn(stmtText).isEmpty &&
+          """(?i)\bENCLOSED\s+BY\b""".r.findFirstIn(tail).isDefined)
+        validateEnclosedRows(resolveReadPath(path), opts.delimiter,
+          opts.quote, opts.lineSep, parseSchema.length)
       val res = CsvLoader.load(spark, resolveReadPath(path), parseSchema,
         delimiter = opts.delimiter, quote = opts.quote,
         escape = opts.escape, skipLines = skipLines, lineSep = customSep)
@@ -3258,12 +3684,26 @@ class StatementRunner(spark: SparkSession) {
         throw new IllegalArgumentException(
           s"ALTER TABLE: duplicate column name '$colName' " +
             "(MySQL error 1060)")
-      val dt = sparkType(colType)
+      // parse through the CREATE-tier column grammar so the new column
+      // carries the same metadata a CREATE would stamp — UNSIGNED
+      // bounds, defaults, BIT width (unsigned_type.test ALTERs unsigned
+      // columns on and then pins their 1264 range rejections)
+      val field = parseColumnDef(
+        s"`$colName` $colType" +
+          (if (default != null) s" DEFAULT $default" else ""),
+        tianmu = tableEngines.getOrElse(table.toLowerCase, "TIANMU")
+          .equalsIgnoreCase("TIANMU")) match {
+        case Left(f) => f
+        case Right(_) => org.apache.spark.sql.types
+          .StructField(colName, sparkType(colType))
+      }
       val d =
         if (default == null) org.apache.spark.sql.functions.lit(null)
         else org.apache.spark.sql.functions
           .expr(MySqlDialect.rewrite(default))
-      store.alterAddColumn(colName, d.cast(dt))
+      store.rewriteWith(df => df.select(
+        (df.columns.map(col).toSeq :+
+          d.cast(field.dataType).as(colName, field.metadata)): _*))
       // `AFTER col` places the new column (alter_table1.test); the
       // statement text carried FIRST when afterCol is null but the
       // regex matched the position clause
@@ -3515,6 +3955,13 @@ class StatementRunner(spark: SparkSession) {
       tableDb(nk) = dbOfName(newName) // RENAME db2.t moves the table
       spark.catalog.dropTempView(table)
       store.read().createOrReplaceTempView(newName)
+      // renaming a TEMPORARY table that shadowed a base table
+      // re-exposes the base under the old name (delete.test: temp t1
+      // renamed to t2, then `select * from t1` reads the base rows)
+      if (tempTables.remove(key)) {
+        tempTables += nk
+        restoreShadowed(key, table)
+      }
       Seq((table, s"RENAME TO $newName")).toDF("table_name", "status")
 
     case TruncateRe(table) =>
@@ -3534,7 +3981,13 @@ class StatementRunner(spark: SparkSession) {
       runDelete(table, whereClause)
 
     case DeleteLimitRe(table, whereClause, orderClause, n) =>
-      runDeleteLimit(table, whereClause, orderClause, n.toInt)
+      // self-qualified column refs (`DELETE FROM t1 … ORDER BY t1.a
+      // LIMIT 1`, delete.test) resolve against the unqualified frame
+      def unq(s: String): String =
+        if (s == null) null
+        else s.replaceAll(
+          "(?i)\\b" + java.util.regex.Pattern.quote(table) + "\\.", "")
+      runDeleteLimit(table, unq(whereClause), unq(orderClause), n.toInt)
 
     case DeleteRe(ignoreMod, table, whereClause) =>
       if (ignoreMod != null)
@@ -3636,13 +4089,47 @@ class StatementRunner(spark: SparkSession) {
         (f.name, declaredType(f), if (requiredCol(f)) "NO" else "YES"))
         .toDF("field", "type", "null")
 
-    case CreateLikeRe(table, src) =>
+    case CreateLikeRe(ifNotExists, table, src) =>
       import spark.implicits._
       val key = table.toLowerCase
-      if (stores.contains(key))
+      if (stores.contains(key)) {
+        if (ifNotExists != null)
+          return Seq((table, "already exists (Note 1050)"))
+            .toDF("table_name", "status")
         throw new IllegalArgumentException(
           s"CREATE TABLE: '$table' already exists in this runner")
+      }
+      // LIKE takes a BASE table — a view source is 1347
+      // (create_table.test `create table t1 like v1`)
+      if (viewDefs.contains(src.toLowerCase))
+        throw new IllegalArgumentException(
+          s"CREATE TABLE LIKE: '$src' is not a BASE TABLE " +
+            "(MySQL error 1347)")
       val schema = schemaOf(src) // carries the MySQL metadata twins
+      // LIKE re-validates copied defaults under the CURRENT sql_mode:
+      // an invalid temporal default created under ALLOW_INVALID_DATES
+      // is 1067 again once strictness returns (create_table.test)
+      if (!sessionSqlMode.contains("ALLOW_INVALID_DATES"))
+        schema.foreach { f =>
+          import org.apache.spark.sql.types._
+          val temporal = f.dataType == DateType ||
+            f.dataType.isInstanceOf[TimestampType] ||
+            f.dataType.isInstanceOf[TimestampNTZType]
+          if (temporal && f.metadata.contains("graft.mysql.default")) {
+            val d = f.metadata.getString("graft.mysql.default")
+            if (d.startsWith("'"))
+              """^(\d{1,4})-(\d{1,2})-(\d{1,2})""".r.findFirstMatchIn(
+                d.stripPrefix("'").stripSuffix("'")).foreach { dm =>
+                val (y, mo, dd) = (dm.group(1).toInt,
+                  dm.group(2).toInt, dm.group(3).toInt)
+                if (mo > 0 && dd > 0 && scala.util.Try(
+                    java.time.LocalDate.of(y, mo, dd)).isFailure)
+                  throw new IllegalArgumentException(
+                    s"CREATE TABLE LIKE: invalid default value for " +
+                      s"'${f.name}' — $d (MySQL error 1067)")
+              }
+          }
+        }
       val empty = spark.createDataFrame(
         spark.sparkContext.parallelize(
           Seq.empty[org.apache.spark.sql.Row], 1), schema)
@@ -3738,14 +4225,39 @@ class StatementRunner(spark: SparkSession) {
             "(MySQL error 1305)")
       }
 
-    case CreateTableSelectRe(temporary, table, body, options, select) =>
+    case CreateTableSelectRe(temporary, ifNotExists, table, body,
+        options, select) =>
       import spark.implicits._
       import org.apache.spark.sql.functions.lit
+      // existing table/view: plain form is 1050; IF NOT EXISTS is a
+      // warning no-op WITHOUT inserting the SELECT (create_table.test's
+      // updatable-view block — t2 keeps its single row). A TEMPORARY
+      // create shadows and proceeds.
+      val occupied = stores.contains(table.toLowerCase) ||
+        viewDefs.contains(table.toLowerCase)
+      if (temporary == null && occupied) {
+        if (ifNotExists == null) throw new IllegalArgumentException(
+          s"CREATE TABLE: '$table' already exists (MySQL error 1050)")
+        return Seq((table, "already exists (IF NOT EXISTS)"))
+          .toDF("table_name", "status")
+      }
+      // an existing TEMPORARY of the same name: IF NOT EXISTS is the
+      // warning no-op, plain is the duplicate error
+      if (temporary != null && tempTables.contains(table.toLowerCase)) {
+        if (ifNotExists == null) throw new IllegalArgumentException(
+          s"CREATE TABLE: temporary '$table' already exists " +
+            "(MySQL error 1050)")
+        return Seq((table, "already exists (IF NOT EXISTS)"))
+          .toDF("table_name", "status")
+      }
+      if (temporary != null && !tempTables.contains(table.toLowerCase))
+        shadowForTemp(table.toLowerCase)
       val engine = Option(options).flatMap(o =>
         """(?i)ENGINE\s*=\s*(\w+)""".r.findFirstMatchIn(o)
           .map(_.group(1)))
         .getOrElse(if (temporary != null) "INNODB" else "TIANMU")
       runCreateTable(table, body, engine)
+      if (temporary != null) tempTables += table.toLowerCase
       val store = attachedStore(table)
       val result = spark.sql(MySqlDialect.rewrite(select))
       // SELECT columns not among the declared ones append on the right
@@ -3769,7 +4281,18 @@ class StatementRunner(spark: SparkSession) {
       // (temporary.test pins both)
       if (temporary != null && !tempTables.contains(table.toLowerCase))
         shadowForTemp(table.toLowerCase)
-      if (ifNotExists != null && stores.contains(table.toLowerCase)) {
+      // a VIEW occupies the table namespace: plain CREATE is 1050,
+      // IF NOT EXISTS downgrades to a warning no-op (create_table
+      // .test's updatable-view block); a TEMPORARY table lives in its
+      // own namespace and may shadow the view
+      if (temporary == null && viewDefs.contains(table.toLowerCase)) {
+        if (ifNotExists == null) throw new IllegalArgumentException(
+          s"CREATE TABLE: '$table' already exists as a view " +
+            "(MySQL error 1050)")
+        import spark.implicits._
+        Seq((table, "already exists (IF NOT EXISTS)"))
+          .toDF("table_name", "status")
+      } else if (ifNotExists != null && stores.contains(table.toLowerCase)) {
         import spark.implicits._
         Seq((table, "already exists (IF NOT EXISTS)"))
           .toDF("table_name", "status")
@@ -3932,21 +4455,50 @@ class StatementRunner(spark: SparkSession) {
             .foreach(_ => throw new IllegalArgumentException(
               s"SET @${m.group(1)}: illegal double value " +
                 "(MySQL error 1367)"))
-          val v = scala.util.Try(
-            spark.sql("SELECT " + MySqlDialect.rewrite(
-              substituteUserVars(m.group(2)))).first().get(0))
-            .getOrElse(null)
-          userVars(m.group(1).toLowerCase) = renderLiteral(v)
+          var rhsText = m.group(2).trim
+          // `SET @old_mode = @@sql_mode` snapshots a system variable
+          // (create_table.test) — substitute its current value as a
+          // string literal before evaluation
+          rhsText = """@@(?:session\.|global\.)?(\w+)""".r
+            .replaceAllIn(rhsText, sm => {
+              val sv = sessionVars.getOrElse(sm.group(1).toLowerCase,
+                if (sm.group(1).equalsIgnoreCase("sql_mode"))
+                  StatementRunner.DefaultSqlMode
+                else "")
+              java.util.regex.Matcher.quoteReplacement(s"'$sv'")
+            })
+          // a PURE numeric literal keeps its exact digit text — MySQL
+          // stores it as DECIMAL(65) and evaluating through Spark's
+          // double would flatten an 81-digit value to 1.0E81, hiding
+          // it from the integer-tier overflow checks (func_math.test
+          // `SET @a:=999…9; SELECT @a + @a` pins 1690)
+          if (rhsText.matches("""-?\d+(\.\d+)?"""))
+            userVars(m.group(1).toLowerCase) = rhsText
+          else {
+            val v = scala.util.Try(
+              spark.sql("SELECT " + MySqlDialect.rewrite(
+                substituteUserVars(rhsText))).first().get(0))
+              .getOrElse(null)
+            userVars(m.group(1).toLowerCase) = renderLiteral(v)
+          }
         }
       Seq((clause.trim.take(64), "OK (session no-op)"))
         .toDF("setting", "status")
 
-    case CtasRe(table, select) =>
+    case CtasRe(ifNotExists, table, select) =>
       import spark.implicits._
       val key = table.toLowerCase
-      if (stores.contains(key))
+      if (stores.contains(key) || viewDefs.contains(key)) {
+        // IF NOT EXISTS over an existing table is a Note-1050 no-op —
+        // the SELECT is NOT inserted (create_table.test: three
+        // `if not exists … select` statements leave t1's single row)
+        if (ifNotExists != null && stores.contains(key))
+          return Seq((table, "already exists (Note 1050)"))
+            .toDF("table_name", "status")
         throw new IllegalArgumentException(
-          s"CREATE TABLE: '$table' already exists in this runner")
+          s"CREATE TABLE: '$table' already exists in this runner " +
+            "(MySQL error 1050)")
+      }
       val df = spark.sql(MySqlDialect.rewrite(select))
       val root = java.nio.file.Files
         .createTempDirectory(s"graft-ctas-$key").toString
@@ -3999,6 +4551,17 @@ class StatementRunner(spark: SparkSession) {
       refreshTableView(table, store)
       Seq((table, "optimize", "status", s"OK ($pending delta rows folded)"))
         .toDF("table_name", "op", "msg_type", "msg_text")
+
+    case CheckTableRe(nameList) =>
+      import spark.implicits._
+      splitTopLevel(nameList).map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .map { name =>
+          val ok = scala.util.Try {
+            attachedStore(name).read().count(); true
+          }.getOrElse(spark.catalog.tableExists(name))
+          (s"$currentDb.$name", "check", "status",
+            if (ok) "OK" else "Error")
+        }.toDF("Table", "Op", "Msg_type", "Msg_text")
 
     case AnalyzeRe(table) =>
       import spark.implicits._
@@ -4088,8 +4651,7 @@ class StatementRunner(spark: SparkSession) {
     case ShowVarsRe(what, like) =>
       import spark.implicits._
       val defaults = Map(
-        "sql_mode" -> ("STRICT_TRANS_TABLES,ERROR_FOR_DIVISION_BY_ZERO," +
-          "NO_AUTO_CREATE_USER,NO_ENGINE_SUBSTITUTION"),
+        "sql_mode" -> StatementRunner.DefaultSqlMode,
         "default_storage_engine" -> "TIANMU",
         "tianmu_no_key_error" -> "OFF")
       val all = defaults ++ sessionVars
@@ -4432,6 +4994,50 @@ object Statements {
       |   'tool', CAST(NULL AS INT), '')
       |) AS t(id, t8, w, s4, n, r)""".stripMargin
 
+  /** Strict-insert DEFAULT semantics end-to-end — the insert.test:79-96
+    * flow that regressed in round 15, now oracle-gated so it cannot
+    * regress silently again: multi-row `VALUES (DEFAULT,…)` against an
+    * AUTO_INCREMENT PK assigns 1,2,5 around an explicit 4 (the NULL
+    * cell must survive the non-strict clamp), `INSERT … SET x=default`
+    * continues the counter, a zero timestamp stores as the zero-date
+    * sentinel, and `SET SQL_MODE='TRADITIONAL'` implies strict so an
+    * omitted NOT-NULL-no-default column raises ER_NO_DEFAULT_FOR_FIELD
+    * (insert_update.test:72-76). */
+  def qSqlInsertDefaults(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val r = new StatementRunner(s)
+    r.run("SET sql_mode = 'NO_ENGINE_SUBSTITUTION'")
+    r.run("""CREATE TABLE stmt_ins_def (
+      |  a int not null auto_increment,
+      |  primary key (a),
+      |  t timestamp NOT NULL DEFAULT CURRENT_TIMESTAMP ON UPDATE CURRENT_TIMESTAMP,
+      |  c char(10) default "hello", i int) engine=tianmu""".stripMargin)
+    r.run("""insert into stmt_ins_def values
+      | (default,default,default,default),
+      | (default,default,default,default),
+      | (4,0,"a",5),
+      | (default,default,default,default)""".stripMargin)
+    r.run("insert into stmt_ins_def set a=default,t=default,c=default,i=default")
+    r.run("SET SQL_MODE = 'TRADITIONAL'")
+    r.run("CREATE TABLE stmt_ins_req (a INT PRIMARY KEY, b INT NOT NULL)")
+    val strictErr =
+      try { r.run("INSERT INTO stmt_ins_req (a) VALUES (1)"); 0 }
+      catch { case _: Exception => 1 }
+    r.run("""select a,
+      |  case when t > '1971-01-01' then 1 else 0 end as t_pos, c, i
+      |from stmt_ins_def""".stripMargin)
+      .withColumn("strict_err", lit(strictErr))
+  }
+
+  val qSqlInsertDefaultsSql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS INT), 1, 'hello', CAST(NULL AS INT), 1),
+      |  (CAST(2 AS INT), 1, 'hello', CAST(NULL AS INT), 1),
+      |  (CAST(4 AS INT), 0, 'a',     CAST(5 AS INT),    1),
+      |  (CAST(5 AS INT), 1, 'hello', CAST(NULL AS INT), 1),
+      |  (CAST(6 AS INT), 1, 'hello', CAST(NULL AS INT), 1)
+      |) AS t(a, t_pos, c, i, strict_err)""".stripMargin
+
   /** MySQL's multi-table DML statement forms end-to-end (the handler
     * path the reference routes through sql/ha_my_tianmu.cpp join-DML;
     * update_join.test / delete_join.test): a join-UPDATE stamps each
@@ -4513,7 +5119,8 @@ object Statements {
     "q_sql_replace_upsert" -> (qSqlReplaceUpsert _),
     "q_sql_alter_table" -> (qSqlAlterTable _),
     "q_sql_create_table" -> (qSqlCreateTable _),
-    "q_sql_strict_types" -> (qSqlStrictTypes _))
+    "q_sql_strict_types" -> (qSqlStrictTypes _),
+    "q_sql_insert_defaults" -> (qSqlInsertDefaults _))
 
   val oracles: Map[String, String] = Map(
     "q_sql_multi_table_dml" -> qSqlMultiTableDmlSql,
@@ -4525,5 +5132,6 @@ object Statements {
     "q_sql_replace_upsert" -> qSqlReplaceUpsertSql,
     "q_sql_alter_table" -> qSqlAlterTableSql,
     "q_sql_create_table" -> qSqlCreateTableSql,
-    "q_sql_strict_types" -> qSqlStrictTypesSql)
+    "q_sql_strict_types" -> qSqlStrictTypesSql,
+    "q_sql_insert_defaults" -> qSqlInsertDefaultsSql)
 }

@@ -131,10 +131,15 @@ class MtrReplaySpec extends AnyFunSuite {
               case -1 => None
               case i => Some(p.substring(i + "std_data/".length))
             }
-            (Seq(
-              new java.io.File(MtrDir, p),
-              new java.io.File("target/mtr_io/" +
-                p.replaceAll("[^\\w.-]+", "_").stripPrefix("_"))) ++
+            val flat = p.replaceAll("[^\\w.-]+", "_").stripPrefix("_")
+            // sandbox hits: the legacy flat path plus the per-runner
+            // subdirectories (target/mtr_io/<runner>/<flat>)
+            val sandboxHit = new java.io.File(s"target/mtr_io/$flat")
+              .exists() ||
+              Option(new java.io.File("target/mtr_io").listFiles())
+                .exists(_.exists(d =>
+                  new java.io.File(d, flat).exists()))
+            !sandboxHit && (Seq(new java.io.File(MtrDir, p)) ++
               sub.toSeq.flatMap(s => Seq(
                 new java.io.File("/root/reference/mysql-test/std_data", s),
                 new java.io.File(
@@ -142,6 +147,13 @@ class MtrReplaySpec extends AnyFunSuite {
               .forall(!_.exists())
           }
       } ||
+      // a $MYSQL_TEST_DIR-anchored INFILE fixture missing from this
+      // checkout (LFS-stripped bulk data — delete.test's
+      // bigdata4load.txt) cannot run anywhere either
+      """(?i)\bINFILE\s+'\$MYSQL_TEST_DIR/([^']+)'""".r
+        .findFirstMatchIn(stmt).exists(m =>
+          !new java.io.File("/root/reference/mysql-test",
+            m.group(1)).exists()) ||
       // an UNQUOTED $var is an mysqltest harness variable (`let $i`
       // loops — issue1876.test): its value lives in harness control
       // flow this replayer does not interpret. Quoted ones ($MYSQLTEST_
@@ -203,19 +215,38 @@ class MtrReplaySpec extends AnyFunSuite {
   }
 
   /** The pinned compatibility corpus: every reference MTR file that
-    * replays END TO END with success/error parity — 272 of the
-    * suite's 311 files, ~11800 statements total. Per-file
-    * statement-count floors stop a silently-shortened parse from faking
-    * a pass; skip counts are pinned exactly (they mark LFS fixtures
-    * absent from the checkout, nothing else). Files not in the list
-    * fail on documented boundaries: multi-table DELETE `t1.*, t2.*
-    * FROM …` (the Dml.deleteJoin tier), backtick identifiers
-    * containing spaces/slashes, stored procedures/triggers, MTR
-    * while-loops with client variables, user variables (`@v :=`) in
-    * expressions, PREPARE/EXECUTE, INFORMATION_SCHEMA queries, MySQL's
-    * utf8-3-byte truncation rules, and LOAD DATA fixture dialects not
-    * yet parsed. */
+    * replays END TO END with success/error parity — 289 of the
+    * suite's 311 files (292 in tianmu/t), ~13300 statements total.
+    * Per-file statement-count floors stop a silently-shortened parse
+    * from faking a pass; skip counts are pinned exactly (LFS fixtures
+    * absent from the checkout, plus mysqltest client-variable loops).
+    * The three files not in the list fail on ONE documented boundary:
+    * stored PROCEDUREs/TRIGGERs and procedural FUNCTION bodies
+    * (DECLARE/WHILE/SELECT-INTO) — trigger.test, user_function.test,
+    * and issue538.test (a stored function call inside a LEFT JOIN ON,
+    * which expands to a correlated scalar subquery Spark cannot place
+    * in a join condition). The reference itself routes stored routines
+    * to the MySQL row engine (engine_execute.cpp:374-382), so this
+    * boundary mirrors its own architecture. */
   private val PinnedFiles: Seq[(String, Int, Int)] = Seq(
+    // round-16 pins: strict-insert/unsigned-overflow/DDL-shape work
+    ("auto_increment.test", 60, 0),
+    ("bit_type.test", 99, 0),
+    ("case_when.test", 63, 0),
+    ("create_table.test", 199, 0),
+    ("delete.test", 148, 1), // 1 skip: LFS-stripped bigdata4load.txt
+    ("func_math.test", 94, 0),
+    ("insert_select.test", 92, 0),
+    ("issue1169.test", 14, 0),
+    ("issue1263.test", 15, 0),
+    ("issue1910.test", 15, 7), // 7 skips: mysqltest client-var loops
+    ("issue682.test", 91, 0),
+    ("select_function_calls.test", 24, 0),
+    ("select_joins.test", 18, 0),
+    ("unsigned_greatest.test", 106, 0),
+    ("unsigned_least.test", 107, 0),
+    ("unsigned_support_issue1267.test", 144, 0),
+    ("unsigned_type.test", 77, 0),
     ("AddDate_function.test", 17, 0),
     ("AddTime_function.test", 17, 0),
     ("aliases.test", 26, 0),
