@@ -150,6 +150,31 @@ object Bench {
       case None => headline
     }
 
+  /** Machine-speed calibration: a fixed CPU-bound loop, single-thread
+    * and all-cores, timed in ms. Stamped into the detail artifact so a
+    * round-over-round bench drift can be attributed to the HOST (both
+    * calibrations move together) vs the CODE (calibrations flat,
+    * queries moved) without guessing — the r15 +12% "machine weather"
+    * hypothesis had to be re-measured blind. */
+  private def calibrate(): (Double, Double) = {
+    def spin(): Long = {
+      var x = 0x9e3779b97f4a7c15L; var i = 0
+      while (i < 40000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      x
+    }
+    spin() // warm
+    val t1 = System.nanoTime(); spin()
+    val oneT = (System.nanoTime() - t1) / 1e6
+    val n = Runtime.getRuntime.availableProcessors()
+    val t2 = System.nanoTime()
+    val threads = (1 to n).map(_ => new Thread(() => { spin(); () }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val allT = (System.nanoTime() - t2) / 1e6
+    (oneT, allT)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -182,8 +207,9 @@ object Bench {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalMin = results.map(_._2._2).filter(_ >= 0).sum
     val failed = failedJson(results)
+    val (cal1, calN) = calibrate()
     val detail =
-      s"""{"metric":"total_detail","value":${ms(total)},"unit":"sec","runs_per_query":$RunsPerQuery,"protocol":"interleaved-median","total_min":${ms(totalMin)},"failed":$failed,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${ms(total)},"unit":"sec","runs_per_query":$RunsPerQuery,"protocol":"interleaved-median","total_min":${ms(totalMin)},"cal_1t_ms":${ms(cal1)},"cal_allcores_ms":${ms(calN)},"failed":$failed,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
     // Full per-query medians/mins go to a repo file the judge reads
     // directly — the stdout tail capture is size-bounded (~2000 chars)
     // and the per-query map outgrew it in r13 (73 queries ≈ 2.3 kB →
