@@ -190,6 +190,10 @@ object Bench {
     // measure the plan, not classloading.
     runOne(spark, "q06_forecast_revenue", sfDir)
 
+    // Calibration BRACKETS the query loop (r16 stamped one pair after
+    // the loop; a load spike mid-run was averaged in invisibly) — a
+    // pre/post divergence localizes contention to the run itself.
+    val (calPre1, calPreN) = calibrate()
     val samples = interleavedSamples(spark, sfDir)
     val results = filteredHeadline.map { n =>
       val ts = samples.map(_(n))
@@ -207,9 +211,12 @@ object Bench {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalMin = results.map(_._2._2).filter(_ >= 0).sum
     val failed = failedJson(results)
+    // post-loop pair keeps the r16 field semantics (cal_1t_ms /
+    // cal_allcores_ms were stamped after the loop there) so the
+    // round-over-round comparison stays apples-to-apples
     val (cal1, calN) = calibrate()
     val detail =
-      s"""{"metric":"total_detail","value":${ms(total)},"unit":"sec","runs_per_query":$RunsPerQuery,"protocol":"interleaved-median","total_min":${ms(totalMin)},"cal_1t_ms":${ms(cal1)},"cal_allcores_ms":${ms(calN)},"failed":$failed,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${ms(total)},"unit":"sec","runs_per_query":$RunsPerQuery,"protocol":"interleaved-median","total_min":${ms(totalMin)},"cal_pre_1t_ms":${ms(calPre1)},"cal_pre_allcores_ms":${ms(calPreN)},"cal_1t_ms":${ms(cal1)},"cal_allcores_ms":${ms(calN)},"failed":$failed,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
     // Full per-query medians/mins go to a repo file the judge reads
     // directly — the stdout tail capture is size-bounded (~2000 chars)
     // and the per-query map outgrew it in r13 (73 queries ≈ 2.3 kB →

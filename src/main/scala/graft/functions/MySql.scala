@@ -131,7 +131,11 @@ object MySql {
     val rv = r.toJavaBigDecimal
     if (rv.signum == 0) return null
     val q = l.toJavaBigDecimal.divideToIntegralValue(rv)
-    if (q.abs.compareTo(new java.math.BigDecimal(Long.MaxValue)) > 0)
+    // asymmetric signed-64 bounds: -2^63 is a LEGAL quotient
+    // (-9223372036854775808 DIV 1), only < -2^63 or > 2^63-1 is 1690
+    // (the i64min DIV -1 corner lands at +2^63)
+    if (q.compareTo(new java.math.BigDecimal(Long.MinValue)) < 0 ||
+        q.compareTo(new java.math.BigDecimal(Long.MaxValue)) > 0)
       throw new ArithmeticException(
         "BIGINT value is out of range in DIV (MySQL error 1690)")
     java.lang.Long.valueOf(q.longValueExact)

@@ -54,8 +54,19 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (isNumeric(e)) Not(EqualTo(e, Cast(Literal(0), e.dataType)))
     else if (isTemporal(e))
       Not(EqualTo(temporalAsNumber(e), Literal(BigDecimal(0))))
-    else if (isStringy(e))
-      Not(EqualTo(Cast(e, DoubleType), Literal(0.0)))
+    else if (isStringy(e)) {
+      // MySQL PREFIX-parses string numerics in boolean context:
+      // '1abc' is 1 (true), 'abc' is 0 (false) — Spark's plain cast
+      // nulls both, which would wrongly filter the '1abc' row. NULL
+      // input stays NULL (3-valued logic: NOT NULL must stay NULL).
+      val prefix = Cast(RegExpExtract(e,
+        Literal("^\\s*(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)"),
+        Literal(1)), DoubleType)
+      Not(EqualTo(
+        If(IsNull(e), Literal(null, DoubleType),
+          Coalesce(Seq(prefix, Literal(0.0)))),
+        Literal(0.0)))
+    }
     else e
 
   /** Temporal → the number MySQL compares it as: its digit string
@@ -265,8 +276,15 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * `CAST(… AS UNSIGNED)` spelling (DECIMAL(20,0) cast target), or an
     * integer literal above the signed-BIGINT max. */
   private def unsignedMarker(e: Expression): Boolean = e match {
-    // the dialect's CAST(… AS UNSIGNED) spelling
-    case c: Cast if c.dataType == DecimalType(20, 0) => true
+    // the dialect's CAST(… AS UNSIGNED) spelling — but ONLY when the
+    // cast came from statement text (Spark's parser stamps explicit
+    // casts with USER_SPECIFIED_CAST): the analyzer inserts the exact
+    // same DECIMAL(20,0) cast shape when promoting a signed BIGINT
+    // into decimal arithmetic, and that promotion must NOT put the
+    // expression in unsigned result context (a negative result there
+    // is legal, not error 1690)
+    case c: Cast if c.dataType == DecimalType(20, 0) &&
+        c.getTagValue(Cast.USER_SPECIFIED_CAST).isDefined => true
     // CAST(… AS SIGNED) re-signs its operand — an oversize literal
     // UNDER it must not leak the unsigned context out
     // (union.test `CAST(0xFFFFFFFFFFFFFF80 AS SIGNED)+2` is signed

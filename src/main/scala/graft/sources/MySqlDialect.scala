@@ -382,6 +382,41 @@ object MySqlDialect {
 
   /** Quantified comparisons Spark lacks: `= ANY (SELECT …)` ≡ IN,
     * `<> ALL (SELECT …)` ≡ NOT IN (in_withpk.test). */
+  /** MySQL `CAST(x AS CHAR(n))` TRUNCATES to n characters
+    * (CAST('hello world' AS CHAR(5)) = 'hello'); a bare STRING cast
+    * would silently keep the full value. Rewritten as
+    * SUBSTRING(CAST(x AS STRING), 1, n) via balanced-paren scan;
+    * length-less CHAR stays with the inline AS-position rewrite. */
+  private def translateCharLenCast(sql: String): String = {
+    val castPat = """(?i)\bCAST\s*\(""".r
+    val tailPat = """(?is)^(.*\S)\s+AS\s+CHAR\s*\(\s*(\d+)\s*\)\s*$""".r
+    var s = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      // rightmost-first keeps earlier indices valid and unwinds nested
+      // casts one per iteration (outermost first)
+      val ms = castPat.findAllMatchIn(s).toList.reverse
+      val it = ms.iterator
+      while (!changed && it.hasNext) {
+        val m = it.next()
+        val open = s.indexOf('(', m.start)
+        val close = matchParen(s, open)
+        if (close > 0) {
+          s.substring(open + 1, close - 1) match {
+            case tailPat(operand, len) =>
+              s = s.substring(0, m.start) +
+                s"SUBSTRING(CAST($operand AS STRING), 1, $len)" +
+                s.substring(close)
+              changed = true
+            case _ =>
+          }
+        }
+      }
+    }
+    s
+  }
+
   private def translateQuantified(sql: String): String =
     sql.replaceAll("(?is)=\\s*(?:ANY|SOME)\\s*\\(", " IN (")
       .replaceAll("(?is)(?:<>|!=)\\s*ALL\\s*\\(", " NOT IN (")
@@ -391,7 +426,7 @@ object MySqlDialect {
       clampDoubleLiterals(stripGroupByOrder(translateRandSeed(
       translateBigNot(translateQuantified(translateLikeEscape(
         translateCaseTruthiness(translateIntervalCol(stripSelectHints(
-          translateGetFormat(sqlIn)))))))))))
+          translateGetFormat(translateCharLenCast(sqlIn))))))))))))
     val out = new StringBuilder(sql.length + 16)
     val n = sql.length
     var i = 0

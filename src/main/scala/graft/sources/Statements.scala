@@ -77,6 +77,22 @@ class StatementRunner(spark: SparkSession) {
   // a fresh runner starts from the server-default sql_mode (which has
   // ONLY_FULL_GROUP_BY); the conf is session-global, so reset it here
   spark.conf.set("spark.graft.mysql.sqlMode", "__default__")
+  // Spark's PushProjectionThroughUnion rewrites a Project containing a
+  // correlated ScalarSubquery with an AttributeMap that lacks the
+  // OUTER attribute → `key not found` crash (hit by stored-function
+  // expansion over attached stores, whose reads are base ∪ delta
+  // unions — issue538.test). Excluded for STATEMENT sessions only; the
+  // scale-relevant pruning path (ColumnPruning prunes Union children
+  // directly) is unaffected.
+  locally {
+    val rule =
+      "org.apache.spark.sql.catalyst.optimizer.PushProjectionThroughUnion"
+    val prev = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+      .filter(_.nonEmpty)
+    if (!prev.exists(_.contains(rule)))
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        (prev.toSeq :+ rule).mkString(","))
+  }
 
   private val stores = scala.collection.mutable.Map[String, DeltaStore]()
   private val packedTables = scala.collection.mutable.Map[String, String]()
@@ -372,7 +388,19 @@ class StatementRunner(spark: SparkSession) {
     * 65-digit DECIMAL tier `@a + @a`). Comparisons and bare renders of
     * the same literal stay legal (range.test
     * `where x = 18446744073709551601`, bigint_unsigned.test inserts). */
-  private def rejectOversizeIntArith(sql: String): Unit = {
+  private def rejectOversizeIntArith(sqlRaw: String): Unit = {
+    // SCOPE: this is a statement-TEXT heuristic tuned to the MTR
+    // corpus, not a plan analysis — a FROM-less oversize expression
+    // inside a statement that contains FROM elsewhere is classified by
+    // the surrounding tokens. Comments are stripped first so a FROM or
+    // a 19-digit literal inside `-- …` / `# …` / `/* … */` cannot
+    // change the classification; the longer-term home for this check
+    // is plan analysis, where table-backed evaluation is knowable.
+    val sql = sqlRaw
+      .replaceAll("'(?:[^'\\\\]|\\\\.)*'", "''")
+      .replaceAll("\"(?:[^\"\\\\]|\\\\.)*\"", "\"\"")
+      .replaceAll("(?s)/\\*.*?\\*/", " ")
+      .replaceAll("(?m)(?:--\\s|#).*$", " ")
     if (!"""\d{19}""".r.findFirstIn(sql).isDefined) return
     // only TABLE-reading expressions run on the engine's int64
     // evaluator; a FROM-less `select 9223372036854775808+1` is served
@@ -2349,7 +2377,39 @@ class StatementRunner(spark: SparkSession) {
               args.foreach(a =>
                 rejectLiteralDivZero(a, s"FUNCTION $fname"))
             f.preStmts.foreach(s => run(substParams(s, f.params, args)))
-            val repl = "(" + substParams(f.returnExpr, f.params, args) + ")"
+            // CAPTURE GUARD: MySQL evaluates the argument in the
+            // CALLER's scope, then runs the body — but textual
+            // substitution merges scopes, so an argument like
+            // `employees.employee_id` would be captured by a body
+            // whose own FROM reads `employees` (issue538.test:135).
+            // Aliasing the body's table restores the outer resolution
+            // (the body's own columns are unqualified and still bind
+            // inner-first); bodies that qualify their own columns with
+            // the table name are left untouched.
+            val argRefs = args.flatMap(a =>
+              """(\w+)\s*\.""".r.findAllMatchIn(
+                a.replaceAll("'[^']*'|\"[^\"]*\"", " "))
+                .map(_.group(1).toLowerCase)).toSet
+            val body =
+              if (argRefs.isEmpty) f.returnExpr
+              else """(?is)\bFROM\s+`?(\w+)`?(\s*)(\w*)""".r
+                .replaceAllIn(f.returnExpr, m => {
+                  val t = m.group(1)
+                  val nextW = m.group(3).toLowerCase
+                  val clauseNext = nextW.isEmpty || Set("where", "group",
+                    "order", "limit", "having", "on", "join", "left",
+                    "right", "inner", "cross", "union").contains(nextW)
+                  val selfQualified =
+                    (s"""(?i)\\b${java.util.regex.Pattern.quote(t)}\\s*\\.""").r
+                      .findFirstIn(f.returnExpr).isDefined
+                  if (argRefs.contains(t.toLowerCase) && clauseNext &&
+                      !selfQualified)
+                    java.util.regex.Matcher.quoteReplacement(
+                      s"FROM $t __graft_self${m.group(2)}${m.group(3)}")
+                  else java.util.regex.Matcher
+                    .quoteReplacement(m.matched)
+                })
+            val repl = "(" + substParams(body, f.params, args) + ")"
             return Some(sql.substring(0, at) + repl + sql.substring(q))
           } else from = at + fname.length
         }
@@ -2406,6 +2466,157 @@ class StatementRunner(spark: SparkSession) {
         "graft_info_schema_views")
       .replaceAll("(?i)information_schema\\.tables",
         "graft_info_schema_tables")
+  }
+
+  // ───────────────────────── JOIN-ON scalar-subquery hoist ──────────
+  // Spark cannot place a correlated scalar subquery inside a JOIN … ON
+  // condition (issue538.test: a stored function whose body is a
+  // single-table lookup expands exactly there). MySQL evaluates the
+  // subquery per candidate row pair; when it references ONLY the
+  // join's right-side alias (or nothing outside itself), that is
+  // equivalent to projecting it as a derived column of the right side
+  // — a placement Spark accepts and decorrelates — and comparing the
+  // column in ON. The rewrite is textual, alias-scoped and
+  // conservative: any shape it does not fully recognize passes
+  // through untouched.
+
+  private val OnJoinRe =
+    """(?is)\bjoin\s+`?(\w+)`?\s+(?:as\s+)?`?(\w+)`?\s+on\b""".r
+
+  /** End of the ON condition starting at `from`: the first top-level
+    * `)` / `;` / clause keyword, else end of text. */
+  private def onCondEnd(s: String, from: Int): Int = {
+    val terminators = Set("where", "group", "order", "having", "limit",
+      "union", "left", "right", "inner", "cross", "full", "join",
+      "straight_join")
+    var i = from
+    var depth = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val q = c; i += 1
+        while (i < s.length && s(i) != q) {
+          if (s(i) == '\\' && q != '`') i += 1
+          i += 1
+        }
+        i += 1
+      } else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { if (depth == 0) return i; depth -= 1; i += 1 }
+      else if (c == ';' && depth == 0) return i
+      else if (Character.isLetter(c) || c == '_') {
+        var j = i
+        while (j < s.length &&
+          (Character.isLetterOrDigit(s(j)) || s(j) == '_')) j += 1
+        if (depth == 0 && terminators(s.substring(i, j).toLowerCase))
+          return i
+        i = j
+      } else i += 1
+    }
+    s.length
+  }
+
+  /** `(SELECT …)` spans (start, endExclusive) inside s[from, end). */
+  private def selectSpans(s: String, from: Int, end: Int)
+      : Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var i = from
+    while (i < end) {
+      val c = s(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val q = c; i += 1
+        while (i < end && s(i) != q) {
+          if (s(i) == '\\' && q != '`') i += 1
+          i += 1
+        }
+        i += 1
+      } else if (c == '(' &&
+          """(?is)^\(\s*select\b""".r
+            .findFirstIn(s.substring(i, math.min(end, i + 12))).isDefined) {
+        // balanced close
+        var d = 0; var j = i
+        var close = -1
+        while (j < s.length && close < 0) {
+          if (s(j) == '(') d += 1
+          else if (s(j) == ')') { d -= 1; if (d == 0) close = j + 1 }
+          else if (s(j) == '\'' || s(j) == '"') {
+            val q = s(j); j += 1
+            while (j < s.length && s(j) != q) {
+              if (s(j) == '\\') j += 1
+              j += 1
+            }
+          }
+          j += 1
+        }
+        if (close > 0 && close <= end) { out += ((i, close)); i = close }
+        else i += 1
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Qualified aliases a subquery references that its own FROM clause
+    * does not define (coarse word-level scan — used only as a
+    * conservative hoist guard). */
+  private def outsideAliases(subq: String): Set[String] = {
+    val bare = subq.replaceAll("'[^']*'|\"[^\"]*\"", " ")
+    val quals = """(\w+)\s*\.""".r.findAllMatchIn(bare)
+      .map(_.group(1).toLowerCase).toSet
+    val fromPart = """(?is)\bfrom\b(.*?)(?:\bwhere\b|$)""".r
+      .findFirstMatchIn(bare).map(_.group(1)).getOrElse("")
+    val innerNames = """\w+""".r.findAllIn(fromPart)
+      .map(_.toLowerCase).toSet
+    quals -- innerNames
+  }
+
+  private def hoistOnSubqueries(sql: String): String = {
+    if ("""(?is)\bjoin\b""".r.findFirstIn(sql).isEmpty ||
+        """(?is)\(\s*select\b""".r.findFirstIn(sql).isEmpty) return sql
+    var cur = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 8) {
+      changed = false
+      guard += 1
+      val hit = OnJoinRe.findAllMatchIn(cur).toList
+        .filterNot(m => inStringLiteral(cur, m.start))
+        .iterator.map { m =>
+          val table = m.group(1)
+          val alias = m.group(2)
+          val condEnd = onCondEnd(cur, m.end)
+          val spans = selectSpans(cur, m.end, condEnd).filter { case (a, b) =>
+            outsideAliases(cur.substring(a, b))
+              .subsetOf(Set(alias.toLowerCase))
+          }
+          (m, table, alias, spans)
+        }.find(_._4.nonEmpty)
+      hit.foreach { case (m, table, alias, spans) =>
+        val named = spans.sortBy(_._1).zipWithIndex.map {
+          case ((a, b), k) => (a, b, s"__graft_on_sq_${k + 1}",
+            cur.substring(a, b))
+        }
+        var next = cur
+        named.sortBy(-_._1).foreach { case (a, b, nm, _) =>
+          next = next.substring(0, a) + s"$alias.$nm" + next.substring(b)
+        }
+        // a scalar subquery in a join CHILD trips Spark's decorrelation
+        // (key-not-found on the outer attribute) — LEFT JOIN LATERAL is
+        // the decorrelation path that works, and an empty lateral result
+        // NULL-fills exactly like the scalar subquery. (A multi-row
+        // subquery result duplicates rows here where MySQL raises 1242;
+        // the corpus' lookups are unique-keyed.)
+        val laterals = named.map { case (_, _, nm, expr) =>
+          s"LEFT JOIN LATERAL $expr __t_$nm($nm) ON true"
+        }.mkString(" ")
+        val cols = named.map { case (_, _, nm, _) => s"__t_$nm.$nm" }
+          .mkString(", ")
+        next = next.substring(0, m.start) +
+          s"JOIN (SELECT $alias.*, $cols FROM $table $alias $laterals) " +
+          s"$alias ON" + next.substring(m.end)
+        cur = next
+        changed = true
+      }
+    }
+    cur
   }
 
   /** True when every occurrence of `needle` is inside a quoted
@@ -3378,10 +3589,16 @@ class StatementRunner(spark: SparkSession) {
     val resolved1 = resolveInfoSchema(resolved0)
     // stored-function calls expand inline — but never inside the
     // statements that define or administer the functions themselves
-    val resolved =
+    val resolvedF =
       if ("""(?is)^\s*(?:CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?FUNCTION|DROP\s+FUNCTION|SHOW\s+CREATE\s+FUNCTION)\b""".r
         .findFirstIn(resolved1).isDefined) resolved1
       else expandStoredFuncs(resolved1)
+    // SELECT-only: a hoist inside DML join text would disturb the
+    // multi-table DML parsers, which re-read the raw relation names
+    val resolved =
+      if ("""(?is)^\s*(?:select|with|\()""".r
+        .findFirstIn(resolvedF).isDefined) hoistOnSubqueries(resolvedF)
+      else resolvedF
     // MySQL-parser shape checks Spark would accept:
     // an EMPTY backtick identifier is 1103 (alter_table_v1.test's
     // `rename to ```), and a bare `*` after other select items without
@@ -5038,6 +5255,45 @@ object Statements {
       |  (CAST(6 AS INT), 1, 'hello', CAST(NULL AS INT), 1)
       |) AS t(a, t_pos, c, i, strict_err)""".stripMargin
 
+  /** The unsigned-BIGINT range split, pinned as a gate so the round-16
+    * decision cannot silently flip again (out_of_range_issue1151.test +
+    * unsigned_type.test): a default-engine (tianmu) table caps
+    * `BIGINT UNSIGNED` at the SIGNED int64 max — the reference stores
+    * one int64 cell per value and raises 1264 for 2^63..2^64-1 (its
+    * issue #1236) — while an `engine=innodb` side table keeps MySQL's
+    * full u64 range, exactly the mixed-engine split the reference's own
+    * suite uses. The oracle is a literal replay of both branches. */
+  def qSqlUnsignedCap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val r = new StatementRunner(s)
+    r.run("create table cap_tm (d bigint unsigned)")
+    r.run("insert into cap_tm values (0), (9223372036854775807)")
+    val tmErr =
+      try { r.run("insert into cap_tm values (9223372036854775808)"); 0 }
+      catch { case _: IllegalArgumentException => 1 }
+    r.run("create table cap_inno (d bigint unsigned) engine=innodb")
+    r.run("insert into cap_inno values (0), (18446744073709551615)")
+    val innoErr =
+      try { r.run("insert into cap_inno values (18446744073709551616)"); 0 }
+      catch { case _: IllegalArgumentException => 1 }
+    r.run("select count(*) as n, max(d) as mx from cap_tm")
+      .withColumn("eng", lit("tianmu"))
+      .withColumn("overflow_rejected", lit(tmErr))
+      .unionByName(
+        r.run("select count(*) as n, max(d) as mx from cap_inno")
+          .withColumn("eng", lit("innodb"))
+          .withColumn("overflow_rejected", lit(innoErr)))
+      .select("eng", "n", "mx", "overflow_rejected")
+  }
+
+  val qSqlUnsignedCapSql: String =
+    """SELECT * FROM (VALUES
+      |  ('tianmu', CAST(2 AS BIGINT),
+      |   CAST('9223372036854775807' AS DECIMAL(20,0)), 1),
+      |  ('innodb', CAST(2 AS BIGINT),
+      |   CAST('18446744073709551615' AS DECIMAL(20,0)), 1)
+      |) AS t(eng, n, mx, overflow_rejected)""".stripMargin
+
   /** MySQL's multi-table DML statement forms end-to-end (the handler
     * path the reference routes through sql/ha_my_tianmu.cpp join-DML;
     * update_join.test / delete_join.test): a join-UPDATE stamps each
@@ -5120,7 +5376,8 @@ object Statements {
     "q_sql_alter_table" -> (qSqlAlterTable _),
     "q_sql_create_table" -> (qSqlCreateTable _),
     "q_sql_strict_types" -> (qSqlStrictTypes _),
-    "q_sql_insert_defaults" -> (qSqlInsertDefaults _))
+    "q_sql_insert_defaults" -> (qSqlInsertDefaults _),
+    "q_sql_unsigned_cap" -> (qSqlUnsignedCap _))
 
   val oracles: Map[String, String] = Map(
     "q_sql_multi_table_dml" -> qSqlMultiTableDmlSql,
@@ -5133,5 +5390,6 @@ object Statements {
     "q_sql_alter_table" -> qSqlAlterTableSql,
     "q_sql_create_table" -> qSqlCreateTableSql,
     "q_sql_strict_types" -> qSqlStrictTypesSql,
-    "q_sql_insert_defaults" -> qSqlInsertDefaultsSql)
+    "q_sql_insert_defaults" -> qSqlInsertDefaultsSql,
+    "q_sql_unsigned_cap" -> qSqlUnsignedCapSql)
 }

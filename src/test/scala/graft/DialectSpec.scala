@@ -43,6 +43,18 @@ class DialectSpec extends AnyFunSuite {
     assert(rewrite("SELECT limit_2 FROM t") === "SELECT limit_2 FROM t")
   }
 
+  test("CAST AS CHAR(n) truncates via SUBSTRING; bare CHAR rides STRING") {
+    assert(rewrite("SELECT CAST('hello world' AS CHAR(5))")
+      === "SELECT SUBSTRING(CAST('hello world' AS STRING), 1, 5)")
+    // nested length-ful casts unwind outermost-first
+    assert(rewrite("SELECT CAST(CAST(x AS CHAR(3)) AS CHAR(2)) FROM t")
+      === "SELECT SUBSTRING(CAST(SUBSTRING(CAST(x AS STRING), 1, 3)" +
+        " AS STRING), 1, 2) FROM t")
+    // length-less CHAR keeps the plain STRING cast (no truncation)
+    assert(rewrite("SELECT CAST('b' AS CHAR)")
+      === "SELECT CAST('b' AS STRING)")
+  }
+
   test("FROM DUAL becomes a one-row derived table") {
     assert(rewrite("SELECT 1+1 FROM DUAL")
       === "SELECT 1+1 FROM (SELECT 1) AS DUAL")

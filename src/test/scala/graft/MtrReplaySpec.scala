@@ -215,20 +215,29 @@ class MtrReplaySpec extends AnyFunSuite {
   }
 
   /** The pinned compatibility corpus: every reference MTR file that
-    * replays END TO END with success/error parity — 289 of the
-    * suite's 311 files (292 in tianmu/t), ~13300 statements total.
+    * replays END TO END with success/error parity — 290 of the
+    * suite's 311 files (292 in tianmu/t), ~13350 statements total.
     * Per-file statement-count floors stop a silently-shortened parse
     * from faking a pass; skip counts are pinned exactly (LFS fixtures
     * absent from the checkout, plus mysqltest client-variable loops).
-    * The three files not in the list fail on ONE documented boundary:
-    * stored PROCEDUREs/TRIGGERs and procedural FUNCTION bodies
-    * (DECLARE/WHILE/SELECT-INTO) — trigger.test, user_function.test,
-    * and issue538.test (a stored function call inside a LEFT JOIN ON,
-    * which expands to a correlated scalar subquery Spark cannot place
-    * in a join condition). The reference itself routes stored routines
+    * The two files not in the list fail on ONE documented boundary:
+    * stored PROCEDUREs/TRIGGERs and PROCEDURAL function bodies
+    * (DECLARE/WHILE/SELECT-INTO) — trigger.test and
+    * user_function.test. The reference itself routes stored routines
     * to the MySQL row engine (engine_execute.cpp:374-382), so this
-    * boundary mirrors its own architecture. */
+    * boundary mirrors its own architecture. issue538.test joined the
+    * corpus in round 17: its expression-bodied stored functions expand
+    * inline with a caller-scope capture guard, ON-placed expansions
+    * hoist to LEFT JOIN LATERAL columns, and the
+    * PushProjectionThroughUnion outer-ref crash is excluded for
+    * statement sessions. */
   private val PinnedFiles: Seq[(String, Int, Int)] = Seq(
+    // round-17 pin: stored-function JOIN-ON placement — expansion
+    // capture guard (caller-scope argument refs), LEFT JOIN LATERAL
+    // hoist for ON-placed scalar subqueries, and the
+    // PushProjectionThroughUnion exclusion (Spark outer-ref crash over
+    // base∪delta unions)
+    ("issue538.test", 46, 0),
     // round-16 pins: strict-insert/unsigned-overflow/DDL-shape work
     ("auto_increment.test", 60, 0),
     ("bit_type.test", 99, 0),

@@ -18,6 +18,24 @@ class MySqlFuncSpec extends AnyFunSuite {
     assert(eval(MySql.div(lit(-7), lit(2))) === -3L)    // -7 DIV 2 = -3
   }
 
+  test("decDivChecked: -2^63 is a legal quotient; ±overflow is 1690") {
+    import org.apache.spark.sql.types.Decimal
+    def d(s: String) = Decimal(BigDecimal(s))
+    // MySQL: -9223372036854775808 DIV 1 = -9223372036854775808
+    assert(MySql.decDivChecked(d("-9223372036854775808"), d("1"))
+      === Long.MinValue)
+    // i64min DIV -1 lands at +2^63 → 1690
+    intercept[ArithmeticException] {
+      MySql.decDivChecked(d("-9223372036854775808"), d("-1"))
+    }
+    // below -2^63 → 1690 too
+    intercept[ArithmeticException] {
+      MySql.decDivChecked(d("-9223372036854775809"), d("1"))
+    }
+    // divisor 0 keeps the NULL result
+    assert(MySql.decDivChecked(d("5"), d("0")) === null)
+  }
+
   test("MOD keeps dividend sign") {
     assert(eval(MySql.mod(lit(-7), lit(2))) === -1)     // MOD(-7,2) = -1
     assert(eval(MySql.mod(lit(7), lit(-2))) === 1)      // MOD(7,-2) = 1

@@ -611,12 +611,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "and true UNSIGNED ranges (out_of_range_issue1151.test)") {
     import graft.sources.StatementRunner
     val runner = new StatementRunner(spark)
+    // DECISION (round 17): engineless CREATEs default to tianmu, whose
+    // BIGINT UNSIGNED max is capped at the signed int64 bound to match
+    // the reference's one-int64-cell storage (its issue #1236, pinned
+    // by unsigned_type.test in the MTR corpus). This test pins TRUE
+    // MySQL u64 range, so it declares engine=innodb explicitly — the
+    // same mixed-engine split the reference's own suite uses. The
+    // tianmu-cap branch is asserted at the end of this test and
+    // oracle-gated by q_sql_unsigned_cap.
     runner.run("create table oor (a tinyint, b tinyint unsigned, " +
-      "c int, d bigint unsigned)")
+      "c int, d bigint unsigned) engine=innodb")
     // in-range values land (full MySQL ranges, incl. unsigned tops the
-    // reference itself cannot store — its issue #1236). The 32/64-bit
-    // MINIMA are excluded: the engine reserves them as its NULL
-    // sentinels exactly like the reference (common_definitions.h
+    // reference's tianmu engine cannot store — its issue #1236). The
+    // 32/64-bit MINIMA are excluded: the engine reserves them as its
+    // NULL sentinels exactly like the reference (common_definitions.h
     // NULL_VALUE_32/64; integer_range.test rejects -2147483648)
     runner.run("insert into oor values (-128, 0, -2147483647, 0)")
     runner.run("insert into oor values (127, 255, 2147483647, " +
@@ -671,6 +679,77 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(row.getInt(0) === Int.MaxValue, "clamped, not wrapped")
     assert(row.getString(1) === "", "implicit '' default for NOT NULL")
     assert(row.getInt(2) === 9)
+    // tianmu-cap branch (the round-16/17 decision): an engineless
+    // CREATE defaults to tianmu, whose BIGINT UNSIGNED declared max is
+    // the SIGNED int64 bound — the reference stores one int64 cell per
+    // value and raises 1264 for 2^63..2^64-1 (unsigned_type.test,
+    // issue #1236). Long.MaxValue lands; Long.MaxValue+1 rejects.
+    runner.run("create table oor3 (d bigint unsigned)")
+    runner.run("insert into oor3 values (9223372036854775807)")
+    val capErr = intercept[IllegalArgumentException] {
+      runner.run("insert into oor3 values (9223372036854775808)")
+    }
+    assert(capErr.getMessage.contains("out of range"))
+    assert(runner.run("select max(d) as m from oor3").first()
+      .getDecimal(0).toBigInteger.toString === "9223372036854775807")
+  }
+
+  test("statement front-end: stored-function expansion — JOIN-ON " +
+      "placement hoists to LATERAL; caller-scope args are not " +
+      "captured by the body's FROM (issue538.test)") {
+    import graft.sources.StatementRunner
+    val runner = new StatementRunner(spark)
+    runner.run("create table sf_emp (id int, name varchar(50), sal int)")
+    runner.run("insert into sf_emp values (1,'David',7500),(2,'Black',6600)")
+    runner.run("CREATE FUNCTION sf_sal(i INT) RETURNS INT " +
+      "RETURN (SELECT sal FROM sf_emp WHERE id=i)")
+    // stored function inside LEFT JOIN ON — MySQL evaluates it per
+    // candidate pair; the runner hoists the expanded subquery to a
+    // LATERAL column on the join's right side
+    val on = runner.run(
+      """SELECT a.id, b.name FROM sf_emp a
+        |LEFT JOIN sf_emp b ON a.sal = sf_sal(b.id) and b.name = 'David'
+        |""".stripMargin).collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(on.toSet === Set((1, "David"), (2, null)))
+    // caller-scope capture: sf_sal(sf_emp.id) inside a derived table
+    // whose own FROM is also sf_emp — the argument must bind to the
+    // DERIVED table's row (via the body-alias guard), not to the
+    // body's FROM (which would make the subquery unconstrained)
+    val derived = runner.run(
+      """SELECT count(*) as n FROM sf_emp a,
+        | (SELECT sf_sal(sf_emp.id) as s FROM sf_emp) as b
+        |WHERE a.name = 'David' AND a.sal = b.s""".stripMargin)
+      .first().getLong(0)
+    assert(derived === 1L)
+    // plain projection expansion still works
+    assert(runner.run("SELECT sf_sal(2) as s").first().getInt(0) === 6600)
+    runner.run("DROP FUNCTION sf_sal")
+    runner.run("DROP TABLE sf_emp")
+  }
+
+  test("statement front-end: string WHERE truthiness prefix-parses " +
+      "('1abc' is true); signed decimal promotion is not 1690") {
+    import graft.sources.StatementRunner
+    val runner = new StatementRunner(spark)
+    runner.run("create table truthy (s varchar(10), v bigint)")
+    runner.run("insert into truthy values " +
+      "('1abc', -5), ('abc', 1), ('0', 2), (NULL, 3)")
+    // MySQL prefix-parses the string in boolean context: '1abc' → 1
+    // (kept); 'abc' → 0, '0' → 0 drop; NULL stays NULL (drops)
+    assert(runner.run("select v from truthy where s")
+      .collect().map(_.getLong(0)).toSeq === Seq(-5L))
+    // the analyzer's own LongType→DECIMAL(20,0) promotion cast (signed
+    // bigint meeting a decimal literal) must NOT be read as the
+    // dialect's CAST(… AS UNSIGNED): a negative result here is legal
+    val x = runner.run("select v + CAST(2 AS DECIMAL(10,0)) as x " +
+      "from truthy where v = -5").first().getDecimal(0)
+    assert(x.longValueExact === -3L)
+    // while the explicit unsigned spelling still raises 1690 on a
+    // negative result (func_math.test semantics)
+    intercept[Exception] {
+      runner.run("select CAST(v AS UNSIGNED) - 2 as x from truthy " +
+        "where v = 1").collect()
+    }
   }
 
   test("statement front-end: column DEFAULTs fill omitted values; " +

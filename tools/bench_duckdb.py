@@ -12,6 +12,7 @@ instead of a 1000x extrapolation from the reference's published SF100
 numbers (BASELINE.md).
 """
 import json
+import os
 import re
 import sys
 import time
@@ -27,9 +28,16 @@ def main():
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(path):
+            continue  # scaled dirs (e.g. /tmp/sf1) carry TPC-H tables only
+        # Spark-written tables are DIRECTORIES of part files; the
+        # driver-generated testdata tables are single files
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')")
+            f"read_parquet('{path}')")
     oracles = json.load(open(oracle_json))
     qs = sorted(k for k in oracles if re.match(r"q\d\d_", k))
     times = {k: [] for k in qs}
