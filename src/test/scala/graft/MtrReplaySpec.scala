@@ -170,7 +170,9 @@ class MtrReplaySpec extends AnyFunSuite {
           stmt.replaceAll("'[^']*'|\"[^\"]*\"", "")).isDefined)
 
   private def replay(file: String,
-                     session: org.apache.spark.sql.SparkSession = spark)
+                     session: org.apache.spark.sql.SparkSession = spark,
+                     boundary: Option[(String, Boolean, Int) => Boolean]
+                       = None)
       : (Int, Int) = {
     val runner = new sources.StatementRunner(session)
     // MTR applies <file>-master.opt server flags before the file runs
@@ -190,9 +192,17 @@ class MtrReplaySpec extends AnyFunSuite {
     assert(stmts.nonEmpty, s"no statements parsed from $file")
     var ran = 0
     var skipped = 0
+    var skippedTriggers = 0
+    var stopped = false
     stmts.foreach { case (stmt, expectsError) =>
-      if (outOfScope(stmt)) skipped += 1
-      else {
+      if (stopped) ()
+      else if (boundary.exists(_(stmt, expectsError, skippedTriggers)))
+        stopped = true
+      else if (outOfScope(stmt)) {
+        skipped += 1
+        if ("""(?i)^\s*CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?TRIGGER\b""".r
+          .findFirstIn(stmt).isDefined) skippedTriggers += 1
+      } else {
         val result = scala.util.Try(runner.run(stmt).collect())
         if (expectsError)
           assert(result.isFailure,
@@ -205,6 +215,22 @@ class MtrReplaySpec extends AnyFunSuite {
     }
     (ran, skipped)
   }
+
+  /** The PROCEDURAL boundary for prefix pins: a CREATE FUNCTION whose
+    * BEGIN…END body is procedural (DECLARE / flow control — the tier
+    * the reference routes to the MySQL row engine), or an `--error`
+    * expectation on plain DML that can only be produced by a trigger
+    * this library skipped (the statement itself is well-formed; the
+    * pinned error is a trigger side effect). */
+  private def proceduralBoundary(stmt: String, expectsError: Boolean,
+                                 skippedTriggers: Int): Boolean =
+    ("""(?is)^\s*CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?FUNCTION\b.*\bBEGIN\b""".r
+      .findFirstIn(stmt).isDefined &&
+      """(?is)\b(DECLARE|WHILE|ITERATE|LEAVE|LOOP|REPEAT|ELSEIF)\b""".r
+        .findFirstIn(stmt).isDefined) ||
+      (expectsError && skippedTriggers > 0 &&
+        """(?is)^\s*(INSERT|UPDATE|DELETE|REPLACE|LOAD)\b""".r
+          .findFirstIn(stmt).isDefined)
 
   test("the reference's truncate_table.test replays with success/error " +
       "parity (databases, CREATE/LIKE/CTAS, views, multi-connection " +
@@ -567,5 +593,27 @@ class MtrReplaySpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
     assert(total >= 11724, s"corpus shrank: $total statements")
+  }
+
+  test("the two procedural residue files replay with parity up to " +
+      "their first procedural statement (prefix pins — the boundary " +
+      "itself is regression-checked)") {
+    // user_function.test: halts at the first DECLARE-bodied CREATE
+    // FUNCTION (myfunTest, user_function.test:24); the prefix is the
+    // table/insert setup plus the function-admin statements before it.
+    val (ran1, sk1) = replay("user_function.test", spark.newSession(),
+      boundary = Some(proceduralBoundary))
+    println(s"[mtr-prefix] user_function.test ran=$ran1 skipped=$sk1")
+    assert(ran1 >= 6, s"user_function prefix shrank: $ran1")
+    assert(sk1 === 0, s"user_function prefix skips changed: $sk1")
+    // trigger.test: halts at the first --error DML whose pinned error
+    // is a (skipped) trigger's side effect (trigger.test ~stmt 50);
+    // everything before — table DDL, inserts, user-var selects around
+    // skipped CREATE/DROP TRIGGER statements — must hold parity.
+    val (ran2, sk2) = replay("trigger.test", spark.newSession(),
+      boundary = Some(proceduralBoundary))
+    println(s"[mtr-prefix] trigger.test ran=$ran2 skipped=$sk2")
+    assert(ran2 >= 49, s"trigger prefix shrank: $ran2")
+    assert(sk2 <= 21, s"trigger prefix skips grew: $sk2")
   }
 }
