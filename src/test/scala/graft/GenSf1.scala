@@ -64,6 +64,53 @@ object GenSf1 {
       Map("o_orderkey" -> oOff, "o_custkey" -> cOff)), "orders")
     write(scaled(lineitem, Map("l_orderkey" -> oOff,
       "l_partkey" -> pOff, "l_suppkey" -> sOff)), "lineitem")
+
+    // ── LLM-pipeline tables (round 17): the text/ANN/events tiers get
+    // their own 10× point. Copies must NOT be near-duplicates of each
+    // other (plain duplication would give every doc 9 planted
+    // near-dups — a fixture-density artifact that inflates every
+    // pair-producing operator quadratically, the interval-overlap
+    // lesson), so copy i>0 suffixes EVERY word with _i: each copy's
+    // tokens are disjoint from every other copy's, while the planted
+    // dup structure WITHIN a copy is preserved verbatim — per-copy dup
+    // density matches sf0.1, the honest scale-up. n_chars recomputes.
+    val documents = tbl("documents")
+    val docs10 = documents.crossJoin(broadcast(
+        spark.range(Copies).toDF("__copy")))
+      .select(
+        (col("doc_id") + col("__copy") * off(documents, "doc_id")).as("doc_id"),
+        when(col("__copy") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\w+)"),
+            concat(lit("$1_"), col("__copy")))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    write(docs10, "documents")
+
+    // embeddings: vec_id shifts; vectors get a small deterministic
+    // per-copy affine nudge so ANN structure is 10 shifted clusters,
+    // not 10 coincident points per location
+    val embeddings = tbl("embeddings")
+    val emb10 = embeddings.crossJoin(broadcast(
+        spark.range(Copies).toDF("__copy")))
+      .select(
+        (col("vec_id") + col("__copy") * off(embeddings, "vec_id")).as("vec_id"),
+        transform(col("embedding"),
+          x => x * (lit(1.0f) + col("__copy").cast("float") * lit(0.01f))
+            + col("__copy").cast("float") * lit(0.003f)).as("embedding"),
+        col("label"))
+    write(emb10, "embeddings")
+
+    // events: event_id/user_id shift; timestamps keep their window
+    // (10× the traffic in the same period — the scale shape)
+    val events = tbl("events")
+    val ev10 = events.crossJoin(broadcast(
+        spark.range(Copies).toDF("__copy")))
+      .select(
+        (col("event_id") + col("__copy") * off(events, "event_id")).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("__copy") * off(events, "user_id")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    write(ev10, "events")
     println("[gensf1] DONE " + dst)
   }
 }
