@@ -115,13 +115,37 @@ object Dedup {
     *     100 TB. Callers where the scan dominates (wide rows, remote
     *     storage) should persist/checkpoint the frame first —
     *     cache-if-fits is a deployment decision, not a plan property. */
-  def lshCandidates(sigs: DataFrame): DataFrame = {
+  def lshCandidates(sigs: DataFrame): DataFrame =
+    lshCandidates(sigs, Int.MaxValue)
+
+  /** As above, with a HUB-BUCKET cap (the production lever at corpus
+    * scale): a band bucket larger than `maxBucket` is dropped whole
+    * before the self-join. Boilerplate/template floods put thousands of
+    * near-identical docs into one (band, bhash) bucket, and the
+    * self-join's output is C(size, 2) per bucket — quadratic in the
+    * flood, the one term of this plan that does not scale linearly.
+    * Capping loses a true pair only when EVERY band the pair agrees on
+    * is a capped hub — for a j ≥ 0.5 pair and 8 bands the non-hub bands
+    * keep it with overwhelming probability, and the degenerate
+    * identical-text hubs are collapsed by exact dedup BEFORE this stage
+    * in the pipeline compositions (Pipeline.cleanCorpus stage order).
+    * The default (no cap) keeps the operator exact — the oracle gates
+    * pin blocking-free all-pairs output. Cost: one extra count agg over
+    * the bands frame; its exchange is shared with the self-join (AQE
+    * ReuseExchange). */
+  def lshCandidates(sigs: DataFrame, maxBucket: Int): DataFrame = {
     import graft.functions.LshOps
     val nBands = NumHashes / BandSize
     // band index is folded into the hash seed (BandHashes64), so one long
     // is the whole join key
-    val bands = sigs.select(col("doc_id"), col("sig"),
+    val bands0 = sigs.select(col("doc_id"), col("sig"),
       explode(LshOps.bandHashes64(col("sig"), nBands, BandSize)).as("bhash"))
+    val bands =
+      if (maxBucket == Int.MaxValue) bands0
+      else bands0.join(
+        bands0.groupBy(col("bhash")).count()
+          .where(col("count") <= maxBucket).select(col("bhash")),
+        Seq("bhash"), "left_semi")
     val l = bands.select(col("bhash"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val r = bands.select(col("bhash"),

@@ -52,6 +52,37 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH hub-bucket cap: a template flood's quadratic candidates " +
+      "drop, normal near-dup pairs survive") {
+    val s = spark
+    import s.implicits._
+    // 40 identical "viral template" docs (every band a hub bucket of
+    // 40) + one ordinary near-dup pair + unrelated filler
+    val tmpl = "the quick brown fox jumps over the lazy dog again and again"
+    val pairA = "completely different content about spark shuffles and parquet row groups"
+    val pairB = "completely different content about spark shuffles and parquet row group"
+    val docs = ((1L to 40L).map(i => (i, tmpl)).toSeq ++
+      Seq((100L, pairA), (101L, pairB),
+        (200L, "unrelated text one with its own words entirely"),
+        (201L, "some other filler nothing shared here at all")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, rebalance = false)
+    val uncapped = Dedup.lshCandidates(sigs)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the flood alone contributes C(40,2) = 780 candidate pairs
+    assert(uncapped.count(p => p._1 <= 40 && p._2 <= 40) === 780)
+    assert(uncapped.contains((100L, 101L)))
+    // capped at 10: every template band bucket (size 40) drops whole;
+    // the ordinary pair's buckets (size 2) are untouched
+    val capped = Dedup.lshCandidates(sigs, maxBucket = 10)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((100L, 101L)), "normal pair lost under cap")
+    assert(!capped.exists(p => p._1 <= 40 && p._2 <= 40),
+      "hub pairs survived the cap")
+  }
+
   test("kmeans-blocked embed dedup: pairs co-clustered, cos exact, " +
       "ordered") {
     val assigned = Similarity.kmeansAssign(
