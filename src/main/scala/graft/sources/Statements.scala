@@ -5294,6 +5294,37 @@ object Statements {
       |   CAST('18446744073709551615' AS DECIMAL(20,0)), 1)
       |) AS t(eng, n, mx, overflow_rejected)""".stripMargin
 
+  /** Stored SQL functions end-to-end with VALUE parity (issue538.test's
+    * shapes — the MTR pin checks success/error only, this gate hashes
+    * the rows): an expression-bodied lookup function called in a
+    * projection AND inside a LEFT JOIN ON condition (hoisted to a
+    * LATERAL column by the runner), against a statement-built table
+    * seeded from nation. The oracle replays the function relationally
+    * (sf_sal(b.id) ≡ b.sal — id is unique by construction). */
+  def qSqlStoredFunc(s: SparkSession, dir: String): DataFrame = {
+    graft.Engine.table(s, dir, "nation")
+      .createOrReplaceTempView("stmt_sf_nation")
+    val r = new StatementRunner(s)
+    r.run("CREATE TABLE sf_emp (id INT, name VARCHAR(40), sal INT)")
+    r.run("INSERT INTO sf_emp SELECT n_nationkey, n_name, " +
+      "1000 + n_regionkey * 100 FROM stmt_sf_nation")
+    r.run("CREATE FUNCTION sf_sal(i INT) RETURNS INT " +
+      "RETURN (SELECT sal FROM sf_emp WHERE id = i)")
+    r.run("""SELECT a.id, sf_sal(a.id) AS own_sal, b.name AS match_name
+            |FROM sf_emp a
+            |LEFT JOIN sf_emp b
+            |  ON a.sal = sf_sal(b.id) AND b.id < 5""".stripMargin)
+  }
+
+  val qSqlStoredFuncSql: String =
+    """WITH emp AS (
+      |  SELECT CAST(n_nationkey AS INT) AS id, n_name AS name,
+      |    CAST(1000 + n_regionkey * 100 AS INT) AS sal
+      |  FROM nation)
+      |SELECT a.id, a.sal AS own_sal, b.name AS match_name
+      |FROM emp a LEFT JOIN emp b
+      |  ON a.sal = b.sal AND b.id < 5""".stripMargin
+
   /** MySQL's multi-table DML statement forms end-to-end (the handler
     * path the reference routes through sql/ha_my_tianmu.cpp join-DML;
     * update_join.test / delete_join.test): a join-UPDATE stamps each
@@ -5377,7 +5408,8 @@ object Statements {
     "q_sql_create_table" -> (qSqlCreateTable _),
     "q_sql_strict_types" -> (qSqlStrictTypes _),
     "q_sql_insert_defaults" -> (qSqlInsertDefaults _),
-    "q_sql_unsigned_cap" -> (qSqlUnsignedCap _))
+    "q_sql_unsigned_cap" -> (qSqlUnsignedCap _),
+    "q_sql_stored_func" -> (qSqlStoredFunc _))
 
   val oracles: Map[String, String] = Map(
     "q_sql_multi_table_dml" -> qSqlMultiTableDmlSql,
@@ -5391,5 +5423,6 @@ object Statements {
     "q_sql_create_table" -> qSqlCreateTableSql,
     "q_sql_strict_types" -> qSqlStrictTypesSql,
     "q_sql_insert_defaults" -> qSqlInsertDefaultsSql,
-    "q_sql_unsigned_cap" -> qSqlUnsignedCapSql)
+    "q_sql_unsigned_cap" -> qSqlUnsignedCapSql,
+    "q_sql_stored_func" -> qSqlStoredFuncSql)
 }
