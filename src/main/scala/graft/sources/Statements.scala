@@ -2279,6 +2279,80 @@ class StatementRunner(spark: SparkSession) {
                                 returnExpr: String)
   private val storedFuncs =
     scala.collection.mutable.Map[String, StoredFunc]()
+
+  // ---------------- procedural tier (SURVEY §2.13) ----------------
+  // Stored PROCEDUREs and procedural FUNCTION bodies (DECLARE / flow
+  // control / SELECT…INTO) run through the driver-side interpreter in
+  // Procedural.scala — the same architectural seam as the reference,
+  // which routes stored routines to the MySQL SQL layer
+  // (engine_execute.cpp:374-382) rather than to its columnar engine.
+  private val procFuncs =
+    scala.collection.mutable.Map[String, Procedural.Routine]()
+  private val procedures =
+    scala.collection.mutable.Map[String, Procedural.Routine]()
+  private[sources] object procHost extends ProcHost {
+    def runStmt(sql: String): DataFrame = run(sql)
+    def setUserVarLit(name: String, lit: String): Unit =
+      userVars(name.toLowerCase) = lit
+    def getUserVarLit(name: String): Option[String] =
+      userVars.get(name.toLowerCase)
+    def callProcedureFrom(name: String, argTexts: Seq[String],
+                          caller: Option[ProcCtx]): DataFrame =
+      procedures.get(name.toLowerCase) match {
+        case Some(r) => interp.callProcedure(r, argTexts, caller)
+        case None => throw new IllegalArgumentException(
+          s"PROCEDURE $name does not exist (MySQL error 1305)")
+      }
+  }
+  private val interp = new Interp(procHost)
+
+  /** Strip routine characteristics (COMMENT/DETERMINISTIC/NO SQL/…)
+    * from the text between the signature and the body. */
+  private def stripRoutineCharacteristics(s: String): String = {
+    var t = s.trim
+    var go = true
+    while (go) {
+      val t2 = t.replaceFirst("(?is)^(?:COMMENT\\s+'(?:[^'\\\\]|\\\\.)*'" +
+        "|LANGUAGE\\s+SQL|NOT\\s+DETERMINISTIC|DETERMINISTIC|NO\\s+SQL" +
+        "|CONTAINS\\s+SQL|READS\\s+SQL\\s+DATA|MODIFIES\\s+SQL\\s+DATA" +
+        "|SQL\\s+SECURITY\\s+(?:DEFINER|INVOKER))\\s*", "")
+      if (t2 == t) go = false else t = t2
+    }
+    t
+  }
+
+  /** A BEGIN…END function body needs the interpreter (not textual
+    * inlining) when it uses declarations, flow control, or SELECT…INTO.
+    * Expression-bodied functions keep the inline path — they are the
+    * ones legally called with COLUMN arguments (issue538.test), which
+    * only textual expansion can serve. */
+  private def proceduralBody(body: String): Boolean = {
+    val b = body.replaceAll("'(?:[^'\\\\]|\\\\.)*'", "''")
+    """(?is)\b(DECLARE|WHILE|ITERATE|LEAVE|REPEAT|ELSEIF)\b""".r
+      .findFirstIn(b).isDefined ||
+      """(?is)\bEND\s+(IF|CASE|WHILE|LOOP|REPEAT)\b""".r
+        .findFirstIn(b).isDefined ||
+      """(?is)\bINTO\s+\w+\s*[,;]""".r.findFirstIn(b).isDefined ||
+      """(?is)\bSELECT\b[^;]*\bINTO\s+\w+""".r.findFirstIn(b).isDefined
+  }
+
+  private val CreateProcRe: Regex =
+    ("""(?is)^\s*CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?PROCEDURE\s+""" +
+      """`?(\w+)`?\s*(?:\(((?:[^()]|\([^()]*\))*)\))?\s*(.*)$""").r
+  private val DropProcRe: Regex =
+    """(?is)^\s*DROP\s+PROCEDURE\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$""".r
+  private val AlterRoutineRe: Regex =
+    """(?is)^\s*ALTER\s+(PROCEDURE|FUNCTION)\s+`?(\w+)`?\b.*$""".r
+  private val CallRe: Regex =
+    """(?is)^\s*CALL\s+`?(\w+)`?\s*(?:\((.*)\))?\s*;?\s*$""".r
+  // procedural CREATE FUNCTION (characteristics may carry quoted
+  // comments — `comment '根据成绩获取评级'` — which the legacy regex's
+  // word-only characteristics group cannot cross)
+  private val CreateFuncFullRe: Regex =
+    ("""(?is)^\s*CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?FUNCTION\s+""" +
+      """`?(\w+)`?\s*\(((?:[^()]|\([^()]*\))*)\)\s*RETURNS\s+""" +
+      """(\w+\s*(?:\([^)]*\))?)\s*""" +
+      """((?:CHARSET|CHARACTER\s+SET)\s+\w+)?\s*(.*)$""").r
   private val CreateFunctionRe: Regex =
     ("""(?is)^\s*CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?FUNCTION\s+`?(\w+)`?\s*""" +
       """\(([^)]*)\)\s*RETURNS\s+\w+(?:\([^)]*\))?\s*((?:\w|\s)*?)\s*""" +
@@ -2322,7 +2396,7 @@ class StatementRunner(spark: SparkSession) {
     * suite calls them. Iterates to a small depth so a function body may
     * call another function. */
   private def expandStoredFuncs(sql: String): String = {
-    if (storedFuncs.isEmpty) return sql
+    if (storedFuncs.isEmpty && procFuncs.isEmpty) return sql
     var cur = sql
     var depth = 0
     var changed = true
@@ -2341,6 +2415,39 @@ class StatementRunner(spark: SparkSession) {
     * BEGIN…END side-effect statements; None when no call remains. */
   private def expandOneCall(sql: String): Option[String] = {
     val lower = sql.toLowerCase
+    // procedural functions evaluate eagerly (argument values must be
+    // constants — the corpus calls them FROM-less); the result splices
+    // back as a literal
+    procFuncs.foreach { case (fname, r) =>
+      var from = 0
+      while (from < lower.length) {
+        val at = lower.indexOf(fname, from)
+        if (at < 0) from = lower.length
+        else {
+          val beforeOk = at == 0 || !(Character.isLetterOrDigit(
+            lower(at - 1)) || lower(at - 1) == '_' || lower(at - 1) == '.')
+          var p = at + fname.length
+          while (p < sql.length && sql(p).isWhitespace) p += 1
+          if (beforeOk && p < sql.length && sql(p) == '(' &&
+              !inStringLiteral(sql, at)) {
+            var d = 0; var q = p
+            while (q < sql.length && (d > 0 || q == p)) {
+              if (sql(q) == '(') d += 1
+              else if (sql(q) == ')') d -= 1
+              q += 1
+            }
+            val argText = sql.substring(p + 1, q - 1).trim
+            val args =
+              if (argText.isEmpty) Seq.empty else splitTopLevel(argText)
+            val ctx = new ProcCtx(procHost)
+            val argVals = args.map(a => interp.evalExpr(a, ctx))
+            val result = interp.callFunction(r, argVals)
+            return Some(sql.substring(0, at) +
+              "(" + interp.renderSql(result) + ")" + sql.substring(q))
+          } else from = at + fname.length
+        }
+      }
+    }
     storedFuncs.foreach { case (fname, f) =>
       var from = 0
       while (from < lower.length) {
@@ -3579,9 +3686,17 @@ class StatementRunner(spark: SparkSession) {
     val pre = stripDbPrefix(sanitizeIdentifiers(sqlRaw))
     // substitute @user_vars except where the statement DEFINES them
     // LOAD DATA's @vars are per-row field bindings, not session refs
+    // routine/trigger DDL keeps its body text verbatim: @vars inside a
+    // body resolve at FIRE time, not at CREATE time (trigger.test's
+    // `SET @sum = @sum + NEW.amount`)
+    // CALL keeps @var argument TEXT too: an OUT/INOUT parameter writes
+    // back through the variable, so `CALL p(@v)` must not collapse to
+    // `CALL p(3)` (trigger.test's p1/p2 NEW.i1 flow, procedure.test)
     val resolved0 =
-      if ("""(?is)^\s*(SET|PREPARE|LOAD)\b""".r
-        .findFirstIn(pre).isDefined) pre
+      if (("""(?is)^\s*(SET|PREPARE|LOAD|CALL)\b""".r
+        .findFirstIn(pre).isDefined) ||
+        ("""(?is)^\s*CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?(FUNCTION|PROCEDURE|TRIGGER)\b""".r
+          .findFirstIn(pre).isDefined)) pre
       else substituteUserVars(pre)
     // INFORMATION_SCHEMA queries (create_view.test,
     // different_charsets_a.test): materialize the catalog the runner
@@ -3590,7 +3705,7 @@ class StatementRunner(spark: SparkSession) {
     // stored-function calls expand inline — but never inside the
     // statements that define or administer the functions themselves
     val resolvedF =
-      if ("""(?is)^\s*(?:CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?FUNCTION|DROP\s+FUNCTION|SHOW\s+CREATE\s+FUNCTION)\b""".r
+      if ("""(?is)^\s*(?:CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?(?:FUNCTION|PROCEDURE|TRIGGER)|DROP\s+(?:FUNCTION|PROCEDURE|TRIGGER)|SHOW\s+CREATE\s+(?:FUNCTION|PROCEDURE|TRIGGER)|CALL)\b""".r
         .findFirstIn(resolved1).isDefined) resolved1
       else expandStoredFuncs(resolved1)
     // SELECT-only: a hoist inside DML join text would disturb the
@@ -4391,10 +4506,82 @@ class StatementRunner(spark: SparkSession) {
           (name, if (existed) "view dropped" else "not a view")
         }.toDF("view_name", "status")
 
+    // stored PROCEDURE tier — driver-side interpreter (SURVEY §2.13;
+    // the reference routes routines to the MySQL SQL layer,
+    // engine_execute.cpp:374-382)
+    case CreateProcRe(name, paramList, rest) =>
+      import spark.implicits._
+      val key = name.toLowerCase
+      if (procedures.contains(key))
+        throw new IllegalArgumentException(
+          s"CREATE PROCEDURE: '$name' already exists (MySQL error 1304)")
+      val body = stripRoutineCharacteristics(rest)
+      if (body.isEmpty) throw new IllegalArgumentException(
+        s"CREATE PROCEDURE $name: empty body (MySQL error 1064)")
+      val params = Procedural.parseParams(
+        Option(paramList).getOrElse(""), isProcedure = true)
+      procedures(key) = Procedural.Routine(name, params, None,
+        Procedural.parseBody(body), isProcedure = true, body)
+      Seq((name, s"procedure created (${params.length} arg(s))"))
+        .toDF("procedure_name", "status")
+
+    case DropProcRe(ifExists, name) =>
+      import spark.implicits._
+      val existed = procedures.remove(name.toLowerCase).isDefined
+      if (!existed && ifExists == null)
+        throw new IllegalArgumentException(
+          s"DROP PROCEDURE: PROCEDURE $name does not exist " +
+            "(MySQL error 1305)")
+      Seq((name, if (existed) "procedure dropped" else "did not exist"))
+        .toDF("procedure_name", "status")
+
+    case AlterRoutineRe(kind, name) =>
+      import spark.implicits._
+      val known = kind.equalsIgnoreCase("procedure") &&
+        procedures.contains(name.toLowerCase) ||
+        kind.equalsIgnoreCase("function") &&
+          (storedFuncs.contains(name.toLowerCase) ||
+            procFuncs.contains(name.toLowerCase))
+      if (!known) throw new IllegalArgumentException(
+        s"ALTER ${kind.toUpperCase}: ${kind.toUpperCase} $name does " +
+          "not exist (MySQL error 1305)")
+      // characteristics (COMMENT/SQL SECURITY) are inert metadata here
+      Seq((name, "altered")).toDF("routine_name", "status")
+
+    case CallRe(name, argText) =>
+      import spark.implicits._
+      val args = Option(argText)
+        .map(a => Procedural.splitTop(a, ',').map(_.trim)
+          .filter(_.nonEmpty)).getOrElse(Seq.empty)
+      val res = procHost.callProcedureFrom(name, args, None)
+      if (res != null) res
+      else Seq((name, "ok")).toDF("procedure", "status")
+
+    // procedural CREATE FUNCTION (DECLARE / flow control / SELECT…INTO
+    // bodies) — interpreter-backed; expression-bodied functions stay on
+    // the textual-inline path below (they may take column arguments)
+    case CreateFuncFullRe(name, paramList, rtype, rcharset, rest)
+        if proceduralBody(stripRoutineCharacteristics(rest)) =>
+      import spark.implicits._
+      val key = name.toLowerCase
+      if (storedFuncs.contains(key) || procFuncs.contains(key))
+        throw new IllegalArgumentException(
+          s"CREATE FUNCTION: '$name' already exists (MySQL error 1304)")
+      val body = stripRoutineCharacteristics(rest)
+      val params = Procedural.parseParams(paramList, isProcedure = false)
+      val rcs = Option(rcharset).flatMap(c =>
+        """(?i)(\w+)\s*$""".r.findFirstIn(c)).map(_.toLowerCase)
+      procFuncs(key) = Procedural.Routine(name, params,
+        Some((rtype.replaceAll("\\s+", ""), rcs)),
+        Procedural.parseBody(body), isProcedure = false, body)
+      Seq((name, s"function created (procedural, " +
+        s"${params.length} arg(s))"))
+        .toDF("function_name", "status")
+
     case CreateFunctionRe(name, paramList, _, body) =>
       import spark.implicits._
       val key = name.toLowerCase
-      if (storedFuncs.contains(key))
+      if (storedFuncs.contains(key) || procFuncs.contains(key))
         throw new IllegalArgumentException(
           s"CREATE FUNCTION: '$name' already exists (MySQL error 1304)")
       val params = splitTopLevel(paramList).map(_.trim)
@@ -4423,7 +4610,8 @@ class StatementRunner(spark: SparkSession) {
 
     case DropFunctionRe(ifExists, name) =>
       import spark.implicits._
-      val existed = storedFuncs.remove(name.toLowerCase).isDefined
+      val existed = storedFuncs.remove(name.toLowerCase).isDefined |
+        procFuncs.remove(name.toLowerCase).isDefined
       if (!existed && ifExists == null)
         throw new IllegalArgumentException(
           s"DROP FUNCTION: FUNCTION $name does not exist " +
@@ -4437,9 +4625,15 @@ class StatementRunner(spark: SparkSession) {
         case Some(f) =>
           Seq((name, s"CREATE FUNCTION `$name`(${f.params.mkString(", ")}) " +
             s"RETURN ${f.returnExpr}")).toDF("Function", "Create Function")
-        case None => throw new IllegalArgumentException(
-          s"SHOW CREATE FUNCTION: FUNCTION $name does not exist " +
-            "(MySQL error 1305)")
+        case None => procFuncs.get(name.toLowerCase) match {
+          case Some(r) =>
+            Seq((name, s"CREATE FUNCTION `$name`" +
+              s"(${r.params.map(_.name).mkString(", ")}) ${r.sourceText}"))
+              .toDF("Function", "Create Function")
+          case None => throw new IllegalArgumentException(
+            s"SHOW CREATE FUNCTION: FUNCTION $name does not exist " +
+              "(MySQL error 1305)")
+        }
       }
 
     case CreateTableSelectRe(temporary, ifNotExists, table, body,
