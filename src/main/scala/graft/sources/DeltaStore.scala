@@ -91,6 +91,79 @@ class DeltaStore(spark: SparkSession, root: String) {
       spark.createDataFrame(buffered.toList.asJava, bufferedSchema))
   }
 
+  // ---- statement savepoint (trigger atomicity) ----
+  // MySQL wraps each DML statement in a transaction: when a row's
+  // trigger errors mid-statement, BOTH the target rows and the
+  // triggers' side-effect writes roll back (trigger.test pins this —
+  // after the ER_BAD_NULL_ERROR insert, neither t1 nor the audit table
+  // t2 carries the statement's rows). The statement runner opens a
+  // savepoint on every attached store around trigger-bearing DML; the
+  // snapshot is buffered-rows + the delta file SET, with the base dir
+  // backed up lazily on the first in-transaction rewrite.
+  private var txnActive = false
+  private var txnBuffered: List[org.apache.spark.sql.Row] = null
+  private var txnBufferedSchema: org.apache.spark.sql.types.StructType = _
+  private var txnDeltaFiles: Set[String] = Set.empty
+  private var txnBaseBackedUp = false
+  private def deltaFileNames: Set[String] =
+    if (!exists(deltaPath)) Set.empty
+    else fs.listStatus(new Path(deltaPath)).filter(_.isFile)
+      .map(_.getPath.getName).toSet
+
+  def beginTxn(): Unit = {
+    txnActive = true
+    txnBuffered = buffered.toList
+    txnBufferedSchema = bufferedSchema
+    txnDeltaFiles = deltaFileNames
+    txnBaseBackedUp = false
+  }
+
+  def commitTxn(): Unit = {
+    txnActive = false
+    txnBuffered = null
+    txnBufferedSchema = null
+    fs.delete(new Path(s"$root/_txnbase"), true)
+    fs.delete(new Path(s"$root/_txndelta"), true)
+  }
+
+  def rollbackTxn(): Unit = {
+    if (!txnActive) return
+    buffered.clear()
+    if (txnBuffered != null) buffered ++= txnBuffered
+    bufferedSchema = txnBufferedSchema
+    // restore delta files moved aside by an in-txn compaction
+    val aside = new Path(s"$root/_txndelta")
+    if (fs.exists(aside)) {
+      if (!exists(deltaPath)) fs.mkdirs(new Path(deltaPath))
+      fs.listStatus(aside).filter(_.isFile).foreach(st =>
+        fs.rename(st.getPath, new Path(deltaPath, st.getPath.getName)))
+      fs.delete(aside, true)
+    }
+    // drop delta files the transaction added
+    if (exists(deltaPath))
+      fs.listStatus(new Path(deltaPath)).filter(_.isFile)
+        .filterNot(st => txnDeltaFiles.contains(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, false))
+    // restore the base if an in-txn rewrite replaced it
+    if (txnBaseBackedUp) {
+      fs.delete(new Path(basePath), true)
+      fs.rename(new Path(s"$root/_txnbase"), new Path(basePath))
+    }
+    txnActive = false
+    txnBuffered = null
+    txnBufferedSchema = null
+  }
+
+  /** Delta-dir teardown honoring an open savepoint: inside a
+    * transaction the files move aside (rollback restores them)
+    * instead of being deleted. */
+  private def discardDelta(): Unit = {
+    if (!exists(deltaPath)) return
+    val aside = new Path(s"$root/_txndelta")
+    if (txnActive && !fs.exists(aside)) fs.rename(new Path(deltaPath), aside)
+    else fs.delete(new Path(deltaPath), true)
+  }
+
   /** Staged base rewrite shared by compact/truncate/alter: write the new
     * base fully, move the old base aside, promote staging, then drop the
     * old copy. A crash mid-sequence leaves either the old base in place
@@ -98,6 +171,12 @@ class DeltaStore(spark: SparkSession, root: String) {
     * with no data at all (plain delete-then-rename has one). Single-
     * writer discipline assumed, as in the reference's background merge. */
   private def rewriteBase(df: DataFrame): Unit = {
+    if (txnActive && !txnBaseBackedUp) {
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(basePath), fs,
+        new Path(s"$root/_txnbase"), false,
+        spark.sparkContext.hadoopConfiguration)
+      txnBaseBackedUp = true
+    }
     val staging = new Path(s"$root/_staging")
     val old = new Path(s"$root/_old")
     df.write.mode("overwrite").parquet(staging.toString)
@@ -113,7 +192,7 @@ class DeltaStore(spark: SparkSession, root: String) {
     rewriteBase(read())
     buffered.clear()
     bufferedSchema = null
-    fs.delete(new Path(deltaPath), true)
+    discardDelta()
   }
 
   /** TRUNCATE analog (the reference's TianmuTable::Truncate,
@@ -123,7 +202,7 @@ class DeltaStore(spark: SparkSession, root: String) {
     rewriteBase(spark.read.parquet(basePath).limit(0))
     buffered.clear()
     bufferedSchema = null
-    fs.delete(new Path(deltaPath), true)
+    discardDelta()
   }
 
   /** Rows currently sitting in the unmerged delta (buffered + spilled). */

@@ -511,6 +511,10 @@ private[sources] trait ProcHost {
   def callProcedureFrom(name: String, argTexts: Seq[String],
                         caller: Option[ProcCtx])
       : org.apache.spark.sql.DataFrame
+  /** True when the expression text mentions a registered stored
+    * function (whose body may read tables) — the coalescing flush
+    * heuristic. */
+  def mightReadTables(expr: String): Boolean
 }
 
 /** One routine invocation's mutable state. MySQL scopes DECLAREs per
@@ -577,7 +581,10 @@ private[sources] object MicroEval {
   private val Funcs = Set("concat", "char_length", "character_length",
     "length", "substring", "substr", "replace", "upper", "ucase",
     "lower", "lcase", "ltrim", "rtrim", "trim", "floor", "ceil",
-    "ceiling", "abs", "mod", "if", "ifnull", "coalesce")
+    "ceiling", "abs", "mod", "if", "ifnull", "coalesce", "rand",
+    "md5", "round", "isnull")
+
+  private val rng = new java.util.Random()
 
   private final class E(s: String, uservar: String => Option[Any]) {
     val n: Int = s.length
@@ -931,6 +938,26 @@ private[sources] object MicroEval {
         else if (args.head != null) args.head else args(1)
       case "coalesce" =>
         args.find(_ != null).orNull
+      case "isnull" =>
+        if (args.length != 1) bail() else (args.head == null)
+      case "rand" =>
+        // loop bodies use RAND() for synthetic data (issue1855,
+        // issue1065) — values are not pinned, distribution is
+        if (args.nonEmpty) bail() else BigDecimal(rng.nextDouble())
+      case "md5" =>
+        if (args.head == null) null
+        else java.security.MessageDigest.getInstance("MD5")
+          .digest(str(args.head)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+      case "round" =>
+        if (args.head == null) null
+        else {
+          val d = if (args.length > 1) num(args(1)).toInt else 0
+          if (d < 0) bail()
+          BigDecimal(num(args.head).bigDecimal
+            .setScale(d, java.math.RoundingMode.HALF_UP))
+        }
       case _ => bail()
     }
   }
@@ -1143,7 +1170,17 @@ private[sources] final class Interp(host: ProcHost) {
       if (res != null) ctx.lastSelect = res
       return
     }
-    val sql = substVars(sql0, ctx)
+    // `CREATE TEMPORARY TABLE t AS SELECT NEW.a, NEW.b` (trigger.test
+    // bug589): the substituted literals would lose the column names —
+    // alias each row-ref select item with its column first
+    val sql1 =
+      if (ctx.newRow == null && ctx.oldRow == null) sql0
+      else if (!"""(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\b.*\bSELECT\b""".r
+        .findFirstIn(sql0).isDefined) sql0
+      else """(?i)\b(NEW|OLD)\s*\.\s*(\w+)(\s*)(?=,|\s*$|\s*;)""".r
+        .replaceAllIn(sql0, m => java.util.regex.Matcher.quoteReplacement(
+          s"${m.group(1)}.${m.group(2)} AS ${m.group(2)}${m.group(3)}"))
+    val sql = substVars(sql1, ctx)
     // in-query user-variable assignment (`SELECT @s := expr AS s` —
     // procedure.test's math): legal inside stored programs; evaluate
     // each item, set the variable, and surface the values
@@ -1233,7 +1270,14 @@ private[sources] final class Interp(host: ProcHost) {
     MicroEval(sub, uv => resolveUserVar(uv)) match {
       case Some(v) => v
       case None =>
-        flushPending(ctx)
+        // flush coalesced inserts only when the expression can READ a
+        // table (a subquery, or a stored function that may) — a pure
+        // scalar fallback (issue1855's md5(rand()) loop, 10k
+        // iterations) must not force one INSERT statement per row
+        if (ctx.pendTable != null &&
+            ("""(?i)\bselect\b""".r.findFirstIn(sub).isDefined ||
+              host.mightReadTables(sub)))
+          flushPending(ctx)
         val df = host.runStmt("SELECT (" +
           asciiUnhexFix(decimalRoundFix(sub)) + ") AS __v")
         val row = df.collect()(0)
@@ -1321,6 +1365,7 @@ private[sources] final class Interp(host: ProcHost) {
     val n = s.length
     val out = new StringBuilder(n + 16)
     var i = 0
+    var lastWord = "" // an identifier after AS is an alias, not a var
     while (i < n) {
       val c = s(i)
       if (c == '\'' || c == '"' || c == '`') {
@@ -1374,11 +1419,13 @@ private[sources] final class Interp(host: ProcHost) {
             i = e2
           }
         } else if (!prevDot && !isQualifier &&
-            !(k < n && s(k) == '(') && ctx.locals.contains(wl)) {
+            !(k < n && s(k) == '(') && lastWord != "as" &&
+            ctx.locals.contains(wl)) {
           val l = ctx.locals(wl)
           out.append(renderTyped(l.value, l.dtype, l.charset))
           i = j
-        } else { out.append(w); i = j }
+          lastWord = wl
+        } else { out.append(w); i = j; lastWord = wl }
       } else { out.append(c); i += 1 }
     }
     out.toString

@@ -213,7 +213,7 @@ class StatementRunner(spark: SparkSession) {
   // `UPDATE t2, t1 SET …` — update_join.test, temporary.test): SET
   // assignments name their target with a table qualifier.
   private val UpdateJoinRe: Regex =
-    """(?is)^\s*UPDATE\s+(?:LOW_PRIORITY\s+|IGNORE\s+)*((?:`?\w+`?\s*,\s*)+`?\w+`?|`?\w+`?\s+(?:INNER\s+|LEFT\s+|RIGHT\s+|CROSS\s+)?(?:OUTER\s+)?(?:STRAIGHT_)?JOIN\s+.+?)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+    """(?is)^\s*UPDATE\s+((?:LOW_PRIORITY\s+|IGNORE\s+)*)((?:`?\w+`?\s*,\s*)+`?\w+`?|`?\w+`?\s+(?:INNER\s+|LEFT\s+|RIGHT\s+|CROSS\s+)?(?:OUTER\s+)?(?:STRAIGHT_)?JOIN\s+.+?)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val DeleteLimitRe: Regex =
     """(?is)^\s*DELETE\s+(?:LOW_PRIORITY\s+|QUICK\s+|IGNORE\s+)*FROM\s+`?(\w+)`?\s*(?:WHERE\s+(.+?))?\s*(?:ORDER\s+BY\s+(.+?))?\s*LIMIT\s+(\d+)\s*;?\s*$""".r
   private val UpdateLimitRe: Regex =
@@ -1047,10 +1047,11 @@ class StatementRunner(spark: SparkSession) {
         "value (MySQL strict mode, error 1364)")
     val row = spark.range(rows.toLong)
       .select(schema.map(f => fillUnprovided(f, strict = true)).toSeq: _*)
-    val aligned = assignAutoInc(store, row)
+    val aligned = fireBeforeInsert(table, assignAutoInc(store, row))
     enforcePkUnique(table, store, aligned)
     store.append(aligned)
     refreshTableView(table, store)
+    fireAfterInsert(table, aligned)
     import spark.implicits._
     Seq((table, rows.toLong)).toDF("table_name", "rows_inserted")
   }
@@ -1064,11 +1065,12 @@ class StatementRunner(spark: SparkSession) {
       return runInsertDefaults(table,
         tuples.count(_ == '('))
     val store = attachedStore(table)
-    val aligned = assignAutoInc(store,
-      valuesBatch(tuples, colList, store.read().schema))
+    val aligned = fireBeforeInsert(table, assignAutoInc(store,
+      valuesBatch(tuples, colList, store.read().schema)))
     enforcePkUnique(table, store, aligned)
     store.append(aligned)
     refreshTableView(table, store)
+    fireAfterInsert(table, aligned)
     import spark.implicits._
     Seq((table, aligned.count())).toDF("table_name", "rows_inserted")
   }
@@ -1099,10 +1101,11 @@ class StatementRunner(spark: SparkSession) {
     val staging = java.nio.file.Files
       .createTempDirectory("graft-insert-select").toString + "/batch"
     aligned.write.parquet(staging)
-    val staged = spark.read.parquet(staging)
+    val staged = fireBeforeInsert(table, spark.read.parquet(staging))
     enforcePkUnique(table, store, staged)
     store.append(staged)
     refreshTableView(table, store)
+    fireAfterInsert(table, staged)
     import spark.implicits._
     Seq((table, staged.count())).toDF("table_name", "rows_inserted")
   }
@@ -1124,14 +1127,28 @@ class StatementRunner(spark: SparkSession) {
     // without a declared PK there is nothing to dedup against — IGNORE
     // then only downgrades data errors (issue682)
     val keys = primaryKeys.getOrElse(table.toLowerCase, Seq.empty)
-    val batch0 = assignAutoInc(store,
-      valuesBatch(tuples, colList, store.read().schema, strict = false))
+    // BEFORE INSERT fires for every batch row — dup-skipped ones too
+    // (trigger.test's @log golden); AFTER fires only for survivors
+    val batch0 = fireBeforeInsert(table, assignAutoInc(store,
+      valuesBatch(tuples, colList, store.read().schema, strict = false)))
     val batch = if (keys.isEmpty) batch0 else batch0.dropDuplicates(keys)
-    val survivors = if (keys.isEmpty) batch else batch
+    val survivors0 = if (keys.isEmpty) batch else batch
       .join(store.read().select(keys.map(col): _*), keys, "left_anti")
+    // freeze before appending: the anti-join is lazy against the
+    // store's read view, and the AFTER-trigger pass must see the rows
+    // that actually appended, not a post-append re-evaluation
+    val survivors =
+      if (triggersOn(table, "INSERT", "AFTER").isEmpty) survivors0
+      else {
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(
+          collectCapped(survivors0, s"INSERT IGNORE $table")
+            .toList.asJava, survivors0.schema)
+      }
     val n = survivors.count()
     store.append(survivors)
     refreshTableView(table, store)
+    fireAfterInsert(table, survivors)
     import spark.implicits._
     Seq((table, n)).toDF("table_name", "rows_inserted")
   }
@@ -1492,11 +1509,25 @@ class StatementRunner(spark: SparkSession) {
     val table = dmlTableFor(table0, Option(colList).toSeq.flatMap(splitTopLevel(_))
       .map(_.trim.stripPrefix("`").stripSuffix("`")))
     val store = attachedStore(table)
-    val keys = pkOf(table)
-    val batch = assignAutoInc(store,
-      valuesBatch(tuples, colList, store.read().schema))
-    store.rewriteWith(base => Dml.replaceInto(base, batch, keys))
+    // `REPLACE INTO t() VALUES()` — all-defaults rows, the INSERT
+    // discipline (trigger.test scenario 1.3)
+    if (tuples.trim.matches("""\(\s*\)(\s*,\s*\(\s*\))*""") &&
+        (colList == null || colList.trim.isEmpty))
+      return runInsertDefaults(table, tuples.count(_ == '('))
+    // REPLACE without any unique key cannot conflict — MySQL runs it as
+    // a plain INSERT (trigger.test replaces into a keyless
+    // timestamp-default table)
+    val keys = primaryKeys.getOrElse(table.toLowerCase, Seq.empty)
+    // REPLACE runs the insert-trigger pair per row (trigger.test's
+    // scenario 1.3/1.4 pin BEFORE INSERT on REPLACE forms); the
+    // displaced row's delete triggers are out of scope — the corpus
+    // never replaces into a delete-triggered table
+    val batch = fireBeforeInsert(table, assignAutoInc(store,
+      valuesBatch(tuples, colList, store.read().schema)))
+    if (keys.isEmpty) store.append(batch)
+    else store.rewriteWith(base => Dml.replaceInto(base, batch, keys))
     refreshTableView(table, store)
+    fireAfterInsert(table, batch)
     import spark.implicits._
     Seq((table, batch.count())).toDF("table_name", "rows_replaced")
   }
@@ -1510,16 +1541,18 @@ class StatementRunner(spark: SparkSession) {
         (null: String, colList0)
       else (colList0, select0.trim.stripPrefix("(").stripSuffix(")"))
     val store = attachedStore(table)
-    val keys = pkOf(table)
+    val keys = primaryKeys.getOrElse(table.toLowerCase, Seq.empty)
     val aligned = assignAutoInc(store, alignToSchema(
       spark.sql(MySqlDialect.rewrite(select)), colList,
       store.read().schema))
     val staging = java.nio.file.Files
       .createTempDirectory("graft-replace-select").toString + "/batch"
     aligned.write.parquet(staging)
-    val staged = spark.read.parquet(staging)
-    store.rewriteWith(base => Dml.replaceInto(base, staged, keys))
+    val staged = fireBeforeInsert(table, spark.read.parquet(staging))
+    if (keys.isEmpty) store.append(staged)
+    else store.rewriteWith(base => Dml.replaceInto(base, staged, keys))
     refreshTableView(table, store)
+    fireAfterInsert(table, staged)
     import spark.implicits._
     Seq((table, staged.count())).toDF("table_name", "rows_replaced")
   }
@@ -1539,14 +1572,16 @@ class StatementRunner(spark: SparkSession) {
         expr(rhs).as(c)
       }: _*),
       schema, assigns.map(_._1))
-    val row = assignAutoInc(store, spark.range(1).select(schema.map { f =>
-      assigns.find(_._1 == f.name) match {
-        case Some((_, rhs)) => expr(rhs).cast(f.dataType).as(f.name)
-        case None => fillUnprovided(f, strict = true)
-      }
-    }.toSeq: _*))
+    val row = fireBeforeInsert(table,
+      assignAutoInc(store, spark.range(1).select(schema.map { f =>
+        assigns.find(_._1 == f.name) match {
+          case Some((_, rhs)) => expr(rhs).cast(f.dataType).as(f.name)
+          case None => fillUnprovided(f, strict = true)
+        }
+      }.toSeq: _*)))
     store.rewriteWith(base => Dml.replaceInto(base, row, keys))
     refreshTableView(table, store)
+    fireAfterInsert(table, row)
     import spark.implicits._
     Seq((table, 1L)).toDF("table_name", "rows_replaced")
   }
@@ -1664,14 +1699,19 @@ class StatementRunner(spark: SparkSession) {
     // form as a plain insert (insert.test on a keyless t1) — but the
     // update list is still VALIDATED above (1054 fires either way)
     if (!primaryKeys.contains(table.toLowerCase)) {
-      val n = batch.count()
-      store.append(batch)
+      val fired = fireBeforeInsert(table, batch)
+      val n = fired.count()
+      store.append(fired)
       refreshTableView(table, store)
+      fireAfterInsert(table, fired)
       import spark.implicits._
       return Seq((table, 0L, n)).toDF(
         "table_name", "rows_updated", "rows_inserted")
     }
     val keys = pkOf(table)
+    if (triggers.values.exists(_.table == table.toLowerCase))
+      return upsertBatchTriggered(table, store, schema, keys, batch,
+        assigns)
     val matchedCount = store.read()
       .join(batch.select(keys.map(col): _*), keys, "left_semi")
       .agg(count(lit(1))).first().getLong(0)
@@ -1702,14 +1742,90 @@ class StatementRunner(spark: SparkSession) {
       .toDF("table_name", "rows_updated", "rows_inserted")
   }
 
+  /** ON DUPLICATE KEY UPDATE over a trigger-bearing table: MySQL runs
+    * the statement row by row — BEFORE INSERT always fires; a duplicate
+    * key then routes the row through the UPDATE trigger pair with OLD =
+    * the stored row and the assignments evaluated in MySQL's ODKU
+    * scoping (bare column = OLD value, VALUES(col) = incoming value).
+    * The @log golden in trigger.test pins the interleaved order, and
+    * the fld1=1100 golden pins that AFTER UPDATE fires on the dup
+    * path. */
+  private def upsertBatchTriggered(table: String, store: DeltaStore,
+                                   schema: org.apache.spark.sql.types.StructType,
+                                   keys: Seq[String], batch: DataFrame,
+                                   assigns: Seq[(String, String)])
+      : DataFrame = {
+    val keyIdx = keys.map(k => schema.fieldIndex(
+      schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(k)))
+    val baseRows = collectCapped(store.read(), s"ON DUP $table")
+    val byKey = scala.collection.mutable.LinkedHashMap[
+      Seq[Any], org.apache.spark.sql.Row]()
+    baseRows.foreach(r => byKey(keyIdx.map(r.get)) = r)
+    val insBefore = triggersOn(table, "INSERT", "BEFORE")
+    val insAfter = triggersOn(table, "INSERT", "AFTER")
+    val updBefore = triggersOn(table, "UPDATE", "BEFORE")
+    val updAfter = triggersOn(table, "UPDATE", "AFTER")
+    var updated = 0L
+    var inserted = 0L
+    collectCapped(batch, s"ON DUP $table").foreach { br =>
+      val newM = rowToMap(br, schema)
+      insBefore.foreach(d => interp.runTriggerBody(d.body, newM, null,
+        newAssignable = true, schema))
+      val row = mapToRow(newM, schema)
+      val k = keyIdx.map(row.get)
+      byKey.get(k) match {
+        case Some(oldRow) =>
+          val oldM = rowToMap(oldRow, schema).toMap
+          val updM = rowToMap(oldRow, schema)
+          assigns.foreach { case (c, rhs) =>
+            val ctx = new ProcCtx(procHost)
+            oldM.foreach { case (cn, v) =>
+              ctx.locals(cn) = new ctx.Local("", None, v)
+            }
+            newM.foreach { case (cn, v) =>
+              ctx.locals("__v_" + cn) = new ctx.Local("", None, v)
+            }
+            val f = schema.fields.find(_.name.equalsIgnoreCase(c)).get
+            updM(c.toLowerCase) =
+              interp.coerceToSpark(interp.evalExpr(rhs, ctx), f.dataType)
+          }
+          updBefore.foreach(d => interp.runTriggerBody(d.body, updM,
+            oldM, newAssignable = true, schema))
+          byKey(k) = mapToRow(updM, schema)
+          updated += 1
+          updAfter.foreach(d => interp.runTriggerBody(d.body, updM,
+            oldM, newAssignable = false, schema))
+        case None =>
+          byKey(k) = row
+          inserted += 1
+          insAfter.foreach(d => interp.runTriggerBody(d.body, newM,
+            null, newAssignable = false, schema))
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val rebuilt = spark.createDataFrame(
+      byKey.values.toList.asJava, schema)
+    try store.rewriteWith(_ => rebuilt)
+    finally refreshTableView(table, store)
+    import spark.implicits._
+    Seq((table, updated, inserted)).toDF(
+      "table_name", "rows_updated", "rows_inserted")
+  }
+
   /** MySQL multi-table UPDATE (`UPDATE t1 JOIN t2 ON … SET t1.c = …`):
     * the join evaluates once per target; each matched base row takes
     * its assignment values (one arbitrary match per row, MySQL's rule).
     * Assignments must be table-qualified — that is also how the
     * dispatcher distinguishes this form. */
   private def runUpdateJoin(fromSpec: String, setList: String,
-                            whereClause: String): DataFrame = {
+                            whereClause: String,
+                            ignore: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    // tables participating in the join (for resolving unqualified
+    // assignment targets the MySQL way — unique owner or 1052)
+    val joinTables = """`?(\w+)`?""".r.findAllMatchIn(fromSpec)
+      .map(_.group(1).toLowerCase)
+      .filter(stores.contains).toSeq.distinct
     val assigns = splitTopLevel(setList).map { a =>
       val i = a.indexOf('=')
       if (i < 0) throw new IllegalArgumentException(
@@ -1717,10 +1833,23 @@ class StatementRunner(spark: SparkSession) {
       val lhs = a.substring(0, i).trim.replace("`", "")
       val rhs = a.substring(i + 1).trim
       val parts = lhs.split("\\.")
-      if (parts.length != 2) throw new IllegalArgumentException(
-        s"UPDATE across joins: assignment '$lhs' must be " +
-          "table-qualified (t.col)")
-      (parts(0), parts(1), rhs)
+      if (parts.length == 2) (parts(0), parts(1), rhs)
+      else {
+        // `UPDATE t1, t2 SET j = …` — resolve the bare column to its
+        // unique owning table (trigger.test's multi-update section)
+        val owners = joinTables.filter(t =>
+          stores(t).read().schema.fieldNames
+            .exists(_.equalsIgnoreCase(lhs)))
+        owners match {
+          case Seq(t) => (t, lhs, rhs)
+          case Seq() => throw new IllegalArgumentException(
+            s"UPDATE across joins: unknown column '$lhs' " +
+              "(MySQL error 1054)")
+          case _ => throw new IllegalArgumentException(
+            s"UPDATE across joins: column '$lhs' is ambiguous " +
+              "(MySQL error 1052)")
+        }
+      }
     }
     val where = Option(whereClause).map(w => s" WHERE $w").getOrElse("")
     val counts = assigns.groupBy(_._1).toSeq.map { case (t, entries) =>
@@ -1734,6 +1863,62 @@ class StatementRunner(spark: SparkSession) {
           s"SELECT `$t`.*, $setExprs FROM $fromSpec$where"))
           .dropDuplicates(cols), s"update-join-$t")
       val n = m.count()
+      if (tableTriggered(t, "UPDATE")) {
+        // row-wise path: fire per processed BASE row (the multi-update
+        // golden counts every matched row, value-identical or not)
+        val schema = store.read().schema
+        val mrows = collectCapped(m, s"UPDATE $t (multi)")
+        val setByOld = mrows.map { r =>
+          val oldVals = (0 until cols.length).map(r.get)
+          oldVals -> entries.zipWithIndex.map { case ((_, c, _), k) =>
+            c.toLowerCase -> r.get(cols.length + k)
+          }.toMap
+        }.toMap
+        val pinned = Staging.stage(store.read(), s"updjoin-$t")
+        val baseRows = collectCapped(pinned, s"UPDATE $t (multi)")
+        val befores = triggersOn(t, "UPDATE", "BEFORE")
+        val afters = triggersOn(t, "UPDATE", "AFTER")
+        val keys = primaryKeys.getOrElse(t.toLowerCase, Seq.empty)
+        val keyIdx = keys.map(k => schema.fieldIndex(
+          schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(k)))
+        val currentKeys = scala.collection.mutable.Set[Seq[Any]]()
+        if (ignore && keys.nonEmpty)
+          baseRows.foreach(r => currentKeys += keyIdx.map(r.get))
+        val pairs = scala.collection.mutable.ArrayBuffer[
+          (Map[String, Any], scala.collection.mutable.Map[String, Any])]()
+        val out = baseRows.map { br =>
+          val oldVals = (0 until schema.length).map(br.get)
+          setByOld.get(oldVals) match {
+            case None => br
+            case Some(setVals) =>
+              val oldM = rowToMap(br, schema).toMap
+              val newM = rowToMap(br, schema)
+              setVals.foreach { case (c, v) => newM(c) = v }
+              befores.foreach(d => interp.runTriggerBody(d.body, newM,
+                oldM, newAssignable = true, schema))
+              val newRow = mapToRow(newM, schema)
+              val oldKey = keyIdx.map(br.get)
+              val newKey = keyIdx.map(newRow.get)
+              if (ignore && keys.nonEmpty && newKey != oldKey &&
+                  currentKeys.contains(newKey)) br // skipped under IGNORE
+              else {
+                if (keys.nonEmpty && newKey != oldKey) {
+                  currentKeys -= oldKey; currentKeys += newKey
+                }
+                pairs += ((oldM, newM))
+                newRow
+              }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        val rebuilt = spark.createDataFrame(out.toList.asJava, schema)
+        try store.rewriteWith(_ => rebuilt)
+        finally store.read().createOrReplaceTempView(t)
+        pairs.foreach { case (o, nw) =>
+          afters.foreach(d => interp.runTriggerBody(d.body, nw, o,
+            newAssignable = false, schema))
+        }
+      } else {
       store.rewriteWith { base =>
         val mren = m.toDF((cols.map("__m_" + _) ++
           entries.map(e => "__set_" + e._2)): _*)
@@ -1752,6 +1937,7 @@ class StatementRunner(spark: SparkSession) {
           }.toSeq: _*)
       }
       store.read().createOrReplaceTempView(t)
+      }
       (t, n)
     }
     import spark.implicits._
@@ -1809,6 +1995,8 @@ class StatementRunner(spark: SparkSession) {
         }
       }
     }
+    if (tableTriggered(table, "DELETE"))
+      return runDeleteTriggered(table, store, whereClause)
     val before = store.read().count()
     try {
     if (whereClause == null) store.truncate()
@@ -1852,6 +2040,32 @@ class StatementRunner(spark: SparkSession) {
     import spark.implicits._
     Seq((table, before - store.read().count()))
       .toDF("table_name", "rows_deleted")
+  }
+
+  /** Row-wise DELETE over a trigger-bearing table: BEFORE DELETE per
+    * matched row (OLD bound), the base rewrite, then AFTER DELETE per
+    * row. TRUNCATE never routes here — the golden pins that tianmu's
+    * TRUNCATE fires no delete triggers. */
+  private def runDeleteTriggered(table: String, store: DeltaStore,
+                                 whereClause: String): DataFrame = {
+    val schema = store.read().schema
+    val matched = Staging.stage(
+      if (whereClause == null) store.read()
+      else spark.sql(MySqlDialect.rewrite(
+        s"SELECT * FROM `$table` WHERE (($whereClause) <=> TRUE)")),
+      s"deltrig-$table")
+    val keep = Staging.stage(
+      if (whereClause == null) store.read().limit(0)
+      else spark.sql(MySqlDialect.rewrite(
+        s"SELECT * FROM `$table` WHERE NOT (($whereClause) <=> TRUE)")),
+      s"deltrig-keep-$table")
+    val rows = collectCapped(matched, s"DELETE FROM $table")
+    fireDeleteTriggers(table, "BEFORE", rows, schema)
+    try store.rewriteWith(_ => keep)
+    finally refreshTableView(table, store)
+    fireDeleteTriggers(table, "AFTER", rows, schema)
+    import spark.implicits._
+    Seq((table, rows.length.toLong)).toDF("table_name", "rows_deleted")
   }
 
   /** Parse a `col = expr, …` assignment list (shared by UPDATE,
@@ -1938,10 +2152,11 @@ class StatementRunner(spark: SparkSession) {
         case None => fillUnprovided(f, strict = true)
       }
     }.toSeq: _*)
-    val aligned = assignAutoInc(store, row)
+    val aligned = fireBeforeInsert(table, assignAutoInc(store, row))
     enforcePkUnique(table, store, aligned)
     store.append(aligned)
     refreshTableView(table, store)
+    fireAfterInsert(table, aligned)
     import spark.implicits._
     Seq((table, 1L)).toDF("table_name", "rows_inserted")
   }
@@ -2163,8 +2378,9 @@ class StatementRunner(spark: SparkSession) {
     }
     // an UPDATE that collapses the PRIMARY KEY is the duplicate-key
     // error, checked BEFORE the base rewrite (issue1616
-    // `UPDATE t SET id=10` over multiple rows pins 1062)
-    primaryKeys.get(table.toLowerCase)
+    // `UPDATE t SET id=10` over multiple rows pins 1062); IGNORE
+    // downgrades the collision to a per-row skip instead
+    if (!ignore) primaryKeys.get(table.toLowerCase)
       .filter(ks => assigns.exists(a => ks.contains(a._1)))
       .foreach { keys =>
         val dup = project(store.read())
@@ -2175,8 +2391,83 @@ class StatementRunner(spark: SparkSession) {
           s"UPDATE: duplicate entry for PRIMARY KEY " +
             s"(${keys.mkString(", ")}) (MySQL error 1062)")
       }
+    if (tableTriggered(table, "UPDATE"))
+      return runUpdateTriggered(table, store, cond, project, ignore,
+        touched)
     try store.rewriteWith(project)
     finally refreshTableView(table, store)
+    import spark.implicits._
+    Seq((table, touched)).toDF("table_name", "rows_updated")
+  }
+
+  /** Row-wise UPDATE over a trigger-bearing table: BEFORE UPDATE runs
+    * per matched row with a mutable NEW (its mutations are what gets
+    * written — trigger.test's trg2 rewrites new.j to -1), AFTER UPDATE
+    * runs per processed row (the multi-update golden counts fires even
+    * for value-identical assignments). Under IGNORE a row whose new
+    * PRIMARY KEY collides is skipped and its AFTER trigger never fires
+    * (the UPDATE IGNORE golden pins the empty audit table). */
+  private def runUpdateTriggered(table: String, store: DeltaStore,
+                                 cond: org.apache.spark.sql.Column,
+                                 project: DataFrame => DataFrame,
+                                 ignore: Boolean,
+                                 touched: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val pinned = Staging.stage(store.read(), s"updtrig-$table")
+    val schema = pinned.schema
+    // one staged source, two aligned projections: row order is the
+    // file order both times
+    val flagged = collectCapped(pinned.select(
+      (schema.fieldNames.map(col).toSeq :+ cond.as("__hit")): _*),
+      s"UPDATE $table")
+    val news = collectCapped(project(pinned), s"UPDATE $table")
+    val befores = triggersOn(table, "UPDATE", "BEFORE")
+    val afters = triggersOn(table, "UPDATE", "AFTER")
+    val keys = primaryKeys.getOrElse(table.toLowerCase, Seq.empty)
+    val keyIdx = keys.map(k => schema.fieldIndex(
+      schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(k)))
+    val currentKeys = scala.collection.mutable.Set[Seq[Any]]()
+    if (ignore && keys.nonEmpty)
+      flagged.foreach(r => currentKeys += keyIdx.map(r.get))
+    val out = new Array[org.apache.spark.sql.Row](flagged.length)
+    val pairs = scala.collection.mutable.ArrayBuffer[
+      (Map[String, Any], scala.collection.mutable.Map[String, Any])]()
+    var i = 0
+    while (i < flagged.length) {
+      val fr = flagged(i)
+      val hit = !fr.isNullAt(schema.length) && fr.getBoolean(schema.length)
+      val oldRow = org.apache.spark.sql.Row.fromSeq(
+        (0 until schema.length).map(fr.get))
+      if (!hit) out(i) = oldRow
+      else {
+        val oldM = rowToMap(oldRow, schema).toMap
+        val newM = rowToMap(news(i), schema)
+        befores.foreach(d => interp.runTriggerBody(d.body, newM, oldM,
+          newAssignable = true, schema))
+        val newRow = mapToRow(newM, schema)
+        val oldKey = keyIdx.map(oldRow.get)
+        val newKey = keyIdx.map(newRow.get)
+        if (ignore && keys.nonEmpty && newKey != oldKey &&
+            currentKeys.contains(newKey)) {
+          out(i) = oldRow // skipped: collision under IGNORE
+        } else {
+          if (keys.nonEmpty && newKey != oldKey) {
+            currentKeys -= oldKey; currentKeys += newKey
+          }
+          out(i) = newRow
+          pairs += ((oldM, newM))
+        }
+      }
+      i += 1
+    }
+    import scala.jdk.CollectionConverters._
+    val rebuilt = spark.createDataFrame(out.toList.asJava, schema)
+    try store.rewriteWith(_ => rebuilt)
+    finally refreshTableView(table, store)
+    pairs.foreach { case (o, nw) =>
+      afters.foreach(d => interp.runTriggerBody(d.body, nw, o,
+        newAssignable = false, schema))
+    }
     import spark.implicits._
     Seq((table, touched)).toDF("table_name", "rows_updated")
   }
@@ -2303,8 +2594,220 @@ class StatementRunner(spark: SparkSession) {
         case None => throw new IllegalArgumentException(
           s"PROCEDURE $name does not exist (MySQL error 1305)")
       }
+    def mightReadTables(expr: String): Boolean = {
+      val lower = expr.toLowerCase
+      (storedFuncs.keysIterator ++ procFuncs.keysIterator)
+        .exists(lower.contains)
+    }
   }
   private val interp = new Interp(procHost)
+
+  // ---------------- triggers (SURVEY §2.13) ----------------
+  // The reference gates triggers per engine: CREATE TRIGGER on a tianmu
+  // table raises ER_TIANMU_NOT_SUPPORTED_TRIGGER (3240) unless the
+  // session sets tianmu_no_key_error=ON (sql_trigger.cc:229-235) —
+  // issue1185 pins the 3240s, issue1318 runs with the flag and expects
+  // firing triggers, issue1186 targets InnoDB side tables. Trigger
+  // bodies execute per row through the procedural interpreter, exactly
+  // the reference's SQL-layer routing; this never touches a scan path.
+  private case class TriggerDef(name: String, db: String, timing: String,
+                                event: String, table: String,
+                                bodyText: String,
+                                body: Vector[Procedural.PStmt])
+  private val triggers =
+    scala.collection.mutable.LinkedHashMap[String, TriggerDef]()
+  private var dmlTxnDepth = 0
+
+  private def triggersOn(table: String, event: String,
+                         timing: String): Seq[TriggerDef] =
+    triggers.values.toSeq.filter(t => t.table == table.toLowerCase &&
+      t.event == event && t.timing == timing)
+  private def tableTriggered(table: String, event: String): Boolean =
+    triggers.values.exists(t =>
+      t.table == table.toLowerCase && t.event == event)
+
+  private val CreateTriggerRe: Regex =
+    ("""(?is)^\s*CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?TRIGGER\s+""" +
+      """(?:`?(\w+)`?\s*\.\s*)?`?(\w+)`?\s+(BEFORE|AFTER)\s+""" +
+      """(INSERT|UPDATE|DELETE)\s+ON\s+(?:`?(\w+)`?\s*\.\s*)?`?(\w+)`?""" +
+      """\s+FOR\s+EACH\s+ROW\s+(?:(?:FOLLOWS|PRECEDES)\s+\w+\s+)?(.*)$""").r
+  private val DropTriggerRe: Regex =
+    ("""(?is)^\s*DROP\s+TRIGGER\s+(IF\s+EXISTS\s+)?""" +
+      """(?:`?(\w+)`?\s*\.\s*)?`?(\w+)`?\s*;?\s*$""").r
+  private val ShowTriggersRe: Regex =
+    """(?is)^\s*SHOW\s+TRIGGERS(?:\s+(?:IN|FROM)\s+`?\w+`?)?(?:\s+LIKE\s+\S+)?\s*;?\s*$""".r
+
+  /** Resolve (schema, bare table name) to the runner's registry key —
+    * bare under the current/test namespace, `db__t` mangled otherwise
+    * (the stripDbPrefix convention). */
+  private def resolveTableKey(schema: String, name: String)
+      : Option[String] = {
+    val bare = name.toLowerCase
+    val mangled = s"${schema}__$bare"
+    def known(k: String) = stores.contains(k) || viewDefs.contains(k) ||
+      packedTables.contains(k)
+    if (known(mangled)) Some(mangled)
+    else if ((schema == currentDb || schema == "test") && known(bare))
+      Some(bare)
+    else None
+  }
+
+  /** Walk a parsed trigger body collecting every text fragment (for
+    * NEW/OLD reference validation). */
+  private def bodyFragments(stmts: Vector[Procedural.PStmt])
+      : (Seq[String], Seq[String]) = {
+    import Procedural._
+    val texts = scala.collection.mutable.ArrayBuffer[String]()
+    val setTargets = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(ss: Vector[PStmt]): Unit = ss.foreach {
+      case Declare(_, _, _, d) => d.foreach(texts += _)
+      case SetStmt(assigns) => assigns.foreach { case (t, e) =>
+        setTargets += t; texts += e
+      }
+      case IfStmt(branches, els) =>
+        branches.foreach { case (c, b) => texts += c; walk(b) }
+        walk(els)
+      case CaseStmt(subj, whens, els) =>
+        subj.foreach(texts += _)
+        whens.foreach { case (v, b) => texts += v; walk(b) }
+        els.foreach(walk)
+      case WhileStmt(_, c, b) => texts += c; walk(b)
+      case RepeatStmt(_, u, b) => texts += u; walk(b)
+      case LoopStmt(_, b) => walk(b)
+      case Block(b) => walk(b)
+      case SelectInto(q, t) => texts += q; setTargets ++= t
+      case Return(e) => texts += e
+      case Raw(sql) => texts += sql
+      case _ => ()
+    }
+    walk(stmts)
+    (texts.toSeq, setTargets.toSeq)
+  }
+
+  /** CREATE-time validation of a trigger body's row references —
+    * mirrors MySQL's error ladder: missing row kind (1363) before
+    * non-assignability (1362) before unknown column (1054). */
+  private def validateTriggerBody(body: Vector[Procedural.PStmt],
+                                  event: String, timing: String,
+                                  schema: org.apache.spark.sql.types.StructType)
+      : Unit = {
+    val (texts, setTargets) = bodyFragments(body)
+    val joined = texts.mkString("\n")
+      .replaceAll("'(?:[^'\\\\]|\\\\.)*'", "''")
+      .replaceAll("\"(?:[^\"\\\\]|\\\\.)*\"", "''")
+    val newRefs = """(?i)\bNEW\s*\.\s*(\w+)""".r
+      .findAllMatchIn(joined).map(_.group(1).toLowerCase).toSeq ++
+      setTargets.filter(_.toLowerCase.startsWith("new."))
+        .map(_.substring(4).trim.toLowerCase)
+    val oldRefs = """(?i)\bOLD\s*\.\s*(\w+)""".r
+      .findAllMatchIn(joined).map(_.group(1).toLowerCase).toSeq ++
+      setTargets.filter(_.toLowerCase.startsWith("old."))
+        .map(_.substring(4).trim.toLowerCase)
+    if (event == "INSERT" && oldRefs.nonEmpty)
+      throw new IllegalArgumentException(
+        "There is no OLD row in on INSERT trigger (MySQL error 1363)")
+    if (event == "DELETE" && newRefs.nonEmpty)
+      throw new IllegalArgumentException(
+        "There is no NEW row in on DELETE trigger (MySQL error 1363)")
+    if (setTargets.exists(_.toLowerCase.startsWith("old.")))
+      throw new IllegalArgumentException(
+        "Updating of OLD row is not allowed in trigger (MySQL error 1362)")
+    if (timing == "AFTER" &&
+        setTargets.exists(_.toLowerCase.startsWith("new.")))
+      throw new IllegalArgumentException(
+        "Updating of NEW row is not allowed in after trigger " +
+          "(MySQL error 1362)")
+    val cols = schema.fieldNames.map(_.toLowerCase).toSet
+    (newRefs ++ oldRefs).find(!cols.contains(_)).foreach(c =>
+      throw new IllegalArgumentException(
+        s"Unknown column '$c' in trigger body (MySQL error 1054)"))
+  }
+
+  // ---- firing ----
+
+  private def rowToMap(row: org.apache.spark.sql.Row,
+                       schema: org.apache.spark.sql.types.StructType)
+      : scala.collection.mutable.Map[String, Any] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, Any]()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      m(f.name.toLowerCase) = row.get(i)
+    }
+    m
+  }
+  private def mapToRow(m: scala.collection.Map[String, Any],
+                       schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row.fromSeq(schema.fields.map(f =>
+      interp.coerceToSpark(m.getOrElse(f.name.toLowerCase, null),
+        f.dataType)).toSeq)
+
+  /** Per-row trigger cap: statement-tier DML only. Bulk analytic paths
+    * never carry triggers — this mirrors the reference, whose row
+    * engine (not tianmu) executes them. */
+  private val TriggerRowCap = 100000
+
+  private def collectCapped(df: DataFrame, what: String)
+      : Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(TriggerRowCap + 1).collect()
+    if (rows.length > TriggerRowCap)
+      throw new UnsupportedOperationException(
+        s"$what: row-level triggers are a statement-tier feature " +
+          s"(>${TriggerRowCap} rows in one triggered statement)")
+    rows
+  }
+
+  /** BEFORE INSERT pass: run each row through the table's before-insert
+    * triggers (mutating NEW), re-check NOT NULL on the mutated rows,
+    * rebuild the batch. Identity when the table has none. */
+  private def fireBeforeInsert(table: String, batch: DataFrame)
+      : DataFrame = {
+    val defs = triggersOn(table, "INSERT", "BEFORE")
+    if (defs.isEmpty) return batch
+    val schema = batch.schema
+    // NOT NULL judged on the TABLE's declared schema — a VALUES batch
+    // reports literal columns non-nullable regardless of declarations
+    val required = stores.get(table.toLowerCase)
+      .map(_.read().schema.fields).getOrElse(schema.fields)
+      .filter(f => requiredCol(f) ||
+        primaryKeys.getOrElse(table.toLowerCase, Seq.empty)
+          .exists(_.equalsIgnoreCase(f.name)))
+    val rows = collectCapped(batch, s"INSERT INTO $table")
+    val out = rows.map { r =>
+      val newM = rowToMap(r, schema)
+      defs.foreach(d => interp.runTriggerBody(d.body, newM, null,
+        newAssignable = true, schema))
+      required.find(f => newM.getOrElse(f.name.toLowerCase, null) == null)
+        .foreach(f => throw new IllegalArgumentException(
+          s"Column '${f.name}' cannot be null (MySQL error 1048)"))
+      mapToRow(newM, schema)
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.toList.asJava, schema)
+  }
+
+  private def fireAfterInsert(table: String, batch: DataFrame): Unit = {
+    val defs = triggersOn(table, "INSERT", "AFTER")
+    if (defs.isEmpty) return
+    val schema = batch.schema
+    collectCapped(batch, s"INSERT INTO $table").foreach { r =>
+      val newM = rowToMap(r, schema)
+      defs.foreach(d => interp.runTriggerBody(d.body, newM, null,
+        newAssignable = false, schema))
+    }
+  }
+
+  private def fireDeleteTriggers(table: String, timing: String,
+                                 rows: Array[org.apache.spark.sql.Row],
+                                 schema: org.apache.spark.sql.types.StructType)
+      : Unit = {
+    val defs = triggersOn(table, "DELETE", timing)
+    if (defs.isEmpty) return
+    rows.foreach { r =>
+      val oldM = rowToMap(r, schema).toMap
+      defs.foreach(d => interp.runTriggerBody(d.body, null, oldM,
+        newAssignable = false, schema))
+    }
+  }
 
   /** Strip routine characteristics (COMMENT/DETERMINISTIC/NO SQL/…)
     * from the text between the signature and the body. */
@@ -2355,7 +2858,9 @@ class StatementRunner(spark: SparkSession) {
       """((?:CHARSET|CHARACTER\s+SET)\s+\w+)?\s*(.*)$""").r
   private val CreateFunctionRe: Regex =
     ("""(?is)^\s*CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?FUNCTION\s+`?(\w+)`?\s*""" +
-      """\(([^)]*)\)\s*RETURNS\s+\w+(?:\([^)]*\))?\s*((?:\w|\s)*?)\s*""" +
+      """\(((?:[^()]|\([^()]*\))*)\)\s*RETURNS\s+\w+\s*(?:\([^)]*\))?""" +
+      """(?:\s+(?:CHARSET|CHARACTER\s+SET)\s+\w+)?\s*""" +
+      """((?:\w|\s|'[^']*')*?)\s*""" +
       """(RETURN\b.*|BEGIN\b.*END)\s*;?\s*$""").r
   private val DropFunctionRe: Regex =
     """(?is)^\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s*;?\s*$""".r
@@ -2516,7 +3021,19 @@ class StatementRunner(spark: SparkSession) {
                   else java.util.regex.Matcher
                     .quoteReplacement(m.matched)
                 })
-            val repl = "(" + substParams(body, f.params, args) + ")"
+            val repl0 = "(" + substParams(body, f.params, args) + ")"
+            // a subquery-bodied function expanding inside INSERT/REPLACE
+            // VALUES would put a scalar subquery where Spark's VALUES
+            // grammar forbids one (trigger.test: `insert into t1 values
+            // (f1(), …)` with f1 = (select max(seq) from t2)) — its
+            // arguments are constants there, so evaluate eagerly
+            val repl =
+              if ("""(?is)^\s*(INSERT|REPLACE)\b""".r
+                .findFirstIn(sql).isDefined &&
+                """(?i)\(\s*select\b""".r.findFirstIn(repl0).isDefined)
+                "(" + renderLiteral(spark.sql(MySqlDialect.rewrite(
+                  "SELECT " + repl0)).first().get(0)) + ")"
+              else repl0
             return Some(sql.substring(0, at) + repl + sql.substring(q))
           } else from = at + fname.length
         }
@@ -2555,6 +3072,15 @@ class StatementRunner(spark: SparkSession) {
         "character_octet_length")
         .createOrReplaceTempView("graft_info_schema_columns")
     }
+    if (lower.contains("information_schema.triggers")) {
+      triggers.values.toSeq.map(t =>
+        (t.db, t.name, t.db, t.table.split("__").last, t.bodyText,
+          t.timing, t.event))
+        .toDF("trigger_schema", "trigger_name", "event_object_schema",
+          "event_object_table", "action_statement", "action_timing",
+          "event_manipulation")
+        .createOrReplaceTempView("graft_info_schema_triggers")
+    }
     if (lower.contains("information_schema.views")) {
       viewDefs.toSeq.map { case (v, defn) => (currentDb, v, defn) }
         .toDF("table_schema", "table_name", "view_definition")
@@ -2573,6 +3099,8 @@ class StatementRunner(spark: SparkSession) {
         "graft_info_schema_views")
       .replaceAll("(?i)information_schema\\.tables",
         "graft_info_schema_tables")
+      .replaceAll("(?i)information_schema\\.triggers",
+        "graft_info_schema_triggers")
   }
 
   // ───────────────────────── JOIN-ON scalar-subquery hoist ──────────
@@ -2919,8 +3447,6 @@ class StatementRunner(spark: SparkSession) {
   // single-action physical reorder (alter_table1.test `order by id`)
   private val AlterOrderByRe: Regex =
     """(?is)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+ORDER\s+BY\s+(.+?)\s*;?\s*$""".r
-  private val ShowTriggersRe: Regex =
-    """(?is)^\s*SHOW\s+TRIGGERS\s*;?\s*$""".r
   // multi-action ALTER (`rename X, add c char(10)` — alter_table_mix_use
   // / alter_table_v1): split on top-level commas and run each action as
   // its own ALTER statement; ORDER BY becomes a physical row reorder,
@@ -2938,6 +3464,10 @@ class StatementRunner(spark: SparkSession) {
     """(?is)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+CHANGE\s+(?:COLUMN\s+)?`?(\w+)`?\s+`?(\w+)`?\s+(\w+(?:\([^)]*\))?)[^;]*?;?\s*$""".r
   private val AlterRenameRe: Regex =
     """(?is)^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+RENAME\s+(?:TO\s+|AS\s+)?`?(\w+)`?\s*;?\s*$""".r
+  // `RENAME TABLE a TO b[, c TO d…]` — MySQL's standalone rename form
+  // (trigger.test renames t1 under live triggers)
+  private val RenameTableRe: Regex =
+    """(?is)^\s*RENAME\s+TABLE\s+(.+?)\s*;?\s*$""".r
   // Charset/collation alters are presentation-level no-ops here (the
   // engine is UTF-8 native; alter_delete.test uses CONVERT TO)
   private val AlterCharsetRe: Regex =
@@ -3683,7 +4213,14 @@ class StatementRunner(spark: SparkSession) {
   /** Execute one statement; always returns a DataFrame (query result,
     * or a one-row summary for LOAD/OUTFILE). */
   def run(sqlRaw: String): DataFrame = {
-    val pre = stripDbPrefix(sanitizeIdentifiers(sqlRaw))
+    // trigger DDL keeps its schema qualifiers verbatim (`ON db.t`,
+    // `DROP TRIGGER db.name` — the wrong-schema error 1435 needs the
+    // original spelling); everything else resolves through the
+    // session-db mangling
+    val pre =
+      if ("""(?is)^\s*(?:CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?TRIGGER|DROP\s+TRIGGER)\b""".r
+        .findFirstIn(sqlRaw).isDefined) sanitizeIdentifiers(sqlRaw)
+      else stripDbPrefix(sanitizeIdentifiers(sqlRaw))
     // substitute @user_vars except where the statement DEFINES them
     // LOAD DATA's @vars are per-row field bindings, not session refs
     // routine/trigger DDL keeps its body text verbatim: @vars inside a
@@ -3790,7 +4327,34 @@ class StatementRunner(spark: SparkSession) {
       import spark.implicits._
       return Seq(lastRowCount).toDF("row_count()")
     }
-    val df = dispatch(resolvedLi)
+    // statement atomicity for trigger-bearing DML: MySQL rolls back
+    // BOTH the target rows and every trigger side effect when a row
+    // errors mid-statement (trigger.test's ER_BAD_NULL_ERROR golden
+    // leaves t1 AND the audit table t2 untouched). Savepoints open on
+    // all attached stores around the OUTERMOST DML only — statements a
+    // trigger body issues run inside the same transaction.
+    val needTxn = triggers.nonEmpty && dmlTxnDepth == 0 &&
+      """(?is)^\s*(INSERT|UPDATE|DELETE|REPLACE)\b""".r
+        .findFirstIn(resolvedLi).isDefined
+    val df =
+      if (!needTxn) dispatch(resolvedLi)
+      else {
+        dmlTxnDepth += 1
+        val parts = stores.values.toSeq.distinct
+        parts.foreach(_.beginTxn())
+        try {
+          val d = dispatch(resolvedLi)
+          parts.foreach(_.commitTxn())
+          d
+        } catch {
+          case e: Throwable =>
+            parts.foreach(s => scala.util.Try(s.rollbackTxn()))
+            stores.foreach { case (k, st) =>
+              scala.util.Try(refreshTableView(k, st))
+            }
+            throw e
+        } finally dmlTxnDepth -= 1
+      }
     val dmlCols = Set("rows_inserted", "rows_updated", "rows_deleted",
       "rows_matched", "rows_loaded")
     df.columns.find(dmlCols) foreach { c =>
@@ -4114,10 +4678,6 @@ class StatementRunner(spark: SparkSession) {
       Seq((table, s"rows ordered by ${keys.trim}"))
         .toDF("table_name", "status")
 
-    case ShowTriggersRe() =>
-      import spark.implicits._
-      Seq.empty[(String, String)].toDF("trigger_name", "event")
-
     case PrepareRe(name, text) =>
       import spark.implicits._
       prepared(name.toLowerCase) = unescape(
@@ -4267,6 +4827,18 @@ class StatementRunner(spark: SparkSession) {
       Seq((table, s"${clause.trim.take(48)} accepted (engine is " +
         "UTF-8 native)")).toDF("table_name", "status")
 
+    case RenameTableRe(pairs) =>
+      import spark.implicits._
+      val done = splitTopLevel(pairs).map(_.trim).map { p =>
+        val m = """(?is)^`?(\w+)`?\s+TO\s+`?(\w+)`?$""".r
+          .findFirstMatchIn(p).getOrElse(
+            throw new IllegalArgumentException(
+              s"RENAME TABLE: malformed pair '$p' (MySQL error 1064)"))
+        dispatch(s"ALTER TABLE `${m.group(1)}` RENAME TO `${m.group(2)}`")
+        (m.group(1), m.group(2))
+      }
+      done.toDF("from", "to")
+
     case AlterRenameRe(table, newName) =>
       import spark.implicits._
       val key = table.toLowerCase
@@ -4285,6 +4857,10 @@ class StatementRunner(spark: SparkSession) {
       ownedRoots.remove(key).foreach(ownedRoots(nk) = _)
       tableDb.remove(key)
       tableDb(nk) = dbOfName(newName) // RENAME db2.t moves the table
+      // triggers follow a renamed table (trigger.test: insert into t2
+      // after `rename table t1 to t2` still fires t1's triggers)
+      triggers.mapValuesInPlace((_, d) =>
+        if (d.table == key) d.copy(table = nk) else d)
       spark.catalog.dropTempView(table)
       store.read().createOrReplaceTempView(newName)
       // renaming a TEMPORARY table that shadowed a base table
@@ -4337,10 +4913,11 @@ class StatementRunner(spark: SparkSession) {
       else
       runDelete(table, whereClause)
 
-    case UpdateJoinRe(fromSpec, setList, whereClause)
-        if setList.contains(".") &&
-          """(?i)\bJOIN\b|,""".r.findFirstIn(fromSpec).isDefined =>
-      runUpdateJoin(fromSpec, setList, whereClause)
+    case UpdateJoinRe(modifiers, fromSpec, setList, whereClause)
+        if """(?i)\bJOIN\b|,""".r.findFirstIn(fromSpec).isDefined =>
+      runUpdateJoin(fromSpec, setList, whereClause,
+        ignore = modifiers != null &&
+          modifiers.toUpperCase.contains("IGNORE"))
 
     case DeleteMultiRe(modifiers, targets, fromClause, whereClause) =>
       import spark.implicits._
@@ -4373,6 +4950,12 @@ class StatementRunner(spark: SparkSession) {
       val counts = matched.map { case (t, m) =>
         val store = attachedStore(t)
         val n = m.count()
+        val delTrig = tableTriggered(t, "DELETE")
+        val trigRows =
+          if (!delTrig) Array.empty[org.apache.spark.sql.Row]
+          else collectCapped(m, s"DELETE $t (multi)")
+        if (delTrig)
+          fireDeleteTriggers(t, "BEFORE", trigRows, store.read().schema)
         store.rewriteWith { base =>
           val mm = m.toDF(m.columns.map("__m_" + _): _*)
           // null-safe equality on EVERY column: identical rows delete
@@ -4382,6 +4965,8 @@ class StatementRunner(spark: SparkSession) {
           base.join(mm, cond, "left_anti")
         }
         store.read().createOrReplaceTempView(t)
+        if (delTrig)
+          fireDeleteTriggers(t, "AFTER", trigRows, store.read().schema)
         (t, n)
       }
       counts.toDF("table_name", "rows_matched")
@@ -4397,9 +4982,18 @@ class StatementRunner(spark: SparkSession) {
       val full = setList +
         (if (whereClause == null) "" else " WHERE " + whereClause)
       val (setPart, wherePart) = splitTopLevelWhere(full)
+      // self-qualified WHERE refs (`WHERE t1.fld1 = …`, trigger.test's
+      // audit-update body) resolve against the bare frame once
+      // stripped — but a WHERE carrying a subquery keeps its text (the
+      // qualifier may be a correlation, same rule as runDelete)
+      val whereStripped = wherePart.map { w =>
+        if ("""(?i)\(\s*select\b""".r.findFirstIn(w).isDefined) w
+        else w.replaceAll(
+          "(?i)\\b" + java.util.regex.Pattern.quote(table) + "\\.", "")
+      }
       runUpdate(table, setPart.replaceAll(
         "(?i)\\b" + java.util.regex.Pattern.quote(table) + "\\.", ""),
-        wherePart.orNull, ignore = ignoreMod != null)
+        whereStripped.orNull, ignore = ignoreMod != null)
 
     case ShowTablesRe() =>
       import spark.implicits._
@@ -4505,6 +5099,65 @@ class StatementRunner(spark: SparkSession) {
           viewDefs.remove(name.toLowerCase)
           (name, if (existed) "view dropped" else "not a view")
         }.toDF("view_name", "status")
+
+    // triggers — creation mirrors the reference's validation ladder:
+    // wrong schema (1435), missing table (1146), view (1347), temp
+    // table (1361), the tianmu engine gate (3240 unless
+    // tianmu_no_key_error=ON — sql_trigger.cc:229), duplicate name
+    // (1359), then body row-reference checks (1363/1362/1054)
+    case CreateTriggerRe(trgSchema0, trgName, timing0, event0,
+                         tblSchema0, tblName, bodyText) =>
+      import spark.implicits._
+      val timing = timing0.toUpperCase
+      val event = event0.toUpperCase
+      val trgSchema = Option(trgSchema0).map(_.toLowerCase)
+        .getOrElse(currentDb)
+      val tblSchema = Option(tblSchema0).map(_.toLowerCase)
+        .getOrElse(trgSchema)
+      if (trgSchema != tblSchema)
+        throw new IllegalArgumentException(
+          "Trigger in wrong schema (MySQL error 1435)")
+      val key = resolveTableKey(tblSchema, tblName).getOrElse(
+        throw new IllegalArgumentException(
+          s"Table '$tblSchema.$tblName' doesn't exist (MySQL error 1146)"))
+      if (viewDefs.contains(key))
+        throw new IllegalArgumentException(
+          s"'$tblName' is not BASE TABLE (MySQL error 1347)")
+      if (tempTables.contains(key))
+        throw new IllegalArgumentException(
+          s"Trigger's '$tblName' is view or temporary table " +
+            "(MySQL error 1361)")
+      if (engineOf(key).equalsIgnoreCase("TIANMU") && !noKeyError)
+        throw new IllegalArgumentException(
+          "Tianmu engine does not support trigger. (MySQL error 3240)")
+      val tkey = s"$trgSchema.${trgName.toLowerCase}"
+      if (triggers.contains(tkey))
+        throw new IllegalArgumentException(
+          s"Trigger '$trgName' already exists (MySQL error 1359)")
+      val body = Procedural.parseBody(bodyText)
+      validateTriggerBody(body, event, timing, stores(key).read().schema)
+      triggers(tkey) = TriggerDef(trgName, trgSchema, timing, event,
+        key, bodyText.trim.stripSuffix(";"), body)
+      Seq((trgName, s"$timing $event ON $tblName"))
+        .toDF("trigger_name", "definition")
+
+    case DropTriggerRe(ifExists, schema0, name) =>
+      import spark.implicits._
+      val schema = Option(schema0).map(_.toLowerCase).getOrElse(currentDb)
+      val existed = triggers.remove(s"$schema.${name.toLowerCase}")
+        .isDefined
+      if (!existed && ifExists == null)
+        throw new IllegalArgumentException(
+          s"Trigger does not exist: $name (MySQL error 1360)")
+      Seq((name, if (existed) "dropped" else "did not exist"))
+        .toDF("trigger_name", "status")
+
+    case ShowTriggersRe() =>
+      import spark.implicits._
+      triggers.values.toSeq.filter(_.db == currentDb)
+        .map(t => (t.name, t.event, t.table.split("__").last,
+          t.bodyText, t.timing))
+        .toDF("Trigger", "Event", "Table", "Statement", "Timing")
 
     // stored PROCEDURE tier — driver-side interpreter (SURVEY §2.13;
     // the reference routes routines to the MySQL SQL layer,
@@ -4815,6 +5468,9 @@ class StatementRunner(spark: SparkSession) {
         scala.util.Try(dispatch(s"DROP TABLE `$t`"))
         tableDb.remove(t)
       }
+      // and so do the database's triggers (trigger.test's DROP DATABASE
+      // section)
+      triggers.filterInPlace((_, d) => d.db != db.toLowerCase)
       if (currentDb == db.toLowerCase) currentDb = "test"
       Seq((db, if (existed) "database dropped" else "not created"))
         .toDF("database", "status")
@@ -4854,9 +5510,14 @@ class StatementRunner(spark: SparkSession) {
 
     case SetSessionRe(clause) =>
       import spark.implicits._
-      recordSessionVar(clause)
+      // a SET statement assigns a COMMA LIST of variables
+      // (trigger.test's `set @a:= 0, @b:= ""`); split at the top level
+      // so the second assignment doesn't poison the first's rhs
+      splitTopLevel(clause).map(_.trim).filter(_.nonEmpty)
+        .foreach { part =>
+      recordSessionVar(part)
       // `SET @a = expr` evaluates the rhs now and stores the literal
-      """(?is)^@(\w+)\s*:?=\s*(.+)$""".r.findFirstMatchIn(clause.trim)
+      """(?is)^@(\w+)\s*:?=\s*(.+)$""".r.findFirstMatchIn(part.trim)
         .foreach { m =>
           // a literal beyond DOUBLE range is MySQL 1367 (insert.test
           // `set @value= 1e+1111111111`)
@@ -4892,6 +5553,7 @@ class StatementRunner(spark: SparkSession) {
               .getOrElse(null)
             userVars(m.group(1).toLowerCase) = renderLiteral(v)
           }
+        }
         }
       Seq((clause.trim.take(64), "OK (session no-op)"))
         .toDF("setting", "status")
@@ -4951,6 +5613,9 @@ class StatementRunner(spark: SparkSession) {
           // a dropped TEMPORARY table un-shadows its base counterpart
           tempTables.remove(key)
           restoreShadowed(key, table)
+          // DROP TABLE drops its triggers (trigger.test: a re-created
+          // t1 starts trigger-free)
+          triggers.filterInPlace((_, d) => d.table != key)
           (table, if (existed) "dropped" else "not attached")
         }.toDF("table_name", "status")
 
@@ -5519,6 +6184,217 @@ object Statements {
       |FROM emp a LEFT JOIN emp b
       |  ON a.sal = b.sal AND b.id < 5""".stripMargin
 
+  /** The stored-routine interpreter with VALUE parity: every probe
+    * value below is a literal from the reference's own goldens
+    * (r/user_function.result, r/procedure.result) — DECLARE/SET,
+    * IF/ELSEIF, CASE statements, WHILE/REPEAT/LOOP with labeled
+    * LEAVE/ITERATE, SELECT…INTO fallthrough, decimal ROUND scale,
+    * and OUT/INOUT CALL write-back. */
+  def qSqlProcFlow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = new StatementRunner(s)
+    def one(sql: String): String =
+      String.valueOf(r.run(sql).collect()(0).get(0))
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    r.run("create table pf_test(num int, price int)")
+    r.run("insert into pf_test values (3,5)")
+    r.run("""create function pf_myfun(idx int) returns int
+      begin
+        declare res int;
+        declare num1, num2 int default 27;
+        declare data1, data2 int;
+        set num2 = 23, res = num1 + num2;
+        set data1 = 1, data2 = 1;
+        select num, price into data1, data2 from pf_test where num = idx;
+        set res := res * (data1 + data2);
+        return (res);
+      end""")
+    out += (("myfuntest_5", one("select pf_myfun(5)")))
+    r.run("""create function pf_getsum(num int) returns int
+      begin
+        declare i,sum int default 0;
+        while (i<=num) do
+          set sum = sum + i;
+          set i = i + 1;
+        end while;
+        return sum;
+      end""")
+    out += (("getsum_10", one("select pf_getsum(10)")))
+    r.run("""CREATE FUNCTION pf_cmp(n INT, m INT) RETURNS VARCHAR(20)
+      BEGIN
+        DECLARE s VARCHAR(20);
+        IF n > m THEN SET s = '>';
+        ELSEIF n = m THEN SET s = '=';
+        ELSE SET s = '<';
+        END IF;
+        SET s = CONCAT(n, ' ', s, ' ', m);
+        RETURN s;
+      END""")
+    out += (("simplecompare_1_6", one("select pf_cmp(1,6)")))
+    out += (("simplecompare_6_6", one("select pf_cmp(6,6)")))
+    r.run("""CREATE FUNCTION pf_case(a int) returns int
+      BEGIN
+        DECLARE v INT DEFAULT 1;
+        set v = a;
+        CASE v
+          WHEN 2 THEN return v;
+          WHEN 3 THEN return 0;
+          ELSE
+            BEGIN
+              return 8;
+            END;
+        END CASE;
+      END""")
+    out += (("pro_test_3", one("select pf_case(3)")))
+    out += (("pro_test_5", one("select pf_case(5)")))
+    r.run("""create function pf_iter() returns varchar(255)
+      begin
+        declare i,j int default 0;
+        loop1: while (i<=5) do
+          set i = i + 1;
+          set j = 0;
+          while (j<=i) do
+            if(j = 3) then
+              iterate loop1;
+            end if;
+            set j = j + 1;
+          end while;
+        end while loop1;
+        return concat('i: ', i, ' j:', j);
+      end""")
+    out += (("testiterate", one("select pf_iter()")))
+    r.run("""CREATE PROCEDURE pf_repeat()
+      BEGIN
+        DECLARE x INT;
+        DECLARE str VARCHAR (255);
+        SET x = 1;
+        SET str = '';
+        REPEAT
+          SET str = CONCAT(str, x, ',');
+          SET x = x + 1;
+        UNTIL x > 5
+        END REPEAT;
+        SELECT str;
+      END""")
+    out += (("repeat_str", one("call pf_repeat()")))
+    r.run("CREATE PROCEDURE pf_out(OUT o INT) DETERMINISTIC NO SQL SET o = 5")
+    r.run("CREATE PROCEDURE pf_inout(INOUT o INT) NO SQL SET o = o * 7")
+    r.run("SET @pf_v = 3")
+    r.run("call pf_out(@pf_v)")
+    r.run("call pf_inout(@pf_v)")
+    out += (("out_inout", one("select @pf_v")))
+    out.toSeq.toDF("probe", "val")
+  }
+
+  val qSqlProcFlowSql: String =
+    """SELECT * FROM (VALUES
+      |  ('myfuntest_5', '100'),
+      |  ('getsum_10', '55'),
+      |  ('simplecompare_1_6', '1 < 6'),
+      |  ('simplecompare_6_6', '6 = 6'),
+      |  ('pro_test_3', '0'),
+      |  ('pro_test_5', '8'),
+      |  ('testiterate', 'i: 6 j:3'),
+      |  ('repeat_str', '1,2,3,4,5,'),
+      |  ('out_inout', '35')
+      |) AS t(probe, val)""".stripMargin
+
+  /** The trigger engine with VALUE parity against r/trigger.result:
+    * BEFORE INSERT accumulation, the ON-DUPLICATE @log interleave,
+    * statement atomicity on a mid-batch trigger error, BEFORE-UPDATE
+    * NEW mutation, UPDATE IGNORE suppressing the AFTER trigger, and
+    * per-processed-row AFTER UPDATE firing. */
+  def qSqlTriggerFire(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = new StatementRunner(s)
+    r.run("SET SESSION tianmu_no_key_error=ON")
+    def one(sql: String): String =
+      String.valueOf(r.run(sql).collect()(0).get(0))
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    // BEFORE INSERT accumulation (trigger.result:11-16)
+    r.run("CREATE TABLE tf_acct (acct_num INT, amount DECIMAL(10,2))")
+    r.run("CREATE TRIGGER tf_ins_sum BEFORE INSERT ON tf_acct " +
+      "FOR EACH ROW SET @tf_sum = @tf_sum + NEW.amount")
+    r.run("SET @tf_sum = 0")
+    r.run("INSERT INTO tf_acct VALUES(137,14.98),(141,1937.50),(97,-100.00)")
+    out += (("sum_inserted", one("select @tf_sum")))
+    // ODKU interleave (trigger.result:120-152)
+    r.run("create table tf_t1 (id int not null primary key, data int)")
+    r.run("""create trigger tf_bi before insert on tf_t1 for each row
+      set @tf_log:= concat(@tf_log, "(BI:", new.id, ",", new.data, ")")""")
+    r.run("""create trigger tf_ai after insert on tf_t1 for each row
+      set @tf_log:= concat(@tf_log, "(AI:", new.id, ",", new.data, ")")""")
+    r.run("""create trigger tf_bu before update on tf_t1 for each row
+      set @tf_log:= concat(@tf_log, "(BU:", old.data, ">", new.data, ")")""")
+    r.run("""create trigger tf_au after update on tf_t1 for each row
+      set @tf_log:= concat(@tf_log, "(AU:", old.data, ">", new.data, ")")""")
+    r.run("set @tf_log:= ''")
+    r.run("insert into tf_t1 values (1, 1)")
+    r.run("insert ignore tf_t1 values (1, 2)")
+    r.run("insert into tf_t1 (id, data) values (1, 3), (2, 2) " +
+      "on duplicate key update data= data + 1")
+    out += (("odku_log", one("select @tf_log")))
+    // statement atomicity (trigger.result:168-205)
+    r.run("create table tf_m (id int primary key, data varchar(10), fk int)")
+    r.run("create table tf_ev (event varchar(100))")
+    r.run("create table tf_fk (id int primary key)")
+    r.run("""create trigger tf_m_bi before insert on tf_m for each row
+      begin
+        if exists (select id from tf_fk where id=new.fk) then
+          insert into tf_ev values (concat("ok id=", new.id));
+        else
+          insert into tf_ev values (concat("fail id=", new.id));
+          set new.id= NULL;
+        end if;
+      end""")
+    r.run("insert into tf_fk values (1)")
+    val rolledBack =
+      try { r.run("""insert into tf_m values (4, "four", 1), (5, "five", 2)"""); 0 }
+      catch { case _: Exception => 1 }
+    out += (("bad_null_rejected", rolledBack.toString))
+    out += (("rollback_rows", one("select count(*) from tf_m")))
+    out += (("rollback_events", one("select count(*) from tf_ev")))
+    // BEFORE UPDATE mutates NEW; AFTER UPDATE fires per processed row
+    r.run("create table tf_u (i int, j int)")
+    r.run("insert into tf_u values (1,2),(2,3),(3,14)")
+    r.run("""create trigger tf_u_bu before update on tf_u for each row
+      begin
+        if old.i % 2 = 0 then
+          set new.j := -1;
+        end if;
+      end""")
+    r.run("create trigger tf_u_au after update on tf_u for each row " +
+      "set @tf_n = @tf_n + 1")
+    r.run("set @tf_n = 0")
+    r.run("update tf_u set j = 20")
+    out += (("upd_fired", one("select @tf_n")))
+    out += (("upd_j_sum", one("select sum(j) from tf_u")))
+    // UPDATE IGNORE pk collision: skipped row, AFTER not fired
+    r.run("create table tf_pk (a int primary key)")
+    r.run("insert into tf_pk values (1), (2)")
+    r.run("create trigger tf_pk_au after update on tf_pk for each row " +
+      "set @tf_pk_fired = @tf_pk_fired + 1")
+    r.run("set @tf_pk_fired = 0")
+    r.run("UPDATE IGNORE tf_pk SET a=2 WHERE a=1")
+    out += (("upd_ignore_fired", one("select @tf_pk_fired")))
+    out += (("upd_ignore_rows", one("select count(distinct a) from tf_pk")))
+    out.toSeq.toDF("probe", "val")
+  }
+
+  val qSqlTriggerFireSql: String =
+    """SELECT * FROM (VALUES
+      |  ('sum_inserted', '1852.48'),
+      |  ('odku_log',
+      |   '(BI:1,1)(AI:1,1)(BI:1,2)(BI:1,3)(BU:1>2)(AU:1>2)(BI:2,2)(AI:2,2)'),
+      |  ('bad_null_rejected', '1'),
+      |  ('rollback_rows', '0'),
+      |  ('rollback_events', '0'),
+      |  ('upd_fired', '3'),
+      |  ('upd_j_sum', '39'),
+      |  ('upd_ignore_fired', '0'),
+      |  ('upd_ignore_rows', '2')
+      |) AS t(probe, val)""".stripMargin
+
   /** MySQL's multi-table DML statement forms end-to-end (the handler
     * path the reference routes through sql/ha_my_tianmu.cpp join-DML;
     * update_join.test / delete_join.test): a join-UPDATE stamps each
@@ -5603,7 +6479,9 @@ object Statements {
     "q_sql_strict_types" -> (qSqlStrictTypes _),
     "q_sql_insert_defaults" -> (qSqlInsertDefaults _),
     "q_sql_unsigned_cap" -> (qSqlUnsignedCap _),
-    "q_sql_stored_func" -> (qSqlStoredFunc _))
+    "q_sql_stored_func" -> (qSqlStoredFunc _),
+    "q_sql_proc_flow" -> (qSqlProcFlow _),
+    "q_sql_trigger_fire" -> (qSqlTriggerFire _))
 
   val oracles: Map[String, String] = Map(
     "q_sql_multi_table_dml" -> qSqlMultiTableDmlSql,
@@ -5618,5 +6496,7 @@ object Statements {
     "q_sql_strict_types" -> qSqlStrictTypesSql,
     "q_sql_insert_defaults" -> qSqlInsertDefaultsSql,
     "q_sql_unsigned_cap" -> qSqlUnsignedCapSql,
-    "q_sql_stored_func" -> qSqlStoredFuncSql)
+    "q_sql_stored_func" -> qSqlStoredFuncSql,
+    "q_sql_proc_flow" -> qSqlProcFlowSql,
+    "q_sql_trigger_fire" -> qSqlTriggerFireSql)
 }

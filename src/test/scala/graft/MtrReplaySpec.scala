@@ -8,13 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * test script runs with success/error parity. MTR client directives
   * (`--echo`, `--source`, `connect`/`connection`, …) are client-side
   * and skipped; `--error N` lines flip the expectation for the next
-  * statement (it must THROW). Statements exercising server-side
-  * machinery this library deliberately does not carry (stored
-  * procedures — SURVEY §2.13: the reference itself routes them to
-  * MySQL, not to its engine) are skipped via an explicit, visible
-  * predicate. Everything else must behave: unexpected success where an
-  * error is pinned, or any error where success is pinned, fails the
-  * suite naming the statement. */
+  * statement (it must THROW). Since round 17 the full statement
+  * surface — stored PROCEDUREs/FUNCTIONs, CALL, TRIGGERs — is in
+  * scope (sources/Procedural.scala); the only skipped statements are
+  * fixtures this checkout physically lacks (LFS-stripped data files)
+  * and mysqltest harness-variable loops. Everything else must behave:
+  * unexpected success where an error is pinned, or any error where
+  * success is pinned, fails the suite naming the statement. */
 class MtrReplaySpec extends AnyFunSuite {
   private def spark = TestSession.spark
 
@@ -108,14 +108,11 @@ class MtrReplaySpec extends AnyFunSuite {
   /** Server-side statements this library does not carry (each with the
     * scope rationale) — skipping is explicit and counted. */
   private def outOfScope(stmt: String): Boolean =
-    // stored-routine DDL only — `FUNCTION` is also a legal column name
-    // (range.test:294), so the keyword alone is not a scope signal.
-    // FUNCTIONs themselves are IN scope now (StatementRunner expands
-    // stored SQL functions); PROCEDURE/TRIGGER remain out.
-    """(?i)^\s*(?:CREATE|DROP|ALTER)\s+(?:DEFINER\s*=\s*\S+\s+)?(?:PROCEDURE|TRIGGER)\b""".r
-      .findFirstIn(stmt).isDefined || // SURVEY §2.13: routed to MySQL
-      // CALL invokes a stored procedure — same scope boundary
-      """(?i)^\s*CALL\b""".r.findFirstIn(stmt).isDefined ||
+    // stored PROCEDUREs, procedural FUNCTION bodies, TRIGGERs, and CALL
+    // are all IN scope since round 17 (sources/Procedural.scala — the
+    // driver-side interpreter mirroring the reference's routing of
+    // routines to the MySQL SQL layer, engine_execute.cpp:374-382).
+    // Remaining skips are fixture/harness gaps, not engine scope:
       // LOAD fixtures absent from this reference checkout (LFS-tracked
       // bulk files): the statement cannot run ANYWHERE without them
       """'(/root/reference/[^']+)'""".r.findFirstMatchIn(stmt)
@@ -164,10 +161,23 @@ class MtrReplaySpec extends AnyFunSuite {
         stmt.replaceAll("'[^']*'|\"[^\"]*\"", "")).isDefined ||
       // `@x := …` INSIDE a query is MySQL's row-order-dependent
       // accumulator hack (issue1897/1903/1910, range.test:189) — no
-      // relational analog (SURVEY §2.13); `SET @x := …` stays in scope
-      (!"""(?i)^\s*SET\b""".r.findFirstIn(stmt).isDefined &&
+      // relational analog (SURVEY §2.13); `SET @x := …` stays in
+      // scope, and so do routine BODIES (the interpreter evaluates
+      // their := assignments itself — procedure.test's
+      // `select @sum:=(a+b)`)
+      (!"""(?i)^\s*(SET|CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?(?:FUNCTION|PROCEDURE|TRIGGER)|CALL)\b""".r
+        .findFirstIn(stmt).isDefined &&
         """@\w+\s*:=""".r.findFirstIn(
           stmt.replaceAll("'[^']*'|\"[^\"]*\"", "")).isDefined)
+
+  /** Files the reference DISABLES in its CI (disabled.def:
+    * `trigger : bug_for_trigger`, issue364, issue581) because they
+    * predate its tianmu trigger gate: CREATE TRIGGER on a tianmu table
+    * is 3240 unless tianmu_no_key_error=ON (sql_trigger.cc:229-235).
+    * Replaying them under the reference's own enabling flag is the
+    * only way the scripts' pinned successes are reachable at all. */
+  private val TriggerFlagFiles =
+    Set("trigger.test", "issue364.test", "issue581.test")
 
   private def replay(file: String,
                      session: org.apache.spark.sql.SparkSession = spark,
@@ -175,6 +185,8 @@ class MtrReplaySpec extends AnyFunSuite {
                        = None)
       : (Int, Int) = {
     val runner = new sources.StatementRunner(session)
+    if (TriggerFlagFiles.contains(file))
+      runner.run("SET SESSION tianmu_no_key_error=ON")
     // MTR applies <file>-master.opt server flags before the file runs
     // (drop_index.test needs tianmu_no_key_error=ON); replay them as
     // session SETs — the engine models them as session variables.
@@ -216,22 +228,6 @@ class MtrReplaySpec extends AnyFunSuite {
     (ran, skipped)
   }
 
-  /** The PROCEDURAL boundary for prefix pins: a CREATE FUNCTION whose
-    * BEGIN…END body is procedural (DECLARE / flow control — the tier
-    * the reference routes to the MySQL row engine), or an `--error`
-    * expectation on plain DML that can only be produced by a trigger
-    * this library skipped (the statement itself is well-formed; the
-    * pinned error is a trigger side effect). */
-  private def proceduralBoundary(stmt: String, expectsError: Boolean,
-                                 skippedTriggers: Int): Boolean =
-    ("""(?is)^\s*CREATE\s+(?:DEFINER\s*=\s*\S+\s+)?FUNCTION\b.*\bBEGIN\b""".r
-      .findFirstIn(stmt).isDefined &&
-      """(?is)\b(DECLARE|WHILE|ITERATE|LEAVE|LOOP|REPEAT|ELSEIF)\b""".r
-        .findFirstIn(stmt).isDefined) ||
-      (expectsError && skippedTriggers > 0 &&
-        """(?is)^\s*(INSERT|UPDATE|DELETE|REPLACE|LOAD)\b""".r
-          .findFirstIn(stmt).isDefined)
-
   test("the reference's truncate_table.test replays with success/error " +
       "parity (databases, CREATE/LIKE/CTAS, views, multi-connection " +
       "truncates, qualified names)") {
@@ -240,19 +236,20 @@ class MtrReplaySpec extends AnyFunSuite {
     assert(skipped <= 1, s"$skipped skipped (expected only CREATE PROCEDURE)")
   }
 
-  /** The pinned compatibility corpus: every reference MTR file that
-    * replays END TO END with success/error parity — 290 of the
-    * suite's 311 files (292 in tianmu/t), ~13350 statements total.
-    * Per-file statement-count floors stop a silently-shortened parse
-    * from faking a pass; skip counts are pinned exactly (LFS fixtures
-    * absent from the checkout, plus mysqltest client-variable loops).
-    * The two files not in the list fail on ONE documented boundary:
-    * stored PROCEDUREs/TRIGGERs and PROCEDURAL function bodies
-    * (DECLARE/WHILE/SELECT-INTO) — trigger.test and
-    * user_function.test. The reference itself routes stored routines
-    * to the MySQL row engine (engine_execute.cpp:374-382), so this
-    * boundary mirrors its own architecture. issue538.test joined the
-    * corpus in round 17: its expression-bodied stored functions expand
+  /** The pinned compatibility corpus: EVERY reference MTR file in
+    * tianmu/t — 292 of 292, ~13.3k statements — replays END TO END
+    * with success/error parity. Per-file statement-count floors stop
+    * a silently-shortened parse from faking a pass; skip counts are
+    * pinned exactly (LFS fixtures absent from the checkout, plus
+    * mysqltest client-variable loops). trigger.test and
+    * user_function.test joined in round 17 with the stored-routine
+    * interpreter and the trigger engine: procedural bodies
+    * (DECLARE/flow control/SELECT…INTO), CALL with OUT/INOUT
+    * write-back, and row triggers with the reference's engine gate
+    * (3240 on tianmu unless tianmu_no_key_error — issue1185 pins the
+    * errors, issue1318 the flag-on firing, issue1186 the InnoDB
+    * path). issue538.test joined earlier in round 17: its
+    * expression-bodied stored functions expand
     * inline with a caller-scope capture guard, ON-placed expansions
     * hoist to LEFT JOIN LATERAL columns, and the
     * PushProjectionThroughUnion outer-ref crash is excluded for
@@ -264,6 +261,8 @@ class MtrReplaySpec extends AnyFunSuite {
     // PushProjectionThroughUnion exclusion (Spark outer-ref crash over
     // base∪delta unions)
     ("issue538.test", 46, 0),
+    ("trigger.test", 487, 0),
+    ("user_function.test", 78, 0),
     // round-16 pins: strict-insert/unsigned-overflow/DDL-shape work
     ("auto_increment.test", 60, 0),
     ("bit_type.test", 99, 0),
@@ -410,7 +409,7 @@ class MtrReplaySpec extends AnyFunSuite {
     ("issue496.test", 12, 0),
     ("issue502.test", 10, 0),
     ("issue515.test", 9, 0),
-    ("issue581.test", 20, 2),
+    ("issue581.test", 22, 0),
     ("issue736.test", 10, 0),
     ("issue763.test", 59, 0),
     ("issue767.test", 42, 0),
@@ -451,7 +450,7 @@ class MtrReplaySpec extends AnyFunSuite {
     ("timestampadd_function.test", 42, 0),
     ("timestampdiff_function.test", 42, 0),
     ("truncate.test", 11, 1),
-    ("truncate_table.test", 47, 1),
+    ("truncate_table.test", 48, 0),
     ("union_case.test", 30, 0),
     ("unsigned_join.test", 13, 0),
     ("various_subquery.test", 38, 0),
@@ -483,7 +482,7 @@ class MtrReplaySpec extends AnyFunSuite {
     ("date_formats.test", 51, 0),
     ("delete_all_rows.test", 72, 1),
     ("delete_join.test", 14, 0),
-    ("delete_signed.test", 73, 20),
+    ("delete_signed.test", 93, 0),
     ("different_charsets_a.test", 124, 0),
     ("different_charsets_b.test", 164, 0),
     ("drop_index.test", 13, 0),
@@ -493,26 +492,26 @@ class MtrReplaySpec extends AnyFunSuite {
     ("in_subquery.test", 150, 0),
     ("in_withpk.test", 49, 0),
     ("insert.test", 213, 2),
-    ("insert_into_select.test", 40, 3),
+    ("insert_into_select.test", 43, 0),
     ("insert_update.test", 59, 2),
     ("issue1000.test", 41, 0),
     ("issue1034.test", 364, 0),
     ("issue1054.test", 59, 0),
-    ("issue1065.test", 19, 10),
+    ("issue1065.test", 29, 0),
     ("issue1111.test", 111, 0),
     ("issue1153.test", 53, 0),
     ("issue1174.test", 119, 0),
-    ("issue1185.test", 50, 15),
-    ("issue1186.test", 41, 1),
+    ("issue1185.test", 65, 0),
+    ("issue1186.test", 42, 0),
     ("issue1209.test", 10, 0),
-    ("issue1318.test", 18, 1),
+    ("issue1318.test", 19, 0),
     ("issue1325.test", 37, 0),
     ("issue1359.test", 17, 0),
     ("issue1616.test", 31, 0),
     ("issue1662.test", 5, 2),
     ("issue1696.test", 24, 3),
     ("issue1707.test", 5, 1),
-    ("issue1855.test", 20, 3),
+    ("issue1855.test", 23, 0),
     ("issue1861.test", 15, 0),
     ("issue1865.test", 14, 0),
     ("issue1876.test", 23, 1),
@@ -525,9 +524,9 @@ class MtrReplaySpec extends AnyFunSuite {
     ("issue228.test", 8, 0),
     ("issue271.test", 77, 0),
     ("issue362.test", 10, 0),
-    ("issue364.test", 10, 2),
+    ("issue364.test", 12, 0),
     ("issue415.test", 8, 0),
-    ("issue422.test", 164, 3),
+    ("issue422.test", 167, 0),
     ("issue433.test", 16, 0),
     ("issue441.test", 8, 0),
     ("issue446.test", 5, 0),
@@ -544,16 +543,16 @@ class MtrReplaySpec extends AnyFunSuite {
     ("issue985.test", 12, 0),
     ("load.test", 10, 1),
     ("other_bit.test", 98, 0),
-    ("procedure.test", 8, 47),
+    ("procedure.test", 55, 0),
     ("range.test", 325, 1),
     ("show_db_table.test", 23, 0),
     ("std_test.test", 83, 0),
-    ("strings.test", 60, 1),
+    ("strings.test", 61, 0),
     ("temporary.test", 35, 0),
     ("unsigned.test", 75, 0),
     ("unsigned_math.test", 94, 0),
     ("update_join.test", 15, 0),
-    ("update_signed.test", 73, 25))
+    ("update_signed.test", 98, 0))
 
   test(s"${PinnedFiles.size} reference MTR files replay with " +
       "success/error parity (statement floors pinned)") {
@@ -571,7 +570,10 @@ class MtrReplaySpec extends AnyFunSuite {
         val secs = (System.nanoTime() - t0) / 1e9
         // per-file wall time to stdout: a pathological straggler must
         // be visible by NAME, not as a silent hour
-        println(f"[mtr-replay] $file%-36s ${secs}%7.1fs ok=${res.isSuccess}")
+        println(f"[mtr-replay] $file%-36s ${secs}%7.1fs " +
+          s"ok=${res.isSuccess} " +
+          res.map { case (r, sk) => s"ran=$r skipped=$sk" }
+            .getOrElse(""))
         (file, floor, maxSkip, res)
       }
     }
@@ -592,28 +594,8 @@ class MtrReplaySpec extends AnyFunSuite {
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
-    assert(total >= 11724, s"corpus shrank: $total statements")
+    println(s"[mtr-replay] corpus total ran=$total")
+    assert(total >= 13930, s"corpus shrank: $total statements")
   }
 
-  test("the two procedural residue files replay with parity up to " +
-      "their first procedural statement (prefix pins — the boundary " +
-      "itself is regression-checked)") {
-    // user_function.test: halts at the first DECLARE-bodied CREATE
-    // FUNCTION (myfunTest, user_function.test:24); the prefix is the
-    // table/insert setup plus the function-admin statements before it.
-    val (ran1, sk1) = replay("user_function.test", spark.newSession(),
-      boundary = Some(proceduralBoundary))
-    println(s"[mtr-prefix] user_function.test ran=$ran1 skipped=$sk1")
-    assert(ran1 >= 6, s"user_function prefix shrank: $ran1")
-    assert(sk1 === 0, s"user_function prefix skips changed: $sk1")
-    // trigger.test: halts at the first --error DML whose pinned error
-    // is a (skipped) trigger's side effect (trigger.test ~stmt 50);
-    // everything before — table DDL, inserts, user-var selects around
-    // skipped CREATE/DROP TRIGGER statements — must hold parity.
-    val (ran2, sk2) = replay("trigger.test", spark.newSession(),
-      boundary = Some(proceduralBoundary))
-    println(s"[mtr-prefix] trigger.test ran=$ran2 skipped=$sk2")
-    assert(ran2 >= 49, s"trigger prefix shrank: $ran2")
-    assert(sk2 <= 21, s"trigger prefix skips grew: $sk2")
-  }
 }

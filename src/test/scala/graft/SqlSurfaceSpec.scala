@@ -391,10 +391,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val store = new DeltaStore(spark, tmp)
     store.writeBase(Engine.table(spark, sf, "nation"))
     runner.attach("ru_nation", store)
-    // keyed forms refuse without a declared PK
-    intercept[IllegalArgumentException] {
-      runner.run("REPLACE INTO ru_nation VALUES (3, 'X', 1)")
-    }
+    // REPLACE without any unique key cannot conflict — MySQL runs it
+    // as a plain INSERT (round 17; trigger.test replaces into keyless
+    // tables). ON DUPLICATE KEY still refuses without a PK below.
+    val keylessBefore = store.read().count()
+    runner.run("REPLACE INTO ru_nation VALUES (971, 'KEYLESS', 1)")
+    assert(store.read().count() === keylessBefore + 1)
+    runner.run("DELETE FROM ru_nation WHERE n_nationkey = 971")
     runner.run("ALTER TABLE ru_nation ADD PRIMARY KEY (n_nationkey)")
     val n0 = store.read().count()
     // REPLACE: one existing key replaced whole, one new key inserted
