@@ -135,7 +135,12 @@ object Registry {
     // (bit_type.test); negative d zeroes digits left of the point
     GraftSqlBridge.registerFunction(spark, "truncate", exprs => {
       val c = GraftSqlBridge.column(exprs.head)
-      val p = pow(lit(10.0), GraftSqlBridge.column(exprs(1)).cast("int"))
+      // MySQL clamps an out-of-range digit count (func_math.test
+      // `truncate(4, 18446744073709551614)` = 4) — the raw int cast
+      // wraps it instead
+      val dClamped = least(greatest(GraftSqlBridge.column(exprs(1))
+        .cast("decimal(38,0)"), lit(-30)), lit(30)).cast("int")
+      val p = pow(lit(10.0), dClamped)
       // only a TEMPORAL-typed argument coerces through its digit
       // string (type_timestamp.test TRUNCATEs a TIMESTAMP column:
       // '2020-01-02 03:04:05' ≡ 20200102030405) — the check is on the
@@ -158,7 +163,26 @@ object Registry {
             "^\\s*(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)", 1)
             .cast("double"), lit(0.0))
         else c.cast("double")
-      GraftSqlBridge.expression(signum(x) * floor(abs(x) * p) / p)
+      // exact path for DECIMAL/integer inputs with a constant digit
+      // count: truncate-toward-zero as scale-aware RoundFloor/RoundCeil
+      // — the double detour flattens 18446744073709551614
+      // (func_math.test). Raw Catalyst nodes: a functions.floor call
+      // would resolve by NAME back to the single-argument graft floor
+      // registered below and silently drop the scale.
+      val isExactArg = scala.util.Try(exprs.head.dataType)
+        .toOption.exists { dt =>
+          import org.apache.spark.sql.types._
+          dt.isInstanceOf[DecimalType] || dt == LongType ||
+            dt == IntegerType || dt == ShortType || dt == ByteType
+        }
+      if (isExactArg && exprs(1).foldable) {
+        import org.apache.spark.sql.catalyst.expressions._
+        val xd = GraftSqlBridge.expression(c.cast("decimal(38,8)"))
+        val dE = GraftSqlBridge.expression(dClamped)
+        If(GreaterThanOrEqual(xd, Literal(0)),
+          RoundFloor(xd, dE), RoundCeil(xd, dE))
+      } else
+        GraftSqlBridge.expression(signum(x) * floor(abs(x) * p) / p)
     })
     // EXP/POW overflow to ±Infinity from finite arguments is MySQL
     // 1690 (func_math.test `EXP(750)`, `POW(10, 309)`) — Spark returns
@@ -231,12 +255,46 @@ object Registry {
     fn("insert")(cs => MySql.insertStr(cs.head, cs(1), cs(2), cs(3)))
     fn("mid")(cs => cs.head.substr(cs(1), cs(2)))
     fn("oct")(cs => conv(cs.head.cast("string"), 10, 8))
-    GraftSqlBridge.registerFunction(spark, "format", exprs =>
+    // MySQL FORMAT is EXACT over decimal/integer inputs
+    // (func_math.test formats 18446744073709551614 without the
+    // double-roundtrip flattening to …552,000) — only true
+    // floating-point inputs ride the double path
+    GraftSqlBridge.registerFunction(spark, "format", exprs => {
+      val isFloating = scala.util.Try(exprs.head.dataType)
+        .toOption.exists(dt =>
+          dt == org.apache.spark.sql.types.DoubleType ||
+            dt == org.apache.spark.sql.types.FloatType)
+      val target = if (isFloating) "double" else "decimal(38,12)"
       org.apache.spark.sql.catalyst.expressions.FormatNumber(
         GraftSqlBridge.expression(
-          GraftSqlBridge.column(exprs.head).cast("double")),
+          GraftSqlBridge.column(exprs.head).cast(target)),
         GraftSqlBridge.expression(
-          GraftSqlBridge.column(exprs(1)).cast("int"))))
+          GraftSqlBridge.column(exprs(1)).cast("int")))
+    })
+    // MySQL SQRT of a negative is NULL, not NaN (func_math.test).
+    // Raw Catalyst nodes — functions.sqrt would resolve back to THIS
+    // registration and loop (same rule as the md5 shim above).
+    GraftSqlBridge.registerFunction(spark, "sqrt", exprs => {
+      import org.apache.spark.sql.catalyst.expressions._
+      val s = Sqrt(Cast(exprs.head,
+        org.apache.spark.sql.types.DoubleType))
+      NaNvl(s, Literal(null, org.apache.spark.sql.types.DoubleType))
+    })
+    // MySQL STD / STDDEV / VARIANCE are the POPULATION variants
+    // (std_test.test's golden floor(STD(...)) values); Spark's builtins
+    // of the same names are SAMPLE. STDDEV_SAMP/VAR_SAMP keep their
+    // explicit sample meaning in both dialects.
+    for (name <- Seq("std", "stddev"))
+      GraftSqlBridge.registerFunction(spark, name, exprs =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.StddevPop(
+          GraftSqlBridge.expression(
+            GraftSqlBridge.column(exprs.head).cast("double")))
+          .toAggregateExpression())
+    GraftSqlBridge.registerFunction(spark, "variance", exprs =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.VariancePop(
+        GraftSqlBridge.expression(
+          GraftSqlBridge.column(exprs.head).cast("double")))
+        .toAggregateExpression())
     // MySQL's md5 stringifies any argument (md5_function.test hashes
     // BIGINTs); Spark's builtin requires BINARY. Built directly as the
     // Catalyst Md5 — functions.md5 would resolve back to THIS
@@ -363,7 +421,13 @@ object Registry {
         else GraftSqlBridge.expression(
           regexp_replace(GraftSqlBridge.column(exprs.head).cast("string"),
             "[^0-9]", "").cast("decimal(38,4)"))
-      val scale = if (exprs.length > 1) exprs(1)
+      // MySQL clamps an out-of-int-range digit count instead of
+      // wrapping it (func_math.test `round(4, 18446744073709551614)`
+      // = 4, the cast-to-int wraparound gave 0)
+      val scale = if (exprs.length > 1)
+        GraftSqlBridge.expression(
+          least(greatest(GraftSqlBridge.column(exprs(1))
+            .cast("decimal(38,0)"), lit(-30)), lit(30)).cast("int"))
         else org.apache.spark.sql.catalyst.expressions.Literal(0)
       org.apache.spark.sql.catalyst.expressions.Round(head, scale)
     })

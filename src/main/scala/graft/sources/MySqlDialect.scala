@@ -421,12 +421,112 @@ object MySqlDialect {
     sql.replaceAll("(?is)=\\s*(?:ANY|SOME)\\s*\\(", " IN (")
       .replaceAll("(?is)(?:<>|!=)\\s*ALL\\s*\\(", " NOT IN (")
 
+  /** MySQL's CAST(x AS UNSIGNED) / CONVERT(x, UNSIGNED) of a NEGATIVE
+    * value wraps modulo 2^64 (CAST(-2 AS UNSIGNED) =
+    * 18446744073709551614 — convert_conv_func.result:?,
+    * func_math.result pins the whole family incl. ABS/CEILING over the
+    * cast). The plain DECIMAL(20,0) cast keeps the sign, so wrap the
+    * argument in the modulo CASE first; the `AS UNSIGNED` spelling is
+    * left in place for the main scan's DECIMAL(20,0) mapping (which
+    * also keeps Spark's USER_SPECIFIED_CAST tag for the 1690
+    * unsigned-context marker). The argument is rendered through an
+    * inner DECIMAL(20,0) cast so string/fraction arguments keep exact
+    * integer arithmetic (MySQL rounds fractions first: CAST(-1.6 AS
+    * UNSIGNED) = 2^64 - 2). */
+  private def wrapUnsignedCasts(sql: String): String = {
+    val out = new StringBuilder(sql.length + 32)
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        out.append(c); i += 1
+        while (i < n && sql(i) != c) {
+          if (sql(i) == '\\' && c != '`' && i + 1 < n) {
+            out.append(sql(i)); i += 1
+          }
+          out.append(sql(i)); i += 1
+        }
+        if (i < n) { out.append(c); i += 1 }
+      } else if (wordAt(sql, i, "CAST") || wordAt(sql, i, "CONVERT")) {
+        val isCast = wordAt(sql, i, "CAST")
+        val kwLen = if (isCast) 4 else 7
+        var open = i + kwLen
+        while (open < n && sql(open).isWhitespace) open += 1
+        val end = if (open < n && sql(open) == '(') matchParen(sql, open)
+          else -1
+        val argOpt: Option[String] =
+          if (end < 0) None
+          else {
+            val inner = sql.substring(open + 1, end - 1)
+            if (isCast) {
+              // last top-level ` AS UNSIGNED[ INTEGER]` tail
+              lastTopLevelAs(inner).flatMap { asAt =>
+                val tail = inner.substring(asAt + 2).trim
+                if (tail.matches("(?i)UNSIGNED(\\s+INTEGER)?"))
+                  Some(inner.substring(0, asAt).trim)
+                else None
+              }
+            } else splitArgs(inner) match {
+              case Seq(e, t)
+                  if t.trim.matches("(?i)UNSIGNED(\\s+INTEGER)?") =>
+                Some(e.trim)
+              case _ => None
+            }
+          }
+        argOpt match {
+          case Some(arg)
+              // idempotency: never re-wrap our own emission
+              if !arg.startsWith("CASE WHEN CAST((") =>
+            val a = wrapUnsignedCasts(arg)
+            val dec = s"CAST(($a) AS DECIMAL(20,0))"
+            out.append("CAST(CASE WHEN ").append(dec)
+              .append(" < 0 THEN 18446744073709551616 + ").append(dec)
+              .append(" ELSE ").append(dec)
+              .append(" END AS UNSIGNED)")
+            i = end
+          case _ =>
+            out.append(sql.substring(i, i + kwLen)); i += kwLen
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Position of the LAST top-level ` AS ` keyword in `s`, or None. */
+  private def lastTopLevelAs(s: String): Option[Int] = {
+    var depth = 0
+    var i = 0
+    val n = s.length
+    var last = -1
+    while (i < n) {
+      val c = s(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        i += 1
+        while (i < n && s(i) != c) {
+          if (s(i) == '\\' && c != '`' && i + 1 < n) i += 1
+          i += 1
+        }
+        if (i < n) i += 1
+      } else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && (c == 'a' || c == 'A') && i + 1 < n &&
+          (s(i + 1) == 's' || s(i + 1) == 'S') &&
+          (i == 0 || !(s(i - 1).isLetterOrDigit || s(i - 1) == '_')) &&
+          (i + 2 >= n || !(s(i + 2).isLetterOrDigit || s(i + 2) == '_'))) {
+        last = i; i += 2
+      } else i += 1
+    }
+    if (last < 0) None else Some(last)
+  }
+
   def rewrite(sqlIn: String): String = {
     val sql = translateNestedJoinOn(
       clampDoubleLiterals(stripGroupByOrder(translateRandSeed(
       translateBigNot(translateQuantified(translateLikeEscape(
         translateCaseTruthiness(translateIntervalCol(stripSelectHints(
-          translateGetFormat(translateCharLenCast(sqlIn))))))))))))
+          translateGetFormat(translateCharLenCast(
+            wrapUnsignedCasts(sqlIn)))))))))))))
     val out = new StringBuilder(sql.length + 16)
     val n = sql.length
     var i = 0

@@ -743,6 +743,11 @@ class StatementRunner(spark: SparkSession) {
     val provided: Seq[String] =
       if (colList == null || colList.trim.isEmpty) schema.map(_.name).toSeq
       else splitTopLevel(colList).map(_.stripPrefix("`").stripSuffix("`"))
+        // MySQL column names are case-insensitive — `INSERT INTO st1
+        // (NAME, uid)` targets the `name` column (escape.test stored
+        // NULLs there before this canonicalization)
+        .map(p => schema.fieldNames
+          .find(_.equalsIgnoreCase(p)).getOrElse(p))
     if (raw.schema.length != provided.length)
       throw new IllegalArgumentException(
         s"INSERT: ${raw.schema.length} values per row for " +
@@ -833,6 +838,15 @@ class StatementRunner(spark: SparkSession) {
               org.apache.spark.sql.functions.conv(
                 org.apache.spark.sql.functions.hex(col(f.name)), 16, 10)
                 .cast("long"), lit(0L)).cast(f.dataType)
+          else if (isTemporalTarget &&
+              f.dataType != org.apache.spark.sql.types.DateType &&
+              !"""\(\s*[1-9]""".r.findFirstIn(declaredType(f)).isDefined)
+            // MySQL DATETIME/TIMESTAMP default to fsp 0 — fractional
+            // seconds TRUNCATE on store ('…11:22:30.123' stores as
+            // '…11:22:30', md5_function/select_order_by goldens); a
+            // declared (n>0) keeps them
+            org.apache.spark.sql.functions.date_trunc("SECOND",
+              shaped.cast(f.dataType)).cast(f.dataType)
           else shaped.cast(f.dataType)
         // an explicit NULL downgrading into a NOT NULL column takes the
         // IMPLICIT default, not the declared one (insert.test: DEFAULT 8
@@ -1626,6 +1640,11 @@ class StatementRunner(spark: SparkSession) {
     val provided: Seq[String] =
       if (colList == null || colList.trim.isEmpty) schema.map(_.name).toSeq
       else splitTopLevel(colList).map(_.stripPrefix("`").stripSuffix("`"))
+        // MySQL column names are case-insensitive — `INSERT INTO st1
+        // (NAME, uid)` targets the `name` column (escape.test stored
+        // NULLs there before this canonicalization)
+        .map(p => schema.fieldNames
+          .find(_.equalsIgnoreCase(p)).getOrElse(p))
     var updates = updateList
     // a SOURCE-alias-qualified ref (`UPDATE f1 = 100 + src.f1`,
     // insert_select.test) denotes the to-be-inserted value; strip the
@@ -2314,7 +2333,12 @@ class StatementRunner(spark: SparkSession) {
     checkSafeUpdates(table, whereClause)
     import org.apache.spark.sql.functions.{col, expr, lit, when}
     val store = attachedStore(table)
-    val assigns = parseAssigns(setList, "UPDATE SET")
+    // assignment targets are case-insensitive in MySQL — canonicalize
+    // to the schema's spelling so the projection matches
+    val assigns = parseAssigns(setList, "UPDATE SET").map { case (c0, r) =>
+      (store.read().schema.fieldNames
+        .find(_.equalsIgnoreCase(c0)).getOrElse(c0), r)
+    }
     val cond =
       if (whereClause == null) lit(true)
       else expr(MySqlDialect.rewrite(whereClause))

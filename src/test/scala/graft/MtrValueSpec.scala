@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VALUE parity against the reference's own golden `.result` files —
+  * the tier above MtrReplaySpec's success/error parity: each pinned
+  * file replays end to end and every deterministic SELECT's rows are
+  * compared cell-for-cell (multiset, MySQL-rendered, numeric-tolerant
+  * for the float-print variants) with the golden block the reference's
+  * CI recorded. [[MtrValueSweep]] is the shared engine; `sbt
+  * "Test/runMain graft.MtrValueSweep"` reports the full-corpus
+  * picture (round 17: 3651 SELECT blocks compared across all 292
+  * files, 198 files fully clean).
+  *
+  * The pins below are the 60 strongest fully-clean files (compared
+  * floor keeps the coverage honest; mismatches must stay ZERO).
+  * Residual mismatch classes in unpinned files, for the record:
+  * MySQL's 6-digit float rendering feeding back into functions
+  * (MD5(col_float) hashes '-7.40287e18', we hash the full double),
+  * STR_TO_DATE %f fractional-second tails (date_formats.test),
+  * TIME() numeric-string parsing (time_function.test), bit-column
+  * binary rendering (other_bit/func_bit), FLOOR over >2^63 doubles
+  * (Spark's Floor saturates at long-max — std_test's VAR_POP rows),
+  * and ALTER ADD COLUMN FIRST/AFTER ordinal positions
+  * (alter_column.test). Each is enumerable from the sweep report. */
+class MtrValueSpec extends AnyFunSuite {
+  private def spark = TestSession.spark
+
+  /** (file, minimum SELECT blocks compared) — all must mismatch ZERO. */
+  private val CleanFiles: Seq[(String, Int)] = Seq(
+    ("aggregate.test", 83),
+    ("unsigned_least.test", 80),
+    ("unsigned_greatest.test", 80),
+    ("issue422.test", 80),
+    ("unsigned_math.test", 75),
+    ("in_subquery.test", 66),
+    ("left_join.test", 51),
+    ("issue763.test", 47),
+    ("select_order_by.test", 43),
+    ("unsigned_type.test", 42),
+    ("yearweek_function.test", 34),
+    ("various_subquery.test", 32),
+    ("week_function.test", 31),
+    ("update_signed.test", 30),
+    ("delete_signed.test", 30),
+    ("issue819.test", 26),
+    ("select_from.test", 25),
+    ("issue887.test", 25),
+    ("escape.test", 25),
+    ("issue1523.test", 24),
+    ("select_group_by.test", 22),
+    ("issue1174.test", 22),
+    ("issue1111.test", 22),
+    ("user_function.test", 20),
+    ("issue1054.test", 20),
+    ("null_functions.test", 19),
+    ("unsigned.test", 18),
+    ("convert_conv_func.test", 18),
+    ("issue767.test", 17),
+    ("various_join.test", 16),
+    ("coalesce_ascii_func.test", 16),
+    ("create_tmp.test", 15),
+    ("issue1564.test", 14),
+    ("issue1402.test", 14),
+    ("func_math.test", 14),
+    ("issue1599.test", 11),
+    ("derived_table.test", 11),
+    ("between_and.test", 11),
+    ("issue663.test", 10),
+    ("issue282.test", 10),
+    ("div_func.test", 10),
+    ("char_length_function.test", 10),
+    ("AddDate_function.test", 10),
+    ("signed_boundary.test", 9),
+    ("select_precision.test", 9),
+    ("select_limit.test", 9),
+    ("select_distinct.test", 9),
+    ("issue1860.test", 9),
+    ("issue1000.test", 9),
+    ("flow_control_function.test", 9),
+    ("ctas1.test", 9),
+    ("alter_bit.test", 9),
+    ("semi-join.test", 8),
+    ("right_function.test", 8),
+    ("out_of_range_issue1151.test", 8),
+    ("left_function.test", 8),
+    ("issue971.test", 8),
+    ("issue947.test", 8),
+    ("issue829.test", 8),
+    ("double_float.test", 8))
+
+  test(s"${CleanFiles.size} reference MTR files replay with full VALUE " +
+      "parity on their deterministic SELECT blocks (golden .result " +
+      "rows, cell-exact)") {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futs = CleanFiles.map { case (file, floor) =>
+      scala.concurrent.Future {
+        (file, floor,
+          scala.util.Try(MtrValueSweep.sweep(file, spark.newSession())))
+      }
+    }
+    val results = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futs),
+      scala.concurrent.duration.Duration(45, "min"))
+    pool.shutdown()
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    var total = 0
+    results.foreach {
+      case (file, floor, scala.util.Success(res)) =>
+        total += res.compared
+        if (res.compared < floor)
+          failures += s"$file: compared ${res.compared} < floor $floor"
+        res.mismatches.take(2).foreach(m => failures +=
+          s"$file VALUE mismatch: ${m.stmt}\n  exp ${m.expected.take(2)
+            .mkString(" | ").take(160)}\n  act ${m.actual.take(2)
+            .mkString(" | ").take(160)}")
+      case (file, _, scala.util.Failure(e)) =>
+        failures += s"$file: ${String.valueOf(e.getMessage).take(160)}"
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    assert(total >= 1300, s"value-parity coverage shrank: $total blocks")
+  }
+}
