@@ -297,6 +297,38 @@ object Registry {
         .toAggregateExpression())
     // MySQL's md5 stringifies any argument (md5_function.test hashes
     // BIGINTs); Spark's builtin requires BINARY. Built directly as the
+    // LENGTH/CHAR_LENGTH of a temporal measure MySQL's rendering —
+    // a default (fsp=0) TIMESTAMP prints 'YYYY-MM-DD HH:MM:SS' = 19,
+    // a DATE 10 (alter_column.test's length(ctm2) golden); Spark's
+    // implicit cast would count the fractional tail. Other types pass
+    // through Catalyst Length/OctetLength untouched (builders would
+    // resolve back into this registry and loop).
+    Seq("length", "char_length", "character_length").foreach { nm =>
+      GraftSqlBridge.registerFunction(spark, nm, exprs => {
+        val dtOpt = scala.util.Try(exprs.head.dataType).toOption
+        val rendered = dtOpt match {
+          case Some(_: org.apache.spark.sql.types.TimestampType) |
+               Some(_: org.apache.spark.sql.types.TimestampNTZType) =>
+            org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+              exprs.head,
+              org.apache.spark.sql.catalyst.expressions
+                .Literal("yyyy-MM-dd HH:mm:ss"))
+          case Some(_: org.apache.spark.sql.types.DateType) =>
+            GraftSqlBridge.expression(
+              GraftSqlBridge.column(exprs.head).cast("string"))
+          case _ => exprs.head
+        }
+        val arg = scala.util.Try(rendered.dataType).toOption match {
+          // binary stays binary: Length counts its bytes (MySQL
+          // LENGTH over BLOB/BINARY)
+          case Some(org.apache.spark.sql.types.BinaryType) |
+               Some(org.apache.spark.sql.types.StringType) => rendered
+          case _ => GraftSqlBridge.expression(
+            GraftSqlBridge.column(rendered).cast("string"))
+        }
+        org.apache.spark.sql.catalyst.expressions.Length(arg)
+      })
+    }
     // Catalyst Md5 — functions.md5 would resolve back to THIS
     // registration and loop
     GraftSqlBridge.registerFunction(spark, "md5", exprs =>
@@ -386,7 +418,25 @@ object Registry {
           case _: org.apache.spark.sql.types.DecimalType => true
           case _ => false
         }
-        if (!isTemporalArg && !isExactNumeric) f(exprs.head)
+        // `CAST(x AS UNSIGNED)` arrives as the dialect's modulo-2^64
+        // wrap — Cast(CaseWhen(…), DECIMAL(20,0)) — and its type in
+        // MySQL is BIGINT UNSIGNED, where values up to 2^64-1 are IN
+        // range: ceiling(cast(-2 as unsigned)) =
+        // 18446744073709551614 with NO 1690 (func_math.result:33).
+        // Only a SIGNED exact argument past 2^63-1 overflows the
+        // BIGINT result. The wrap's Cast-over-CaseWhen shape is the
+        // provenance marker; a bare u64-magnitude DECIMAL literal
+        // (ceiling(18446744073709551614)) keeps the throw.
+        val isUnsignedWrap = exprs.head match {
+          case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+            c.dataType ==
+              org.apache.spark.sql.types.DecimalType(20, 0) &&
+              c.child.isInstanceOf[
+                org.apache.spark.sql.catalyst.expressions.CaseWhen]
+          case _ => false
+        }
+        if (isUnsignedWrap || (!isTemporalArg && !isExactNumeric))
+          f(exprs.head)
         else {
           val x0 =
             if (isTemporalArg)

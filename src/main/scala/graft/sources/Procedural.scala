@@ -1089,8 +1089,13 @@ private[sources] final class Interp(host: ProcHost) {
 
     case WhileStmt(label, cond, body) =>
       var broke = false
+      var guard = 0
       while (!broke &&
           MicroEval.truthy(evalExpr(cond, ctx)).contains(true)) {
+        guard += 1
+        if (guard > 10000000)
+          err(s"WHILE ${label.getOrElse("")}: iteration guard tripped " +
+            "(runaway stored-program loop)")
         try exec(body, ctx)
         catch {
           case IterateSignal(l) if label.contains(l) => ()
@@ -1101,7 +1106,12 @@ private[sources] final class Interp(host: ProcHost) {
     case RepeatStmt(label, until, body) =>
       var broke = false
       var go = true
+      var guard = 0
       while (go && !broke) {
+        guard += 1
+        if (guard > 10000000)
+          err(s"REPEAT ${label.getOrElse("")}: iteration guard tripped " +
+            "(runaway stored-program loop)")
         try exec(body, ctx)
         catch {
           case IterateSignal(l) if label.contains(l) => ()
