@@ -21,7 +21,44 @@ object MySql {
     org.apache.spark.unsafe.types.UTF8String.fromString(
       if (d == math.floor(d) && !d.isInfinite && math.abs(d) < 1e15)
         java.lang.Long.toString(d.toLong)
-      else java.lang.Double.toString(d))
+      else mysqlGcvt(d, 17, _.doubleValue == d))
+
+  /** FLOAT → MySQL's DISPLAY rendering at 6 significant digits
+    * ('-7.40287e18'). NOTE: string-FUNCTION contexts in the reference
+    * render the promoted double instead (its engine stores FLOAT in a
+    * 64-bit cell) — use doubleToUtf8 there. */
+  def floatToUtf8(f: Float): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      mysqlGcvt(f.toDouble, 6, _ => false))
+
+  /** my_gcvt: shortest round-tripping digits, then MySQL's format gate
+    * — plain decimal for exponents in [-4, 15), else `d.ddde±NN`
+    * spelled with a LOWERCASE 'e' and no '+'/zero-padding. */
+  private def mysqlGcvt(d: Double, maxSig: Int,
+                        roundTrips: java.math.BigDecimal => Boolean)
+      : String = {
+    if (d.isNaN) return "NaN"
+    if (d.isInfinite) return if (d > 0) "inf" else "-inf"
+    if (d == 0.0) return "0"
+    val exact = new java.math.BigDecimal(d)
+    var p = 1
+    var bd = exact.round(new java.math.MathContext(p))
+    while (p < maxSig && !roundTrips(bd)) {
+      p += 1
+      bd = exact.round(new java.math.MathContext(p))
+    }
+    bd = bd.stripTrailingZeros
+    val exp = bd.precision - bd.scale - 1
+    if (exp >= -4 && exp < 15) bd.toPlainString
+    else {
+      val unscaled = bd.unscaledValue.abs.toString
+      val sign = if (bd.signum < 0) "-" else ""
+      val mant =
+        if (unscaled.length == 1) unscaled
+        else unscaled.head + "." + unscaled.tail
+      s"$sign${mant}e$exp"
+    }
+  }
 
   // --- checked integer/double arithmetic (MySQL error 1690) -------------
   // The reference evaluates integer expressions in int64 (its engine
@@ -335,6 +372,268 @@ object MySql {
     * (date_formats_func.test stores formats in a table). Plain-Scala
     * parse per row: %-pattern → java.time with lenient single-digit
     * fields, NULL on mismatch (MySQL's NULL-with-warning contract). */
+  // --- bit operators in MySQL's BIGINT-UNSIGNED result domain ------------
+  // MySQL evaluates & | ^ << >> over unsigned 64-bit values and RENDERS
+  // the result unsigned: -3 & -3 = 18446744073709551613 (func_bit.test).
+  // The bit pattern is the same as Java's signed ops — only the result
+  // leaves as a DECIMAL(20,0) carrying the u64 magnitude. StaticInvoke'd
+  // by MySqlCoercionRule in statement mode; the DataFrame surface keeps
+  // Spark's signed semantics.
+  private val U64Mod = BigDecimal("18446744073709551616")
+  private def u64(l: Long): org.apache.spark.sql.types.Decimal =
+    org.apache.spark.sql.types.Decimal(
+      if (l >= 0) BigDecimal(l) else BigDecimal(l) + U64Mod, 20, 0)
+  def bitAndU64(l: Long, r: Long): org.apache.spark.sql.types.Decimal =
+    u64(l & r)
+  def bitOrU64(l: Long, r: Long): org.apache.spark.sql.types.Decimal =
+    u64(l | r)
+  def bitXorU64(l: Long, r: Long): org.apache.spark.sql.types.Decimal =
+    u64(l ^ r)
+  // a shift count past 63 drains to 0 (Java's << wraps the count mod 64)
+  def shiftLeftU64(l: Long, r: Long): org.apache.spark.sql.types.Decimal =
+    u64(if (r < 0 || r > 63) 0L else l << r)
+  def shiftRightU64(l: Long, r: Long): org.apache.spark.sql.types.Decimal =
+    u64(if (r < 0 || r > 63) 0L else l >>> r)
+  /** MySQL's double → integer conversion in bit-operand context:
+    * floor(x + 0.5) — the func_bit goldens pin -2.9 → -3 AND
+    * -3.5 → -3 (neither truncation nor half-away rounding fits). */
+  def mysqlDoubleToLong(d: Double): Long = math.floor(d + 0.5).toLong
+
+  /** A u64-magnitude DECIMAL(20,0) back to its longlong BIT PATTERN
+    * (low 64 bits — a plain cast would NULL past Long.MaxValue). */
+  def u64ToLong(d: org.apache.spark.sql.types.Decimal): Long =
+    d.toBigDecimal.bigDecimal.toBigInteger.longValue
+
+  // --- STR_TO_DATE: MySQL's extract_date_time, faithfully ----------------
+  // (date_formats.test pins the full surface: %# digit-skip, prefix-
+  // unique month/weekday names, week-number+weekday date computation,
+  // zero dates, the day-folds-into-hours TIME result, and fsp
+  // rendering: %f in a literal format → 6-digit fraction; a NON-literal
+  // format (column) → the result column is DATETIME(6) for every row.)
+
+  private val MonthNames = IndexedSeq("January", "February", "March",
+    "April", "May", "June", "July", "August", "September", "October",
+    "November", "December")
+  private val WeekdayNames = IndexedSeq("Monday", "Tuesday", "Wednesday",
+    "Thursday", "Friday", "Saturday", "Sunday")
+
+  /** Index of the unique name having `word` as a case-insensitive
+    * prefix, or -1 ('SEPTEMB' → September; 'Ju' → ambiguous June/July;
+    * 'Septembei' → no prefix). */
+  private def uniquePrefix(word: String, names: IndexedSeq[String]): Int = {
+    if (word.isEmpty) return -1
+    val w = word.toLowerCase
+    val hits = names.indices.filter(k => names(k).toLowerCase.startsWith(w))
+    if (hits.length == 1) hits.head else -1
+  }
+
+  def strToDateMysql(s0: org.apache.spark.unsafe.types.UTF8String,
+                     f0: org.apache.spark.unsafe.types.UTF8String,
+                     dynamicFmt: Boolean)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    if (s0 == null || f0 == null) return null
+    val r = strToDateImpl(s0.toString, f0.toString, dynamicFmt)
+    if (r == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(r)
+  }
+
+  // scalastyle:off cyclomatic.complexity method.length
+  private[functions] def strToDateImpl(s: String, fmt0: String,
+                                       dynamicFmt: Boolean): String = {
+    // %T and %r are composite time formats
+    val fmt = fmt0.replace("%T", "%H:%i:%s").replace("%r", "%I:%i:%S %p")
+    val n = s.length
+    var i = 0
+    var j = 0
+    var year = 0; var month = 0; var day = 0
+    var hour = 0; var minute = 0; var second = 0; var micro = 0
+    var datePart = false; var timePart = false
+    var twelveHour = false; var amPm = 0
+    var weekday = -1; var weekNum = -1; var weekYear = -1; var yearday = -1
+    var usedU = false; var usedLu = false
+    var usedV = false; var usedLv = false
+    var usedX = false; var usedLx = false
+    var ok = true
+    def y2k(v: Int, nd: Int): Int =
+      if (nd > 2) v else if (v < 70) 2000 + v else 1900 + v
+    def skipWs(): Unit = while (i < n && s(i).isWhitespace) i += 1
+    // reads 1..max digits; returns (value, count) with count 0 on none
+    def digits(max: Int): (Int, Int) = {
+      var k = 0; var v = 0
+      while (k < max && i < n && s(i).isDigit) {
+        v = v * 10 + (s(i) - '0'); i += 1; k += 1
+      }
+      (v, k)
+    }
+    def word(): String = {
+      val st = i
+      while (i < n && s(i).isLetter) i += 1
+      s.substring(st, i)
+    }
+    val m = fmt.length
+    while (ok && j < m) {
+      val c = fmt(j)
+      if (c == '%' && j + 1 < m) {
+        val sp = fmt(j + 1); j += 2
+        skipWs()
+        // value exhausted: every remaining item defaults (MySQL fills
+        // zeros — '15-01-2001' under '%d-%m-%Y %H:%i:%S')
+        if (i >= n) ()
+        else sp match {
+          case 'Y' =>
+            val (v, k) = digits(4)
+            if (k == 0) ok = false
+            else { year = y2k(v, k); datePart = true }
+          case 'y' =>
+            val (v, k) = digits(2)
+            if (k == 0) ok = false
+            else { year = y2k(v, k); datePart = true }
+          case 'm' | 'c' =>
+            val (v, k) = digits(2)
+            if (k == 0) ok = false else { month = v; datePart = true }
+          case 'M' | 'b' =>
+            val idx = uniquePrefix(word(), MonthNames)
+            if (idx < 0) ok = false else { month = idx + 1; datePart = true }
+          case 'd' | 'e' =>
+            val (v, k) = digits(2)
+            if (k == 0) ok = false else day = v
+          case 'D' =>
+            val (v, k) = digits(2)
+            if (k == 0) ok = false
+            else { day = v; while (i < n && s(i).isLetter) i += 1 }
+          case 'H' | 'k' =>
+            val (v, k) = digits(2)
+            if (k == 0) ok = false else { hour = v; timePart = true }
+          case 'h' | 'I' | 'l' =>
+            val (v, k) = digits(2)
+            if (k == 0) ok = false
+            else { hour = v; twelveHour = true; timePart = true }
+          case 'i' =>
+            val (v, k) = digits(2)
+            if (k == 0) ok = false else { minute = v; timePart = true }
+          case 's' | 'S' =>
+            val (v, k) = digits(2)
+            if (k == 0) ok = false else { second = v; timePart = true }
+          case 'f' =>
+            val st = i
+            while (i < n && s(i).isDigit) i += 1
+            val ds = s.substring(st, i)
+            micro = (ds.take(6) + "0" * (6 - math.min(6, ds.length))).toInt
+            timePart = true
+          case 'p' =>
+            if (!twelveHour || hour < 1 || hour > 12) ok = false
+            else if (i + 1 < n + 1 && i + 2 <= n &&
+                s(i + 1).toUpper == 'M' &&
+                (s(i).toUpper == 'A' || s(i).toUpper == 'P')) {
+              amPm = if (s(i).toUpper == 'P') 2 else 1
+              i += 2
+            } else ok = false
+          case 'j' =>
+            val (v, k) = digits(3)
+            if (k == 0) ok = false else { yearday = v; datePart = true }
+          case 'W' | 'a' =>
+            val idx = uniquePrefix(word(), WeekdayNames)
+            if (idx < 0) ok = false
+            else { weekday = idx + 1; datePart = true }
+          case 'w' =>
+            val (v, k) = digits(1)
+            if (k == 0 || v > 6) ok = false
+            else { weekday = if (v == 0) 7 else v; datePart = true }
+          case 'U' =>
+            val (v, k) = digits(2)
+            if (k == 0) ok = false
+            else { weekNum = v; usedU = true; datePart = true }
+          case 'u' =>
+            val (v, k) = digits(2)
+            if (k == 0) ok = false
+            else { weekNum = v; usedLu = true; datePart = true }
+          case 'V' =>
+            val (v, k) = digits(2)
+            if (k == 0) ok = false
+            else { weekNum = v; usedV = true; datePart = true }
+          case 'v' =>
+            val (v, k) = digits(2)
+            if (k == 0) ok = false
+            else { weekNum = v; usedLv = true; datePart = true }
+          case 'X' =>
+            val (v, k) = digits(4)
+            if (k == 0) ok = false
+            else { weekYear = y2k(v, k); usedX = true; datePart = true }
+          case 'x' =>
+            val (v, k) = digits(4)
+            if (k == 0) ok = false
+            else { weekYear = y2k(v, k); usedLx = true; datePart = true }
+          case '#' => while (i < n && s(i).isDigit) i += 1
+          case '@' => while (i < n && s(i).isLetter) i += 1
+          case '.' =>
+            while (i < n && !s(i).isLetterOrDigit && !s(i).isWhitespace)
+              i += 1
+          case '%' =>
+            if (s(i) == '%') i += 1 else ok = false
+          case _ => ok = false
+        }
+      } else if (c.isWhitespace) { skipWs(); j += 1 }
+      else {
+        if (i >= n) j += 1
+        else if (s(i) == c) { i += 1; j += 1 }
+        else ok = false
+      }
+    }
+    if (!ok) return null
+    // strict week pairs: %V needs %X, %v needs %x, and vice versa
+    if (usedV != usedX || usedLv != usedLx) return null
+    if (amPm != 0) hour = hour % 12 + (if (amPm == 2) 12 else 0)
+    if (month > 12 || day > 31 || minute > 59 || second > 59) return null
+    // week number + weekday + year → date (formulas verified against
+    // date_formats.result:73-78: %U/%V count Sunday-started weeks from
+    // the Sunday on/before Jan 1 (week 0 = that partial week); %u/%v
+    // are Monday-started 1-based with the ISO ≥4-days rule)
+    if (weekNum >= 0 && weekday > 0) {
+      val yy = if (usedV || usedLv) weekYear else year
+      if (yy <= 0) return null
+      val jan1 = java.time.LocalDate.of(yy, 1, 1)
+      val dowMon = jan1.getDayOfWeek.getValue - 1 // Mon=0..Sun=6
+      val target =
+        if (usedU || usedV) {
+          val base = jan1.minusDays((dowMon + 1) % 7) // Sunday on/before
+          base.plusDays(weekNum.toLong * 7 + weekday % 7)
+        } else {
+          var base = jan1.minusDays(dowMon)
+          if (dowMon >= 4) base = base.plusDays(7)
+          base.plusDays((weekNum - 1).toLong * 7 + (weekday - 1))
+        }
+      year = target.getYear; month = target.getMonthValue
+      day = target.getDayOfMonth
+    }
+    if (yearday > 0) {
+      if (year <= 0) return null
+      val d = java.time.LocalDate.of(year, 1, 1).plusDays(yearday - 1L)
+      year = d.getYear; month = d.getMonthValue; day = d.getDayOfMonth
+    }
+    // a fully-specified date must exist ('2003-02-30' is NULL); zero
+    // month/day are the engine's fuzzy-date values and stay
+    if (month > 0 && day > 0 &&
+        scala.util.Try(java.time.LocalDate.of(year max 1, month, day))
+          .isFailure) return null
+    val hasFrac = fmt0.contains("%f")
+    def frac: String = if (hasFrac || dynamicFmt) f".$micro%06d" else ""
+    if (dynamicFmt)
+      f"$year%04d-$month%02d-$day%02d $hour%02d:$minute%02d:$second%02d" +
+        frac
+    else if (timePart && !datePart) {
+      // day without month/year folds into hours: '02 10:11:12' under
+      // '%d %H:%i:%S' is the TIME 58:11:12 (date_formats.result:351)
+      val h = hour + 24 * day
+      f"$h%02d:$minute%02d:$second%02d$frac"
+    } else if (hour > 23) null
+    else if (!timePart)
+      f"$year%04d-$month%02d-$day%02d"
+    else
+      f"$year%04d-$month%02d-$day%02d $hour%02d:$minute%02d:$second%02d" +
+        frac
+  }
+  // scalastyle:on cyclomatic.complexity method.length
+
   def strToDateRuntime(s: String, fmt: String): java.sql.Timestamp = {
     if (s == null || fmt == null) return null
     try {

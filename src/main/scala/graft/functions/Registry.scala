@@ -330,11 +330,35 @@ object Registry {
       })
     }
     // Catalyst Md5 — functions.md5 would resolve back to THIS
-    // registration and loop
-    GraftSqlBridge.registerFunction(spark, "md5", exprs =>
+    // registration and loop. FLOAT/DOUBLE arguments hash MySQL's
+    // rendered string ('-7.40287e18'), not Spark's ('-7.4028661E18')
+    // — md5_function.test pins the digests.
+    GraftSqlBridge.registerFunction(spark, "md5", exprs => {
+      val dtOpt = scala.util.Try(exprs.head.dataType).toOption
+      val rendered = dtOpt match {
+        case Some(org.apache.spark.sql.types.DoubleType) =>
+          org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+            MySql.getClass, org.apache.spark.sql.types.StringType,
+            "doubleToUtf8", Seq(exprs.head),
+            Seq(org.apache.spark.sql.types.DoubleType))
+        case Some(org.apache.spark.sql.types.FloatType) =>
+          // the reference stores FLOAT in a 64-bit cell, so string
+          // contexts render the PROMOTED double ('-7.402866104525128
+          // e18' is what md5_function.result's digest hashes), not the
+          // 6-digit float display
+          org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+            MySql.getClass, org.apache.spark.sql.types.StringType,
+            "doubleToUtf8",
+            Seq(org.apache.spark.sql.catalyst.expressions.Cast(
+              exprs.head, org.apache.spark.sql.types.DoubleType)),
+            Seq(org.apache.spark.sql.types.DoubleType))
+        case _ => GraftSqlBridge.expression(
+          GraftSqlBridge.column(exprs.head).cast("string"))
+      }
       org.apache.spark.sql.catalyst.expressions.Md5(
         GraftSqlBridge.expression(
-          GraftSqlBridge.column(exprs.head).cast("string").cast("binary"))))
+          GraftSqlBridge.column(rendered).cast("binary")))
+    })
     // WEEK/YEARWEEK take a literal mode (0-7); default 0
     GraftSqlBridge.registerFunction(spark, "week", exprs => {
       val mode = if (exprs.length > 1)
@@ -379,9 +403,89 @@ object Registry {
               MySql.timeToSecFull(GraftSqlBridge.column(exprs(1)))))
       else org.apache.spark.sql.catalyst.expressions.Cast(
         exprs.head, org.apache.spark.sql.types.TimestampType))
-    // TIME(x): Spark has no TIME type — MySQL renders 'HH:mm:ss'
-    fn("time")(cs =>
-      date_format(cs.head.cast("timestamp"), "HH:mm:ss"))
+    // TIME(x): Spark has no TIME type — MySQL renders 'HH:mm:ss'.
+    // String literals parse with MySQL's loose time grammar
+    // (time_function.test): a bare digit run reads right-to-left as
+    // [D]HHMMSS ('112233' → 11:22:33, '1811' → 00:18:11 with the
+    // invalid tail truncated); a datetime form takes its time-of-day;
+    // a fractional tail keeps its DISPLAY width but zeroes out —
+    // the reference's TIME cells truncate fsp to 0 ('11:22:33.4455'
+    // → '11:22:33.0000', golden time_function.result:20-24).
+    def mysqlTimeLiteral(s0: String): Option[String] = {
+      val s = s0.trim
+      def fracZero(fr: String): String =
+        if (fr == null || fr.isEmpty) ""
+        else "." + ("0" * math.min(fr.length, 6))
+      val dtRe = ("""^(\d{1,4})[-/.](\d{1,2})[-/.](\d{1,2})[ T]""" +
+        """(\d{1,2}):(\d{1,2})(?::(\d{1,2}))?(?:\.(\d+))?$""").r
+      val tRe = """^(\d{1,3}):(\d{1,2})(?::(\d{1,2}))?(?:\.(\d+))?$""".r
+      s match {
+        case dtRe(_, _, _, h, mi, se, fr) =>
+          Some(f"${h.toInt}%02d:${mi.toInt}%02d:" +
+            f"${Option(se).getOrElse("0").toInt}%02d" + fracZero(fr))
+        case tRe(h, mi, se, fr) =>
+          Some(f"${h.toInt}%02d:${mi.toInt}%02d:" +
+            f"${Option(se).getOrElse("0").toInt}%02d" + fracZero(fr))
+        case _ =>
+          val digits = s.takeWhile(_.isDigit)
+          if (digits.isEmpty) None
+          else {
+            val ss = digits.takeRight(2)
+            val mm = digits.dropRight(2).takeRight(2)
+            val hh = digits.dropRight(4)
+            Some(f"${if (hh.isEmpty) 0 else hh.toInt}%02d:" +
+              f"${if (mm.isEmpty) 0 else mm.toInt}%02d:" +
+              f"${if (ss.isEmpty) 0 else ss.toInt}%02d")
+          }
+      }
+    }
+    // DATE(x): for a STRING argument, the date token extracts
+    // textually so the zero dates a dynamic str_to_date emits survive
+    // ('0000-00-00 10:20:10' → '0000-00-00', date_formats.test) —
+    // Spark's DateType cast would NULL them; non-strings keep the
+    // typed cast
+    GraftSqlBridge.registerFunction(spark, "date", exprs => {
+      val isStr = scala.util.Try(exprs.head.dataType).toOption
+        .contains(org.apache.spark.sql.types.StringType)
+      if (!isStr) org.apache.spark.sql.catalyst.expressions.Cast(
+        exprs.head, org.apache.spark.sql.types.DateType)
+      else {
+        val c = GraftSqlBridge.column(exprs.head)
+        GraftSqlBridge.expression(
+          when(c.rlike("^\\d{1,4}-\\d{1,2}-\\d{1,2}"),
+            regexp_replace(regexp_replace(
+              regexp_extract(c, "^(\\d{1,4}-\\d{1,2}-\\d{1,2})", 1),
+              "-(\\d)-", "-0$1-"), "-(\\d)$", "-0$1"))
+            .otherwise(c.cast("date").cast("string")))
+      }
+    })
+    GraftSqlBridge.registerFunction(spark, "time", exprs => {
+      val c = GraftSqlBridge.column(exprs.head)
+      val isStr = scala.util.Try(exprs.head.dataType).toOption
+        .contains(org.apache.spark.sql.types.StringType)
+      if (isStr) litOf(exprs.head).map(_.toString) match {
+        case Some(s) => GraftSqlBridge.expression(
+          lit(mysqlTimeLiteral(s).orNull))
+        case None =>
+          // stored TIME columns are normalized 'HH:mm:ss' strings —
+          // identity; a datetime-SHAPED string (including the zero
+          // dates a dynamic str_to_date emits, '0000-00-00 10:20:10')
+          // yields its time-of-day by extraction — Spark's timestamp
+          // cast would NULL the zero date (date_formats.test's
+          // `TIME(str_to_date(…))` golden keeps '10:20:10')
+          GraftSqlBridge.expression(
+            when(c.rlike("^\\d{2}:\\d{2}:\\d{2}$"), c)
+              .when(c.rlike("^\\d{1,4}-\\d{1,2}-\\d{1,2}[ T]" +
+                  "\\d{1,2}:\\d{1,2}:\\d{1,2}"),
+                regexp_replace(
+                  regexp_extract(c,
+                    "[ T](\\d{1,2}:\\d{1,2}:\\d{1,2})", 1),
+                  "^(\\d):", "0$1:"))
+              .otherwise(date_format(c.cast("timestamp"), "HH:mm:ss")))
+      }
+      else GraftSqlBridge.expression(
+        date_format(c.cast("timestamp"), "HH:mm:ss"))
+    })
     // CONVERT_TZ(ts, from, to) (issue464)
     fn("convert_tz")(cs => from_utc_timestamp(
       to_utc_timestamp(cs.head.cast("timestamp"), cs(1)), cs(2)))
@@ -435,7 +539,26 @@ object Registry {
                 org.apache.spark.sql.catalyst.expressions.CaseWhen]
           case _ => false
         }
-        if (isUnsignedWrap || (!isTemporalArg && !isExactNumeric))
+        // FLOAT/DOUBLE arguments return a FLOATING result in MySQL
+        // ("for string or floating-point arguments, the return value
+        // has a floating-point type") — past ±2^63 a double is
+        // already integral (ulp ≥ 1024), so the value passes through
+        // where Spark's long-typed Floor/Ceil would saturate at
+        // Long.MaxValue (std_test.test's floor(VAR_POP(...)) goldens
+        // pin the full 38-digit magnitude)
+        val isFloating = dtOpt.exists {
+          case org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType => true
+          case _ => false
+        }
+        if (isFloating) {
+          val xf = GraftSqlBridge.column(exprs.head).cast("double")
+          GraftSqlBridge.expression(
+            when(abs(xf) >= lit(9.223372036854776e18), xf)
+              .otherwise(GraftSqlBridge.column(f(exprs.head))
+                .cast("double")))
+        }
+        else if (isUnsignedWrap || (!isTemporalArg && !isExactNumeric))
           f(exprs.head)
         else {
           val x0 =
@@ -501,9 +624,70 @@ object Registry {
         org.apache.spark.sql.catalyst.expressions.Atan(exprs.head)
       else org.apache.spark.sql.catalyst.expressions.Atan2(
         exprs.head, exprs(1)))
-    // runtime-format STR_TO_DATE (formats live in table columns in
-    // date_formats_func.test) — a Scala UDF, the one non-codegen shim
-    spark.udf.register("str_to_date",
-      (s: String, f: String) => MySql.strToDateRuntime(s, f))
+    // STR_TO_DATE: MySQL's extract_date_time reimplemented
+    // (MySql.strToDateImpl) — returns the RENDERED string because the
+    // result space (zero dates '0000-00-00 10:20:10', >24h TIME
+    // '58:11:12') is not representable as a Spark timestamp. A
+    // non-foldable format (column — date_formats.test's t1) makes the
+    // result column DATETIME(6) for every row, matching MySQL's
+    // dynamic-format typing.
+    GraftSqlBridge.registerFunction(spark, "str_to_date", exprs => {
+      val dynamic = !scala.util.Try(exprs(1).foldable).getOrElse(false)
+      // BOTH arguments literal → fold at plan time, and give a CLEAN
+      // date/datetime result its real Spark type (issue1860's
+      // `… UNION SELECT str_to_date('2022-02-03','%Y-%m-%d')` must
+      // coerce and DEDUP as a temporal). Fuzzy values — zero dates
+      // ('0000-00-00', range.test), >24h TIMEs ('58:11:12'),
+      // microsecond renderings ('….001200') — have no Spark temporal
+      // representation and stay strings.
+      val folded: Option[org.apache.spark.sql.catalyst.expressions
+        .Expression] =
+        if (dynamic || !scala.util.Try(exprs.head.foldable)
+            .getOrElse(false)) None
+        else {
+          val v = litOf(exprs.head).map(_.toString)
+          val f = litOf(exprs(1)).map(_.toString)
+          if (v.isEmpty || f.isEmpty) None
+          else {
+            val r = MySql.strToDateMysql(
+              org.apache.spark.unsafe.types.UTF8String.fromString(v.get),
+              org.apache.spark.unsafe.types.UTF8String.fromString(f.get),
+              false)
+            if (r == null) Some(org.apache.spark.sql.catalyst
+              .expressions.Literal(null,
+                org.apache.spark.sql.types.StringType))
+            else {
+              val s = r.toString
+              val asDate = scala.util.Try(java.sql.Date.valueOf(s))
+                .filter(_.toString == s).toOption
+              val asTs =
+                if (s.contains(".") || !s.contains(" ")) None
+                else scala.util.Try(java.sql.Timestamp.valueOf(s))
+                  .filter(_.toString == s + ".0").toOption
+              asDate.map(d => org.apache.spark.sql.catalyst.expressions
+                .Literal.create(d, org.apache.spark.sql.types.DateType))
+                .orElse(asTs.map(t => org.apache.spark.sql.catalyst
+                  .expressions.Literal.create(t,
+                    org.apache.spark.sql.types.TimestampType)))
+                .orElse(Some(org.apache.spark.sql.catalyst.expressions
+                  .Literal(org.apache.spark.unsafe.types.UTF8String
+                    .fromString(s),
+                    org.apache.spark.sql.types.StringType)))
+            }
+          }
+        }
+      folded.getOrElse(
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          MySql.getClass, org.apache.spark.sql.types.StringType,
+          "strToDateMysql",
+          Seq(org.apache.spark.sql.catalyst.expressions.Cast(
+            exprs.head, org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              exprs(1), org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.catalyst.expressions.Literal(dynamic)),
+          Seq(org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.BooleanType)))
+    })
   }
 }

@@ -75,6 +75,39 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
     Cast(RegExpReplace(Cast(e, StringType), Literal("[^0-9]"), Literal("")),
       DecimalType(20, 0))
 
+  /** A bare string operand, or one under an ANALYZER-inserted numeric
+    * cast (Spark's PromoteStrings fires in the same resolution batch
+    * and may wrap the string before this rule sees the comparison) —
+    * returns the underlying string expression. RegExpExtract children
+    * are this rule's own rewrite output, never re-unwrapped. */
+  private def implicitStrNum(e: Expression): Option[Expression] = e match {
+    case _ if e.resolved && e.dataType == StringType &&
+        !e.isInstanceOf[RegExpExtract] => Some(e)
+    case c: Cast if c.child.resolved &&
+        c.child.dataType == StringType &&
+        !c.child.isInstanceOf[RegExpExtract] &&
+        c.dataType.isInstanceOf[NumericType] &&
+        c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
+      Some(c.child)
+    case _ => None
+  }
+
+  /** String → number by MySQL's leading-prefix parse: '12abc' = 12, a
+    * non-numeric string = 0; NULL stays NULL. DECIMAL(38,6), not
+    * DOUBLE: a BIGINT-magnitude digit string must compare EXACTLY
+    * (bigint_unsigned.test's `a = '9223372036854775807'` matches one
+    * row — at double precision the three top values collide). */
+  private val StrNumType = DecimalType(38, 6)
+  private def stringAsNumber(e: Expression): Expression = {
+    val prefix = Cast(RegExpExtract(e,
+      Literal("^\\s*(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)"),
+      Literal(1)), StrNumType)
+    If(IsNull(e), Literal(null, StrNumType),
+      Coalesce(Seq(prefix,
+        Literal.create(org.apache.spark.sql.types.Decimal(0),
+          StrNumType))))
+  }
+
   private def isIntegral(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
@@ -87,7 +120,56 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def toIntegral(e: Expression): Expression =
     if (isIntegral(e.dataType) || e.dataType == NullType) e
-    else Cast(e, LongType)
+    else e.dataType match {
+      // MySQL ROUNDS a fractional operand into integer context
+      // (-2.9 & x works on -3); Spark's cast truncates toward zero
+      case DoubleType | FloatType =>
+        Cast(Round(e, Literal(0)), LongType)
+      case _ => Cast(e, LongType)
+    }
+
+  /** One bit operator evaluated in MySQL's u64 domain (see
+    * [[graft.functions.MySql.bitAndU64]] and friends). Spark's own
+    * coercion may already have squeezed the operand through an
+    * IMPLICIT 32-bit cast (ShiftLeft takes int|long — a DECIMAL base
+    * arrives as Cast(a AS INT), silently wrapping -284467440737 to
+    * -999599201), so analyzer-inserted casts unwrap first; fractional
+    * operands round MySQL's way (floor(x+0.5): -2.9 → -3 AND
+    * -3.5 → -3, func_bit.result); everything widens to LongType. */
+  private def bitOpU64(method: String, l: Expression,
+                       r: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      graft.functions.MySql.getClass, DecimalType(20, 0), method,
+      Seq(bitOperandToLong(l), bitOperandToLong(r)),
+      Seq(LongType, LongType))
+
+  /** A bit operand as MySQL's longlong: analyzer-inserted casts
+    * unwrap, fractions round floor(x+0.5), everything widens to
+    * LongType (shared by the five operators and BIT_COUNT). */
+  private def bitOperandToLong(e0: Expression): Expression = {
+    def unwrap(e: Expression): Expression = e match {
+      case c: Cast if c.child.resolved &&
+          c.child.dataType.isInstanceOf[NumericType] &&
+          c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
+        unwrap(c.child)
+      case other => other
+    }
+    val e = unwrap(e0)
+    e.dataType match {
+      case LongType => e
+      case DoubleType | FloatType =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          graft.functions.MySql.getClass, LongType, "mysqlDoubleToLong",
+          Seq(Cast(e, DoubleType)), Seq(DoubleType))
+      // DECIMAL → integer ROUNDS half away from zero in MySQL
+      // (-2.9 & x works on -3); a bare cast truncates. Idempotent:
+      // an already-rounded operand re-wraps to the SAME shape, so the
+      // analyzer's fixpoint converges instead of nesting Rounds.
+      case _: DecimalType if !e.isInstanceOf[Round] =>
+        Cast(Round(e, Literal(0)), LongType)
+      case _ => Cast(e, LongType)
+    }
+  }
 
   /** MySQL 5.7 without ONLY_FULL_GROUP_BY (the suite's master.opt
     * sql_mode): a selected column outside the GROUP BY keys returns
@@ -487,6 +569,11 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // MySQL-style — no trailing `.0` on integral values
           // (insert_select.test `if(max(f1) is null,'2000',max(f1)+1)`
           // into VARCHAR(5): MySQL stores '2001', not '2001.0')
+          // ANY double/float → string conversion renders MySQL's way
+          // in statement mode — CONCAT('salary: ', float_col) is
+          // 'salary: 7500', not '7500.0' (issue538.test), and big
+          // magnitudes print my_gcvt shortest ('-7.40287e18' family)
+          case c: Cast if isDoubleStrCast(c) => mysqlDoubleStr(c)
           case i: If if i.childrenResolved &&
               (isDoubleStrCast(i.trueValue) ||
                 isDoubleStrCast(i.falseValue)) =>
@@ -529,21 +616,40 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val t = l.children.find(isTemporal).get.dataType
             Least(l.children.map(c =>
               if (c.dataType == StringType) Cast(c, t) else c))
-          // bit operators coerce any operand to integer in MySQL
-          // (func_bit.test applies & | ^ << >> to DECIMAL and DOUBLE
-          // columns, and `(CASE …) | 0` to a string)
-          case b: BitwiseAnd if nonIntegralOperand(b.children) =>
-            b.withNewChildren(b.children.map(toIntegral))
-          case b: BitwiseOr if nonIntegralOperand(b.children) =>
-            b.withNewChildren(b.children.map(toIntegral))
-          case b: BitwiseXor if nonIntegralOperand(b.children) =>
-            b.withNewChildren(b.children.map(toIntegral))
-          case b: ShiftLeft if nonIntegralOperand(b.children) =>
-            b.withNewChildren(b.children.map(toIntegral))
-          case b: ShiftRight if nonIntegralOperand(b.children) =>
-            b.withNewChildren(b.children.map(toIntegral))
-          case b: BitwiseCount if nonIntegralOperand(b.children) =>
-            b.withNewChildren(b.children.map(toIntegral))
+          // bit operators coerce any operand to integer (ROUNDING
+          // fractions: -2.9 & x operates on -3) and evaluate in
+          // MySQL's BIGINT-UNSIGNED domain — the result renders as
+          // the u64 magnitude, so -3 & -3 = 18446744073709551613
+          // (func_bit.test). StaticInvoke replaces the node outright,
+          // so the rewrite cannot rematch its own output.
+          case b: BitwiseAnd if b.children.forall(_.resolved) =>
+            bitOpU64("bitAndU64", b.left, b.right)
+          case b: BitwiseOr if b.children.forall(_.resolved) =>
+            bitOpU64("bitOrU64", b.left, b.right)
+          case b: BitwiseXor if b.children.forall(_.resolved) =>
+            bitOpU64("bitXorU64", b.left, b.right)
+          case b: ShiftLeft if b.children.forall(_.resolved) =>
+            bitOpU64("shiftLeftU64", b.left, b.right)
+          case b: ShiftRight if b.children.forall(_.resolved) =>
+            bitOpU64("shiftRightU64", b.left, b.right)
+          case b: BitwiseCount if b.children.forall(_.resolved) &&
+              (nonIntegralOperand(b.children) ||
+                b.children.exists(_.isInstanceOf[Cast])) =>
+            val nc = b.children.map {
+              // a nested bit op's u64 DECIMAL result: the bit PATTERN
+              // is what counts — take it back as a long
+              case si: org.apache.spark.sql.catalyst.expressions
+                .objects.StaticInvoke =>
+                if (si.dataType == LongType) si
+                else org.apache.spark.sql.catalyst.expressions.objects
+                  .StaticInvoke(graft.functions.MySql.getClass,
+                    LongType, "u64ToLong",
+                    Seq(Cast(si, DecimalType(20, 0))),
+                    Seq(DecimalType(20, 0)))
+              case c => bitOperandToLong(c)
+            }
+            if (nc.zip(b.children).forall { case (x, y) => x eq y }) b
+            else b.withNewChildren(nc)
           // DATE(numeric): MySQL goes through the value's string form
           // (DATE(2020) → NULL with warning; issue464's YEAR column)
           case c: Cast if c.child.resolved && c.dataType == DateType &&
@@ -578,6 +684,21 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case c: BinaryComparison if c.left.resolved && c.right.resolved &&
               isNumeric(c.left) && c.right.dataType == BooleanType =>
             c.withNewChildren(Seq(c.left, Cast(c.right, IntegerType)))
+          // string vs number compares by PREFIX-parsing the string the
+          // MySQL way ('bba02…' is 0, '12abc' is 12) — Spark's cast
+          // nulls any partial parse, silently filtering rows MySQL
+          // keeps (md5_function.test's `WHERE MD5(col) <> 0`). Spark's
+          // own PromoteStrings may run first and wrap the string in an
+          // implicit numeric cast — unwrap that shape too (the
+          // user-specified tag keeps explicit CASTs out).
+          case c: BinaryComparison if c.left.resolved && c.right.resolved &&
+              implicitStrNum(c.left).isDefined && isNumeric(c.right) =>
+            c.withNewChildren(Seq(stringAsNumber(implicitStrNum(c.left).get),
+              Cast(c.right, StrNumType)))
+          case c: BinaryComparison if c.left.resolved && c.right.resolved &&
+              isNumeric(c.left) && implicitStrNum(c.right).isDefined =>
+            c.withNewChildren(Seq(Cast(c.left, StrNumType),
+              stringAsNumber(implicitStrNum(c.right).get)))
           // IN-subquery operand mismatches MySQL coerces numerically:
           // boolean subquery output takes the probe's type (issue433's
           // `42 in (select !null …)`), string-vs-number compares as

@@ -42,9 +42,17 @@ class DeltaStore(spark: SparkSession, root: String) {
 
   private def exists(p: String): Boolean = fs.exists(new Path(p))
 
-  /** Initialize (or replace) the base table. */
-  def writeBase(df: DataFrame): Unit =
-    df.write.mode("overwrite").parquet(basePath)
+  /** Initialize (or replace) the base table. One file for the
+    * statement tier's tables: read order must equal write order (see
+    * [[rewriteBase]]); a genuinely large initial frame keeps its
+    * partitioning. */
+  def writeBase(df: DataFrame): Unit = {
+    val single = df.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    (if (single || smallStore) df.coalesce(1) else df)
+      .write.mode("overwrite").parquet(basePath)
+  }
 
   /** Append rows to the delta side (the INSERT buffer analog): local
     * statement batches buffer in memory, file-backed frames go to the
@@ -64,7 +72,8 @@ class DeltaStore(spark: SparkSession, root: String) {
           df.schema.fields.map(_.copy(nullable = true)))
       buffered ++= rows
       if (buffered.size >= BufferCap) flush()
-    } else df.write.mode("append").parquet(deltaPath)
+    } else (if (smallStore) df.coalesce(1) else df)
+      .write.mode("append").parquet(deltaPath)
   }
 
   /** Persist the in-memory buffer into the parquet delta (the durable
@@ -72,7 +81,7 @@ class DeltaStore(spark: SparkSession, root: String) {
   def flush(): Unit = if (buffered.nonEmpty) {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(buffered.toList.asJava, bufferedSchema)
-      .write.mode("append").parquet(deltaPath)
+      .coalesce(1).write.mode("append").parquet(deltaPath)
     buffered.clear()
     bufferedSchema = null
   }
@@ -170,7 +179,24 @@ class DeltaStore(spark: SparkSession, root: String) {
     * (before the promote) or a recoverable `_old` copy — never a window
     * with no data at all (plain delete-then-rename has one). Single-
     * writer discipline assumed, as in the reference's background merge. */
-  private def rewriteBase(df: DataFrame): Unit = {
+  /** MySQL's table scan order is INSERT order, and the statement tier
+    * leans on it: `UPDATE … LIMIT 1` touches the FIRST matching row,
+    * IGNORE's per-row collision skip walks in order, and the MTR
+    * goldens print unordered SELECTs in it (issue781.test's 171-SELECT
+    * replay). Spark orders a multi-file parquet read by SIZE, not by
+    * name — so a small store keeps its base in ONE file, making read
+    * order = write order deterministically. Past the threshold the
+    * rewrite stays partition-parallel: at warehouse scale nothing pins
+    * physical row order. */
+  private val SingleFileBytes = 128L << 20
+  private def dirBytes(p: String): Long =
+    if (!exists(p)) 0L
+    else fs.listStatus(new Path(p)).filter(_.isFile).map(_.getLen).sum
+  private def smallStore: Boolean =
+    dirBytes(basePath) + dirBytes(deltaPath) < SingleFileBytes
+
+  private def rewriteBase(df0: DataFrame): Unit = {
+    val df = if (smallStore) df0.coalesce(1) else df0
     if (txnActive && !txnBaseBackedUp) {
       org.apache.hadoop.fs.FileUtil.copy(fs, new Path(basePath), fs,
         new Path(s"$root/_txnbase"), false,

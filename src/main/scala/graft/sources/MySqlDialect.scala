@@ -196,10 +196,18 @@ object MySqlDialect {
     var i = 0
     while (i < body.length) {
       if (body(i) == '\\' && i + 1 < body.length) {
-        sb.append(body(i + 1) match {
-          case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-          case other => other
-        })
+        body(i + 1) match {
+          case 'n' => sb.append('\n')
+          case 't' => sb.append('\t')
+          case 'r' => sb.append('\r')
+          // MySQL KEEPS `\%` and `\_` verbatim in string literals (the
+          // backslash survives for LIKE's benefit): 'hakan\%' under a
+          // non-backslash ESCAPE is a literal backslash then the `%`
+          // wildcard — matching nothing in issue271.test's data
+          case '%' => sb.append('\\').append('%')
+          case '_' => sb.append('\\').append('_')
+          case other => sb.append(other)
+        }
         i += 2
       } else { sb.append(body(i)); i += 1 }
     }
@@ -520,13 +528,37 @@ object MySqlDialect {
     if (last < 0) None else Some(last)
   }
 
+  /** `POSITION(B'bits' IN B'bits')` compares the literals as BINARY
+    * BYTE strings (bits pack left-padded into bytes; byte-substring
+    * search, 1-based, empty needle = 1 — other_bit.test:55-76), NOT as
+    * the integer values the main scan would give them. Both operands
+    * literal → fold to the answer here. */
+  private def translateBitPosition(sql: String): String = {
+    val re =
+      """(?is)\bPOSITION\s*\(\s*B'([01]*)'\s+IN\s+B'([01]*)'\s*\)""".r
+    re.replaceAllIn(sql, m => {
+      def bytes(bits: String): Seq[Int] =
+        if (bits.isEmpty) Seq.empty
+        else ("0" * ((8 - bits.length % 8) % 8) + bits)
+          .grouped(8).map(g => Integer.parseInt(g, 2)).toSeq
+      val needle = bytes(m.group(1))
+      val hay = bytes(m.group(2))
+      val pos =
+        if (needle.isEmpty) 1
+        else (0 to hay.length - needle.length)
+          .find(p => hay.slice(p, p + needle.length) == needle)
+          .map(_ + 1).getOrElse(0)
+      pos.toString
+    })
+  }
+
   def rewrite(sqlIn: String): String = {
     val sql = translateNestedJoinOn(
       clampDoubleLiterals(stripGroupByOrder(translateRandSeed(
       translateBigNot(translateQuantified(translateLikeEscape(
         translateCaseTruthiness(translateIntervalCol(stripSelectHints(
           translateGetFormat(translateCharLenCast(
-            wrapUnsignedCasts(sqlIn)))))))))))))
+            wrapUnsignedCasts(translateBitPosition(sqlIn))))))))))))))
     val out = new StringBuilder(sql.length + 16)
     val n = sql.length
     var i = 0

@@ -1507,6 +1507,12 @@ private[sources] final class Interp(host: ProcHost) {
     case b: Boolean => Some(if (b) BigDecimal(1) else BigDecimal(0))
     case l: Long => Some(BigDecimal(l))
     case i: Int => Some(BigDecimal(i))
+    // TINYINT/SMALLINT cells arrive as boxed Byte/Short from collected
+    // rows (issue1616's `level tinyint` went NULL through the row-wise
+    // UPDATE path without these)
+    case s: Short => Some(BigDecimal(s.toInt))
+    case b: Byte => Some(BigDecimal(b.toInt))
+    case f: Float => Some(BigDecimal(f.toDouble))
     case d: Double => Some(BigDecimal(d))
     case s: String => Some(MicroEval.prefixNum(s))
     case _ => None
