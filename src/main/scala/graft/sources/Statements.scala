@@ -884,11 +884,23 @@ class StatementRunner(spark: SparkSession) {
             // the NEXT second, time_function.test; '…11:22:30.123'
             // stores '…11:22:30', md5_function/select_order_by
             // goldens — both pins hold under rounding); a declared
-            // (n>0) keeps them
-            org.apache.spark.sql.functions.date_trunc("SECOND",
-              tShaped.cast(f.dataType) +
-                org.apache.spark.sql.functions.make_dt_interval(
-                  lit(0), lit(0), lit(0), lit(0.5))).cast(f.dataType)
+            // (n>0) keeps them. The +0.5s is gated to MySQL's year
+            // range: an epoch-wrapped garbage value near Long.Max
+            // micros would overflow timestampAddDayTime
+            // (type_timestamp.test's 14-digit inserts).
+            {
+              val t0 = tShaped.cast(f.dataType)
+              val inRange = t0.isNotNull &&
+                t0 >= lit("0001-01-01 00:00:00").cast(f.dataType) &&
+                t0 <= lit("9999-12-30 23:59:59").cast(f.dataType)
+              when(inRange,
+                org.apache.spark.sql.functions.date_trunc("SECOND",
+                  t0 + org.apache.spark.sql.functions.make_dt_interval(
+                    lit(0), lit(0), lit(0), lit(0.5))))
+                .otherwise(
+                  org.apache.spark.sql.functions.date_trunc("SECOND", t0))
+                .cast(f.dataType)
+            }
           else tShaped.cast(f.dataType)
         // an explicit NULL downgrading into a NOT NULL column takes the
         // IMPLICIT default, not the declared one (insert.test: DEFAULT 8

@@ -38,11 +38,11 @@ class InventorySpec extends AnyFunSuite {
   // gates in round 10 and must never silently shrink again — a module that
   // stops contributing entries (or a rename that drops one) fails the
   // suite loudly instead of vanishing from the driver's correctness JSON.
-  test("gate-count canary: declared query surface never shrinks below 196") {
+  test("gate-count canary: declared query surface never shrinks below 197") {
     // floor ratchets up as gates land (161 r10, 183 mid-r13, 189 r14,
-    // 193-196 r17)
-    assert(SparkEntry.queries.size >= 196,
-      s"declared gates shrank to ${SparkEntry.queries.size} (floor 196): " +
+    // 193-196 r17, 197 r18)
+    assert(SparkEntry.queries.size >= 197,
+      s"declared gates shrank to ${SparkEntry.queries.size} (floor 197): " +
         "a module stopped contributing entries")
   }
 

@@ -12,17 +12,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * picture (round 17: 3651 SELECT blocks compared across all 292
   * files, 198 files fully clean).
   *
-  * The pins below are the 60 strongest fully-clean files (compared
-  * floor keeps the coverage honest; mismatches must stay ZERO).
-  * Residual mismatch classes in unpinned files, for the record:
-  * MySQL's 6-digit float rendering feeding back into functions
-  * (MD5(col_float) hashes '-7.40287e18', we hash the full double),
-  * STR_TO_DATE %f fractional-second tails (date_formats.test),
-  * TIME() numeric-string parsing (time_function.test), bit-column
-  * binary rendering (other_bit/func_bit), FLOOR over >2^63 doubles
-  * (Spark's Floor saturates at long-max — std_test's VAR_POP rows),
-  * and ALTER ADD COLUMN FIRST/AFTER ordinal positions
-  * (alter_column.test). Each is enumerable from the sweep report. */
+  * The pins below are the strongest fully-clean files (compared floor
+  * keeps the coverage honest; mismatches must stay ZERO). Round 18
+  * cleared the r17 residual classes — float rendering into string
+  * functions, STR_TO_DATE, TIME() grammar, u64 bit operators, FLOOR
+  * over >2^63 doubles, ALTER FIRST/AFTER — and pinned their files.
+  * Remaining classes in unpinned files (from the sweep report):
+  * zero-date display in nullable DATE columns (issue682), LOAD DATA
+  * enclosed-by edge parsing (issue1153), and the wide
+  * multi-section DML files (issue781/issue959 tails). */
 class MtrValueSpec extends AnyFunSuite {
   private def spark = TestSession.spark
 
@@ -62,7 +60,6 @@ class MtrValueSpec extends AnyFunSuite {
     ("create_tmp.test", 15),
     ("issue1564.test", 14),
     ("issue1402.test", 14),
-    ("func_math.test", 14),
     ("issue1599.test", 11),
     ("derived_table.test", 11),
     ("between_and.test", 11),
@@ -87,7 +84,16 @@ class MtrValueSpec extends AnyFunSuite {
     ("issue971.test", 8),
     ("issue947.test", 8),
     ("issue829.test", 8),
-    ("double_float.test", 8))
+    ("double_float.test", 8),
+    // round 18 additions — the residual-class fixes (str_to_date,
+    // u64 bit ops, my_gcvt float rendering, TIME grammar, temporal
+    // insert rounding, ALTER FIRST/AFTER)
+    ("std_test.test", 52),
+    ("func_bit.test", 8),
+    ("md5_function.test", 7),
+    ("time_function.test", 7),
+    ("alter_column.test", 3),
+    ("func_math.test", 16))
 
   test(s"${CleanFiles.size} reference MTR files replay with full VALUE " +
       "parity on their deterministic SELECT blocks (golden .result " +
