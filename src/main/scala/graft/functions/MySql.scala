@@ -278,8 +278,18 @@ object MySql {
 
   // --- periods (YYYYMM ints) ----------------------------------------------
 
-  private def periodToMonths(p: Column): Column =
-    (p.cast("long") / lit(100L)).cast("long") * 12 + (p.cast("long") % 100) - 1
+  private def periodToMonths(p: Column): Column = {
+    // a fractional period ROUNDS first (PERIOD_DIFF(200101.9, …) works
+    // on 200102), and a YYMM period maps its 2-digit year through the
+    // 70-pivot (PERIOD_DIFF(1602, 9002) = months(201602)-months(199002)
+    // = 312 — period_diff.test)
+    val pl = round(p, 0).cast("long")
+    val y0 = (pl / lit(100L)).cast("long")
+    val y = when(y0 < 70, y0 + 2000)
+      .when(y0 < 100, y0 + 1900)
+      .otherwise(y0)
+    y * 12 + (pl % 100) - 1
+  }
 
   /** MySQL `PERIOD_ADD(p, n)`. */
   def periodAdd(p: Column, n: Column): Column = {
@@ -297,7 +307,10 @@ object MySql {
     * zero-padded to 2; sign preserved). */
   def secToTime(s: Column): Column = {
     val sec = abs(s.cast("long"))
-    val hh = lpad((sec / lit(3600L)).cast("long").cast("string"), 2, "0")
+    // Spark's lpad TRUNCATES past its length — a 3-digit hour must
+    // survive (SEC_TO_TIME(1000000) = '277:46:40', func_sec_to_time)
+    val hh0 = (sec / lit(3600L)).cast("long").cast("string")
+    val hh = when(length(hh0) < 2, lpad(hh0, 2, "0")).otherwise(hh0)
     val mm = lpad(((sec % 3600) / lit(60L)).cast("long").cast("string"), 2, "0")
     val ss = lpad((sec % 60).cast("string"), 2, "0")
     concat(when(s < 0, "-").otherwise(""), hh, lit(":"), mm, lit(":"), ss)
@@ -324,9 +337,28 @@ object MySql {
       regexp_extract(clean, "^(\\d+)\\s", 1).cast("long"), lit(0L))
     val hms = regexp_replace(clean, "^\\d+\\s+", "")
     val parts = split(hms, ":")
-    val secs = days * 86400 + parts.getItem(0).cast("long") * 3600 +
-      parts.getItem(1).cast("long") * 60 +
-      parts.getItem(2).cast("double")
+    val n = size(parts)
+    // a BARE digit string reads as [h]hmmss from the right ('100' is
+    // 00:01:00 — one minute, AddTime_function.test), with an optional
+    // fraction
+    val digits = regexp_extract(hms, "^(\\d+)", 1)
+    val fracp = coalesce(
+      regexp_extract(hms, "(\\.\\d+)$", 1).cast("double"), lit(0.0))
+    val p6 = when(length(digits) >= 6, digits)
+      .otherwise(lpad(digits, 6, "0"))
+    val bareSecs =
+      p6.substr(lit(1), length(p6) - 4).cast("long") * 3600 +
+        p6.substr(length(p6) - 3, lit(2)).cast("long") * 60 +
+        p6.substr(length(p6) - 1, lit(2)).cast("long") + fracp
+    // MySQL's elastic grammar: 'H:MM:SS[.f]', 'H:MM' (seconds omitted
+    // — ADDTIME(c, '100:11')), bare digits
+    val secs = days * 86400 +
+      when(n === 3, parts.getItem(0).cast("long") * 3600 +
+        parts.getItem(1).cast("long") * 60 +
+        parts.getItem(2).cast("double"))
+        .when(n === 2, parts.getItem(0).cast("long") * 3600 +
+          parts.getItem(1).cast("long") * 60)
+        .otherwise(bareSecs)
     when(neg, -secs).otherwise(secs)
   }
 
@@ -335,13 +367,31 @@ object MySql {
     * unwrapped 'HH:MM:SS' clock arithmetic (hours past 24 preserved:
     * ADDTIME('22:22:22','03:11:22') = '25:33:44'). */
   def addtimeFull(a: Column, t: Column, sign: Int = 1): Column = {
-    val ts = a.cast("timestamp")
     val sec = timeToSecFull(t) * sign
-    val dtBranch = date_format(
-      ts + make_dt_interval(lit(0), lit(0), lit(0), sec),
-      "yyyy-MM-dd HH:mm:ss")
-    val timeBranch = secToTime(timeToSecFull(a) + sec)
-    when(ts.isNotNull, dtBranch).otherwise(timeBranch)
+    // fsp propagation: the result keeps a fractional tail when either
+    // operand carries one, rendered at 6 digits (MySQL TIME(6) —
+    // ADDTIME('… 22:22:22', '2:2:2.1111') = '… 00:24:24.111100')
+    val hasFrac = a.cast("string").rlike("\\.\\d") || t.rlike("\\.\\d")
+    val ts = a.cast("timestamp")
+    val sum = ts + make_dt_interval(lit(0), lit(0), lit(0), sec)
+    val dtBranch = when(hasFrac,
+      date_format(sum, "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .otherwise(date_format(sum, "yyyy-MM-dd HH:mm:ss"))
+    // a TIME-shaped first arg (no date part) is CLOCK arithmetic with
+    // unwrapped hours ('22:22:22'+'03:11:22' = '25:33:44') — Spark's
+    // cast would smuggle in today's date
+    val aIsTime = a.cast("string")
+      .rlike("^\\s*-?(\\d+\\s)?\\d{1,3}:\\d{1,2}(:\\d{1,2})?(\\.\\d+)?\\s*$")
+    val totalSec = timeToSecFull(a.cast("string")) + sec
+    val timeBranch0 = secToTime(totalSec.cast("long"))
+    val fracPart = lpad(
+      round((abs(totalSec) - floor(abs(totalSec))) * 1000000, 0)
+        .cast("long").cast("string"), 6, "0")
+    val timeBranch = when(hasFrac,
+      concat(timeBranch0, lit("."), fracPart)).otherwise(timeBranch0)
+    when(aIsTime, timeBranch)
+      .otherwise(when(ts.isNotNull, dtBranch).otherwise(lit(null))
+        .cast("string"))
   }
 
   /** MySQL `ADDDATE(d, n)` / `SUBDATE(d, n)` integer-days form: keeps
@@ -392,12 +442,46 @@ object MySql {
   // a shift count past 63 drains to 0 (Java's << wraps the count mod 64)
   def shiftLeftU64(l: Long, r: Long): org.apache.spark.sql.types.Decimal =
     u64(if (r < 0 || r > 63) 0L else l << r)
+  def bitNotU64(l: Long): org.apache.spark.sql.types.Decimal = u64(~l)
   def shiftRightU64(l: Long, r: Long): org.apache.spark.sql.types.Decimal =
     u64(if (r < 0 || r > 63) 0L else l >>> r)
   /** MySQL's double → integer conversion in bit-operand context:
     * floor(x + 0.5) — the func_bit goldens pin -2.9 → -3 AND
     * -3.5 → -3 (neither truncation nor half-away rounding fits). */
   def mysqlDoubleToLong(d: Double): Long = math.floor(d + 0.5).toLong
+
+  private val LongMaxBD = new java.math.BigDecimal(Long.MaxValue)
+  private val LongMinBD = new java.math.BigDecimal(Long.MinValue)
+
+  /** MySQL CAST(decimal AS SIGNED) SATURATES out-of-range values at the
+    * BIGINT rim instead of wrapping (bigint_unsigned.test pins
+    * `cast(19999999999999999999 as signed)` = 9223372036854775807);
+    * in-range values truncate toward zero, same as Spark's cast. */
+  def decToLongSaturate(d: org.apache.spark.sql.types.Decimal): Long = {
+    if (d == null) return 0L
+    val bd = d.toJavaBigDecimal
+    if (bd.compareTo(LongMaxBD) > 0) Long.MaxValue
+    else if (bd.compareTo(LongMinBD) < 0) Long.MinValue
+    else bd.longValue()
+  }
+
+  /** A DECIMAL operand entering the bit-operator domain saturates at
+    * the signed-BIGINT rim after MySQL's half-away rounding — the
+    * reference evaluates decimals through its int64 tier
+    * (other_bit.test pins `18446744073709551615.0 ^ 1` =
+    * 9223372036854775806, the saturated operand xor 1). */
+  def decToLongRoundSaturate(d: org.apache.spark.sql.types.Decimal)
+      : Long = {
+    if (d == null) return 0L
+    // MySQL's operand rounding is floor(x + 0.5): -2.9 → -3 and
+    // -3.5 → -3 (func_bit.result), NOT half-away-from-zero
+    val bd = d.toJavaBigDecimal
+      .add(new java.math.BigDecimal("0.5"))
+      .setScale(0, java.math.RoundingMode.FLOOR)
+    if (bd.compareTo(LongMaxBD) > 0) Long.MaxValue
+    else if (bd.compareTo(LongMinBD) < 0) Long.MinValue
+    else bd.longValue()
+  }
 
   /** A u64-magnitude DECIMAL(20,0) back to its longlong BIT PATTERN
     * (low 64 bits — a plain cast would NULL past Long.MaxValue). */
@@ -425,6 +509,70 @@ object MySql {
     val w = word.toLowerCase
     val hits = names.indices.filter(k => names(k).toLowerCase.startsWith(w))
     if (hits.length == 1) hits.head else -1
+  }
+
+  /** MySQL's str_to_datetime literal grammar for date/datetime strings
+    * in comparison context (sql-common/my_time.c via the reference's
+    * get_date_from_str path, pinned by range.test): any punctuation
+    * runs as the delimiter ('2009/09/23', '2009.09.23', '2009:09:23'),
+    * single-digit month/day ('2009-9-23'), compact digit forms
+    * ('20090923', '20090923120000', 6/12-digit two-year variants), and
+    * the 70-pivot two-digit year. Returns the value normalized to
+    * Spark's cast grammar ('yyyy-MM-dd[ HH:mm:ss[.f]]'), or null when
+    * the string doesn't parse as a date — the caller leaves those
+    * comparisons untouched. Driver-side only (constant literal
+    * rewriting in the coercion rule). */
+  private[graft] def dateLiteralNormalize(s0: String): String = {
+    if (s0 == null) return null
+    val s = s0.trim
+    val Delim = ("""^(\d{1,4})\p{Punct}+(\d{1,2})\p{Punct}+(\d{1,2})""" +
+      """(?:[T \p{Punct}]+(\d{1,2})(?:\p{Punct}+(\d{1,2})""" +
+      """(?:\p{Punct}+(\d{1,2})(\.\d+)?)?)?)?$""").r
+    val Compact = """^(\d{6}|\d{8}|\d{12}|\d{14})(\.\d+)?$""".r
+    def y2k(y: String): Int = {
+      val v = y.toInt
+      if (y.length > 2) v else if (v >= 70) 1900 + v else 2000 + v
+    }
+    def build(y: Int, mo: Int, d: Int, h: Int, mi: Int, se: Int,
+              frac: String, hasTime: Boolean): String =
+      try {
+        // LocalDate validates the calendar (2007-20-00 must NOT parse)
+        java.time.LocalDate.of(y, mo, d)
+        if (h > 23 || mi > 59 || se > 59) return null
+        val date = f"$y%04d-$mo%02d-$d%02d"
+        if (!hasTime) date
+        else {
+          val f = if (frac == null || frac.isEmpty) ""
+            else frac.take(7)
+          f"$date $h%02d:$mi%02d:$se%02d$f"
+        }
+      } catch { case _: java.time.DateTimeException => null }
+    s match {
+      case Delim(y, mo, d, h, mi, se, fr) =>
+        build(y2k(y), mo.toInt, d.toInt,
+          if (h == null) 0 else h.toInt,
+          if (mi == null) 0 else mi.toInt,
+          if (se == null) 0 else se.toInt,
+          fr, hasTime = h != null)
+      case Compact(digits, fr) =>
+        val (datePart, timePart) = digits.length match {
+          case 6 => (digits, "")
+          case 8 => (digits, "")
+          case 12 => (digits.take(6), digits.drop(6))
+          case 14 => (digits.take(8), digits.drop(8))
+        }
+        val (y, mo, d) =
+          if (datePart.length == 6)
+            (y2k(datePart.take(2)), datePart.slice(2, 4).toInt,
+              datePart.slice(4, 6).toInt)
+          else (datePart.take(4).toInt, datePart.slice(4, 6).toInt,
+            datePart.slice(6, 8).toInt)
+        if (timePart.isEmpty) build(y, mo, d, 0, 0, 0, null, hasTime = false)
+        else build(y, mo, d, timePart.take(2).toInt,
+          timePart.slice(2, 4).toInt, timePart.slice(4, 6).toInt, fr,
+          hasTime = true)
+      case _ => null
+    }
   }
 
   def strToDateMysql(s0: org.apache.spark.unsafe.types.UTF8String,
@@ -656,9 +804,36 @@ object MySql {
 
   /** MySQL `TIMEDIFF(a, b)` → '[-]HH:MM:SS' (a − b; hours not wrapped,
     * same convention as [[secToTime]]). */
-  def timediff(a: Column, b: Column): Column =
-    secToTime(unix_micros(a.cast("timestamp")) / 1000000L
-      - unix_micros(b.cast("timestamp")) / 1000000L)
+  def timediff(a: Column, b: Column): Column = {
+    // MySQL TIMEDIFF demands SAME-kind operands: TIME−TIME or
+    // DATETIME−DATETIME; a DATE-only value against a timed one is NULL
+    // (timediff_function.test). The result keeps the wider operand
+    // fsp, rendered as the reference does — truncated seconds with a
+    // zero fraction tail ('09:05:56.0000').
+    val as = a.cast("string")
+    val bs = b.cast("string")
+    def isTime(s: Column) =
+      s.rlike("^\\s*-?\\d{1,3}:\\d{1,2}(:\\d{1,2})?(\\.\\d+)?\\s*$")
+    def isDt(s: Column) =
+      s.rlike("^\\s*\\d{1,4}[-/.]\\d{1,2}[-/.]\\d{1,2}[ T]\\d")
+    def isDateOnly(s: Column) =
+      s.rlike("^\\s*\\d{1,4}[-/.]\\d{1,2}[-/.]\\d{1,2}\\s*$")
+    val f1 = length(regexp_extract(as, "\\.(\\d+)\\s*$", 1))
+    val f2 = length(regexp_extract(bs, "\\.(\\d+)\\s*$", 1))
+    val fsp = greatest(coalesce(f1, lit(0)), coalesce(f2, lit(0)))
+    val tdiff = floor(timeToSecFull(as) - timeToSecFull(bs)).cast("long")
+    val dtdiff = floor(
+      (unix_micros(a.cast("timestamp")) -
+        unix_micros(b.cast("timestamp"))).cast("double") / 1e6)
+      .cast("long")
+    val base = when(isTime(as) && isTime(bs), secToTime(tdiff))
+      .when(isDt(as) && isDt(bs), secToTime(dtdiff))
+      .when(isDateOnly(as) && isDateOnly(bs), secToTime(dtdiff))
+      .otherwise(lit(null))
+    when(fsp > 0 && base.isNotNull,
+      concat(base, lit("."), lit("000000").substr(lit(1), fsp)))
+      .otherwise(base)
+  }
 
   /** MySQL `SUBTIME(ts, 'HH:MM:SS')` — [[addtime]] with the sign
     * flipped. */

@@ -13,6 +13,20 @@ object Registry {
   val GroupConcatMaxLen = 1024
 
   def register(spark: SparkSession): Unit = {
+    // MySQL's logical XOR (the dialect folds `a XOR b` into this):
+    // truthiness-xor with 3-valued NULL propagation — `191 XOR 1` is 0
+    // (bit_type.test's BIT column), `NULL XOR x` is NULL.
+    GraftSqlBridge.registerFunction(spark, "graft_xor", exprs => {
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.types._
+      def truthy(e: Expression): Expression =
+        scala.util.Try(e.dataType).toOption match {
+          case Some(BooleanType) => e
+          case Some(NullType) => Cast(e, BooleanType)
+          case _ => Not(EqualTo(Cast(e, DoubleType), Literal(0.0)))
+        }
+      Not(EqualTo(truthy(exprs(0)), truthy(exprs(1))))
+    })
     // Native Catalyst expression → plain SQL function.
     GraftSqlBridge.registerFunction(spark, "simhash64",
       exprs => SimHash64(exprs.head))
@@ -109,7 +123,32 @@ object Registry {
     fn("addtime")(cs => MySql.addtimeFull(cs.head, cs(1)))
     fn("subtime")(cs => MySql.addtimeFull(cs.head, cs(1), sign = -1))
     fn("timediff")(cs => MySql.timediff(cs.head, cs(1)))
-    fn("sec_to_time")(cs => MySql.secToTime(cs.head))
+    // SEC_TO_TIME of a FRACTIONAL-typed argument returns TIME(6) —
+    // '277:46:40.000000' for a DOUBLE column (func_sec_to_time.test);
+    // integer input keeps the bare 'HH:MM:SS' form
+    GraftSqlBridge.registerFunction(spark, "sec_to_time", exprs => {
+      val c = GraftSqlBridge.column(exprs.head)
+      val fractional = scala.util.Try(exprs.head.dataType).toOption match {
+        case Some(org.apache.spark.sql.types.DoubleType) |
+             Some(org.apache.spark.sql.types.FloatType) => true
+        case Some(dt: org.apache.spark.sql.types.DecimalType)
+          if dt.scale > 0 => true
+        case _ => false
+      }
+      val base = MySql.secToTime(c)
+      GraftSqlBridge.expression(
+        if (!fractional) base
+        else {
+          val fr = org.apache.spark.sql.functions.lpad(
+            org.apache.spark.sql.functions.round(
+              (org.apache.spark.sql.functions.abs(c.cast("double")) -
+                org.apache.spark.sql.functions.floor(
+                  org.apache.spark.sql.functions.abs(c.cast("double"))))
+                * 1000000, 0).cast("long").cast("string"), 6, "0")
+          org.apache.spark.sql.functions.concat(base,
+            org.apache.spark.sql.functions.lit("."), fr)
+        })
+    })
     fn("time_to_sec")(cs => MySql.timeToSecFull(cs.head).cast("long"))
     fn("maketime")(cs => MySql.maketime(cs.head, cs(1), cs(2)))
     // MICROSECOND(expr): the fractional-seconds part in microseconds.
@@ -129,8 +168,27 @@ object Registry {
     fn("to_seconds")(cs => MySql.toSeconds(cs.head))
     // introspection shims: the engine is UTF-8 native (SURVEY §1.2) —
     // one charset, one collation (bit_type.test calls both)
-    fn("charset")(_ => lit("utf8mb4"))
-    fn("collation")(_ => lit("utf8mb4_general_ci"))
+    // a BINARY-typed argument reports the binary pseudo-charset
+    // (bit_type.test's `charset(binary a)`)
+    GraftSqlBridge.registerFunction(spark, "charset", exprs => {
+      val isBin = scala.util.Try(exprs.head.dataType).toOption
+        .contains(org.apache.spark.sql.types.BinaryType)
+      GraftSqlBridge.expression(lit(if (isBin) "binary" else "utf8mb4"))
+    })
+    GraftSqlBridge.registerFunction(spark, "collation", exprs => {
+      val isBin = scala.util.Try(exprs.head.dataType).toOption
+        .contains(org.apache.spark.sql.types.BinaryType)
+      GraftSqlBridge.expression(
+        lit(if (isBin) "binary" else "utf8mb4_general_ci"))
+    })
+    // MySQL's ACOS/ASIN return NULL outside [-1, 1] where Spark's give
+    // NaN (bit_type.test)
+    fn("acos")(cs => when(org.apache.spark.sql.functions.abs(
+      cs.head.cast("double")) > 1, lit(null))
+      .otherwise(org.apache.spark.sql.functions.acos(cs.head.cast("double"))))
+    fn("asin")(cs => when(org.apache.spark.sql.functions.abs(
+      cs.head.cast("double")) > 1, lit(null))
+      .otherwise(org.apache.spark.sql.functions.asin(cs.head.cast("double"))))
     // MySQL TRUNCATE(x, d): toward-zero truncation at d decimal places
     // (bit_type.test); negative d zeroes digits left of the point
     GraftSqlBridge.registerFunction(spark, "truncate", exprs => {
@@ -249,12 +307,54 @@ object Registry {
     fn("period_diff")(cs => MySql.periodDiff(cs.head, cs(1)))
     fn("dayname")(cs => MySql.dayname(cs.head))
     fn("monthname")(cs => MySql.monthname(cs.head))
-    fn("strcmp")(cs => MySql.strcmp(cs.head, cs(1)))
+    // STRCMP over BIT columns compares the bit VALUES (the binary
+    // string context orders by the big-endian bytes = numeric order —
+    // bit_type.test)
+    GraftSqlBridge.registerFunction(spark, "strcmp", exprs => {
+      def isBit(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        e match {
+          case ar: org.apache.spark.sql.catalyst.expressions
+            .AttributeReference =>
+            ar.metadata.contains("graft.mysql.type") &&
+              ar.metadata.getString("graft.mysql.type").startsWith("BIT")
+          case _ => false
+        }
+      val (a, b) = (GraftSqlBridge.column(exprs.head),
+        GraftSqlBridge.column(exprs(1)))
+      GraftSqlBridge.expression(
+        if (isBit(exprs.head) || isBit(exprs(1))) {
+          // the reference compares the bit values' DIGIT strings
+          // lexically (strcmp(191, 88) = -1: '1' < '8' — bit_type.test)
+          val (x, y) = (a.cast("decimal(20,0)").cast("string"),
+            b.cast("decimal(20,0)").cast("string"))
+          when(x < y, -1).when(x > y, 1).otherwise(0)
+        } else MySql.strcmp(a, b))
+    })
     fn("elt")(cs => MySql.elt(cs.head, cs.tail: _*))
     fn("field")(cs => MySql.field(cs.head, cs.tail: _*))
     fn("insert")(cs => MySql.insertStr(cs.head, cs(1), cs(2), cs(3)))
     fn("mid")(cs => cs.head.substr(cs(1), cs(2)))
     fn("oct")(cs => conv(cs.head.cast("string"), 10, 8))
+    // CONV over a BIT column: the reference feeds the bit VALUE's
+    // base-10 digits regardless of from_base (bit_type.test pins
+    // conv(a,16,2) = '10111111' for a=191 — that is 191 base-10 → 2;
+    // common_definitions.h:74 stores BIT as an integer value)
+    GraftSqlBridge.registerFunction(spark, "conv", exprs => {
+      val isBit = exprs.head match {
+        case ar: org.apache.spark.sql.catalyst.expressions
+          .AttributeReference =>
+          ar.metadata.contains("graft.mysql.type") &&
+            ar.metadata.getString("graft.mysql.type").startsWith("BIT")
+        case _ => false
+      }
+      val from =
+        if (isBit) org.apache.spark.sql.catalyst.expressions.Literal(10)
+        else exprs(1)
+      org.apache.spark.sql.catalyst.expressions.Conv(
+        GraftSqlBridge.expression(
+          GraftSqlBridge.column(exprs.head).cast("string")),
+        from, exprs(2))
+    })
     // MySQL FORMAT is EXACT over decimal/integer inputs
     // (func_math.test formats 18446744073709551614 without the
     // double-roundtrip flattening to …552,000) — only true
@@ -306,13 +406,27 @@ object Registry {
     Seq("length", "char_length", "character_length").foreach { nm =>
       GraftSqlBridge.registerFunction(spark, nm, exprs => {
         val dtOpt = scala.util.Try(exprs.head.dataType).toOption
+        // a column declared DATETIME(n>0)/TIMESTAMP(n>0) keeps its
+        // fractional tail in MySQL's rendering — LENGTH of a
+        // DATETIME(6) value is 26, not 19
+        val fsp = exprs.head match {
+          case ar: org.apache.spark.sql.catalyst.expressions
+            .AttributeReference if ar.metadata.contains("graft.mysql.type") =>
+            """(?i)^(?:DATETIME|TIMESTAMP)\((\d)\)""".r
+              .findFirstMatchIn(ar.metadata.getString("graft.mysql.type"))
+              .map(_.group(1).toInt).getOrElse(0)
+          case _ => 0
+        }
+        val tsFmt =
+          if (fsp > 0) "yyyy-MM-dd HH:mm:ss." + ("S" * fsp)
+          else "yyyy-MM-dd HH:mm:ss"
         val rendered = dtOpt match {
           case Some(_: org.apache.spark.sql.types.TimestampType) |
                Some(_: org.apache.spark.sql.types.TimestampNTZType) =>
             org.apache.spark.sql.catalyst.expressions.DateFormatClass(
               exprs.head,
               org.apache.spark.sql.catalyst.expressions
-                .Literal("yyyy-MM-dd HH:mm:ss"))
+                .Literal(tsFmt))
           case Some(_: org.apache.spark.sql.types.DateType) =>
             GraftSqlBridge.expression(
               GraftSqlBridge.column(exprs.head).cast("string"))
@@ -486,9 +600,15 @@ object Registry {
       else GraftSqlBridge.expression(
         date_format(c.cast("timestamp"), "HH:mm:ss"))
     })
-    // CONVERT_TZ(ts, from, to) (issue464)
-    fn("convert_tz")(cs => from_utc_timestamp(
-      to_utc_timestamp(cs.head.cast("timestamp"), cs(1)), cs(2)))
+    // CONVERT_TZ(ts, from, to) (issue464): NAMED zones need the mysql
+    // time-zone tables, which the reference ships without — those
+    // return NULL; numeric offsets ('+05:00') convert
+    fn("convert_tz")(cs => {
+      val offsetRe = "^[+-]?\\d{1,2}:\\d{2}$"
+      when(!cs(1).rlike(offsetRe) || !cs(2).rlike(offsetRe), lit(null))
+        .otherwise(from_utc_timestamp(
+          to_utc_timestamp(cs.head.cast("timestamp"), cs(1)), cs(2)))
+    })
     // CEILING/FLOOR return BIGINT in MySQL — an argument past the
     // signed range is 1690 out-of-range (func_math.test's
     // `ceiling(18446744073709551614)`); assert_true carries the throw

@@ -432,7 +432,10 @@ object Filters {
         col("o_orderkey"),
         MySql.addtime(col("o_orderdate"), lit("01:23:45")).as("plus_t"),
         MySql.subtime(col("o_orderdate"), lit("01:23:45")).as("minus_t"),
-        MySql.timediff(col("o_orderdate"),
+        // both sides DATETIME: MySQL's TIMEDIFF demands same-kind
+        // operands (a DATE against a DATETIME is NULL — the MTR
+        // timediff_function golden), so the gate compares timestamps
+        MySql.timediff(col("o_orderdate").cast("timestamp"),
           lit("1995-06-01 00:00:00").cast("timestamp")).as("tdiff"),
         MySql.maketime(col("o_orderkey") % 24, col("o_orderkey") % 60,
           col("o_orderkey") % 60).as("made_t"),
@@ -455,7 +458,8 @@ object Filters {
       |  o_orderdate + INTERVAL 5025 SECOND AS plus_t,
       |  o_orderdate - INTERVAL 5025 SECOND AS minus_t,
       |  CASE WHEN dsec < 0 THEN '-' ELSE '' END
-      |    || lpad(CAST(abs(dsec) // 3600 AS VARCHAR), 2, '0')
+      |    || CASE WHEN abs(dsec) // 3600 < 10 THEN '0' ELSE '' END
+      |    || CAST(abs(dsec) // 3600 AS VARCHAR)
       |    || ':' || lpad(CAST((abs(dsec) % 3600) // 60 AS VARCHAR), 2, '0')
       |    || ':' || lpad(CAST(abs(dsec) % 60 AS VARCHAR), 2, '0') AS tdiff,
       |  lpad(CAST(msec // 3600 AS VARCHAR), 2, '0')

@@ -59,13 +59,7 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // '1abc' is 1 (true), 'abc' is 0 (false) — Spark's plain cast
       // nulls both, which would wrongly filter the '1abc' row. NULL
       // input stays NULL (3-valued logic: NOT NULL must stay NULL).
-      val prefix = Cast(RegExpExtract(e,
-        Literal("^\\s*(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)"),
-        Literal(1)), DoubleType)
-      Not(EqualTo(
-        If(IsNull(e), Literal(null, DoubleType),
-          Coalesce(Seq(prefix, Literal(0.0)))),
-        Literal(0.0)))
+      Not(EqualTo(stringAsDouble(e), Literal(0.0)))
     }
     else e
 
@@ -98,14 +92,58 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * (bigint_unsigned.test's `a = '9223372036854775807'` matches one
     * row — at double precision the three top values collide). */
   private val StrNumType = DecimalType(38, 6)
+
+  /** MySQL's numeric prefix — a single leading sign is legal
+    * ('+15.9' is 15.9, '++++15.9' is 0 — issue959's goldens). */
+  private val NumPrefixRe = "^\\s*([+-]?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)"
+
+  /** String → DOUBLE by MySQL's prefix parse — the general
+    * string-vs-number comparison domain ('15.9.' is 15.9, 'abc' is 0;
+    * NULL stays NULL). */
+  private def stringAsDouble(e: Expression): Expression = {
+    val prefix = Cast(RegExpExtract(e, Literal(NumPrefixRe),
+      Literal(1)), DoubleType)
+    If(IsNull(e), Literal(null, DoubleType),
+      Coalesce(Seq(prefix, Literal(0.0))))
+  }
+
   private def stringAsNumber(e: Expression): Expression = {
-    val prefix = Cast(RegExpExtract(e,
-      Literal("^\\s*(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)"),
-      Literal(1)), StrNumType)
+    val prefixStr = RegExpExtract(e, Literal(NumPrefixRe),
+      Literal(1))
+    val prefix = Cast(prefixStr, StrNumType)
+    // a prefix whose magnitude overflows DECIMAL(38,6) ('9e107…'-style
+    // digests through the exponent branch, 33+ integer digits) casts
+    // to NULL — MySQL evaluates it as a huge DOUBLE, so CLAMP to the
+    // type's rim instead of letting Coalesce zero it (WHERE md5(c) > 1
+    // must keep the rows MySQL keeps)
+    val maxDec = Literal.create(org.apache.spark.sql.types.Decimal(
+      new java.math.BigDecimal("9" * 32 + ".999999")), StrNumType)
+    val minDec = Literal.create(org.apache.spark.sql.types.Decimal(
+      new java.math.BigDecimal("-" + "9" * 32 + ".999999")), StrNumType)
+    val asDouble = Cast(prefixStr, DoubleType)
+    val clamped = If(GreaterThan(asDouble, Literal(0.0)), maxDec,
+      If(LessThan(asDouble, Literal(0.0)), minDec,
+        Literal(null, StrNumType)))
     If(IsNull(e), Literal(null, StrNumType),
-      Coalesce(Seq(prefix,
+      Coalesce(Seq(prefix, clamped,
         Literal.create(org.apache.spark.sql.types.Decimal(0),
           StrNumType))))
+  }
+
+  /** A string LITERAL operand — bare, or under an analyzer-inserted
+    * cast (PromoteStrings wraps the literal in Cast(… AS DATE) before
+    * this rule sees the comparison). */
+  private def strLitOperand(e: Expression): Option[String] = {
+    def lit(x: Expression): Option[String] = x match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+        StringType) => Some(v.toString)
+      case _ => None
+    }
+    e match {
+      case c: Cast if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
+        lit(c.child)
+      case other => lit(other)
+    }
   }
 
   private def isIntegral(t: DataType): Boolean = t match {
@@ -161,12 +199,27 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
         org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
           graft.functions.MySql.getClass, LongType, "mysqlDoubleToLong",
           Seq(Cast(e, DoubleType)), Seq(DoubleType))
-      // DECIMAL → integer ROUNDS half away from zero in MySQL
-      // (-2.9 & x works on -3); a bare cast truncates. Idempotent:
-      // an already-rounded operand re-wraps to the SAME shape, so the
-      // analyzer's fixpoint converges instead of nesting Rounds.
-      case _: DecimalType if !e.isInstanceOf[Round] =>
-        Cast(Round(e, Literal(0)), LongType)
+      // An INTEGER literal in the u64 range is MySQL's UNSIGNED BIGINT
+      // — its bit PATTERN enters the operator (18446744073709551615 is
+      // all-ones, | 0 stays 18446744073709551615); any OTHER decimal
+      // (a CAST result, a fractional literal) rounds floor(x+0.5) and
+      // SATURATES at the signed-BIGINT rim, the reference's int64 tier
+      // (other_bit.test pins `18446744073709551615.0 ^ 1` =
+      // 9223372036854775806 — saturated operand xor 1 — next to
+      // u64-literal lines in the same file).
+      case dt: DecimalType =>
+        e match {
+          case Literal(v: Decimal, _) if dt.scale == 0 && v != null &&
+              v.toJavaBigDecimal.signum >= 0 &&
+              v.toJavaBigDecimal.compareTo(new java.math.BigDecimal(
+                "18446744073709551615")) <= 0 =>
+            Literal(v.toJavaBigDecimal.longValue())
+          case _ =>
+            org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+              graft.functions.MySql.getClass, LongType,
+              "decToLongRoundSaturate",
+              Seq(Cast(e, DecimalType(38, 6))), Seq(DecimalType(38, 6)))
+        }
       case _ => Cast(e, LongType)
     }
   }
@@ -421,6 +474,20 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case f @ Filter(cond, _)
           if isNumeric(cond) || isTemporal(cond) || isStringy(cond) =>
         f.copy(condition = asBool(cond))
+      // MySQL's default latin1_swedish_ci collation orders strings
+      // case-insensitively (select.test's `ORDER BY fld3 DESC LIMIT`
+      // interleaves 'Willy' among the w's); sort on the case-folded
+      // key — ties keep Spark's stable order, matching MySQL's
+      // unspecified tie order closely enough for the goldens
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort
+          if s.resolved && s.order.exists(o =>
+            o.child.resolved && o.child.dataType == StringType &&
+              !o.child.isInstanceOf[Lower]) =>
+        s.copy(order = s.order.map(o =>
+          if (o.child.resolved && o.child.dataType == StringType &&
+              !o.child.isInstanceOf[Lower])
+            o.copy(child = Lower(o.child))
+          else o))
       // a non-boolean JOIN condition is truthiness too (issue1910:
       // `LEFT JOIN t1 ON created_date`, `ON b.nm` with a string column)
       case j: Join if j.condition.exists(c =>
@@ -499,11 +566,47 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case m: Multiply if m.children.forall(_.resolved) &&
               isIntDecimal(m.dataType) && unsignedMarker(m) =>
             checkedDec(2, m)
+          // CAST(huge-decimal AS SIGNED): a literal past the UNSIGNED
+          // BIGINT range is DECIMAL-typed in MySQL and SATURATES at the
+          // BIGINT rim (bigint_unsigned.test pins
+          // cast(19999999999999999999 as signed) = 9223372036854775807)
+          // — u64-range literals stay on the wrap path (they are
+          // unsigned bit patterns: CAST(0xFFFFFFFFFFFFFF80 AS SIGNED)
+          // = -128, union.test). Folded to a constant at rule time.
+          case c: Cast if c.dataType == LongType &&
+              c.getTagValue(Cast.USER_SPECIFIED_CAST).isDefined && {
+                c.child match {
+                  case Literal(v: Decimal, dt: DecimalType)
+                      if dt.scale == 0 && v != null =>
+                    val bd = v.toJavaBigDecimal
+                    bd.compareTo(new java.math.BigDecimal(
+                      "18446744073709551615")) > 0 ||
+                      bd.compareTo(new java.math.BigDecimal(
+                        Long.MinValue)) < 0
+                  case _ => false
+                }
+              } =>
+            val bd = c.child.asInstanceOf[Literal].value
+              .asInstanceOf[Decimal].toJavaBigDecimal
+            Literal(if (bd.signum > 0) Long.MaxValue else Long.MinValue)
           // |i64min| overflows signed BIGINT (ABS(-9223372036854775808))
           case ab: Abs if ab.child.resolved && ab.dataType == LongType =>
             org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
               graft.functions.MySql.getClass, LongType, "absLongChecked",
               Seq(Cast(ab.child, LongType)), Seq(LongType))
+          // a STRING operand in arithmetic prefix-parses the MySQL way
+          // ('0x8000000000000001'+0 is 0 — the parse stops at 'x';
+          // Spark's cast NULLs it, bigint_unsigned.test)
+          // (Add/Sub/Mul/Div only — calling .dataType on an unrewritten
+          // BitwiseAnd with DECIMAL children throws INTERNAL_ERROR)
+          case a: BinaryArithmetic if (a.isInstanceOf[Add] ||
+              a.isInstanceOf[Subtract] || a.isInstanceOf[Multiply] ||
+              a.isInstanceOf[Divide]) &&
+              a.children.forall(_.resolved) &&
+              a.children.exists(c => implicitStrNum(c).isDefined) &&
+              a.dataType == DoubleType =>
+            a.withNewChildren(a.children.map(c =>
+              implicitStrNum(c).map(stringAsDouble).getOrElse(c)))
           // DOUBLE overflow to ±Infinity from finite operands is 1690
           // too (func_math.test `1e308 + 1e308`)
           case a: Add if a.children.forall(_.resolved) &&
@@ -531,11 +634,136 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
               "doubleDivChecked",
               Seq(Cast(d.left, DoubleType), Cast(d.right, DoubleType)),
               Seq(DoubleType, DoubleType))
+          // MySQL LIKE over nonbinary strings is CASE-INSENSITIVE
+          // (latin1_swedish_ci — strings.test pins 'hawkeye' LIKE 'H%'
+          // = 1); binary operands keep exact matching
+          case l: Like if l.left.resolved && l.right.resolved &&
+              l.left.dataType == StringType &&
+              l.right.dataType == StringType =>
+            ILike(l.left, l.right, l.escapeChar)
+          // `x IS [NOT] TRUE/FALSE` arrives as x <=> TRUE (the dialect's
+          // translation; MySQL has no IS DISTINCT FROM of its own) — a
+          // non-boolean x takes MySQL truthiness first (bit_type.test:
+          // BIT 191 IS TRUE = 1, not 191 <=> 1)
+          case EqualNullSafe(l, r) if l.resolved && r.resolved &&
+              (isNumeric(l) || isTemporal(l) || isStringy(l)) && {
+                // the boolean literal may already ride an
+                // analyzer-inserted numeric cast (TypeCoercion runs in
+                // the same fixpoint batch)
+                r match {
+                  case Literal(_, BooleanType) => true
+                  case c: Cast
+                      if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
+                    c.child match {
+                      case Literal(_, BooleanType) => true
+                      case _ => false
+                    }
+                  case _ => false
+                }
+              } =>
+            val blit = r match {
+              case b @ Literal(_, BooleanType) => b
+              case c: Cast => c.child
+            }
+            EqualNullSafe(asBool(l), blit)
           case And(l, r) if isNumeric(l) || isNumeric(r) =>
             And(asBool(l), asBool(r))
           case Or(l, r) if isNumeric(l) || isNumeric(r) =>
             Or(asBool(l), asBool(r))
           case Not(e) if isNumeric(e) => Not(asBool(e))
+          // MySQL's get_date_from_str: a temporal column compared to a
+          // string literal parses the literal with MySQL's loose date
+          // grammar ('2009/09/23', '20090923', '2009.9.23' —
+          // range.test) where Spark's cast NULLs it and silently
+          // filters every row. Constant-only rewrite computed driver-
+          // side: the normalized literal substitutes in place, so the
+          // plan stays a literal comparison and pushdown survives.
+          case c: BinaryComparison if c.left.resolved && c.right.resolved &&
+              ((isTemporal(c.left) && strLitOperand(c.right).isDefined) ||
+                (isTemporal(c.right) && strLitOperand(c.left).isDefined)) && {
+                val raw = (if (isTemporal(c.left)) strLitOperand(c.right)
+                  else strLitOperand(c.left)).get
+                val norm = graft.functions.MySql.dateLiteralNormalize(raw)
+                val tempSide = if (isTemporal(c.left)) c.left else c.right
+                (norm != null && norm != raw) ||
+                  // an already-normal datetime literal against a DATE
+                  // column still needs the granularity promotion
+                  (norm != null && tempSide.dataType == DateType &&
+                    norm.length > 10 && !norm.endsWith(" 00:00:00"))
+              } =>
+            val leftTemporal = isTemporal(c.left)
+            val tempSide = if (leftTemporal) c.left else c.right
+            val raw = (if (leftTemporal) strLitOperand(c.right)
+              else strLitOperand(c.left)).get
+            val norm = graft.functions.MySql.dateLiteralNormalize(raw)
+            // a DATE column vs a datetime literal with a real time part
+            // compares at DATETIME granularity in MySQL
+            val needsTs = tempSide.dataType == DateType &&
+              norm.length > 10 && !norm.endsWith(" 00:00:00")
+            val (newTemp, target) =
+              if (needsTs) (Cast(tempSide, TimestampType), TimestampType)
+              else (tempSide, tempSide.dataType)
+            val newLit = Cast(Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(norm),
+              StringType), target)
+            if (leftTemporal) c.withNewChildren(Seq(newTemp, newLit))
+            else c.withNewChildren(Seq(newLit, newTemp))
+          // the same loose grammar INSIDE any temporal cast a function
+          // argument rides (HOUR('2020/02/11 13:12:13'),
+          // TIMESTAMPDIFF(…, '09-12-11 01:09:59') — hour_function,
+          // timestampdiff_function): normalize the literal in place.
+          // DATE casts of a non-midnight datetime literal stay with the
+          // comparison rewrite above (granularity promotion).
+          case c: Cast if c.child.resolved && (c.dataType == DateType ||
+              c.dataType.isInstanceOf[TimestampType] ||
+              c.dataType.isInstanceOf[TimestampNTZType]) && {
+                c.child match {
+                  case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+                    StringType) if s != null =>
+                    val norm = graft.functions.MySql
+                      .dateLiteralNormalize(s.toString)
+                    // a TIME-shaped literal ('14:06:10') only reads as
+                    // a date (2014-06-10) in a DATE-typed context
+                    // (LAST_DAY); a timestamp cast keeps MySQL's
+                    // time-of-day reading (CONVERT(…, TIME))
+                    val timeShaped = s.toString.trim
+                      .matches("""\d{1,2}:\d{1,2}(:\d{1,2})?(\.\d+)?""")
+                    norm != null && norm != s.toString &&
+                      !(timeShaped && c.dataType != DateType)
+                  case _ => false
+                }
+              } =>
+            val raw = c.child.asInstanceOf[Literal].value.toString
+            c.withNewChildren(Seq(Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(
+                graft.functions.MySql.dateLiteralNormalize(raw)),
+              StringType)))
+          // TIMESTAMPADD over a DATE with a date-granularity unit
+          // returns DATE in MySQL ('1991-06-02', not '… 00:00:00' —
+          // timestampadd_function.test); rebuild in the date domain so
+          // the result TYPE is DateType (no rematch: TimestampAdd gone)
+          case ta: org.apache.spark.sql.catalyst.expressions.TimestampAdd
+              if ta.childrenResolved &&
+                Seq("DAY", "WEEK", "MONTH", "QUARTER", "YEAR")
+                  .contains(ta.unit.toUpperCase) && {
+                  ta.timestamp match {
+                    case cc: Cast => cc.child.resolved &&
+                      cc.child.dataType == DateType
+                    case other => other.dataType == DateType
+                  }
+                } =>
+            val d = ta.timestamp match {
+              case cc: Cast if cc.child.dataType == DateType => cc.child
+              case other => other
+            }
+            val q = Cast(ta.quantity, IntegerType)
+            ta.unit.toUpperCase match {
+              case "DAY" => DateAdd(d, q)
+              case "WEEK" => DateAdd(d, Multiply(q, Literal(7)))
+              case "MONTH" => AddMonths(d, q)
+              case "QUARTER" => AddMonths(d, Multiply(q, Literal(3)))
+              case "YEAR" => AddMonths(d, Multiply(q, Literal(12)))
+            }
           case c: BinaryComparison
               if isTemporal(c.left) && isNumeric(c.right) =>
             c.withNewChildren(Seq(temporalAsNumber(c.left),
@@ -632,6 +860,15 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
             bitOpU64("shiftLeftU64", b.left, b.right)
           case b: ShiftRight if b.children.forall(_.resolved) =>
             bitOpU64("shiftRightU64", b.left, b.right)
+          // ~x inverts in the u64 domain too (other_bit.test pins
+          // ~18446744073709551615.0 = 9223372036854775808 — the
+          // saturated operand's complement)
+          case b: BitwiseNot if b.child.resolved &&
+              (nonIntegralOperand(b.children) ||
+                b.child.isInstanceOf[Cast]) =>
+            org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+              graft.functions.MySql.getClass, DecimalType(20, 0),
+              "bitNotU64", Seq(bitOperandToLong(b.child)), Seq(LongType))
           case b: BitwiseCount if b.children.forall(_.resolved) &&
               (nonIntegralOperand(b.children) ||
                 b.children.exists(_.isInstanceOf[Cast])) =>
@@ -650,11 +887,23 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }
             if (nc.zip(b.children).forall { case (x, y) => x eq y }) b
             else b.withNewChildren(nc)
-          // DATE(numeric): MySQL goes through the value's string form
-          // (DATE(2020) → NULL with warning; issue464's YEAR column)
+          // DATE(numeric): MySQL reads the value's digit string as
+          // yymmdd/yyyymmdd[hhmmss] — a bare year is NOT a date
+          // (DATE(2020) → NULL with warning; issue464's YEAR column).
+          // Spark's string→date cast accepts 'yyyy', so the digit
+          // length gates the conversion.
           case c: Cast if c.child.resolved && c.dataType == DateType &&
-              c.child.dataType.isInstanceOf[NumericType] =>
-            c.withNewChildren(Seq(Cast(c.child, StringType)))
+              c.child.dataType.isInstanceOf[NumericType] &&
+              !c.child.isInstanceOf[If] =>
+            val s = Cast(c.child, StringType)
+            val ok = In(Length(s),
+              Seq(Literal(6), Literal(8), Literal(12), Literal(14)))
+            val norm = If(ok,
+              RegExpReplace(s,
+                Literal("^(\\d{2,4})(\\d{2})(\\d{2})"),
+                Literal("$1-$2-$3")),
+              Literal(null, StringType))
+            c.withNewChildren(Seq(norm))
           // `a IN (NOT NULL)` — boolean list element against a numeric
           // probe coerces to the probe's type (issue1332)
           case in @ In(v, list) if v.resolved &&
@@ -691,14 +940,30 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // own PromoteStrings may run first and wrap the string in an
           // implicit numeric cast — unwrap that shape too (the
           // user-specified tag keeps explicit CASTs out).
+          // A string CONSTANT against an integer column compares
+          // exactly (MySQL's special case — bigint_unsigned.test's
+          // `a = '9223372036854775807'` matches ONE row); every other
+          // string-vs-number comparison runs in the DOUBLE domain
+          // (issue959: a varchar deviceId '…585' EQUALS the literal
+          // …587 because both collapse at double precision).
           case c: BinaryComparison if c.left.resolved && c.right.resolved &&
               implicitStrNum(c.left).isDefined && isNumeric(c.right) =>
-            c.withNewChildren(Seq(stringAsNumber(implicitStrNum(c.left).get),
-              Cast(c.right, StrNumType)))
+            val s = implicitStrNum(c.left).get
+            if (s.foldable && isIntegral(c.right.dataType) ||
+                c.right.dataType.isInstanceOf[DecimalType])
+              c.withNewChildren(Seq(stringAsNumber(s),
+                Cast(c.right, StrNumType)))
+            else c.withNewChildren(Seq(stringAsDouble(s),
+              Cast(c.right, DoubleType)))
           case c: BinaryComparison if c.left.resolved && c.right.resolved &&
               isNumeric(c.left) && implicitStrNum(c.right).isDefined =>
-            c.withNewChildren(Seq(Cast(c.left, StrNumType),
-              stringAsNumber(implicitStrNum(c.right).get)))
+            val s = implicitStrNum(c.right).get
+            if (s.foldable && isIntegral(c.left.dataType) ||
+                c.left.dataType.isInstanceOf[DecimalType])
+              c.withNewChildren(Seq(Cast(c.left, StrNumType),
+                stringAsNumber(s)))
+            else c.withNewChildren(Seq(Cast(c.left, DoubleType),
+              stringAsDouble(s)))
           // IN-subquery operand mismatches MySQL coerces numerically:
           // boolean subquery output takes the probe's type (issue433's
           // `42 in (select !null …)`), string-vs-number compares as

@@ -41,13 +41,21 @@ object CsvLoader {
            nullValue: String = "\\N",
            escape: String = "\\",
            skipLines: Int = 0,
-           lineSep: Option[String] = None): LoadResult = {
+           lineSep: Option[String] = None,
+           looseNumerics: Boolean = false,
+           nullWord: Boolean = false): LoadResult = {
     import org.apache.spark.sql.types.{DateType, TimestampType, TimestampNTZType}
     def isTemporal(f: org.apache.spark.sql.types.StructField) =
       f.dataType == DateType || f.dataType == TimestampType ||
         f.dataType == TimestampNTZType
+    def isNum(f: org.apache.spark.sql.types.StructField) =
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // looseNumerics (the statement tier's LOAD DATA): MySQL never
+    // rejects a row for an unparseable numeric FIELD — it prefix-parses
+    // ('null' → 0 into a BIGINT, warning 1366; issue1153). Parse those
+    // columns as strings and cast value-level after the reject split.
     val parseSchema = StructType(schema.fields.map(f =>
-      if (isTemporal(f)) f.copy(dataType =
+      if (isTemporal(f) || (looseNumerics && isNum(f))) f.copy(dataType =
         org.apache.spark.sql.types.StringType)
       else f))
     val readSchema0 =
@@ -71,14 +79,28 @@ object CsvLoader {
     val raw = (if (skipLines <= 0) reader.csv(path)
       else reader.csv(skipLeadingLines(spark, path, skipLines)))
       .cache() // one pass parses; clean/reject split reuses it
+    // with a non-empty ENCLOSED BY, the UNENCLOSED word NULL reads as
+    // SQL NULL (MySQL sql_load semantics — issue1153's second block);
+    // the empty-enclosure form keeps it a plain string
+    def nullWorded(c: org.apache.spark.sql.Column) =
+      if (nullWord) when(upper(c) === lit("NULL"), lit(null)).otherwise(c)
+      else c
     val clean = raw.filter(col(CorruptCol).isNull)
       .select(schema.fields.map { f =>
         if (isTemporal(f))
           // zero date/timestamp → NULL, then loose (ANSI-off) cast
-          nullif(nullif(col(f.name), lit("0000-00-00")),
+          nullif(nullif(nullWorded(col(f.name)), lit("0000-00-00")),
             lit("0000-00-00 00:00:00"))
             .cast(f.dataType).as(f.name)
-        else col(f.name)
+        else if (looseNumerics && isNum(f)) {
+          val s = nullWorded(col(f.name))
+          val prefix = regexp_extract(s,
+            "^\\s*([+-]?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)", 1)
+          when(s.isNull, lit(null))
+            .otherwise(coalesce(prefix.cast(f.dataType), lit(0)
+              .cast(f.dataType))).as(f.name)
+        }
+        else nullWorded(col(f.name)).as(f.name)
       }.toSeq: _*)
     val rejects = raw.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))

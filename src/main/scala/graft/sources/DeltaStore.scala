@@ -9,7 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * job folds the delta into column packs
   * (Engine::ProcessInsertBufferMerge, core/engine.h:210).
   *
-  * Here: `base/` is the columnar store, `delta/` receives appends, reads
+  * Here: `base-N/` is the columnar store (version-numbered directories,
+  * pointer-flipped on rewrite so concurrent readers never straddle a
+  * half-swapped dir), `delta/` receives appends, reads
   * union the two, `compact()` folds delta into base. At scale the
   * pattern is the standard lakehouse ingest: appends land as small files
   * partitioned by arrival, queries see base ∪ delta with no blocking,
@@ -18,8 +20,51 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 class DeltaStore(spark: SparkSession, root: String) {
 
-  private val basePath = s"$root/base"
   private val deltaPath = s"$root/delta"
+
+  // ---- versioned base directories ----
+  // The base is NEVER rewritten in place: each rewrite lands in a fresh
+  // `base-N+1` directory and the version pointer flips after the write
+  // completes (MvccStore's manifest protocol, applied to the physical
+  // dir). A reader holding a plan against `base-N` keeps reading files
+  // that still exist — the delete-then-rename window of the old staging
+  // swap (FAILED_READ_FILE under the parity gate's 4-way concurrency)
+  // is gone. Old versions GC with a grace of [[KeepVersions]]; an open
+  // savepoint pins its version so rollback is a pointer restore, not a
+  // directory copy.
+  private val KeepVersions = 2
+  private val BaseVerRe = """base-(\d+)""".r
+  @volatile private var baseVer: Long = {
+    val r = new Path(root)
+    val found =
+      if (fs.exists(r))
+        fs.listStatus(r).filter(_.isDirectory).flatMap(st =>
+          st.getPath.getName match {
+            case BaseVerRe(n) => Some(n.toLong)
+            case _ => None
+          })
+      else Array.empty[Long]
+    if (found.isEmpty) 0L else found.max
+  }
+  private def basePath = s"$root/base-$baseVer"
+  private def baseDirOf(v: Long) = s"$root/base-$v"
+
+  /** Promote a freshly written `base-(v)` dir to current and GC stale
+    * versions past the grace window (never the savepoint-pinned one). */
+  private def promoteBase(v: Long): Unit = synchronized {
+    baseVer = v
+    val floor =
+      if (txnActive) math.min(txnBaseVer, v - KeepVersions)
+      else v - KeepVersions
+    if (fs.exists(new Path(root)))
+      fs.listStatus(new Path(root)).filter(_.isDirectory).foreach(st =>
+        st.getPath.getName match {
+          case BaseVerRe(n)
+              if n.toLong < floor && (!txnActive || n.toLong != txnBaseVer) =>
+            fs.delete(st.getPath, true)
+          case _ => ()
+        })
+  }
 
   /** In-memory insert buffer — the direct analog of the reference's
     * row-store insert buffer (core/delta_table.h:37 keeps DML rows in a
@@ -50,8 +95,10 @@ class DeltaStore(spark: SparkSession, root: String) {
     val single = df.queryExecution.optimizedPlan.collectLeaves()
       .forall(_.isInstanceOf[
         org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val next = baseVer + 1
     (if (single || smallStore) df.coalesce(1) else df)
-      .write.mode("overwrite").parquet(basePath)
+      .write.mode("overwrite").parquet(baseDirOf(next))
+    promoteBase(next)
   }
 
   /** Append rows to the delta side (the INSERT buffer analog): local
@@ -113,7 +160,7 @@ class DeltaStore(spark: SparkSession, root: String) {
   private var txnBuffered: List[org.apache.spark.sql.Row] = null
   private var txnBufferedSchema: org.apache.spark.sql.types.StructType = _
   private var txnDeltaFiles: Set[String] = Set.empty
-  private var txnBaseBackedUp = false
+  private var txnBaseVer = 0L
   private def deltaFileNames: Set[String] =
     if (!exists(deltaPath)) Set.empty
     else fs.listStatus(new Path(deltaPath)).filter(_.isFile)
@@ -124,14 +171,13 @@ class DeltaStore(spark: SparkSession, root: String) {
     txnBuffered = buffered.toList
     txnBufferedSchema = bufferedSchema
     txnDeltaFiles = deltaFileNames
-    txnBaseBackedUp = false
+    txnBaseVer = baseVer
   }
 
   def commitTxn(): Unit = {
     txnActive = false
     txnBuffered = null
     txnBufferedSchema = null
-    fs.delete(new Path(s"$root/_txnbase"), true)
     fs.delete(new Path(s"$root/_txndelta"), true)
   }
 
@@ -153,11 +199,10 @@ class DeltaStore(spark: SparkSession, root: String) {
       fs.listStatus(new Path(deltaPath)).filter(_.isFile)
         .filterNot(st => txnDeltaFiles.contains(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, false))
-    // restore the base if an in-txn rewrite replaced it
-    if (txnBaseBackedUp) {
-      fs.delete(new Path(basePath), true)
-      fs.rename(new Path(s"$root/_txnbase"), new Path(basePath))
-    }
+    // restore the base if an in-txn rewrite replaced it: the versioned
+    // protocol pins the savepoint dir, so this is a pointer flip back
+    // (the old staging swap paid a full directory copy here)
+    baseVer = txnBaseVer
     txnActive = false
     txnBuffered = null
     txnBufferedSchema = null
@@ -173,12 +218,12 @@ class DeltaStore(spark: SparkSession, root: String) {
     else fs.delete(new Path(deltaPath), true)
   }
 
-  /** Staged base rewrite shared by compact/truncate/alter: write the new
-    * base fully, move the old base aside, promote staging, then drop the
-    * old copy. A crash mid-sequence leaves either the old base in place
-    * (before the promote) or a recoverable `_old` copy — never a window
-    * with no data at all (plain delete-then-rename has one). Single-
-    * writer discipline assumed, as in the reference's background merge. */
+  /** Versioned base rewrite shared by compact/truncate/alter: write the
+    * new base fully into `base-N+1`, then flip the version pointer. A
+    * crash mid-sequence leaves the old version current; a concurrent
+    * reader's resolved plan keeps reading `base-N`, whose files survive
+    * the grace window — no delete-then-rename gap. Single-writer
+    * discipline assumed, as in the reference's background merge. */
   /** MySQL's table scan order is INSERT order, and the statement tier
     * leans on it: `UPDATE … LIMIT 1` touches the FIRST matching row,
     * IGNORE's per-row collision skip walks in order, and the MTR
@@ -197,19 +242,9 @@ class DeltaStore(spark: SparkSession, root: String) {
 
   private def rewriteBase(df0: DataFrame): Unit = {
     val df = if (smallStore) df0.coalesce(1) else df0
-    if (txnActive && !txnBaseBackedUp) {
-      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(basePath), fs,
-        new Path(s"$root/_txnbase"), false,
-        spark.sparkContext.hadoopConfiguration)
-      txnBaseBackedUp = true
-    }
-    val staging = new Path(s"$root/_staging")
-    val old = new Path(s"$root/_old")
-    df.write.mode("overwrite").parquet(staging.toString)
-    fs.delete(old, true)
-    fs.rename(new Path(basePath), old)
-    fs.rename(staging, new Path(basePath))
-    fs.delete(old, true)
+    val next = baseVer + 1
+    df.write.mode("overwrite").parquet(baseDirOf(next))
+    promoteBase(next)
   }
 
   /** Fold the delta into the base and clear it (background-merge analog). */

@@ -27,16 +27,115 @@ object MtrParity {
 
   case class Mismatch(file: String, stmt: String, expected: Seq[String],
                       actual: Seq[String])
+  /** `skippedFixture` counts SELECT blocks over a table whose LOAD DATA
+    * source file is physically absent from this checkout (environment,
+    * not semantics — bigdata4load.txt is not shipped); `skippedSkew`
+    * counts blocks over a table whose DML statement is absent from the
+    * golden echo stream (the `.result` predates a `.test` edit — e.g.
+    * auto_increment.test's unsigned inserts were halved after recording,
+    * so the golden rows derive from statements that no longer run). */
   case class SweepResult(file: String, compared: Int,
-                         mismatches: Seq[Mismatch])
+                         mismatches: Seq[Mismatch],
+                         skippedFixture: Int = 0, skippedSkew: Int = 0)
 
-  /** Parse one MTR `.test` file into (statement, expectsError) pairs —
-    * the statement grammar of mysqltest: `--error` annotations,
-    * `delimiter` switches, client commands skipped, block comments. */
-  def parseMtr(path: String): Seq[(String, Boolean)] = {
-    val out = scala.collection.mutable.ArrayBuffer[(String, Boolean)]()
+  /** Tables a DML statement writes (taint tracking for the two
+    * skip classifications above). */
+  private val DmlTargetRes = List(
+    """(?is)^\s*insert\s+(?:ignore\s+)?(?:into\s+)?`?(\w+)`?""".r,
+    """(?is)^\s*replace\s+(?:into\s+)?`?(\w+)`?""".r,
+    """(?is)^\s*update\s+(?:ignore\s+)?`?(\w+)`?""".r,
+    """(?is)^\s*delete\s.*?\bfrom\s+`?(\w+)`?""".r,
+    """(?is)\bload\s+data\s.*?\binto\s+table\s+`?(\w+)`?""".r,
+    """(?is)^\s*alter\s+table\s+`?(\w+)`?""".r)
+  private def dmlTargets(stmt: String): Seq[String] =
+    DmlTargetRes.flatMap(_.findFirstMatchIn(stmt).map(_.group(1).toLowerCase))
+  private val CreateTableRe =
+    """(?is)^\s*create\s+(?:temporary\s+)?table\s+(?:if\s+not\s+exists\s+)?`?(\w+)`?""".r
+  private val DropTableRe =
+    """(?is)^\s*drop\s+(?:temporary\s+)?table\s+(?:if\s+exists\s+)?(.+)$""".r
+  private val TruncateRe =
+    """(?is)^\s*truncate\s+(?:table\s+)?`?(\w+)`?""".r
+  private val DropDbRe = """(?is)^\s*drop\s+database\b""".r
+  private val LoadInfileRe = """(?is)\binfile\s+'([^']+)'""".r
+
+  /** mysqltest control flow: `let $x = n` / `inc` / `dec` counters and
+    * `while ($x) { … }` blocks expand STATICALLY, with `$var`
+    * substitution applied to the emitted lines (insert.test's
+    * disable_query_log loops insert 100×5 rows — the golden
+    * `count(*)` pins 500, so the loop body must actually repeat). */
+  private def expandControlFlow(lines: Vector[String]): Vector[String] = {
+    val LetRe = """(?i)^-{0,2}\s*let\s+\$(\w+)\s*=\s*(-?\d+)\s*;?\s*$""".r
+    val IncRe = """(?i)^-{0,2}\s*(inc|dec)\s+\$(\w+)\s*;?\s*$""".r
+    val WhileRe = """(?i)^-{0,2}\s*while\s*\(\s*\$(\w+)\s*\)\s*\{?\s*$""".r
+    val vars = scala.collection.mutable.Map[String, Long]()
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var emitted = 0L
+    def subst(l: String): String =
+      """\$(\w+)""".r.replaceAllIn(l, m =>
+        vars.get(m.group(1)).map(_.toString)
+          .getOrElse(java.util.regex.Matcher.quoteReplacement(m.matched)))
+    // find the line index just past the matching close brace of a block
+    // whose open brace is at (or after) `from`
+    def blockEnd(from: Int): (Int, Int) = {
+      var i = from
+      while (i < lines.length && !lines(i).trim.startsWith("{")) i += 1
+      var depth = 0
+      var start = -1
+      while (i < lines.length) {
+        val t = lines(i).trim
+        if (t.startsWith("{")) { depth += 1; if (start < 0) start = i }
+        else if (t.startsWith("}")) {
+          depth -= 1
+          if (depth == 0) return (start, i)
+        }
+        i += 1
+      }
+      (start, lines.length)
+    }
+    def run(from: Int, to: Int): Unit = {
+      var i = from
+      while (i < to) {
+        val t = lines(i).trim
+        t match {
+          case LetRe(x, v) => vars(x.toLowerCase) = v.toLong; i += 1
+          case IncRe(op, x) =>
+            val k = x.toLowerCase
+            vars(k) = vars.getOrElse(k, 0L) +
+              (if (op.equalsIgnoreCase("inc")) 1 else -1)
+            i += 1
+          case WhileRe(x) =>
+            val (bs, be) = blockEnd(i)
+            val k = x.toLowerCase
+            var guard = 0
+            while (vars.getOrElse(k, 0L) != 0 && guard < 100000 &&
+                emitted < 1000000) {
+              run(bs + 1, be)
+              guard += 1
+            }
+            i = be + 1
+          case _ =>
+            out += subst(lines(i))
+            emitted += 1
+            i += 1
+        }
+      }
+    }
+    run(0, lines.length)
+    out.toVector
+  }
+
+  /** Parse one MTR `.test` file into (statement, expectsError, quiet)
+    * triples — the statement grammar of mysqltest: `--error`
+    * annotations, `delimiter` switches, client commands skipped, block
+    * comments. `quiet` marks statements inside a disable_query_log
+    * span: the golden never echoes them, so the aligner must not
+    * search (a false hit would drag the cursor) and a missing echo is
+    * NOT version skew. */
+  def parseMtr(path: String): Seq[(String, Boolean, Boolean)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Boolean, Boolean)]()
     val cur = new StringBuilder
     var expectError = false
+    var quiet = false
     var delim = ";"
     val ClientCmd =
       """(?i)^(connect\b|connection\b|disconnect\b|let\b|inc\b|dec\b|sleep\b|real_sleep\b|source\b|echo\b|exit\b|die\b|while\b|if\b|(?:disable|enable)_\w+\b|\{|\})""".r
@@ -46,7 +145,15 @@ object MtrParity {
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
     val src = scala.io.Source.fromFile(path)
-    try src.getLines().foreach { rawLine =>
+    val allLines0 =
+      try src.getLines().toVector
+      finally src.close()
+    val allLines =
+      if (allLines0.exists(l =>
+          """(?i)^\s*while\s*\(""".r.findFirstIn(l).isDefined))
+        expandControlFlow(allLines0)
+      else allLines0
+    allLines.foreach { rawLine =>
       var line = rawLine
       if (inBlockComment) {
         val end = line.indexOf("*/")
@@ -64,6 +171,8 @@ object MtrParity {
       }
       else if (t.startsWith("--")) {
         if (t.matches("(?i)--\\s*error\\b.*")) expectError = true
+        else if (t.matches("(?i)--\\s*disable_query_log\\b.*")) quiet = true
+        else if (t.matches("(?i)--\\s*enable_query_log\\b.*")) quiet = false
         else """(?i)^--\s*delimiter\s+(\S+)""".r.findFirstMatchIn(t)
           .foreach { m =>
             delim = m.group(1).stripSuffix(";") match {
@@ -75,7 +184,12 @@ object MtrParity {
         delim = d.stripSuffix(delim).stripSuffix(";") match {
           case "" => ";"; case x => x
         }
-      } else if (cur.isEmpty && ClientCmd.findFirstIn(t).isDefined) ()
+      } else if (cur.isEmpty && ClientCmd.findFirstIn(t).isDefined) {
+        if ("""(?i)^disable_query_log\b""".r.findFirstIn(t).isDefined)
+          quiet = true
+        else if ("""(?i)^enable_query_log\b""".r.findFirstIn(t).isDefined)
+          quiet = false
+      }
       else {
         val effective =
           if (delim == ";") t.replaceFirst(";\\s*#[^'\"]*$", ";") else t
@@ -86,13 +200,38 @@ object MtrParity {
           val stmt = cur.toString.trim.stripSuffix(delim)
             .replaceFirst("(?is)^eval\\s+", "")
             .replace("$MYSQL_TEST_DIR", "/root/reference/mysql-test")
-          out += ((stmt, expectError))
+          out += ((stmt, expectError, quiet))
           cur.clear()
           expectError = false
         }
       }
-    } finally src.close()
+    }
     out.toSeq
+  }
+
+  /** Schema-aware cell rendering: the engine stores MySQL's zero date
+    * as the NULL sentinel in NOT NULL temporal columns (the documented
+    * zero-date convention — `IS NULL` answers for them, issue682) and
+    * as the year-1 sentinel in NULLABLE ones (distinguishable from a
+    * genuine NULL); both render back as MySQL's `0000-00-00` forms.
+    * The corpus never uses a real year-1 temporal (grep-verified). */
+  def renderCellTyped(v: Any,
+                      f: org.apache.spark.sql.types.StructField): String = {
+    import org.apache.spark.sql.types._
+    val temporal = f.dataType == DateType ||
+      f.dataType.isInstanceOf[TimestampType] ||
+      f.dataType.isInstanceOf[TimestampNTZType]
+    def zero: String =
+      if (f.dataType == DateType) "0000-00-00" else "0000-00-00 00:00:00"
+    if (temporal && v == null &&
+        f.metadata.contains("graft.mysql.notnull") &&
+        f.metadata.getBoolean("graft.mysql.notnull")) zero
+    else if (temporal && v != null) {
+      val s = renderCell(v)
+      if (s == "0001-01-01" || s.startsWith("0001-01-01 00:00:00")) zero
+      else s
+    }
+    else renderCell(v)
   }
 
   /** MySQL-style rendering of one result cell. */
@@ -108,7 +247,11 @@ object MtrParity {
       t.toString.replace('T', ' ').replaceAll("\\.0+$", "")
     case b: Array[Byte] =>
       new String(b, java.nio.charset.StandardCharsets.UTF_8)
-    case f: java.lang.Float => f.toString
+    case f: java.lang.Float =>
+      graft.functions.MySql.floatToUtf8(f).toString
+    // MySQL renders DOUBLE via my_gcvt shortest form ('-1', not '-1.0')
+    case d: java.lang.Double =>
+      graft.functions.MySql.doubleToUtf8(d).toString
     case other => other.toString
   }
 
@@ -167,21 +310,28 @@ object MtrParity {
     val echoLen = new Array[Int](stmts.length)
     var cursor = 0
     // the golden echoes statements WITH their terminating `;` (and
-    // with the delimiter-form terminator stripped) — normalize both
+    // with the delimiter-form terminator stripped) — normalize both.
+    // `--replace_result $MYSQL_TEST_DIR MYSQL_TEST_DIR` rewrites paths
+    // in the golden echo; map our substituted path back so LOAD DATA
+    // statements align instead of silently falling out of the stream
     def norm(l: String) = l.trim.stripSuffix(";").trim
-    stmts.zipWithIndex.foreach { case ((stmt, _), i) =>
-      val sl = stmt.split("\n").map(norm).filter(_.nonEmpty)
-      var found = -1
-      var p = cursor
-      while (found < 0 && p <= lines.length - sl.length) {
-        if (sl.indices.forall(k => norm(lines(p + k)) == sl(k))) found = p
-        else p += 1
+      .replace("/root/reference/mysql-test", "MYSQL_TEST_DIR")
+    stmts.zipWithIndex.foreach { case ((stmt, _, quiet), i) =>
+      if (quiet) { echoAt(i) = -1; echoLen(i) = 0 }
+      else {
+        val sl = stmt.split("\n").map(norm).filter(_.nonEmpty)
+        var found = -1
+        var p = cursor
+        while (found < 0 && p <= lines.length - sl.length) {
+          if (sl.indices.forall(k => norm(lines(p + k)) == sl(k))) found = p
+          else p += 1
+        }
+        if (found >= 0) {
+          echoAt(i) = found
+          echoLen(i) = sl.length
+          cursor = found + sl.length
+        } else { echoAt(i) = -1; echoLen(i) = 0 }
       }
-      if (found >= 0) {
-        echoAt(i) = found
-        echoLen(i) = sl.length
-        cursor = found + sl.length
-      } else { echoAt(i) = -1; echoLen(i) = 0 }
     }
 
     val runner = new StatementRunner(session)
@@ -200,15 +350,66 @@ object MtrParity {
     }
 
     var compared = 0
+    var skippedFixture = 0
+    var skippedSkew = 0
+    // taint: table → classification ("fixture" | "skew"); a SELECT
+    // touching a tainted table is CLASSIFIED, not value-compared
+    val tainted = scala.collection.mutable.Map[String, String]()
     val mismatches = scala.collection.mutable.ArrayBuffer[Mismatch]()
-    stmts.zipWithIndex.foreach { case ((stmt, expectsError), i) =>
+    stmts.zipWithIndex.foreach { case ((stmt, expectsError, quiet), i) =>
       val isSelect =
         """(?is)^\s*select\b""".r.findFirstIn(stmt).isDefined &&
           """(?i)\binto\b""".r.findFirstIn(stmt).isEmpty
+      // taint bookkeeping BEFORE the statement runs
+      if (!isSelect) {
+        CreateTableRe.findFirstMatchIn(stmt)
+          .foreach(m => tainted.remove(m.group(1).toLowerCase))
+        TruncateRe.findFirstMatchIn(stmt)
+          .foreach(m => tainted.remove(m.group(1).toLowerCase))
+        DropTableRe.findFirstMatchIn(stmt).foreach(m =>
+          m.group(1).split(",").map(_.trim.stripPrefix("`")
+            .stripSuffix(";").stripSuffix("`").toLowerCase)
+            .foreach(tainted.remove))
+        if (DropDbRe.findFirstIn(stmt).isDefined) tainted.clear()
+        val isLoad =
+          """(?is)^\s*load\s+data\b""".r.findFirstIn(stmt).isDefined
+        if (isLoad) {
+          val missing = LoadInfileRe.findFirstMatchIn(stmt).exists(m =>
+            !new java.io.File(m.group(1)).exists())
+          if (missing) dmlTargets(stmt)
+            .foreach(t => tainted.getOrElseUpdate(t, "fixture"))
+        }
+        val isDml = """(?is)^\s*(insert|update|delete|replace|load)\b"""
+          .r.findFirstIn(stmt).isDefined
+        // a DML statement the golden never echoed: the .result predates
+        // this .test revision — rows derived from it can't be
+        // attributed. disable_query_log statements are LEGITIMATELY
+        // unechoed, not skew.
+        // single-line statements only: a multi-line DML that fails to
+        // align is usually the ALIGNER's whitespace fragility, not a
+        // .test edit — tainting on it would shed real coverage
+        // (select.test's multi-line inserts)
+        if (isDml && echoAt(i) < 0 && !expectsError && !quiet &&
+            !stmt.contains("\n"))
+          dmlTargets(stmt).foreach(t => tainted.getOrElseUpdate(t, "skew"))
+      }
+      val taintHit: Option[String] =
+        if (!isSelect || tainted.isEmpty) None
+        else tainted.collectFirst { case (t, why)
+          if ("""(?i)\b""" + java.util.regex.Pattern.quote(t) +
+            """\b""").r.findFirstIn(stmt).isDefined => why }
       val deterministic = NonDeterministic.findFirstIn(stmt).isEmpty
       val comparable = isSelect && !expectsError && deterministic &&
-        echoAt(i) >= 0 && i + 1 < stmts.length
-      val result = scala.util.Try(runner.run(stmt).collect())
+        echoAt(i) >= 0 && i + 1 < stmts.length && taintHit.isEmpty
+      if (isSelect && !expectsError && deterministic && echoAt(i) >= 0 &&
+          taintHit.isDefined) {
+        if (taintHit.contains("fixture")) skippedFixture += 1
+        else skippedSkew += 1
+      }
+      val result = scala.util.Try {
+        val df = runner.run(stmt)
+        (df.schema, df.collect())
+      }
       if (comparable && result.isSuccess) {
         // the golden block: echo end → next echoed statement
         val next = (i + 1 until stmts.length).find(echoAt(_) >= 0)
@@ -229,8 +430,10 @@ object MtrParity {
         block = block.filterNot(l => stmtLines.contains(norm(l)))
         if (block.nonEmpty) {
           val expected = block.drop(1) // header row
-          val actual = result.get.map(r =>
-            (0 until r.length).map(k => renderCell(r.get(k)))
+          val (rschema, rows) = result.get
+          val actual = rows.map(r =>
+            (0 until r.length).map(k =>
+              renderCellTyped(r.get(k), rschema(k)))
               .mkString("\t")).toSeq
           compared += 1
           // multiset matching under cellEq (a sort-then-zip pairs the
@@ -252,6 +455,7 @@ object MtrParity {
         }
       }
     }
-    SweepResult(file, compared, mismatches.toSeq)
+    SweepResult(file, compared, mismatches.toSeq, skippedFixture,
+      skippedSkew)
   }
 }

@@ -214,6 +214,66 @@ object MySqlDialect {
     sb.toString
   }
 
+  /** Backward scan for the start of an XOR's LEFT operand in the
+    * already-emitted text: the nearest depth-0 boundary — comma, an
+    * opening paren, or a clause/looser-precedence keyword. Quote-free
+    * spans only (the caller falls back otherwise). */
+  private val XorStopWords = Seq("OR", "XOR", "WHERE", "SELECT", "FROM",
+    "WHEN", "THEN", "ELSE", "HAVING", "ON", "SET", "BY")
+  private def xorOperandStartBack(s: String): Int = {
+    var i = s.length - 1
+    var depth = 0
+    while (i >= 0) {
+      val c = s(i)
+      if (c == '\'' || c == '"') return -1
+      if (c == ')') depth += 1
+      else if (c == '(') {
+        if (depth == 0) return i + 1
+        depth -= 1
+      } else if (c == ',' && depth == 0) return i + 1
+      else if (depth == 0 && c.isLetter) {
+        // walk to the word's start and test it
+        var j = i
+        while (j > 0 && (s(j - 1).isLetterOrDigit || s(j - 1) == '_')) j -= 1
+        val w = s.substring(j, i + 1).toUpperCase
+        val prevOk = j == 0 || !s(j - 1).isLetterOrDigit
+        if (prevOk && XorStopWords.contains(w)) return i + 1
+        i = j
+      }
+      i -= 1
+    }
+    0
+  }
+
+  /** Forward scan for the end of an XOR's RIGHT operand: the nearest
+    * depth-0 comma, closing paren, end, or looser-precedence keyword.
+    * AND binds TIGHTER than XOR so it stays inside the span. Returns
+    * (endIndex, ok) — ok=false when a quote makes the span unsafe. */
+  private def xorOperandEndFwd(s: String, from: Int): (Int, Boolean) = {
+    var i = from
+    var depth = 0
+    val stops = Seq("OR", "XOR", "WHERE", "GROUP", "ORDER", "HAVING",
+      "LIMIT", "THEN", "ELSE", "END", "WHEN", "FROM")
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\'' || c == '"') return (i, false)
+      if (c == '(') depth += 1
+      else if (c == ')') {
+        if (depth == 0) return (i, true)
+        depth -= 1
+      } else if (c == ',' && depth == 0) return (i, true)
+      else if (depth == 0 && (c.isLetter || c == '_')) {
+        var j = i
+        while (j < s.length && (s(j).isLetterOrDigit || s(j) == '_')) j += 1
+        val w = s.substring(i, j).toUpperCase
+        if (stops.contains(w)) return (i, true)
+        i = j - 1
+      }
+      i += 1
+    }
+    (s.length, true)
+  }
+
   private def translateLikeEscape(sql: String): String =
     LikeEscRe.replaceAllIn(sql, m => {
       val esc = unquoteSqlString(m.group(2))
@@ -229,16 +289,25 @@ object MySqlDialect {
       else {
         val raw = unquoteSqlString(m.group(1))
         val e = esc.head
+        // my_wildcmp's precedence (issue271, strings.test): a wildcard
+        // check runs BEFORE the escape check, so ESCAPE '%'/'_' leaves
+        // that char a WILDCARD (the clause is inert); and with a
+        // non-backslash escape, '\' is an ordinary LITERAL character.
+        // Build the FINAL Spark pattern explicitly: literal wildcards
+        // re-escape with '\', literal backslashes double.
         val pat = new StringBuilder
+        def emitLiteral(c: Char): Unit =
+          if (c == '%' || c == '_') pat.append('\\').append(c)
+          else if (c == '\\') pat.append('\\').append('\\')
+          else pat.append(c)
+        val escIsWildcard = e == '%' || e == '_'
         var i = 0
         while (i < raw.length) {
           val c = raw(i)
-          if (c == e && i + 1 < raw.length) {
-            val nxt = raw(i + 1)
-            if (nxt == '%' || nxt == '_') pat.append('\\').append(nxt)
-            else pat.append(nxt)
-            i += 2
-          } else { pat.append(c); i += 1 }
+          if (!escIsWildcard && c == e && i + 1 < raw.length) {
+            emitLiteral(raw(i + 1)); i += 2
+          } else if (c == '%' || c == '_') { pat.append(c); i += 1 }
+          else { emitLiteral(c); i += 1 }
         }
         val lit = pat.toString.replace("\\", "\\\\").replace("'", "\\'")
         java.util.regex.Matcher.quoteReplacement(s"LIKE '$lit'")
@@ -301,13 +370,20 @@ object MySqlDialect {
     * space (other_bit.test `~18446744073709551615`); Spark's `~` takes
     * integral types only. Fold the literal case: ~x = (2^64−1) − x. */
   private def translateBigNot(sql: String): String =
-    """~\s*(\d{10,20})(?:[eE]\+?0+)?\b""".r.replaceAllIn(sql, m => {
+    """~\s*(\d{10,20})(\.\d+)?([eE]\+?0+)?\b""".r.replaceAllIn(sql, m => {
       val x = BigInt(m.group(1))
       val full = (BigInt(1) << 64) - 1
-      val isFloat = m.matched.toLowerCase.contains("e")
-      // MySQL converts a float operand to BIGINT UNSIGNED first
-      // (saturating), then complements in 64-bit space
-      if ((x > Long.MaxValue || isFloat) && x <= full)
+      val isFloat = m.group(2) != null || m.group(3) != null
+      // a FLOAT/DECIMAL operand converts through the SIGNED tier first,
+      // saturating at the BIGINT rim, THEN complements in 64-bit space:
+      // ~18446744073709551615.0 = ~9223372036854775807 =
+      // 9223372036854775808 (other_bit.test) — only the pure integer
+      // literal is the u64 bit pattern (~u64max = 0)
+      if (isFloat && x <= full) {
+        val sat = if (x > Long.MaxValue) BigInt(Long.MaxValue) else x
+        (full - sat).toString
+      }
+      else if (x > Long.MaxValue && x <= full)
         (full - x).toString
       else java.util.regex.Matcher.quoteReplacement(m.matched)
     })
@@ -552,13 +628,22 @@ object MySqlDialect {
     })
   }
 
+  /** `charset(BINARY x)` / `collation(BINARY x)` introspect the binary
+    * pseudo-charset — keep the operator visible as an explicit cast
+    * (the generic BINARY-drops rule would erase it; bit_type.test). */
+  private def translateCharsetBinary(sql: String): String =
+    """(?i)\b(charset|collation)\s*\(\s*binary\s+(\w+)\s*\)""".r
+      .replaceAllIn(sql, m =>
+        s"${m.group(1)}(CAST(${m.group(2)} AS BINARY))")
+
   def rewrite(sqlIn: String): String = {
     val sql = translateNestedJoinOn(
       clampDoubleLiterals(stripGroupByOrder(translateRandSeed(
       translateBigNot(translateQuantified(translateLikeEscape(
         translateCaseTruthiness(translateIntervalCol(stripSelectHints(
           translateGetFormat(translateCharLenCast(
-            wrapUnsignedCasts(translateBitPosition(sqlIn))))))))))))))
+            wrapUnsignedCasts(translateBitPosition(
+              translateCharsetBinary(sqlIn)))))))))))))))
     val out = new StringBuilder(sql.length + 16)
     val n = sql.length
     var i = 0
@@ -876,10 +961,24 @@ object MySqlDialect {
         val (from, to) = IntervalUnits.find(u => wordAt(sql, i, u._1)).get
         out.append(to); i += from.length
       } else if (wordAt(sql, i, "XOR")) {
-        // MySQL's logical XOR operator — Spark has none. `<>` is the
-        // truthiness-exact translation for 0/1 operands (BIT columns,
-        // bit_type.test); the coercion tier normalizes NULL behavior.
-        out.append(" != "); i += 3
+        // MySQL's logical XOR: TRUTHINESS xor with NULL propagation —
+        // `191 XOR 1` is 0, not bitwise and not `!=` (bit_type.test's
+        // BIT column). XOR binds looser than AND/comparison and tighter
+        // than OR, so the operand spans run to the nearest depth-0
+        // OR/XOR/comma/clause boundary; both fold into graft_xor(l, r)
+        // (Registry). Spans containing quotes fall back to `!=` (the
+        // 0/1-exact translation) rather than risk a mis-extraction.
+        val lhsStart = xorOperandStartBack(out.toString)
+        val (rhsEnd, rhsOk) = xorOperandEndFwd(sql, i + 3)
+        val lhs = out.substring(lhsStart)
+        if (lhsStart >= 0 && rhsOk && !lhs.contains('\'') &&
+            !lhs.contains('"') && lhs.trim.nonEmpty) {
+          val rhs = sql.substring(i + 3, rhsEnd)
+          out.setLength(lhsStart)
+          out.append(" graft_xor(").append(lhs.trim).append(", ")
+            .append(rewrite(rhs).trim).append(") ")
+          i = rhsEnd
+        } else { out.append(" != "); i += 3 }
       } else if (wordAt(sql, i, "STRAIGHT_JOIN")) {
         // MySQL join-order hint (issue270): as a SELECT modifier it
         // drops; as a join keyword it is INNER JOIN with a forced order

@@ -845,17 +845,51 @@ class StatementRunner(spark: SparkSession) {
           if (f.dataType == org.apache.spark.sql.types.BinaryType
               && src != org.apache.spark.sql.types.BinaryType)
             shaped.cast("string").cast("binary")
-          else if (isTimeTarget && isStr)
+          else if (isTimeTarget && isStr) {
+            // hours past 23 can't ride the timestamp round-trip (the
+            // 1970-01-01 cast NULLs them) — a valid MySQL TIME runs to
+            // 838:59:59 ('58:11:12', '100:00:00'), so the >23h lane
+            // rounds its fractional tail arithmetically instead
+            val hh = org.apache.spark.sql.functions.regexp_extract(
+              col(f.name), "^(\\d{1,3}):", 1).cast("long")
+            val mi = org.apache.spark.sql.functions.regexp_extract(
+              col(f.name), "^\\d{1,3}:(\\d{1,2}):", 1).cast("long")
+            val se = org.apache.spark.sql.functions.regexp_extract(
+              col(f.name), "^\\d{1,3}:\\d{1,2}:(\\d{1,2})", 1)
+              .cast("long")
+            val fr = coalesce(
+              org.apache.spark.sql.functions.regexp_extract(
+                col(f.name), "(\\.\\d+)$", 1).cast("double"), lit(0.0))
+            val tot = org.apache.spark.sql.functions.least(
+              hh * 3600L + mi * 60L + se +
+                when(fr >= 0.5, 1L).otherwise(0L),
+              lit(838L * 3600 + 59 * 60 + 59))
             when(col(f.name)
                 .rlike("^\\d{1,3}:\\d{1,2}:\\d{1,2}(\\.\\d+)?$"),
-              org.apache.spark.sql.functions.date_format(
-                org.apache.spark.sql.functions.date_trunc("SECOND",
-                  org.apache.spark.sql.functions.concat(
-                    lit("1970-01-01 "), col(f.name)).cast("timestamp") +
-                    org.apache.spark.sql.functions.make_dt_interval(
-                      lit(0), lit(0), lit(0), lit(0.5))),
-                "HH:mm:ss"))
+              when(hh <= 23,
+                org.apache.spark.sql.functions.date_format(
+                  org.apache.spark.sql.functions.date_trunc("SECOND",
+                    org.apache.spark.sql.functions.concat(
+                      lit("1970-01-01 "), col(f.name)).cast("timestamp") +
+                      org.apache.spark.sql.functions.make_dt_interval(
+                        lit(0), lit(0), lit(0), lit(0.5))),
+                  "HH:mm:ss"))
+                .otherwise(org.apache.spark.sql.functions.format_string(
+                  "%02d:%02d:%02d", (tot / 3600L).cast("long"),
+                  ((tot % 3600L) / 60L).cast("long"), tot % 60L)))
               .otherwise(col(f.name))
+          }
+          else if (isTimeTarget && isNum) {
+            // MySQL reads a NUMBER destined for TIME as hhmmss digits
+            // from the right (0 → '00:00:00', 121314 → '12:13:14' —
+            // issue682's TIME NOT NULL tier)
+            val s = org.apache.spark.sql.functions.lpad(
+              col(f.name).cast(DecimalType(20, 0)).cast("string"),
+              6, "0")
+            when(col(f.name).isNull, lit(null))
+              .otherwise(org.apache.spark.sql.functions.regexp_replace(
+                s, "^(\\d+)(\\d{2})(\\d{2})$", "$1:$2:$3"))
+          }
           else if (isTemporalTarget && isNum)
             // digit-string interpretation (20221020 → '2022-10-20')
             numericAsTemporal(shaped, f.dataType)
@@ -902,16 +936,46 @@ class StatementRunner(spark: SparkSession) {
                 .cast(f.dataType)
             }
           else tShaped.cast(f.dataType)
+        // a zero date entering a NULLABLE temporal column stores the
+        // year-1 sentinel — distinguishable from a genuine NULL, so
+        // `IS NULL` answers only real NULLs while the row still renders
+        // '0000-00-00' (issue682's nullable tier); NOT NULL columns
+        // keep the NULL-sentinel convention (their IS NULL quirk)
+        val zeroSrc: Option[org.apache.spark.sql.Column] =
+          if (!isTemporalTarget || requiredCol(f)) None
+          else if (isNum) Some(col(f.name) === lit(0))
+          else if (isStr) Some(col(f.name).rlike(
+            "^\\s*0000[-/.]0?0[-/.]0?0([ T]00:00:00(\\.0*)?)?\\s*$"))
+          else None
+        val sentinel = lit("0001-01-01 00:00:00").cast(f.dataType)
+        val zeroWrapped0 = zeroSrc match {
+          case Some(z) if !sessionSqlMode.contains("NO_ZERO_DATE") =>
+            when(col(f.name).isNotNull && z, sentinel).otherwise(cast)
+          case _ => cast
+        }
+        // binary-charset CHAR(n): pad stored values to n with 0x00
+        val zeroWrapped =
+          if (f.metadata.contains("graft.mysql.binarypad"))
+            when(zeroWrapped0.isNotNull,
+              org.apache.spark.sql.functions.rpad(zeroWrapped0,
+                f.metadata.getLong("graft.mysql.binarypad").toInt,
+                "\u0000"))
+              .otherwise(zeroWrapped0)
+          else zeroWrapped0
         // an explicit NULL downgrading into a NOT NULL column takes the
         // IMPLICIT default, not the declared one (insert.test: DEFAULT 8
         // column stores 0 for the multi-row NULL) — EXCEPT temporal
         // targets, whose implicit default is the zero date and the
         // engine stores that as the NULL sentinel (issue682's
-        // `insert ignore … (0)` rows answer `where a is null`)
+        // `insert ignore … (0)` rows answer `where a is null`).
+        // A declared-TIME string column's implicit default is the zero
+        // TIME '00:00:00', not the empty string.
         (if ((!strict || !strictNulls) && requiredCol(f)
             && !isTemporalTarget)
-          coalesce(cast, implicitDefault(f.dataType).cast(f.dataType))
-        else cast).as(f.name)
+          coalesce(zeroWrapped,
+            (if (isTimeTarget) lit("00:00:00")
+             else implicitDefault(f.dataType)).cast(f.dataType))
+        else zeroWrapped).as(f.name)
       } else fillUnprovided(f, strict)
     }.toSeq: _*)
   }
@@ -925,7 +989,40 @@ class StatementRunner(spark: SparkSession) {
     if (strict && strictMode) rejectLiteralDivZero(tuples, "INSERT")
     val rewritten =
       MySqlDialect.rewrite(substituteDefaultKeyword(tuples, colList, schema))
-    val df = try spark.sql(s"SELECT * FROM VALUES $rewritten") catch {
+    // a bit-operator expression inside VALUES must NOT ride Spark's
+    // inline-table resolution: ResolveInlineTables folds the expression
+    // BEFORE the MySQL coercion rule can move it to the u64 domain
+    // (bigint_unsigned.test inserts `-1 | 0` = 18446744073709551615,
+    // not -1) — route through the per-tuple SELECT form instead
+    val hasBitOps = {
+      val noStr = rewritten.replaceAll("'(?:[^'\\\\]|\\\\.)*'", "''")
+        .replaceAll("\"(?:[^\"\\\\]|\\\\.)*\"", "\"\"")
+      """[|&^]|<<|>>""".r.findFirstIn(noStr).isDefined
+    }
+    def tupleSelects(): DataFrame = {
+      val positional0: Seq[org.apache.spark.sql.types.DataType] =
+        (if (colList == null || colList.trim.isEmpty)
+          schema.fields.toSeq
+        else splitTopLevel(colList)
+          .map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .flatMap(n => schema.fields.find(_.name.equalsIgnoreCase(n))))
+          .map(_.dataType)
+      val selects = topLevelTuples(rewritten).map { t =>
+        "SELECT " + splitTopLevel(t).zipWithIndex.map { case (cell, k) =>
+          positional0.lift(k) match {
+            case Some(org.apache.spark.sql.types.BinaryType) =>
+              s"CAST(CAST(($cell) AS STRING) AS BINARY)"
+            case Some(dt) => s"CAST(($cell) AS ${dt.sql})"
+            case None => cell
+          }
+        }.mkString(", ")
+      }
+      spark.sql(selects.mkString(" UNION ALL "))
+    }
+    val df = try {
+      if (hasBitOps) tupleSelects()
+      else spark.sql(s"SELECT * FROM VALUES $rewritten")
+    } catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getMessage.contains("UNRESOLVED") =>
         // MySQL evaluates a bare target-column reference inside VALUES
@@ -944,24 +1041,7 @@ class StatementRunner(spark: SparkSession) {
         // MySQL coerces per row (insert.test mixes `default`-substituted
         // strings with integers). Each tuple becomes a SELECT with the
         // cells cast to the TARGET column types, unioned.
-        val positional: Seq[org.apache.spark.sql.types.DataType] =
-          (if (colList == null || colList.trim.isEmpty)
-            schema.fields.toSeq
-          else splitTopLevel(colList)
-            .map(_.trim.stripPrefix("`").stripSuffix("`"))
-            .flatMap(n => schema.fields.find(_.name.equalsIgnoreCase(n))))
-            .map(_.dataType)
-        val selects = topLevelTuples(rewritten).map { t =>
-          "SELECT " + splitTopLevel(t).zipWithIndex.map { case (cell, k) =>
-            positional.lift(k) match {
-              case Some(org.apache.spark.sql.types.BinaryType) =>
-                s"CAST(CAST(($cell) AS STRING) AS BINARY)"
-              case Some(dt) => s"CAST(($cell) AS ${dt.sql})"
-              case None => cell
-            }
-          }.mkString(", ")
-        }
-        spark.sql(selects.mkString(" UNION ALL "))
+        tupleSelects()
     }
     // MySQL's NOT NULL enforcement is per-arity on this engine tier:
     // a SINGLE-row VALUES with NULL errors (1048), a MULTI-row one
@@ -1442,8 +1522,10 @@ class StatementRunner(spark: SparkSession) {
               case None =>
                 // TIME lands on StringType — record the declared type
                 // so the insert path can normalize/round its values
-                // (indistinguishable from VARCHAR otherwise)
-                if (base == "TIME")
+                // (indistinguishable from VARCHAR otherwise). CHAR
+                // records too: a binary-charset table pads CHAR(n) with
+                // 0x00 to n (range.test) and needs the distinction.
+                if (base == "TIME" || base == "CHAR")
                   mb.putString("graft.mysql.type", typNorm.toUpperCase)
                 sparkType(typNorm)
             }
@@ -1457,7 +1539,8 @@ class StatementRunner(spark: SparkSession) {
 
   private def runCreateTable(table: String, body: String,
                              engine: String = "TIANMU",
-                             defaultUtf8: Boolean = false): DataFrame = {
+                             defaultUtf8: Boolean = false,
+                             binaryCharset: Boolean = false): DataFrame = {
     import spark.implicits._
     val key = table.toLowerCase
     if (stores.contains(key))
@@ -1553,7 +1636,24 @@ class StatementRunner(spark: SparkSession) {
               .putString("graft.mysql.charset", "utf8").build())
         else f
       }
-    val schema = org.apache.spark.sql.types.StructType(fields1)
+    // table-level charset=binary: CHAR(n) is BINARY(n) — mark the pad
+    // width so inserts fill with 0x00 to the declared length
+    val fields2 =
+      if (!binaryCharset) fields1
+      else fields1.map { f =>
+        val t = if (f.metadata.contains("graft.mysql.type"))
+          f.metadata.getString("graft.mysql.type") else ""
+        """(?i)^CHAR\((\d+)\)""".r.findFirstMatchIn(t) match {
+          case Some(m) if f.dataType == org.apache.spark.sql.types.StringType =>
+            f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putLong("graft.mysql.binarypad", m.group(1).toLong)
+                .build())
+          case _ => f
+        }
+      }
+    val schema = org.apache.spark.sql.types.StructType(fields2)
     // ONE empty partition, not emptyRDD's zero: a zero-partition write
     // emits no parquet footers and the store's read-back cannot infer
     // the schema
@@ -1856,16 +1956,24 @@ class StatementRunner(spark: SparkSession) {
       Seq[Any], org.apache.spark.sql.Row]()
     val insertedKeys = scala.collection.mutable.LinkedHashSet[Seq[Any]]()
     // a BEFORE INSERT trigger may mutate the key away from the
-    // incoming value — one targeted probe covers that rare path
-    def lookupOld(k: Seq[Any]): Option[org.apache.spark.sql.Row] =
+    // incoming value — one targeted probe covers that rare path.
+    // `covered` = the key equals the row's incoming (pre-trigger) key,
+    // which the broadcast semi-join prefetch already resolved against
+    // the base: a prefetched miss there is a PROVEN absence, so a
+    // mostly-insert batch never fires per-row base-scan jobs
+    def lookupOld(k: Seq[Any], covered: Boolean)
+        : Option[org.apache.spark.sql.Row] =
       byKey.get(k).orElse(prefetched.get(k)).orElse {
-        val cond = keys.zip(k).map { case (c, v) =>
-          if (v == null) col(c).isNull else col(c) === lit(v)
-        }.reduce(_ && _)
-        val hit = store.read().filter(cond).limit(1).collect()
-          .headOption
-        hit.foreach(r => prefetched(k) = r)
-        hit
+        if (covered) None
+        else {
+          val cond = keys.zip(k).map { case (c, v) =>
+            if (v == null) col(c).isNull else col(c) === lit(v)
+          }.reduce(_ && _)
+          val hit = store.read().filter(cond).limit(1).collect()
+            .headOption
+          hit.foreach(r => prefetched(k) = r)
+          hit
+        }
       }
     val insBefore = triggersOn(table, "INSERT", "BEFORE")
     val insAfter = triggersOn(table, "INSERT", "AFTER")
@@ -1879,7 +1987,8 @@ class StatementRunner(spark: SparkSession) {
         newAssignable = true, schema))
       val row = mapToRow(newM, schema)
       val k = keyIdx.map(row.get)
-      lookupOld(k) match {
+      val k0 = keyIdx.map(br.get)
+      lookupOld(k, covered = insBefore.isEmpty || k == k0) match {
         case Some(oldRow) =>
           val oldM = rowToMap(oldRow, schema).toMap
           val updM = rowToMap(oldRow, schema)
@@ -2315,21 +2424,28 @@ class StatementRunner(spark: SparkSession) {
   private def doomedKeys(table: String, store: DeltaStore,
                          whereClause: String, orderClause: String,
                          n: Int): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, lit}
+    import org.apache.spark.sql.functions.{col, expr, lit,
+      monotonically_increasing_id}
     val keys = pkOf(table)
     val cond =
       if (whereClause == null) lit(true)
       else expr(MySqlDialect.rewrite(whereClause))
+    // a bare LIMIT picks rows in TABLE SCAN order — insert order, not
+    // PRIMARY KEY order (issue781's PK sections insert 125 before
+    // -125 and the golden updates 125 first); an explicit ORDER BY
+    // keeps scan order as its tiebreak, MySQL's stable sort
+    val withRid = store.read()
+      .withColumn("__rid", monotonically_increasing_id())
     val ord: Seq[org.apache.spark.sql.Column] =
-      if (orderClause == null) keys.map(col)
+      if (orderClause == null) Seq(col("__rid"))
       else splitTopLevel(orderClause).map { o =>
         val desc = """(?i)\s+DESC\s*$""".r.findFirstIn(o).isDefined
         val e = expr(MySqlDialect.rewrite(
           o.trim.replaceAll("(?i)\\s+(ASC|DESC)\\s*$", "")))
         if (desc) e.desc else e.asc
-      }
+      } :+ col("__rid").asc
     Staging.stage(
-      store.read().filter(cond).orderBy(ord: _*).limit(n)
+      withRid.filter(cond).orderBy(ord: _*).limit(n)
         .select(keys.map(col): _*),
       "dml-limit")
   }
@@ -4647,9 +4763,20 @@ class StatementRunner(spark: SparkSession) {
           """(?i)\bENCLOSED\s+BY\b""".r.findFirstIn(tail).isDefined)
         validateEnclosedRows(resolveReadPath(path), opts.delimiter,
           opts.quote, opts.lineSep, parseSchema.length)
+      val isLocalLoad = """(?is)^\s*LOAD\s+DATA\s+LOCAL\b""".r
+        .findFirstIn(stmtText).isDefined
       val res = CsvLoader.load(spark, resolveReadPath(path), parseSchema,
         delimiter = opts.delimiter, quote = opts.quote,
-        escape = opts.escape, skipLines = skipLines, lineSep = customSep)
+        escape = opts.escape, skipLines = skipLines, lineSep = customSep,
+        // MySQL stores a prefix-parse (warning 1366) for a bad numeric
+        // FIELD instead of rejecting the row — LOCAL transfers always,
+        // non-strict sessions too (issue1153's 'null' → 0)
+        looseNumerics = isLocalLoad || !strictMode,
+        // an EXPLICIT non-empty ENCLOSED BY clause: the unenclosed
+        // word NULL reads as NULL (MySQL default enclosure is empty --
+        // the rule never fires without the clause)
+        nullWord = opts.quote != "\u0000" &&
+          """(?i)\bENCLOSED\s+BY\b""".r.findFirstIn(tail).isDefined)
       val clean = (slots match {
         case None if colsSetOpt.flatMap(_._2).isEmpty => None
         // a SET clause WITHOUT a column list applies over the full
@@ -5601,7 +5728,13 @@ class StatementRunner(spark: SparkSession) {
         val defaultUtf8 = options != null &&
           """(?i)(?:DEFAULT\s+)?(?:CHARSET|CHARACTER\s+SET)\s*=?\s*utf8(?:mb3)?\b(?!mb4)"""
             .r.findFirstIn(options).isDefined
-        val res = runCreateTable(table, body, engine, defaultUtf8)
+        // `charset=binary` turns CHAR(n) into BINARY(n): values pad to
+        // n with 0x00 bytes (range.test's hex(filler) pins 200 NULs)
+        val binaryCharset = options != null &&
+          """(?i)(?:DEFAULT\s+)?(?:CHARSET|CHARACTER\s+SET)\s*=?\s*binary\b"""
+            .r.findFirstIn(options).isDefined
+        val res = runCreateTable(table, body, engine, defaultUtf8,
+          binaryCharset)
         if (temporary != null) tempTables += table.toLowerCase
         // table option AUTO_INCREMENT=n sets the counter's start
         // (init_auto_increment_value.test)
@@ -6713,10 +6846,11 @@ object Statements {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futs = files.map(f => scala.concurrent.Future(
       (f, MtrParity.sweep(f, s.newSession()))))
-    val rows = scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(futs),
-      scala.concurrent.duration.Duration(20, "min"))
-    pool.shutdown()
+    val rows =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration(20, "min"))
+      finally pool.shutdown()
     import s.implicits._
     rows.map { case (f, r) => (f, r.compared, r.mismatches.length) }
       .toDF("file", "blocks_compared", "mismatches")

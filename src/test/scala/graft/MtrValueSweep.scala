@@ -45,12 +45,20 @@ object MtrValueSweep {
     pool.shutdown()
     var totalCmp = 0
     var totalMis = 0
+    var totalFix = 0
+    var totalSkew = 0
     results.foreach {
       case (f, scala.util.Success(res)) =>
         totalCmp += res.compared
         totalMis += res.mismatches.length
+        totalFix += res.skippedFixture
+        totalSkew += res.skippedSkew
+        val cls = (if (res.skippedFixture > 0)
+          s" fixture_absent=${res.skippedFixture}" else "") +
+          (if (res.skippedSkew > 0) s" golden_skew=${res.skippedSkew}"
+           else "")
         println(s"XXSWEEP $f compared=${res.compared} " +
-          s"mismatch=${res.mismatches.length}")
+          s"mismatch=${res.mismatches.length}$cls")
         res.mismatches.take(3).foreach { m =>
           println(s"  XMIS stmt: ${m.stmt}")
           println(s"    exp: ${m.expected.mkString(" | ").take(200)}")
@@ -60,7 +68,8 @@ object MtrValueSweep {
         println(s"XXSWEEP $f ABORTED " +
           String.valueOf(e.getMessage).take(120))
     }
-    println(s"XXTOTAL compared=$totalCmp mismatches=$totalMis")
+    println(s"XXTOTAL compared=$totalCmp mismatches=$totalMis " +
+      s"fixture_absent=$totalFix golden_skew=$totalSkew")
     spark.stop()
   }
 }
