@@ -367,6 +367,7 @@ object MySql {
     * unwrapped 'HH:MM:SS' clock arithmetic (hours past 24 preserved:
     * ADDTIME('22:22:22','03:11:22') = '25:33:44'). */
   def addtimeFull(a: Column, t: Column, sign: Int = 1): Column = {
+    val as = a.cast("string")
     val sec = timeToSecFull(t) * sign
     // fsp propagation: the result keeps a fractional tail when either
     // operand carries one, rendered at 6 digits (MySQL TIME(6) —
@@ -379,10 +380,14 @@ object MySql {
       .otherwise(date_format(sum, "yyyy-MM-dd HH:mm:ss"))
     // a TIME-shaped first arg (no date part) is CLOCK arithmetic with
     // unwrapped hours ('22:22:22'+'03:11:22' = '25:33:44') — Spark's
-    // cast would smuggle in today's date
-    val aIsTime = a.cast("string")
-      .rlike("^\\s*-?(\\d+\\s)?\\d{1,3}:\\d{1,2}(:\\d{1,2})?(\\.\\d+)?\\s*$")
-    val totalSec = timeToSecFull(a.cast("string")) + sec
+    // cast would smuggle in today's date. MySQL PREFIX-parses a
+    // garbage tail ('-01:01:01.01 GGG' works on its leading TIME —
+    // str_to_date_function.test's addtime golden).
+    val aTimePrefix = regexp_extract(as,
+      "^\\s*(-?(?:\\d+\\s)?\\d{1,3}:\\d{1,2}(?::\\d{1,2})?(?:\\.\\d+)?)", 1)
+    val aIsTime = length(aTimePrefix) > 0 &&
+      !as.rlike("^\\s*\\d{1,4}[-/.]\\d{1,2}[-/.]\\d{1,2}")
+    val totalSec = timeToSecFull(aTimePrefix) + sec
     val timeBranch0 = secToTime(totalSec.cast("long"))
     val fracPart = lpad(
       round((abs(totalSec) - floor(abs(totalSec))) * 1000000, 0)
@@ -573,6 +578,13 @@ object MySql {
           hasTime = true)
       case _ => null
     }
+  }
+
+  /** Bare digits as MySQL TIME: hhmmss from the right ('121314' →
+    * '12:13:14', '314' → '00:03:14'). Driver-side literal rewriting. */
+  private[graft] def timeDigitsNormalize(s: String): String = {
+    val p = ("0" * math.max(0, 6 - s.length)) + s
+    s"${p.dropRight(4)}:${p.takeRight(4).take(2)}:${p.takeRight(2)}"
   }
 
   def strToDateMysql(s0: org.apache.spark.unsafe.types.UTF8String,

@@ -182,13 +182,21 @@ object Registry {
         lit(if (isBin) "binary" else "utf8mb4_general_ci"))
     })
     // MySQL's ACOS/ASIN return NULL outside [-1, 1] where Spark's give
-    // NaN (bit_type.test)
-    fn("acos")(cs => when(org.apache.spark.sql.functions.abs(
-      cs.head.cast("double")) > 1, lit(null))
-      .otherwise(org.apache.spark.sql.functions.acos(cs.head.cast("double"))))
-    fn("asin")(cs => when(org.apache.spark.sql.functions.abs(
-      cs.head.cast("double")) > 1, lit(null))
-      .otherwise(org.apache.spark.sql.functions.asin(cs.head.cast("double"))))
+    // NaN (bit_type.test). Built from the Catalyst nodes DIRECTLY —
+    // functions.acos resolves by NAME and would loop back into this
+    // registration.
+    GraftSqlBridge.registerFunction(spark, "acos", exprs => {
+      import org.apache.spark.sql.catalyst.expressions._
+      val d = Cast(exprs.head, org.apache.spark.sql.types.DoubleType)
+      If(GreaterThan(Abs(d), Literal(1.0)),
+        Literal(null, org.apache.spark.sql.types.DoubleType), Acos(d))
+    })
+    GraftSqlBridge.registerFunction(spark, "asin", exprs => {
+      import org.apache.spark.sql.catalyst.expressions._
+      val d = Cast(exprs.head, org.apache.spark.sql.types.DoubleType)
+      If(GreaterThan(Abs(d), Literal(1.0)),
+        Literal(null, org.apache.spark.sql.types.DoubleType), Asin(d))
+    })
     // MySQL TRUNCATE(x, d): toward-zero truncation at d decimal places
     // (bit_type.test); negative d zeroes digits left of the point
     GraftSqlBridge.registerFunction(spark, "truncate", exprs => {
@@ -586,16 +594,38 @@ object Registry {
           // dates a dynamic str_to_date emits, '0000-00-00 10:20:10')
           // yields its time-of-day by extraction — Spark's timestamp
           // cast would NULL the zero date (date_formats.test's
-          // `TIME(str_to_date(…))` golden keeps '10:20:10')
-          GraftSqlBridge.expression(
+          // `TIME(str_to_date(…))` golden keeps '10:20:10').
+          // A DYNAMIC str_to_date (format from a column) types the
+          // result TIME(6) — every row renders a 6-digit fraction
+          // ('10:20:10.000000', date_formats.test).
+          val dynamicStd = exprs.head match {
+            case si: org.apache.spark.sql.catalyst.expressions
+              .objects.StaticInvoke =>
+              si.functionName == "strToDateMysql" &&
+                si.arguments.lift(2).exists {
+                  case org.apache.spark.sql.catalyst.expressions
+                    .Literal(true, org.apache.spark.sql.types
+                    .BooleanType) => true
+                  case _ => false
+                }
+            case _ => false
+          }
+          val base =
             when(c.rlike("^\\d{2}:\\d{2}:\\d{2}$"), c)
               .when(c.rlike("^\\d{1,4}-\\d{1,2}-\\d{1,2}[ T]" +
                   "\\d{1,2}:\\d{1,2}:\\d{1,2}"),
                 regexp_replace(
                   regexp_extract(c,
-                    "[ T](\\d{1,2}:\\d{1,2}:\\d{1,2})", 1),
+                    "[ T](\\d{1,2}:\\d{1,2}:\\d{1,2}(?:\\.\\d+)?)", 1),
                   "^(\\d):", "0$1:"))
-              .otherwise(date_format(c.cast("timestamp"), "HH:mm:ss")))
+              .otherwise(date_format(c.cast("timestamp"), "HH:mm:ss"))
+          GraftSqlBridge.expression(
+            if (!dynamicStd) regexp_replace(base, "\\.\\d+$", "")
+            else when(base.isNull, lit(null))
+              .otherwise(concat(
+                regexp_replace(base, "\\.\\d+$", ""), lit("."),
+                org.apache.spark.sql.functions.rpad(
+                  regexp_extract(base, "\\.(\\d+)$", 1), 6, "0"))))
       }
       else GraftSqlBridge.expression(
         date_format(c.cast("timestamp"), "HH:mm:ss"))

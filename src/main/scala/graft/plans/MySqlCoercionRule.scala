@@ -151,6 +151,26 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** A TIME-declared (string-typed) column attribute. */
+  private def isTimeDecl(e: Expression): Boolean = e match {
+    case ar: AttributeReference =>
+      ar.dataType == StringType &&
+        ar.metadata.contains("graft.mysql.type") &&
+        ar.metadata.getString("graft.mysql.type").startsWith("TIME")
+    case _ => false
+  }
+
+  /** (timeColumn, digitLiteral) when a comparison pairs a TIME-declared
+    * column with a bare 3-6 digit string literal. */
+  private def timeDeclVsDigits(l: Expression, r: Expression)
+      : Option[(Expression, String)] = {
+    def digits(e: Expression): Option[String] =
+      strLitOperand(e).filter(_.matches("\\d{3,6}"))
+    if (isTimeDecl(l) && digits(r).isDefined) Some((l, digits(r).get))
+    else if (isTimeDecl(r) && digits(l).isDefined) Some((r, digits(l).get))
+    else None
+  }
+
   private def nonIntegralOperand(children: Seq[Expression]): Boolean =
     children.forall(_.resolved) &&
       children.exists(c => !isIntegral(c.dataType) &&
@@ -241,9 +261,40 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
         aggregate.First(ar, ignoreNulls = false).toAggregateExpression()
       case other => other.mapChildren(fix)
     }
+    // an aggregate-free select item wraps WHOLE: over an empty input
+    // MySQL returns NULL for the item, not its NULL-branch evaluation
+    // (issue1784's `case when age is not null then age else 33 end,
+    // sum(age)` over empty t1 is NULL, not 33)
+    def hasAgg(e: Expression): Boolean = e match {
+      case _: aggregate.AggregateExpression => true
+      case other => other.children.exists(hasAgg)
+    }
+    def needsFix(e: Expression): Boolean = e match {
+      case _ if grouped(e) => false
+      case _: aggregate.AggregateExpression => false
+      case _: OuterReference => false
+      case _: AttributeReference => true
+      case other => other.children.exists(needsFix)
+    }
     val rewritten = a.aggregateExpressions.map {
       case ar: AttributeReference if !grouped(ar) =>
         Alias(fix(ar), ar.name)(exprId = ar.exprId)
+      case al @ Alias(child, name)
+          if a.groupingExpressions.isEmpty && !hasAgg(child) &&
+            needsFix(child) && {
+              // the reference's column engine returns NULL for the
+              // whole item over an empty table; a MySQL-side (innodb)
+              // table evaluates the expression over NULL columns —
+              // case(NULL-age) is 33 (issue1784 pins both)
+              def innodb(e: Expression): Boolean = e match {
+                case ar: AttributeReference =>
+                  ar.metadata.contains("graft.mysql.engine")
+                case other => other.children.exists(innodb)
+              }
+              !innodb(child)
+            } =>
+        Alias(aggregate.First(child, ignoreNulls = false)
+          .toAggregateExpression(), name)(exprId = al.exprId)
       case al @ Alias(child, name) =>
         val f = fix(child)
         if (f eq child) al else Alias(f, name)(exprId = al.exprId)
@@ -468,6 +519,54 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Seq(Cast(l, DoubleType), Cast(r, DoubleType), Literal(op)),
       Seq(DoubleType, DoubleType, IntegerType))
 
+  /** Positions of a 2-way UNION whose sides carry DIFFERENT temporal
+    * kinds (DATETIME / TIMESTAMP / DATE) with a TIMESTAMP involved —
+    * with the per-side kinds. Sides already widened by Spark's
+    * WidenSetOperationTypes are traced through their casting Project. */
+  private def unionTzMixedPositions(
+      u: org.apache.spark.sql.catalyst.plans.logical.Union)
+      : Seq[(Int, String, String)] = {
+    def metaKind(m: org.apache.spark.sql.types.Metadata): Option[String] =
+      if (!m.contains("graft.mysql.type")) None
+      else {
+        val t = m.getString("graft.mysql.type")
+        if (t.startsWith("DATETIME")) Some("DT")
+        else if (t.startsWith("TIMESTAMP")) Some("TS")
+        else None
+      }
+    def kindOf(plan: LogicalPlan, a: Attribute): Option[String] =
+      metaKind(a.metadata).orElse {
+        if (a.dataType == DateType) Some("DATE")
+        else if (a.dataType.isInstanceOf[TimestampType]) plan match {
+          case p: Project =>
+            p.projectList.find(_.exprId == a.exprId).flatMap {
+              case al: Alias => al.child match {
+                case c: Cast if c.child.resolved &&
+                    c.child.dataType == DateType => Some("DATE")
+                case c: Cast => c.child match {
+                  case ar: AttributeReference => metaKind(ar.metadata)
+                  case _ => None
+                }
+                case _ => None
+              }
+              case _ => None
+            }
+          case _ => None
+        }
+        else None
+      }
+    val l = u.children.head
+    val r = u.children.last
+    if (l.output.length != r.output.length) Seq.empty
+    else l.output.zip(r.output).zipWithIndex.flatMap { case ((a, b), i) =>
+      (kindOf(l, a), kindOf(r, b)) match {
+        case (Some(ka), Some(kb)) if ka != kb &&
+            (ka == "TS" || kb == "TS") => Some((i, ka, kb))
+        case _ => None
+      }
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.resolveOperatorsUp {
@@ -493,6 +592,67 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case j: Join if j.condition.exists(c =>
           isNumeric(c) || isTemporal(c) || isStringy(c)) =>
         j.copy(condition = j.condition.map(asBool))
+      // DATETIME union TIMESTAMP: the reference coerces the FIRST side
+      // into the SECOND side's kind through its UTC boundary at the
+      // recording server's +03:00 zone (union.test pins '… 12:00:00'
+      // datetime rows displaying '… 15:00:00' under `t1 UNION t2` and
+      // timestamps showing their raw UTC '… 09:30:00' under
+      // `t2 UNION t1`)
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union
+          if u.children.length == 2 && u.childrenResolved &&
+            u.children.forall(_.resolved) &&
+            unionTzMixedPositions(u).nonEmpty =>
+        val mixed = unionTzMixedPositions(u)
+        val RefTzMicros = 3L * 3600 * 1000000 // the CI server's +03:00
+        // the converted side's metadata must declare the RESULT kind —
+        // stamping TIMESTAMP on a side converting INTO DATETIME leaves
+        // the kinds mixed and the fixpoint rewraps forever
+        def kindMeta(k: String) =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("graft.mysql.type",
+              if (k == "TS") "TIMESTAMP" else "DATETIME").build()
+        def wrap(child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                 deltas: Map[Int, (Long, String)])
+            : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+          if (deltas.isEmpty) child
+          else Project(child.output.zipWithIndex.map { case (a, i) =>
+            deltas.get(i) match {
+              case Some((d, resultKind)) =>
+                val shifted: Expression =
+                  if (a.dataType == DateType)
+                    TimestampAddInterval(Cast(a, TimestampType), Literal(
+                      new org.apache.spark.unsafe.types.CalendarInterval(
+                        0, 0, d), CalendarIntervalType))
+                  else TimestampAddInterval(a, Literal(
+                    new org.apache.spark.unsafe.types.CalendarInterval(
+                      0, 0, d), CalendarIntervalType))
+                Alias(shifted, a.name)(
+                  explicitMetadata = Some(kindMeta(resultKind)))
+              case None => a
+            }
+          }, child)
+        val (firstDeltas, secondDeltas) = mixed.map {
+          case (i, kA, kB) =>
+            // the result takes the SECOND side's kind — unless the
+            // second is a DATE, which always loses to a timed kind.
+            // Only conversions CROSSING the UTC boundary shift: into
+            // TIMESTAMP is +3h (value reinterpreted as UTC, displayed
+            // local), out of TIMESTAMP is -3h (raw UTC shown);
+            // DATE -> DATETIME stays midnight.
+            val resultKind = if (kB == "DATE") kA else kB
+            def delta(k: String): Option[(Long, String)] =
+              if (k == resultKind) None
+              else if (resultKind == "TS") Some((RefTzMicros, resultKind))
+              else if (k == "TS") Some((-RefTzMicros, resultKind))
+              // a non-shifting conversion (DATE → DATETIME) still
+              // re-stamps the kind so the fixpoint converges
+              else Some((0L, resultKind))
+            (delta(kA).map(i -> _), delta(kB).map(i -> _))
+        }.unzip match {
+          case (as, bs) => (as.flatten.toMap, bs.flatten.toMap)
+        }
+        u.copy(children = Seq(wrap(u.children.head, firstDeltas),
+          wrap(u.children.last, secondDeltas)))
       case a: Aggregate if needsLooseGroupBy(a) => looseGroupBy(a)
       // MySQL 5.7's ONLY_FULL_GROUP_BY accepts an ungrouped column that
       // is FUNCTIONALLY EQUAL to a grouping column through the query's
@@ -681,17 +841,29 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case c: BinaryComparison if c.left.resolved && c.right.resolved &&
               ((isTemporal(c.left) && strLitOperand(c.right).isDefined) ||
                 (isTemporal(c.right) && strLitOperand(c.left).isDefined)) && {
-                val raw = (if (isTemporal(c.left)) strLitOperand(c.right)
-                  else strLitOperand(c.left)).get
-                val norm = graft.functions.MySql.dateLiteralNormalize(raw)
-                val tempSide = if (isTemporal(c.left)) c.left else c.right
-                (norm != null && norm != raw) ||
-                  // an already-normal datetime literal against a DATE
-                  // column still needs the granularity promotion
-                  (norm != null && tempSide.dataType == DateType &&
-                    norm.length > 10 && !norm.endsWith(" 00:00:00"))
+                // choose the side pairing SAFELY: an implicit
+                // Cast(strlit AS DATE) is BOTH temporal-typed and a
+                // string-literal operand — pick the pairing where the
+                // OTHER side actually holds the literal
+                // (week_function.test's WEEK('2020-10-12') crashed a
+                // bare .get here)
+                val leftTemporal = isTemporal(c.left) &&
+                  strLitOperand(c.right).isDefined
+                val rawOpt =
+                  if (leftTemporal) strLitOperand(c.right)
+                  else strLitOperand(c.left)
+                val tempSide = if (leftTemporal) c.left else c.right
+                rawOpt.exists { raw =>
+                  val norm = graft.functions.MySql.dateLiteralNormalize(raw)
+                  (norm != null && norm != raw) ||
+                    // an already-normal datetime literal against a DATE
+                    // column still needs the granularity promotion
+                    (norm != null && tempSide.dataType == DateType &&
+                      norm.length > 10 && !norm.endsWith(" 00:00:00"))
+                }
               } =>
-            val leftTemporal = isTemporal(c.left)
+            val leftTemporal = isTemporal(c.left) &&
+              strLitOperand(c.right).isDefined
             val tempSide = if (leftTemporal) c.left else c.right
             val raw = (if (leftTemporal) strLitOperand(c.right)
               else strLitOperand(c.left)).get
@@ -738,6 +910,22 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
               org.apache.spark.unsafe.types.UTF8String.fromString(
                 graft.functions.MySql.dateLiteralNormalize(raw)),
               StringType)))
+          // CAST(str_to_date(…) AS DATETIME) of a TIME-only parse: the
+          // zero-date string '0000-00-00 10:20:10' rides the year-1
+          // sentinel through the cast (Spark's cast NULLs it) and the
+          // renderer maps it back (date_formats.test)
+          case c: Cast if (c.dataType.isInstanceOf[TimestampType] ||
+              c.dataType.isInstanceOf[TimestampNTZType]) &&
+              c.child.resolved && {
+                c.child match {
+                  case si: org.apache.spark.sql.catalyst.expressions
+                    .objects.StaticInvoke =>
+                    si.functionName == "strToDateMysql"
+                  case _ => false
+                }
+              } =>
+            c.withNewChildren(Seq(RegExpReplace(c.child,
+              Literal("^0000-00-00"), Literal("0001-01-01"))))
           // TIMESTAMPADD over a DATE with a date-granularity unit
           // returns DATE in MySQL ('1991-06-02', not '… 00:00:00' —
           // timestampadd_function.test); rebuild in the date domain so
@@ -793,6 +981,28 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
               else Cast(e, StringType)
             CaseWhen(branches.map(b => (b._1, str(b._2))),
               elseValue.map(str))
+          // a DATETIME(n>0)/TIMESTAMP(n>0) column converting to STRING
+          // keeps its declared fraction — '2022-01-01 00:00:00.000'
+          // for DATETIME(3) (issue998's unions with CHAR)
+          case c: Cast if c.dataType == StringType && c.child.resolved &&
+              c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty &&
+              (c.child.dataType.isInstanceOf[TimestampType] ||
+                c.child.dataType.isInstanceOf[TimestampNTZType]) && {
+                c.child match {
+                  case ar: AttributeReference =>
+                    ar.metadata.contains("graft.mysql.type") &&
+                      """(?i)^(?:DATETIME|TIMESTAMP)\(([1-9])\)""".r
+                        .findFirstIn(ar.metadata.getString("graft.mysql.type"))
+                        .isDefined
+                  case _ => false
+                }
+              } =>
+            val ar = c.child.asInstanceOf[AttributeReference]
+            val n = """(?i)^(?:DATETIME|TIMESTAMP)\(([1-9])\)""".r
+              .findFirstMatchIn(ar.metadata.getString("graft.mysql.type"))
+              .get.group(1).toInt
+            DateFormatClass(c.child,
+              Literal("yyyy-MM-dd HH:mm:ss." + ("S" * n)))
           // a double branch Spark string-coerced inside IF/CASE renders
           // MySQL-style — no trailing `.0` on integral values
           // (insert_select.test `if(max(f1) is null,'2000',max(f1)+1)`
@@ -829,9 +1039,123 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
             Cast(Multiply(Cast(m.left, DecimalType(38, 0)),
               Cast(m.right, DecimalType(38, 0))), LongType,
               None, EvalMode.ANSI)
+          // a temporal probe's IN-list coerces its string literals
+          // through MySQL's loose date grammar too (type_timestamp's
+          // `b IN ('20161213')` over a DATE column). Spark's own In
+          // coercion may already have cast the PROBE to string — unwrap
+          // it and compare in the temporal domain.
+          case in @ In(v0, list) if v0.resolved &&
+              list.forall(_.resolved) && {
+                val v = v0 match {
+                  case c: Cast if c.dataType == StringType &&
+                      c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
+                    c.child
+                  case other => other
+                }
+                (v.dataType == DateType ||
+                  v.dataType.isInstanceOf[TimestampType] ||
+                  v.dataType.isInstanceOf[TimestampNTZType]) &&
+                  list.exists(e => strLitOperand(e).exists { s =>
+                    val n = graft.functions.MySql.dateLiteralNormalize(s)
+                    n != null && n != s
+                  })
+              } =>
+            val v = v0 match {
+              case c: Cast if c.dataType == StringType &&
+                  c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
+                c.child
+              case other => other
+            }
+            // an element that can never be a real date (numeric 0, an
+            // unparseable string) DROPS from the list — a NULL-casting
+            // element would poison the whole IN to UNKNOWN where MySQL
+            // answers 0 (`b in ('20161213', 0)` rows that miss)
+            val kept = list.flatMap { e =>
+              strLitOperand(e) match {
+                case Some(s) =>
+                  val n = graft.functions.MySql.dateLiteralNormalize(s)
+                  if (n == null) None
+                  else Some(Cast(Literal(org.apache.spark.unsafe.types
+                    .UTF8String.fromString(n), StringType), v.dataType))
+                case None =>
+                  def numLit(x: Expression): Boolean = x match {
+                    case Literal(n, _: NumericType) => n != null
+                    case c: Cast if c.getTagValue(
+                        Cast.USER_SPECIFIED_CAST).isEmpty =>
+                      numLit(c.child)
+                    case _ => false
+                  }
+                  if (numLit(e)) None
+                  else Some(Cast(e, v.dataType))
+              }
+            }
+            if (kept.isEmpty) Literal(false)
+            else In(v, kept)
+          // a TIME-declared column against a bare-digit literal reads
+          // the digits as hhmmss from the right ('121314' is 12:13:14
+          // — type_timestamp's t3 goldens); equality and IN forms
+          case c: BinaryComparison if c.left.resolved && c.right.resolved &&
+              timeDeclVsDigits(c.left, c.right).isDefined =>
+            val (col0, lit0) = timeDeclVsDigits(c.left, c.right).get
+            val norm = Literal(org.apache.spark.unsafe.types.UTF8String
+              .fromString(graft.functions.MySql
+                .timeDigitsNormalize(lit0)), StringType)
+            if (c.left eq col0) c.withNewChildren(Seq(col0, norm))
+            else c.withNewChildren(Seq(norm, col0))
+          case in @ In(v, list) if v.resolved && list.forall(_.resolved) &&
+              isTimeDecl(v) && list.exists(e =>
+                strLitOperand(e).exists(_.matches("\\d{3,6}"))) =>
+            In(v, list.map { e =>
+              strLitOperand(e) match {
+                case Some(s) if s.matches("\\d{3,6}") =>
+                  Literal(org.apache.spark.unsafe.types.UTF8String
+                    .fromString(graft.functions.MySql
+                      .timeDigitsNormalize(s)), StringType)
+                case _ => e match {
+                  // a NUMERIC element reads as TIME digits too
+                  // (`b in ('121314', 0)` — 0 is '00:00:00')
+                  case Literal(x, _: NumericType)
+                      if x != null && x.toString.matches("\\d{1,6}") =>
+                    Literal(org.apache.spark.unsafe.types.UTF8String
+                      .fromString(graft.functions.MySql
+                        .timeDigitsNormalize(x.toString)), StringType)
+                  case _ => e
+                }
+              }
+            })
           // GREATEST/LEAST over mixed temporal/string compares as the
-          // temporal type in MySQL (type_timestamp.test's
-          // `GREATEST(a, '2020-07-01')`)
+          // temporal type but RETURNS the string domain — the raw
+          // string operand wins verbatim (type_timestamp.test's
+          // `GREATEST(a, '2020-07-01')` is '2020-07-01', not
+          // '2020-07-01 00:00:00')
+          case g: Greatest if g.children.length == 2 &&
+              g.children.forall(_.resolved) &&
+              g.children.exists(isTemporal) &&
+              g.children.exists(_.dataType == StringType) =>
+            val t = g.children.find(isTemporal).get.dataType
+            def cmp(c: Expression) =
+              if (c.dataType == StringType) Cast(c, t) else c
+            def str(c: Expression) =
+              if (c.dataType == StringType) c else Cast(c, StringType)
+            If(Or(IsNull(g.children.head), IsNull(g.children.last)),
+              Literal(null, StringType),
+              If(GreaterThanOrEqual(cmp(g.children.head),
+                cmp(g.children.last)),
+                str(g.children.head), str(g.children.last)))
+          case l: Least if l.children.length == 2 &&
+              l.children.forall(_.resolved) &&
+              l.children.exists(isTemporal) &&
+              l.children.exists(_.dataType == StringType) =>
+            val t = l.children.find(isTemporal).get.dataType
+            def cmp(c: Expression) =
+              if (c.dataType == StringType) Cast(c, t) else c
+            def str(c: Expression) =
+              if (c.dataType == StringType) c else Cast(c, StringType)
+            If(Or(IsNull(l.children.head), IsNull(l.children.last)),
+              Literal(null, StringType),
+              If(LessThanOrEqual(cmp(l.children.head),
+                cmp(l.children.last)),
+                str(l.children.head), str(l.children.last)))
           case g: Greatest if g.children.forall(_.resolved) &&
               g.children.exists(isTemporal) &&
               g.children.exists(_.dataType == StringType) =>
@@ -964,6 +1288,72 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 stringAsNumber(s)))
             else c.withNewChildren(Seq(Cast(c.left, DoubleType),
               stringAsDouble(s)))
+          // the reference evaluates `x [NOT] IN (SELECT NULL …)` as a
+          // NULL condition outright — its subquery materializer types
+          // the constant-NULL column as null and every membership test
+          // through it is UNKNOWN (issue433 pins `42 not in (select
+          // null …)` = empty even over an EMPTY subquery)
+          case in @ InSubquery(_, l: ListQuery)
+              if l.plan.resolved && l.plan.output.length == 1 && {
+                def strip(e: Expression): Expression = e match {
+                  case a: Alias => strip(a.child)
+                  case c: Cast => strip(c.child)
+                  case Not(x) => strip(x)
+                  case other => other
+                }
+                // follow the output attribute through nested Projects
+                // (TypeCoercion may already have wrapped the original
+                // Project(NULL) in a casting Project)
+                def attrIsNull(
+                    p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                    id: ExprId): Boolean = p match {
+                  case pr: Project =>
+                    pr.projectList.find(_.exprId == id) match {
+                      case Some(e) => strip(e) match {
+                        case Literal(null, _) => true
+                        case ar: AttributeReference =>
+                          attrIsNull(pr.child, ar.exprId)
+                        case _ => false
+                      }
+                      case None => attrIsNull(pr.child, id)
+                    }
+                  case f: Filter => attrIsNull(f.child, id)
+                  case _ => false
+                }
+                l.plan match {
+                  case pr: Project if pr.projectList.length == 1 =>
+                    strip(pr.projectList.head) match {
+                      case Literal(null, _) => true
+                      case ar: AttributeReference =>
+                        attrIsNull(pr.child, ar.exprId)
+                      case _ => false
+                    }
+                  case _ => false
+                }
+              } =>
+            Literal.create(null, BooleanType)
+          // a NULL-literal probe: MySQL's `NULL [NOT] IN (subquery)` is
+          // FALSE/TRUE over an EMPTY subquery and NULL otherwise
+          // (issue433's `null not in (select * … where val > 42)`
+          // returns the row); Spark's rewrite loses the empty case
+          case in @ InSubquery(Seq(p0), l: ListQuery)
+              if l.plan.resolved && {
+                def stripC(e: Expression): Expression = e match {
+                  case c: Cast => stripC(c.child)
+                  case other => other
+                }
+                stripC(p0) match {
+                  case Literal(null, _) => true
+                  case _ => false
+                }
+              } =>
+            val cond = If(
+              GreaterThan(aggregate.Count(Seq(Literal(1)))
+                .toAggregateExpression(), Literal(0L)),
+              Literal.create(null, BooleanType), Literal(false))
+            org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+              org.apache.spark.sql.catalyst.plans.logical.Aggregate(
+                Nil, Seq(Alias(cond, "__null_in")()), l.plan))
           // IN-subquery operand mismatches MySQL coerces numerically:
           // boolean subquery output takes the probe's type (issue433's
           // `42 in (select !null …)`), string-vs-number compares as

@@ -228,7 +228,11 @@ object MtrParity {
         f.metadata.getBoolean("graft.mysql.notnull")) zero
     else if (temporal && v != null) {
       val s = renderCell(v)
-      if (s == "0001-01-01" || s.startsWith("0001-01-01 00:00:00")) zero
+      // the year-1 sentinel date renders as MySQL's zero date, with
+      // any time-of-day preserved ('0001-01-01 10:20:10' →
+      // '0000-00-00 10:20:10' — date_formats' TIME-only str_to_date)
+      if (s == "0001-01-01") zero
+      else if (s.startsWith("0001-01-01 ")) "0000-00-00" + s.drop(10)
       else s
     }
     else renderCell(v)
