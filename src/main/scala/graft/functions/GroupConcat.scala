@@ -38,26 +38,57 @@ class GroupConcat(sep: String, distinct: Boolean, maxLen: Int)
   override def outputEncoder: Encoder[String] = Encoders.STRING
 }
 
-/** `GROUP_CONCAT(value ORDER BY key [DESC])`: buffers (key, value)
-  * pairs, sorts by the key at finish (ties broken by value for
-  * determinism), emits the joined values. */
-class GroupConcatOrdered(sep: String, desc: Boolean, maxLen: Int)
-    extends Aggregator[(String, String), List[(String, String)], String] {
-  override def zero: List[(String, String)] = Nil
-  override def reduce(b: List[(String, String)],
-                      a: (String, String)): List[(String, String)] =
-    if (a == null || a._2 == null) b else a :: b
-  override def merge(a: List[(String, String)],
-                     b: List[(String, String)]): List[(String, String)] =
-    a ::: b
-  override def finish(r: List[(String, String)]): String = {
-    val sorted = r.sortBy(p => (p._1, p._2))
-    val ordered = if (desc) sorted.reverse else sorted
-    val s = ordered.map(_._2).mkString(sep)
+/** GROUP_CONCAT without ORDER BY, MySQL's actual contract: values
+  * concatenate in SCAN order (the statement tier's insert-order read —
+  * unsigned_support_issue1267.test pins `0,127,127,0,0,129,255` for a
+  * table inserted in exactly that order). The buffer is kept reversed
+  * (prepend) and flipped at finish; merge stitches the later partial
+  * in front so partition order survives two-phase aggregation. */
+class GroupConcatScan(sep: String, maxLen: Int)
+    extends Aggregator[String, List[String], String] {
+  override def zero: List[String] = Nil
+  override def reduce(b: List[String], a: String): List[String] =
+    if (a == null) b else a :: b
+  override def merge(a: List[String], b: List[String]): List[String] =
+    b ::: a
+  override def finish(r: List[String]): String = {
+    val s = r.reverse.mkString(sep)
     if (maxLen > 0 && s.length > maxLen) s.substring(0, maxLen) else s
   }
-  override def bufferEncoder: Encoder[List[(String, String)]] =
-    ExpressionEncoder[List[(String, String)]]()
+  override def bufferEncoder: Encoder[List[String]] =
+    ExpressionEncoder[List[String]]()
+  override def outputEncoder: Encoder[String] = Encoders.STRING
+}
+
+/** `GROUP_CONCAT(value ORDER BY key [DESC])`: buffers (numKey, key,
+  * value) triples, sorts at finish by the NUMERIC key when the key
+  * parses as a number (issue938.test pins `1234,56789012,…` — a
+  * lexical sort would put the 13-digit value second), falling back to
+  * the string key (ties broken by value for determinism). */
+class GroupConcatOrdered(sep: String, desc: Boolean, maxLen: Int)
+    extends Aggregator[(java.lang.Double, String, String),
+      List[(java.lang.Double, String, String)], String] {
+  override def zero: List[(java.lang.Double, String, String)] = Nil
+  override def reduce(b: List[(java.lang.Double, String, String)],
+                      a: (java.lang.Double, String, String))
+      : List[(java.lang.Double, String, String)] =
+    if (a == null || a._3 == null) b else a :: b
+  override def merge(a: List[(java.lang.Double, String, String)],
+                     b: List[(java.lang.Double, String, String)])
+      : List[(java.lang.Double, String, String)] =
+    a ::: b
+  override def finish(r: List[(java.lang.Double, String, String)])
+      : String = {
+    val sorted = r.sortBy(p =>
+      (p._1 == null, if (p._1 == null) 0d else p._1.doubleValue,
+        p._2, p._3))
+    val ordered = if (desc) sorted.reverse else sorted
+    val s = ordered.map(_._3).mkString(sep)
+    if (maxLen > 0 && s.length > maxLen) s.substring(0, maxLen) else s
+  }
+  override def bufferEncoder
+      : Encoder[List[(java.lang.Double, String, String)]] =
+    ExpressionEncoder[List[(java.lang.Double, String, String)]]()
   override def outputEncoder: Encoder[String] = Encoders.STRING
 }
 
@@ -74,5 +105,6 @@ object GroupConcat {
   def groupConcatOrderBy(value: Column, orderKey: Column, sep: String = ",",
                          desc: Boolean = false, maxLen: Int = 0): Column =
     udaf(new GroupConcatOrdered(sep, desc, maxLen))
-      .apply(orderKey.cast("string"), value.cast("string"))
+      .apply(orderKey.cast("double"), orderKey.cast("string"),
+        value.cast("string"))
 }

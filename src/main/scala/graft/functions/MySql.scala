@@ -60,6 +60,56 @@ object MySql {
     }
   }
 
+  /** Field_string::store(double) — my_gcvt constrained to the CHAR(n)
+    * column's width (strings/dtoa.c): shortest round-tripping digits
+    * first, then precision drops until a form fits `width`, trying the
+    * scientific spelling when plain overflows ('0.00187' into char(4)
+    * stores '2e-3', '-5000' stores '-5e3' — insert.test); nothing fits
+    * → '0' with MySQL's truncation warning. `floatSrc` caps the
+    * round-trip test at FLT precision. */
+  def doubleToCharWidth(d: Double, width: Int, floatSrc: Boolean)
+      : org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      mysqlGcvtWidth(d, math.max(1, width), floatSrc))
+
+  private def mysqlGcvtWidth(d: Double, width: Int,
+                             floatSrc: Boolean): String = {
+    if (d.isNaN || d.isInfinite) return "0"
+    if (d == 0.0) return "0"
+    val exact = new java.math.BigDecimal(d)
+    def trips(p: Int): Boolean = {
+      val bd = exact.round(new java.math.MathContext(p))
+      if (floatSrc) bd.floatValue == d.toFloat else bd.doubleValue == d
+    }
+    val maxP = if (floatSrc) 9 else 17
+    var p = 1
+    while (p < maxP && !trips(p)) p += 1
+    while (p >= 1) {
+      // HALF_EVEN: an exactly-representable tie rounds to even
+      // (1.225e10 stores '1.22e10', not '1.23e10' — dtoa rounding)
+      val bd = exact.round(new java.math.MathContext(p,
+        java.math.RoundingMode.HALF_EVEN)).stripTrailingZeros
+      val exp = bd.precision - bd.scale - 1
+      val sci = {
+        val unscaled = bd.unscaledValue.abs.toString
+        val sign = if (bd.signum < 0) "-" else ""
+        val mant = if (unscaled.length == 1) unscaled
+          else unscaled.head + "." + unscaled.tail
+        s"$sign${mant}e$exp"
+      }
+      // storage my_gcvt prefers the PLAIN spelling whenever it fits
+      // the width (golden '0.00001225' in char(20) despite %g's -4
+      // gate); exponents ≥15 always take the scientific form
+      if (exp < 15) {
+        val plain = bd.toPlainString
+        if (plain.length <= width) return plain
+        if (sci.length <= width) return sci
+      } else if (sci.length <= width) return sci
+      p -= 1
+    }
+    "0"
+  }
+
   // --- checked integer/double arithmetic (MySQL error 1690) -------------
   // The reference evaluates integer expressions in int64 (its engine
   // stores one 64-bit cell per value — common_definitions.h) and MySQL
@@ -176,6 +226,22 @@ object MySql {
       throw new ArithmeticException(
         "BIGINT value is out of range in DIV (MySQL error 1690)")
     java.lang.Long.valueOf(q.longValueExact)
+  }
+
+  /** Exact-type division at MySQL's result scale: scale(dividend) +
+    * div_precision_increment (4), HALF_UP — `int_col/10.3` renders
+    * 0.0971, not Spark's 6-digit 0.097087 (select_expressions.test).
+    * Division by zero is NULL, MySQL's contract. */
+  def decDivMysql(l: org.apache.spark.sql.types.Decimal,
+                  r: org.apache.spark.sql.types.Decimal,
+                  scale: Int): org.apache.spark.sql.types.Decimal = {
+    if (l == null || r == null) return null
+    val rv = r.toJavaBigDecimal
+    if (rv.signum == 0) return null
+    val q = l.toJavaBigDecimal.divide(rv,
+      new java.math.MathContext(38, java.math.RoundingMode.HALF_UP))
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+    org.apache.spark.sql.types.Decimal(q)
   }
 
   /** MySQL `a DIV b` — integer division truncating toward zero. */
@@ -330,7 +396,10 @@ object MySql {
     * seconds ADDTIME accepts (AddTime_function.test). Returns DOUBLE
     * seconds. */
   def timeToSecFull(t: Column): Column = {
-    val trimmed = trim(t)
+    // a DATETIME/TIMESTAMP value contributes its TIME part
+    // (TIME_TO_SEC('2019-01-02 01:02:03') = 3723 — type_timestamp.test)
+    val trimmed = regexp_replace(trim(t),
+      "^\\d{1,4}-\\d{1,2}-\\d{1,2}[ T]", "")
     val neg = trimmed.startsWith("-")
     val clean = regexp_replace(trimmed, "^-", "")
     val days = coalesce(
@@ -454,6 +523,29 @@ object MySql {
     * floor(x + 0.5) — the func_bit goldens pin -2.9 → -3 AND
     * -3.5 → -3 (neither truncation nor half-away rounding fits). */
   def mysqlDoubleToLong(d: Double): Long = math.floor(d + 0.5).toLong
+
+  /** TIMESTAMPADD with a TIME first operand stays in the TIME domain:
+    * '02:03:04' + 1 WEEK = '170:03:04' (hours carry past 24, capped at
+    * MySQL's ±838:59:59 — issue464.test). The fractional tail, if any,
+    * rides along unchanged (whole-second addition). */
+  def timeAddSecondsMysql(t0: org.apache.spark.unsafe.types.UTF8String,
+                          add: Long): org.apache.spark.unsafe.types.UTF8String = {
+    if (t0 == null) return null
+    val s = t0.toString.trim
+    val m = """^(-)?(\d{1,3}):(\d{1,2})(?::(\d{1,2}))?(\.\d+)?$""".r
+      .findFirstMatchIn(s).orNull
+    if (m == null) return null
+    val sign = if (m.group(1) != null) -1L else 1L
+    val base = sign * (m.group(2).toLong * 3600 + m.group(3).toLong * 60 +
+      (if (m.group(4) != null) m.group(4).toLong else 0L))
+    val cap = 838L * 3600 + 59 * 60 + 59
+    val tot = math.max(-cap, math.min(cap, base + add))
+    val a = math.abs(tot)
+    val frac = if (m.group(5) != null) m.group(5) else ""
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      (if (tot < 0) "-" else "") +
+        f"${a / 3600}%02d:${(a % 3600) / 60}%02d:${a % 60}%02d" + frac)
+  }
 
   private val LongMaxBD = new java.math.BigDecimal(Long.MaxValue)
   private val LongMinBD = new java.math.BigDecimal(Long.MinValue)
@@ -838,9 +930,14 @@ object MySql {
       (unix_micros(a.cast("timestamp")) -
         unix_micros(b.cast("timestamp"))).cast("double") / 1e6)
       .cast("long")
-    val base = when(isTime(as) && isTime(bs), secToTime(tdiff))
-      .when(isDt(as) && isDt(bs), secToTime(dtdiff))
-      .when(isDateOnly(as) && isDateOnly(bs), secToTime(dtdiff))
+    // a TIME result saturates at MySQL's TIME range: ±838:59:59
+    // (timediff_function.test pins the cap for year-scale diffs)
+    val timeCap = 838L * 3600 + 59 * 60 + 59
+    def capped(secs: Column) =
+      secToTime(least(greatest(secs, lit(-timeCap)), lit(timeCap)))
+    val base = when(isTime(as) && isTime(bs), capped(tdiff))
+      .when(isDt(as) && isDt(bs), capped(dtdiff))
+      .when(isDateOnly(as) && isDateOnly(bs), capped(dtdiff))
       .otherwise(lit(null))
     when(fsp > 0 && base.isNotNull,
       concat(base, lit("."), lit("000000").substr(lit(1), fsp)))

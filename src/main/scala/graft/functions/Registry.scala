@@ -40,6 +40,11 @@ object Registry {
     // on groups past the limit.
     spark.udf.register("group_concat",
       udaf(new GroupConcat(",", false, GroupConcatMaxLen)))
+    // MySQL's real unordered contract — SCAN order — for the SQL
+    // statement tier (the sorted variant above stays the Scala API's
+    // deterministic default for distributed plans)
+    spark.udf.register("group_concat_scan",
+      udaf(new GroupConcatScan(",", GroupConcatMaxLen)))
     spark.udf.register("group_concat_distinct",
       udaf(new GroupConcat(",", true, GroupConcatMaxLen)))
     // GROUP_CONCAT(value ORDER BY key [DESC]) from SQL: the ORDER BY
@@ -341,7 +346,14 @@ object Registry {
     fn("elt")(cs => MySql.elt(cs.head, cs.tail: _*))
     fn("field")(cs => MySql.field(cs.head, cs.tail: _*))
     fn("insert")(cs => MySql.insertStr(cs.head, cs(1), cs(2), cs(3)))
-    fn("mid")(cs => cs.head.substr(cs(1), cs(2)))
+    // MID/SUBSTRING(str, pos, len): MySQL returns '' for pos = 0 and
+    // for |pos| past the string's length (mid_function.test pins both;
+    // Spark's substr treats 0 as 1 and clamps negative overshoot)
+    fn("mid")(cs =>
+      when(cs(1) === 0 ||
+          org.apache.spark.sql.functions.abs(cs(1)) >
+            org.apache.spark.sql.functions.length(cs.head), lit(""))
+        .otherwise(cs.head.substr(cs(1), cs(2))))
     fn("oct")(cs => conv(cs.head.cast("string"), 10, 8))
     // CONV over a BIT column: the reference feeds the bit VALUE's
     // base-10 digits regardless of from_base (bit_type.test pins

@@ -447,8 +447,9 @@ object Filters {
   val qTimeFuncsSql: String =
     """WITH t AS (
       |  SELECT o_orderkey, o_orderdate,
-      |    CAST(epoch(o_orderdate) AS BIGINT)
-      |      - CAST(epoch(TIMESTAMP '1995-06-01 00:00:00') AS BIGINT)
+      |    GREATEST(-3020399, LEAST(3020399,
+      |      CAST(epoch(o_orderdate) AS BIGINT)
+      |      - CAST(epoch(TIMESTAMP '1995-06-01 00:00:00') AS BIGINT)))
       |      AS dsec,
       |    (o_orderkey % 24) * 3600 + (o_orderkey % 60) * 60
       |      + (o_orderkey % 60) AS msec

@@ -64,10 +64,23 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
     else e
 
   /** Temporal → the number MySQL compares it as: its digit string
-    * (DATE '2020-01-02' → 20200102, DATETIME → 20200102103000). */
-  private def temporalAsNumber(e: Expression): Expression =
-    Cast(RegExpReplace(Cast(e, StringType), Literal("[^0-9]"), Literal("")),
-      DecimalType(20, 0))
+    * (DATE '2020-01-02' → 20200102, DATETIME → 20200102103000). A NULL
+    * in a NOT-NULL-declared temporal column is the engine's stored
+    * zero date — its number is 0, not NULL (insert.test pins `t>0` = 0
+    * after `INSERT … (4,0,…)` into `timestamp NOT NULL`). */
+  private def temporalAsNumber(e: Expression): Expression = {
+    val n = Cast(RegExpReplace(Cast(e, StringType), Literal("[^0-9]"),
+      Literal("")), DecimalType(20, 0))
+    val zeroStoredAsNull = e match {
+      case ar: AttributeReference =>
+        ar.metadata.contains("graft.mysql.notnull") &&
+          ar.metadata.getBoolean("graft.mysql.notnull")
+      case _ => false
+    }
+    if (zeroStoredAsNull)
+      Coalesce(Seq(n, Literal(Decimal(0, 20, 0), DecimalType(20, 0))))
+    else n
+  }
 
   /** A bare string operand, or one under an ANALYZER-inserted numeric
     * cast (Spark's PromoteStrings fires in the same resolution batch
@@ -311,6 +324,12 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
     spark.conf.getOption("spark.graft.mysql.sqlMode")
       .exists(m => m != "__default__" &&
         !m.toUpperCase.contains("ONLY_FULL_GROUP_BY"))
+
+  /** Session time_zone offset minutes published by the runner (0 when
+    * SYSTEM/unset). */
+  private def sessionTzMinConf: Int =
+    spark.conf.getOption("spark.graft.mysql.tzMin")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(0)
 
   /** Cheap pre-check: does the select list carry a BARE ungrouped
     * attribute at all? (select-list-only scan — the expensive child
@@ -653,6 +672,30 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         u.copy(children = Seq(wrap(u.children.head, firstDeltas),
           wrap(u.children.last, secondDeltas)))
+      // SELECT DISTINCT over strings dedups CASE-INSENSITIVELY
+      // (latin1_swedish_ci) keeping the FIRST-SEEN representative in
+      // scan order — `distinct substring(fld3,1,3)` keeps 'Ado' and
+      // drops the later 'ado', and `distinct … LIMIT 10` returns the
+      // first ten distincts encountered (select.test). Rebuilt as
+      // group-by-folded-key + first() + a min-arrival sort; the
+      // Distinct node disappears, so the fixpoint cannot rematch.
+      case d: org.apache.spark.sql.catalyst.plans.logical.Distinct
+          if d.resolved && d.child.output.nonEmpty =>
+        val child = d.child
+        val mid = Alias(MonotonicallyIncreasingID(), "__dist_ord")()
+        val stamped = Project(child.output :+ mid, child)
+        val groupExprs: Seq[Expression] = child.output.map(a =>
+          if (a.dataType == StringType) Lower(a) else (a: Expression))
+        val aggExprs = child.output.map(a =>
+          Alias(aggregate.First(a, ignoreNulls = false)
+            .toAggregateExpression(), a.name)(exprId = a.exprId)) :+
+          Alias(aggregate.Min(mid.toAttribute).toAggregateExpression(),
+            "__dist_min")()
+        val agg = Aggregate(groupExprs, aggExprs, stamped)
+        Project(child.output,
+          org.apache.spark.sql.catalyst.plans.logical.Sort(
+            Seq(SortOrder(aggExprs.last.toAttribute, Ascending)),
+            global = true, agg))
       case a: Aggregate if needsLooseGroupBy(a) => looseGroupBy(a)
       // MySQL 5.7's ONLY_FULL_GROUP_BY accepts an ungrouped column that
       // is FUNCTIONALLY EQUAL to a grouping column through the query's
@@ -749,6 +792,18 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
             val bd = c.child.asInstanceOf[Literal].value
               .asInstanceOf[Decimal].toJavaBigDecimal
             Literal(if (bd.signum > 0) Long.MaxValue else Long.MinValue)
+          // negating the i64min LITERAL widens to DECIMAL the MySQL way
+          // (`-(-9223372036854775808)` = 9223372036854775808 — Spark's
+          // LongType negation would wrap back to i64min;
+          // bigint_unsigned.test). Literal-only: runtime i64min
+          // negation keeps the checked-arithmetic path.
+          case um: UnaryMinus
+              if (um.child match {
+                case Literal(v: Long, LongType) => v == Long.MinValue
+                case _ => false
+              }) =>
+            Literal(Decimal(new java.math.BigDecimal(
+              "9223372036854775808"), 20, 0), DecimalType(20, 0))
           // |i64min| overflows signed BIGINT (ABS(-9223372036854775808))
           case ab: Abs if ab.child.resolved && ab.dataType == LongType =>
             org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
@@ -794,6 +849,25 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
               "doubleDivChecked",
               Seq(Cast(d.left, DoubleType), Cast(d.right, DoubleType)),
               Seq(DoubleType, DoubleType))
+          // exact-type `/` carries MySQL's result scale —
+          // scale(dividend) + 4, HALF_UP (select_expressions.test's
+          // `t1_int/10.3` = 0.0971); Spark's decimal division rounds
+          // at its own wider scale. StaticInvoke replaces the Divide,
+          // so the fixpoint cannot rematch.
+          case d: Divide if d.children.forall(_.resolved) &&
+              d.dataType.isInstanceOf[DecimalType] =>
+            def scaleOf(e: Expression): Int = e.dataType match {
+              case dt: DecimalType => dt.scale
+              case _ => 0
+            }
+            val tScale = math.min(scaleOf(d.left) + 4, 30)
+            org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+              graft.functions.MySql.getClass,
+              DecimalType(38, tScale), "decDivMysql",
+              Seq(Cast(d.left, DecimalType(38, 12)),
+                Cast(d.right, DecimalType(38, 12)),
+                Literal(tScale)),
+              Seq(DecimalType(38, 12), DecimalType(38, 12), IntegerType))
           // MySQL LIKE over nonbinary strings is CASE-INSENSITIVE
           // (latin1_swedish_ci — strings.test pins 'hawkeye' LIKE 'H%'
           // = 1); binary operands keep exact matching
@@ -926,6 +1000,59 @@ class MySqlCoercionRule(spark: SparkSession) extends Rule[LogicalPlan] {
               } =>
             c.withNewChildren(Seq(RegExpReplace(c.child,
               Literal("^0000-00-00"), Literal("0001-01-01"))))
+          // UNIX_TIMESTAMP over a TIMESTAMP column: the tz view shows
+          // the session-LOCAL value, but MySQL returns the STORED UTC
+          // seconds — shift the operand back by the session offset
+          // before the epoch conversion (type_timestamp.test inserts
+          // under +0:00, reads under +1:00, pins the +0:00 epoch).
+          // The rewritten child is no longer a bare attribute, so the
+          // fixpoint cannot rematch.
+          case ut: org.apache.spark.sql.catalyst.expressions.UnixTimestamp
+              if sessionTzMinConf != 0 && ut.childrenResolved && {
+                ut.timeExp match {
+                  case ar: AttributeReference =>
+                    ar.dataType.isInstanceOf[TimestampType] &&
+                      ar.metadata.contains("graft.mysql.type") &&
+                      ar.metadata.getString("graft.mysql.type")
+                        .startsWith("TIMESTAMP")
+                  case _ => false
+                }
+              } =>
+            ut.withNewChildren(Seq(
+              TimestampAddInterval(ut.timeExp, Literal(
+                new org.apache.spark.unsafe.types.CalendarInterval(
+                  0, 0, -sessionTzMinConf * 60L * 1000000),
+                CalendarIntervalType)),
+              ut.format))
+          // TIMESTAMPADD over a TIME column stays in the TIME domain
+          // with hour carry ('02:03:04' + 1 WEEK = '170:03:04' —
+          // issue464.test); whole-second units only
+          case ta: org.apache.spark.sql.catalyst.expressions.TimestampAdd
+              if ta.childrenResolved &&
+                Seq("SECOND", "MINUTE", "HOUR", "DAY", "WEEK")
+                  .contains(ta.unit.toUpperCase) && {
+                  ta.timestamp match {
+                    case cc: Cast => isTimeDecl(cc.child)
+                    case other => isTimeDecl(other)
+                  }
+                } =>
+            val t = ta.timestamp match {
+              case cc: Cast if isTimeDecl(cc.child) => cc.child
+              case other => other
+            }
+            val unitSecs = ta.unit.toUpperCase match {
+              case "SECOND" => 1L
+              case "MINUTE" => 60L
+              case "HOUR" => 3600L
+              case "DAY" => 86400L
+              case "WEEK" => 7L * 86400
+            }
+            org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+              graft.functions.MySql.getClass, StringType,
+              "timeAddSecondsMysql",
+              Seq(t, Multiply(Cast(ta.quantity, LongType),
+                Literal(unitSecs))),
+              Seq(StringType, LongType))
           // TIMESTAMPADD over a DATE with a date-granularity unit
           // returns DATE in MySQL ('1991-06-02', not '… 00:00:00' —
           // timestampadd_function.test); rebuild in the date domain so

@@ -85,6 +85,19 @@ class DeltaStore(spark: SparkSession, root: String) {
   private def fs = new Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** One-file write that PRESERVES the frame's logical row order.
+    * `coalesce(1)` alone concatenates parent partitions in whatever
+    * order the locality-driven coalescer picks (a 4-partition
+    * LocalRelation wrote rotated — insert_into_select.test's
+    * `LIMIT 3` read 3750 first); stamping monotonically-increasing
+    * ids before the coalesce and sorting the single partition pins
+    * write order = plan order, the scan-order contract's write half. */
+  private def orderedSingle(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("__worder", monotonically_increasing_id())
+      .coalesce(1).sortWithinPartitions("__worder").drop("__worder")
+  }
+
   private def exists(p: String): Boolean = fs.exists(new Path(p))
 
   /** Initialize (or replace) the base table. One file for the
@@ -96,7 +109,7 @@ class DeltaStore(spark: SparkSession, root: String) {
       .forall(_.isInstanceOf[
         org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
     val next = baseVer + 1
-    (if (single || smallStore) df.coalesce(1) else df)
+    (if (single || smallStore) orderedSingle(df) else df)
       .write.mode("overwrite").parquet(baseDirOf(next))
     promoteBase(next)
   }
@@ -119,7 +132,7 @@ class DeltaStore(spark: SparkSession, root: String) {
           df.schema.fields.map(_.copy(nullable = true)))
       buffered ++= rows
       if (buffered.size >= BufferCap) flush()
-    } else (if (smallStore) df.coalesce(1) else df)
+    } else (if (smallStore) orderedSingle(df) else df)
       .write.mode("append").parquet(deltaPath)
   }
 
@@ -127,8 +140,8 @@ class DeltaStore(spark: SparkSession, root: String) {
     * point; no-op when empty). */
   def flush(): Unit = if (buffered.nonEmpty) {
     import scala.jdk.CollectionConverters._
-    spark.createDataFrame(buffered.toList.asJava, bufferedSchema)
-      .coalesce(1).write.mode("append").parquet(deltaPath)
+    orderedSingle(spark.createDataFrame(buffered.toList.asJava,
+      bufferedSchema)).write.mode("append").parquet(deltaPath)
     buffered.clear()
     bufferedSchema = null
   }
@@ -140,8 +153,25 @@ class DeltaStore(spark: SparkSession, root: String) {
     import scala.jdk.CollectionConverters._
     val base = spark.read.parquet(basePath)
     val withFiles =
-      if (exists(deltaPath)) base.unionByName(spark.read.parquet(deltaPath))
-      else base
+      if (!exists(deltaPath)) base
+      else {
+        // Spark orders a multi-file read by SIZE; the scan-order
+        // contract (insert order — see rewriteBase scaladoc) needs the
+        // delta PARTS in append order, so a small store unions its
+        // delta files oldest-first (Union concatenates child
+        // partitions in order). Large stores take the one-shot
+        // multi-path read: nothing pins physical row order at scale.
+        val parts = fs.listStatus(new Path(deltaPath))
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .sortBy(s => (s.getModificationTime, s.getPath.getName))
+          .map(_.getPath.toString)
+        if (parts.isEmpty) base
+        else if (parts.length > 64 || !smallStore)
+          base.unionByName(spark.read.parquet(deltaPath))
+        else parts.foldLeft(base)((acc, p) =>
+          acc.unionByName(spark.read
+            .schema(base.schema).parquet(p)))
+      }
     if (buffered.isEmpty) withFiles
     else withFiles.unionByName(
       spark.createDataFrame(buffered.toList.asJava, bufferedSchema))
@@ -241,7 +271,7 @@ class DeltaStore(spark: SparkSession, root: String) {
     dirBytes(basePath) + dirBytes(deltaPath) < SingleFileBytes
 
   private def rewriteBase(df0: DataFrame): Unit = {
-    val df = if (smallStore) df0.coalesce(1) else df0
+    val df = if (smallStore) orderedSingle(df0) else df0
     val next = baseVer + 1
     df.write.mode("overwrite").parquet(baseDirOf(next))
     promoteBase(next)

@@ -360,6 +360,50 @@ object MtrParity {
     // touching a tainted table is CLASSIFIED, not value-compared
     val tainted = scala.collection.mutable.Map[String, String]()
     val mismatches = scala.collection.mutable.ArrayBuffer[Mismatch]()
+
+    // ---- replay-side INSERT batching ----
+    // MTR data loads are thousands of consecutive single-tuple
+    // INSERTs (select.test carries ~1200); replayed one statement at
+    // a time each pays a full store round-trip — quadratic in the
+    // table. A run of same-shape literal-tuple INSERTs executes as
+    // ONE multi-row INSERT (semantically identical in MySQL for
+    // auto-inc order and trigger firing), with a per-statement
+    // fallback if the combined form errors. The stmts list itself is
+    // untouched, so golden-echo alignment is unaffected.
+    val BatchInsRe =
+      ("""(?is)^\s*(INSERT\s+INTO\s+`?[\w.]+`?\s*(?:\([^()]*\))?""" +
+        """\s*VALUES\s*)\(([^()]*)\)\s*;?\s*$""").r
+    def batchKey(s: String): Option[(String, String)] = s match {
+      case BatchInsRe(head, tup) if !tup.contains("@") =>
+        Some((head.replaceAll("\\s+", " ").toLowerCase, tup))
+      case _ => None
+    }
+    val batchedStmt = new Array[String](stmts.length)
+    val batchEnd = new Array[Int](stmts.length)
+    val skipExec = new Array[Boolean](stmts.length)
+    locally {
+      var bi = 0
+      while (bi < stmts.length) {
+        val k = if (stmts(bi)._2) None else batchKey(stmts(bi)._1)
+        if (k.isDefined) {
+          var bj = bi + 1
+          while (bj < stmts.length && !stmts(bj)._2 &&
+              batchKey(stmts(bj)._1).exists(_._1 == k.get._1)) bj += 1
+          if (bj - bi >= 4) {
+            val headOrig = stmts(bi)._1 match {
+              case BatchInsRe(h, _) => h
+            }
+            val tuples = (bi until bj).map(x =>
+              "(" + batchKey(stmts(x)._1).get._2 + ")")
+            batchedStmt(bi) = headOrig + tuples.mkString(", ")
+            batchEnd(bi) = bj
+            (bi + 1 until bj).foreach(skipExec(_) = true)
+            bi = bj
+          } else bi += 1
+        } else bi += 1
+      }
+    }
+
     stmts.zipWithIndex.foreach { case ((stmt, expectsError, quiet), i) =>
       val isSelect =
         """(?is)^\s*select\b""".r.findFirstIn(stmt).isDefined &&
@@ -410,10 +454,28 @@ object MtrParity {
         if (taintHit.contains("fixture")) skippedFixture += 1
         else skippedSkew += 1
       }
-      val result = scala.util.Try {
-        val df = runner.run(stmt)
-        (df.schema, df.collect())
-      }
+      val result: scala.util.Try[(org.apache.spark.sql.types.StructType,
+          Array[org.apache.spark.sql.Row])] =
+        if (skipExec(i))
+          // executed as part of an earlier combined INSERT
+          scala.util.Success((null, Array.empty))
+        else if (batchedStmt(i) != null) {
+          scala.util.Try(runner.run(batchedStmt(i)).collect()) match {
+            case scala.util.Success(_) =>
+              scala.util.Success((null, Array.empty))
+            case scala.util.Failure(_) =>
+              // combined form failed — replay the run one statement at
+              // a time to preserve exact per-statement semantics
+              (i + 1 until batchEnd(i)).foreach(skipExec(_) = false)
+              scala.util.Try {
+                val df = runner.run(stmt)
+                (df.schema, df.collect())
+              }
+          }
+        } else scala.util.Try {
+          val df = runner.run(stmt)
+          (df.schema, df.collect())
+        }
       if (comparable && result.isSuccess) {
         // the golden block: echo end → next echoed statement
         val next = (i + 1 until stmts.length).find(echoAt(_) >= 0)
@@ -435,10 +497,13 @@ object MtrParity {
         if (block.nonEmpty) {
           val expected = block.drop(1) // header row
           val (rschema, rows) = result.get
-          val actual = rows.map(r =>
+          // a value containing a raw newline renders across MULTIPLE
+          // golden lines (mysqltest prints it verbatim — issue1263's
+          // enclosed P_MSG) — split the rendered row the same way
+          val actual = rows.toSeq.flatMap(r =>
             (0 until r.length).map(k =>
               renderCellTyped(r.get(k), rschema(k)))
-              .mkString("\t")).toSeq
+              .mkString("\t").split("\n", -1).toSeq)
           compared += 1
           // multiset matching under cellEq (a sort-then-zip pairs the
           // wrong rows when rendering variants reorder lexically:
@@ -455,7 +520,7 @@ object MtrParity {
               }
             }
           if (!ok) mismatches += Mismatch(file, stmt.take(120),
-            expected.sorted.take(5), actual.sorted.take(5))
+            expected.sorted.take(40), actual.sorted.take(40))
         }
       }
     }

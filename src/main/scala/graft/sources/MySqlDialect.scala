@@ -636,14 +636,38 @@ object MySqlDialect {
       .replaceAllIn(sql, m =>
         s"${m.group(1)}(CAST(${m.group(2)} AS BINARY))")
 
+  /** BETWEEN with u64-range integer literals evaluates in the SIGNED
+    * tier: every literal past the signed max WRAPS
+    * (`-1 BETWEEN 9223372036854775808 AND 1` = 1 — the bound becomes
+    * i64min; bigint_unsigned.test pins all five shapes). */
+  private def translateBetweenU64(sql: String): String = {
+    val u64 = (BigInt(1) << 64)
+    def isHuge(s: String) = s.matches("\\d{19,20}") &&
+      BigInt(s) > Long.MaxValue && BigInt(s) < u64
+    def wrap(s: String) =
+      if (isHuge(s)) (BigInt(s) - u64).toString else s
+    """(?i)(\S+)\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)""".r
+      .replaceAllIn(sql, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          // constant-only BETWEEN: the whole predicate folds in the
+          // int64 item context, so u64 literals wrap. A COLUMN operand
+          // keeps the plain decimal compare (issue1564's
+          // `a BETWEEN -22 AND 18446744073709551599` keeps all rows)
+          if (m.group(1).matches("-?\\d+") &&
+              Seq(1, 2, 3).map(m.group).exists(isHuge))
+            s"${wrap(m.group(1))} BETWEEN ${wrap(m.group(2))} " +
+              s"AND ${wrap(m.group(3))}"
+          else m.matched))
+  }
+
   def rewrite(sqlIn: String): String = {
-    val sql = translateNestedJoinOn(
+    val sql = translateBetweenU64(translateNestedJoinOn(
       clampDoubleLiterals(stripGroupByOrder(translateRandSeed(
       translateBigNot(translateQuantified(translateLikeEscape(
         translateCaseTruthiness(translateIntervalCol(stripSelectHints(
           translateGetFormat(translateCharLenCast(
             wrapUnsignedCasts(translateBitPosition(
-              translateCharsetBinary(sqlIn)))))))))))))))
+              translateCharsetBinary(sqlIn))))))))))))))))
     val out = new StringBuilder(sql.length + 16)
     val n = sql.length
     var i = 0
@@ -740,11 +764,41 @@ object MySqlDialect {
         // MySQL's comment rule: `--` opens a comment only when followed
         // by whitespace/EOL; `--9` is double NEGATION. Spark comments
         // unconditionally on `--`, so the negation case must be spaced
-        // out (`- -9`) to survive (bigint_unsigned.test).
+        // out to survive (bigint_unsigned.test). Dash runs before a
+        // DIGIT fold their unary pairs outright: `--x` is x and
+        // `---x` is -x — leaving `- -9223372036854775808` to Spark
+        // would fold the inner pair into the LongType i64min literal
+        // and wrap the outer negation instead of widening to DECIMAL.
         val isComment = i + 2 >= n || Character.isWhitespace(sql(i + 2))
         if (isComment) {
           while (i < n && sql(i) != '\n') { out.append(sql(i)); i += 1 }
-        } else { out.append("- "); i += 1 }
+        } else {
+          var k = 0
+          while (i + k < n && sql(i + k) == '-') k += 1
+          val after = if (i + k < n) sql(i + k) else ' '
+          if (Character.isDigit(after) || after == '.') {
+            // is the FIRST dash a binary minus? (previous token is an
+            // operand: digit, closing paren, quote, or a non-keyword
+            // identifier)
+            val prevCh = out.reverseIterator.find(!_.isWhitespace)
+            val lastWord = """([A-Za-z_][A-Za-z_0-9]*)\s*$""".r
+              .findFirstMatchIn(out.toString).map(_.group(1).toUpperCase)
+            val kw = Set("SELECT", "WHERE", "AND", "OR", "NOT", "WHEN",
+              "THEN", "ELSE", "ON", "IN", "IS", "LIKE", "MOD", "XOR",
+              "DIV", "BETWEEN", "SET", "VALUES", "ALL", "DISTINCT",
+              "CASE", "HAVING", "RETURN", "RETURNS", "BY", "LIMIT",
+              "OFFSET", "AS", "IF", "ELSEIF", "WHILE", "UNTIL", "DO",
+              "FROM", "JOIN", "UNION", "INTERVAL")
+            val binaryFirst = prevCh.exists(ch => ch.isDigit ||
+              ch == ')' || ch == '\'' || ch == '"' || ch == '`') ||
+              (prevCh.exists(_.isLetter) &&
+                lastWord.exists(w => !kw.contains(w)))
+            val unary = if (binaryFirst) k - 1 else k
+            if (binaryFirst) out.append("- ")
+            if (unary % 2 == 1) out.append("- ")
+            i += k
+          } else { out.append("- "); i += 1 }
+        }
       } else if (c == '/' && i + 1 < n && sql(i + 1) == '*') {
         out.append("/*"); i += 2
         while (i < n && !(sql(i) == '*' && i + 1 < n && sql(i + 1) == '/')) {
@@ -869,15 +923,20 @@ object MySqlDialect {
                 .replace("'", "\\'") + "'"
               if (orderKey.isEmpty && sep == ",")
                 Some(if (distinct) s"group_concat_distinct($cast)"
-                else s"group_concat($cast)")
+                else s"group_concat_scan($cast)")
               else if (orderKey.contains(e) && !distinct) {
+                // sort in the VALUE's native domain before
+                // stringifying (issue938: numeric keys order
+                // numerically, not lexically)
                 val arr = if (desc)
-                  s"reverse(sort_array(collect_list($cast)))"
-                else s"sort_array(collect_list($cast))"
-                Some(s"substring(array_join($arr, $sepLit), 1, 1024)")
+                  s"reverse(sort_array(collect_list($e)))"
+                else s"sort_array(collect_list($e))"
+                Some("substring(array_join(transform(" +
+                  s"$arr, x -> CAST(x AS STRING)), $sepLit), 1, 1024)")
               } else if (orderKey.isDefined && sep == "," && !distinct)
                 Some(s"group_concat_order_by${if (desc) "_desc" else ""}" +
-                  s"(${orderKey.get}, $cast)")
+                  s"(CAST(${orderKey.get} AS DOUBLE), " +
+                  s"CAST(${orderKey.get} AS STRING), $cast)")
               else if (orderKey.isEmpty) {
                 val base = if (distinct)
                   s"array_distinct(collect_list($cast))"

@@ -29,11 +29,33 @@ import org.apache.spark.sql.DataFrame
 object Staging {
 
   /** Write `df` to a fresh staging dir and return the re-read frame —
-    * semantically `df` with lineage cut and contents frozen. */
-  def stage(df: DataFrame, tag: String): DataFrame = {
+    * semantically `df` with lineage cut and contents frozen.
+    *
+    * `ordered = true` (the statement tier's INSERT…SELECT) preserves
+    * the frame's logical ROW ORDER across the round-trip: Spark
+    * re-reads a multi-file dir largest-file-first, which rotated a
+    * staged 4-partition batch (insert_into_select.test read 3750
+    * first). The order stamp is a monotonic id written with the data
+    * and sorted out on the way back — a shuffle, so it stays off by
+    * default for corpus-scale staging where order carries nothing. */
+  /** [[stage]] with `ordered = true` — the statement tier's default
+    * (every store write there rides the scan-order contract). */
+  def stageOrdered(df: DataFrame, tag: String): DataFrame =
+    stage(df, tag, ordered = true)
+
+  def stage(df: DataFrame, tag: String,
+            ordered: Boolean = false): DataFrame = {
     val dir = java.nio.file.Files
       .createTempDirectory(s"graft-stage-$tag").toString + "/data"
-    df.write.parquet(dir)
-    df.sparkSession.read.parquet(dir)
+    if (ordered) {
+      import org.apache.spark.sql.functions._
+      df.withColumn("__stage_order", monotonically_increasing_id())
+        .write.parquet(dir)
+      df.sparkSession.read.parquet(dir)
+        .orderBy(col("__stage_order")).drop("__stage_order")
+    } else {
+      df.write.parquet(dir)
+      df.sparkSession.read.parquet(dir)
+    }
   }
 }

