@@ -163,7 +163,15 @@ object Corpus {
     * CorpusSpec; the oracle IS the naive form.
     */
   def tokenBudgetKept(docs: DataFrame): DataFrame = {
-    val scored = scoredDocs(docs)
+    // The scored frame feeds THREE consumers (the per-quality agg, the
+    // full-bucket branch, the boundary branch); left lazy, each one
+    // re-ran the 5-regex-pass quality scoring over the corpus text
+    // (measured: 3 scoring scans per run). Materialize the narrow
+    // (doc_id, source, q, n) decision frame ONCE — the guide-§8
+    // "decide on small rows" discipline: the corpus text is read once
+    // and only per-doc metadata persists (corpus-metadata-sized at
+    // 100 TB, the same class as the staged packing frame).
+    val scored = scoredDocs(docs).localCheckpoint(true)
     val perQ = scored.groupBy(col("q"))
       .agg(sum(col("n")).as("bucket_tokens"))
     // running total over per-quality buckets: ≤1e6+1 rows by fixed-point
@@ -198,7 +206,9 @@ object Corpus {
   }
 
   def qTokenBudgetSelect(s: SparkSession, dir: String): DataFrame =
-    tokenBudgetKept(t(s, dir, "documents"))
+    // rebalance: the one remaining scoring scan is regex-bound and the
+    // raw scan is one task at bench scale; no-op at cluster scale
+    tokenBudgetKept(Engine.rebalance(t(s, dir, "documents")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n")).as("tokens_kept"),
         min(col("q")).as("min_quality_kept"))
@@ -354,7 +364,10 @@ object Corpus {
     * recomputed inside the gate only so the gate is self-contained; the
     * build/score split is the two public functions above. */
   def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    // rebalance: both the fit's exploded-token agg and the scoring pass
+    // run per-token md5 — one scan task at bench scale serialized all of
+    // it; no-op at cluster scale (Engine.rebalance contract)
+    val docs = Engine.rebalance(t(s, dir, "documents"))
     val contrib = dsirContrib(docs)
     docs.select(col("doc_id"), col("lang"),
       expr("CAST(size(filter(split(lower(text), ' '), x -> length(x) > 0)) AS BIGINT)")
@@ -478,7 +491,7 @@ object Corpus {
     // per-row fixed-point longs summed (order-independent), then
     // integer division — a double avg() would be summation-order-
     // dependent and could flip the floor at the boundary
-    waterfillAlloc(scoredDocs(t(s, dir, "documents"))
+    waterfillAlloc(scoredDocs(Engine.rebalance(t(s, dir, "documents")))
       .groupBy(col("source"))
       .agg(sum(col("n")).cast("long").as("capacity"),
         expr("sum(cast(floor(q * 1000000.0 + 0.5) as bigint)) div count(1)")

@@ -40,15 +40,28 @@ object Curation {
     * than `n` tokens emit nothing (they cannot contain a full n-gram).
     * The 64-bit hash stands in for the n-gram string — at 100 TB the
     * join key is 8 bytes, not ~90; a 2^-64 collision rate is far below
-    * the pipeline's noise floor. */
+    * the pipeline's noise floor.
+    *
+    * Each token is xxhash64'd ONCE and the n-gram key is a polynomial
+    * fold of the n token hashes (odd golden-ratio multiplier). The
+    * original re-materialized every n-gram as a ~90-char string
+    * (slice + concat_ws) and hashed those bytes — ~n× the allocation
+    * and hashing work per position (this scan was the top CPU stage of
+    * both decontamination gates). Equal grams ⇒ equal keys exactly as
+    * before (tokens are space-free, so gram string ⇔ token sequence is
+    * bijective); unequal grams collide at the same 2^-64-class rate the
+    * design already accepts, and the hash-free DuckDB oracle certifies
+    * the corpus it gates. */
   private def ngramHashes(docs: DataFrame, n: Int): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .where(size(col("tk")) >= n)
+      .select(col("doc_id"),
+        expr("transform(split(text, ' '), t -> xxhash64(t))").as("th"))
+      .where(size(col("th")) >= n)
       .select(col("doc_id"),
         explode(array_distinct(expr(
-          s"transform(sequence(1, size(tk) - ${n - 1}), " +
-            s"i -> xxhash64(concat_ws(' ', slice(tk, i, $n))))")))
+          s"transform(sequence(1, size(th) - ${n - 1}), " +
+            s"i -> aggregate(slice(th, i, $n), 0L, " +
+            "(a, h) -> a * -7046029254386353131L + h))")))
           .as("gh"))
 
   /** Flag every corpus doc sharing a [[NgramWidth]]-token n-gram with

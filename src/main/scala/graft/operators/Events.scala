@@ -63,7 +63,9 @@ object Events {
     * SURVEY §2.9): real JSON-path extraction from `props` with
     * `get_json_object`, typed cast, aggregated. */
   def qEventsJson(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    // rebalance: JSON path extraction is the per-row cost and the scan
+    // is one task at bench scale (see qJsonFuncs); no-op at cluster scale
+    Engine.rebalance(t(s, dir, "events"))
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("event_type"))
@@ -91,14 +93,22 @@ object Events {
   def qJsonFuncs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val kStr = get_json_object(col("props"), "$.k")
-    t(s, dir, "events")
-      .withColumn("k", kStr.cast("long"))
+    // rebalance: 8 JSON parses per row serialized on ONE scan task at
+    // bench scale (single-row-group parquet); no-op at cluster scale
+    // (Engine.rebalance contract). The `$.k` extraction is projected
+    // ONCE (`__ks`) in a producing projection and reused by `k` and both
+    // of `arr`'s repetitions — the original re-parsed props 3× per row
+    // (get_json_object is CodegenFallback, so codegen subexpression
+    // elimination never deduped it).
+    Engine.rebalance(t(s, dir, "events"))
+      .withColumn("__ks", kStr)
+      .withColumn("k", col("__ks").cast("long"))
       // [k,...,k] with (k % 3) + 1 elements — varying array length
       .withColumn("arr",
         concat(lit("["),
-          expr("repeat(concat(get_json_object(props,'$.k'), ','), " +
-            "CAST(CAST(get_json_object(props,'$.k') AS BIGINT) % 3 AS INT))"),
-          kStr, lit("]")))
+          expr("repeat(concat(__ks, ','), " +
+            "CAST(CAST(__ks AS BIGINT) % 3 AS INT))"),
+          col("__ks"), lit("]")))
       // even k: drop the closing brace -> invalid JSON
       .withColumn("probe",
         when(col("k") % 2 === 0,

@@ -253,7 +253,12 @@ object Pipeline {
   }
 
   def qPipelineMix(s: SparkSession, dir: String): DataFrame =
-    mixOf(Engine.table(s, dir, "documents"))
+    // rebalance: mixOf scans the corpus three times (source stats,
+    // budget selection, split assignment), each with regex/md5-heavy
+    // projections — one task each at bench scale on the raw scan; the
+    // one repartition exchange is reused by all three consumers
+    // (ReuseExchange). No-op at cluster scale (Engine.rebalance).
+    mixOf(Engine.rebalance(Engine.table(s, dir, "documents")))
 
   val qPipelineMixSql: String =
     s"""WITH ${Corpus.sqlSourceStatsCtes},
@@ -296,29 +301,46 @@ object Pipeline {
     val m = Curation.BenchmarkMod
     // stage 1: drop semantic eval-leaks (and the benchmark docs
     // themselves — they are the eval set)
+    // flagged ids are a handful of rows but their lineage is the full
+    // embeddings × benchmark dot-product scan; the release tail consumes
+    // the corpus chain twice (manifest agg + sampled join), so without a
+    // checkpoint the decontamination scan ran once per consumer.
     val flaggedIds = Curation.decontaminateEmbed(
         emb.where(col("vec_id") % m =!= 0),
         emb.where(col("vec_id") % m === 0))
       .where(col("flagged")).select(col("doc_id"))
+      .localCheckpoint(true)
     val clean = docs.where(col("doc_id") % m =!= 0)
       .join(flaggedIds, Seq("doc_id"), "left_anti")
-    // stage 2: quality gate
-    val qualIds = TextOps.qualityOf(clean)
-      .filter(col("quality_band") =!= "low").select("doc_id")
-    val qual = clean.join(qualIds, Seq("doc_id"), "left_semi")
-    // stage 3: exact dedup, keep-min per fingerprint
-    val fp = qual.select(col("doc_id"), col("source"), col("text"),
-      md5(col("text")).as("fp"))
-    val keep = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("k"))
-    val uniq = fp.join(keep, Seq("fp"))
+    // stage 2: quality gate — a pure scan predicate. band ≠ 'low' ⇔
+    // quality ≥ 0.45 (TextOps.qualityOf's banding; qualityScore is total,
+    // never NULL), exactly the oracle's `WHERE score >= 0.45`. The
+    // original derived doc_ids from qualityOf and LEFT-SEMI-joined them
+    // back, which evaluated `clean` (scan + anti join) twice and paid a
+    // join for what is a filter (guide §2.4: remove shuffles outright).
+    val qual = clean.where(TextOps.qualityScore(col("text")) >= 0.45)
+    // stage 3: exact dedup, keep-min per fingerprint — one window
+    // shuffle on fp (the oracle's own MIN(doc_id) OVER (PARTITION BY
+    // md5(text)) formulation). The original groupBy+self-join shuffled
+    // the text-carrying side TWICE (agg exchange + join exchange).
+    val wfp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val uniq = qual
+      .select(col("doc_id"), col("source"), col("text"),
+        md5(col("text")).as("fp"))
+      .withColumn("k", min(col("doc_id")).over(wfp))
       .where(col("doc_id") === col("k"))
       .select(col("doc_id"), col("source"), col("text"))
-    // stage 4: temperature mix over survivors (Sampling's integer math)
+    // stage 4: temperature mix over survivors (Sampling's integer math).
+    // `weighted` is |sources| rows and feeds BOTH `totals` and `quotas`;
+    // left lazy each consumer re-ran the whole decontam→quality→dedup
+    // chain (measured: 3 evaluations of `uniq` per run, now 2 — the
+    // manifest agg and the final sampled join).
     val weighted = uniq.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w6",
         floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0))
           .cast("long"))
+      .localCheckpoint(true)
     val totals = weighted.agg(
       sum(col("w6")).as("sum_w6"), sum(col("n_docs")).as("n_total"))
     val quotas = weighted.crossJoin(broadcast(totals))

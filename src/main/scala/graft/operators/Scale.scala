@@ -173,6 +173,11 @@ object Scale {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      // both self-join sides consume this frame; left lazy the whole
+      // events window+agg pipeline ran twice (the column renames below
+      // defeat ReuseExchange). Session intervals are aggregate-sized —
+      // one bounded materialization, half the upstream work.
+      .localCheckpoint(true)
     val a = sess.select(col("user_id").as("a_user"),
       col("lo").as("a_lo"), col("hi").as("a_hi"))
     val b = sess.select(col("user_id").as("b_user"),

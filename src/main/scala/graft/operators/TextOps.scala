@@ -26,9 +26,14 @@ object TextOps {
     s"FLOOR(($e) * 1000000.0 + 0.5) / 1000000.0"
 
   /** Whitespace token count — the texts are single-space tokenised, so
-    * `#spaces + 1` is exact and engine-portable. */
+    * `#spaces + 1` is exact and engine-portable. `translate` (plain char
+    * strip) replaces the original `regexp_replace(c, " ", "")`: the
+    * pattern is a literal single char, so the value is identical while
+    * the per-row cost drops from regex-engine matching to one linear
+    * char scan (optimization guide §1.2 step 2 — this expression is on
+    * the hot path of a dozen scoring/selection queries). */
   private[operators] def tokenCount(c: Column): Column =
-    (length(c) - length(regexp_replace(c, " ", "")) + 1).cast("long")
+    (length(c) - length(translate(c, " ", "")) + 1).cast("long")
   private[operators] def sqlTokenCountOf(c: String): String =
     s"CAST(LENGTH($c) - LENGTH(REPLACE($c, ' ', '')) + 1 AS BIGINT)"
   private val sqlTokenCount = sqlTokenCountOf("text")
@@ -37,7 +42,11 @@ object TextOps {
     * portable across engines (both scan left-to-right non-overlapping). */
   private[operators] def wordHits(c: Column, w: String): Column = {
     val padded = concat(lit(" "), c, lit(" "))
-    (length(padded) - length(regexp_replace(padded, s" ${w} ", " ")))
+    // literal (non-regex) replace: same left-to-right non-overlapping
+    // semantics as regexp_replace on this metachar-free pattern — and
+    // the same builtin the DuckDB mirror already uses (REPLACE) — minus
+    // the regex engine on a per-row hot path (guide §1.2 step 2)
+    (length(padded) - length(replace(padded, lit(s" ${w} "), lit(" "))))
       .cast("double") / (w.length + 1)
   }
   private[operators] def sqlWordHitsOf(c: String, w: String): String =
@@ -79,7 +88,7 @@ object TextOps {
       // derive from it arithmetically (tokenCount = chars − nonspace + 1)
       .select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("n_chars_obs"),
-        length(regexp_replace(col("text"), " ", "")).cast("long")
+        length(translate(col("text"), " ", "")).cast("long")
           .as("__n_nonspace"))
       .select(col("doc_id"), col("lang"),
         (col("n_chars_obs") - col("__n_nonspace") + 1).as("n_tokens"),
@@ -332,14 +341,14 @@ object TextOps {
     * n_words, mean_wl, alpha_frac, n_stops, symbol_ratio. */
   private def gopherMeasures(c: Column): Seq[Column] = {
     val nWords = tokenCount(c)
-    val meanWl = r6(length(regexp_replace(c, " ", ""))
+    val meanWl = r6(length(translate(c, " ", ""))
       .cast("double") / nWords)
     val alphaWords = size(filter(split(lower(c), " "),
       x => x.rlike("[a-z]"))).cast("long")
     val nStops = GopherStops.map(w =>
       (wordHits(lower(c), w) > 0.0).cast("int")).reduce(_ + _)
     val hashHits = (length(c)
-      - length(regexp_replace(c, "#", ""))).cast("double")
+      - length(translate(c, "#", ""))).cast("double")
     Seq(nWords, meanWl, r6(alphaWords.cast("double") / nWords), nStops,
       r6(hashHits / nWords))
   }

@@ -564,15 +564,32 @@ object TpchSuite {
     val l1 = late
       .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(afrNations), col("s_nationkey") === col("n_nationkey"))
-    val l2 = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("l2_orderkey"),
-        col("l_suppkey").as("l2_suppkey"))
-    val l3 = late.select(col("l_orderkey").as("l3_orderkey"),
-      col("l_suppkey").as("l3_suppkey"))
-    l1.join(l2, col("l_orderkey") === col("l2_orderkey")
-        && col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
-      .join(l3, col("l_orderkey") === col("l3_orderkey")
-        && col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+    // EXISTS / NOT-EXISTS via per-order MIN/MAX supplier aggregates
+    // instead of semi/anti self-joins. Equivalence: the l1 row's own
+    // supplier is always IN the order's supplier set (l1 ⊆ lineitem) and
+    // in the order's late set (l1 ⊆ late), so
+    //   ∃ other supplier on the order    ⇔ min ≠ s ∨ max ≠ s
+    //   ∄ other LATE supplier on the order ⇔ min_late = max_late = s,
+    // and both inner joins are key-preserving (every l1 orderkey has an
+    // aggregate row). Cost: the semi probe shuffled ALL of lineitem and
+    // the anti probe re-shuffled `late`; the min/max aggregates are
+    // map-side combined to one row per order (guide §2.3 "aggregate
+    // before you shuffle") and at bench scale broadcast, so l1 is never
+    // shuffled at all.
+    val ordSupp = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o2_orderkey"))
+      .agg(min(col("l_suppkey")).as("mn_supp"),
+        max(col("l_suppkey")).as("mx_supp"))
+    val lateSupp = late
+      .groupBy(col("l_orderkey").as("o3_orderkey"))
+      .agg(min(col("l_suppkey")).as("mn_late"),
+        max(col("l_suppkey")).as("mx_late"))
+    l1.join(ordSupp, col("l_orderkey") === col("o2_orderkey"))
+      .where(col("mn_supp") =!= col("l_suppkey")
+        || col("mx_supp") =!= col("l_suppkey"))
+      .join(lateSupp, col("l_orderkey") === col("o3_orderkey"))
+      .where(col("mn_late") === col("l_suppkey")
+        && col("mx_late") === col("l_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))

@@ -230,7 +230,7 @@ object EventStream {
       .withColumn("__score", TextOps.scoreMicro("text"))
       .withColumn("__nw",
         (length(col("text"))
-          - length(regexp_replace(col("text"), " ", "")) + 1).cast("long"))
+          - length(translate(col("text"), " ", "")) + 1).cast("long"))
       .where(col("__score") > 0L)
       .where(TextOps.gopherKeep(col("text")))
       .select(col("doc_id"), col("__nw").as("n_words"),
