@@ -375,20 +375,25 @@ object Curation {
       .select(col("doc_id"), split(col("text"), " ").as("tk"), col("bset"))
       .select(col("doc_id"), col("tk"), col("bset"),
         expr(s"size(tk) div $SegWidth").as("n_segments"),
-        // indices of surviving full segments, in order
-        expr(s"""filter($segIdx,
-          i -> NOT array_contains(bset,
-            xxhash64(concat_ws(' ', slice(tk, (i - 1) * $SegWidth + 1, $SegWidth)))))""")
-          .as("kept_i"))
+        // surviving full segments, in order. Each segment string is
+        // materialized ONCE and reused by the hash test and the output
+        // rebuild (the original filtered indices, hashing a slice per
+        // index, then re-sliced every survivor a second time —
+        // filter(transform(xs,f),p) ≡ transform(filter(xs,p∘f),f)
+        // elementwise, so values are identical).
+        expr(s"""filter(transform($segIdx,
+            i -> concat_ws(' ', slice(tk, (i - 1) * $SegWidth + 1, $SegWidth))),
+          s -> NOT array_contains(bset, xxhash64(s)))""")
+          .as("kept_segs"))
       .select(col("doc_id"),
         concat_ws(" ",
-          when(size(col("kept_i")) === 0, null).otherwise(
-            array_join(expr(s"transform(kept_i, i -> concat_ws(' ', slice(tk, (i - 1) * $SegWidth + 1, $SegWidth)))"), " ")),
+          when(size(col("kept_segs")) === 0, null).otherwise(
+            array_join(col("kept_segs"), " ")),
           when(size(col("tk")) - col("n_segments") * SegWidth === 0, null)
             .otherwise(expr(s"concat_ws(' ', slice(tk, n_segments * $SegWidth + 1, size(tk) - n_segments * $SegWidth))")))
           .as("text_clean"),
         col("n_segments").cast("long").as("n_segments"),
-        (col("n_segments") - size(col("kept_i"))).cast("long")
+        (col("n_segments") - size(col("kept_segs"))).cast("long")
           .as("n_removed"))
   }
 
@@ -415,25 +420,33 @@ object Curation {
     * collected, nothing is broadcast (the winner set is corpus-sized,
     * unlike boilerplate's bounded set). */
   def dedupSpansKeepFirst(docs: DataFrame): DataFrame = {
+    // Shuffle METADATA, not span text (guide §2.3/§8): spans travel as
+    // their xxhash64 (the stripBoilerplate key discipline — same
+    // accepted 2^-64 collision class, and the hash-free string oracle
+    // certifies the gated corpus), winners travel as (doc_id, i)
+    // POSITIONS, and the surviving text is re-sliced from the winner
+    // doc's own token array at reassembly — the winning occurrence IS
+    // (doc_id, i), so the rebuilt string is identical. The original
+    // shuffled every distinct span string through BOTH the winner
+    // aggregate and the per-doc rebuild (~10× the bytes of the 8-byte
+    // keys), which at 100 TB made span text the dominant shuffle.
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
     val segs = segments(docs)
-    val kept = segs.groupBy(col("seg"))
+    val keptIs = segs.groupBy(xxhash64(col("seg")).as("gh"))
       .agg(min(struct(col("doc_id"), col("i"))).as("w"))
-      .select(col("w.doc_id").as("doc_id"), col("w.i").as("i"), col("seg"))
-    val rebuilt = kept.groupBy(col("doc_id"))
+      .groupBy(col("w.doc_id").as("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
-        expr("array_join(transform(array_sort(collect_list(struct(i, seg))), s -> s.seg), ' ')")
-          .as("kept_txt"))
-    val base = toks.select(col("doc_id"),
-      expr(s"size(tk) div $SegWidth").cast("long").as("n_segments"),
-      expr(s"concat_ws(' ', slice(tk, (size(tk) div $SegWidth) * $SegWidth + 1, size(tk) - (size(tk) div $SegWidth) * $SegWidth))")
-        .as("tail_txt"))
-    base.join(rebuilt, Seq("doc_id"), "left")
+        sort_array(collect_list(col("w.i"))).as("kept_is"))
+    toks.join(keptIs, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        concat_ws(" ", nullif(col("kept_txt"), lit("")),
-          nullif(col("tail_txt"), lit(""))).as("text_clean"),
-        col("n_segments"),
-        (col("n_segments") - coalesce(col("n_kept"), lit(0L)))
+        concat_ws(" ",
+          when(col("kept_is").isNull, lit(null)).otherwise(array_join(
+            expr(s"transform(kept_is, i -> concat_ws(' ', slice(tk, (i - 1) * $SegWidth + 1, $SegWidth)))"),
+            " ")),
+          nullif(expr(s"concat_ws(' ', slice(tk, (size(tk) div $SegWidth) * $SegWidth + 1, size(tk) - (size(tk) div $SegWidth) * $SegWidth))"),
+            lit(""))).as("text_clean"),
+        expr(s"size(tk) div $SegWidth").cast("long").as("n_segments"),
+        (expr(s"size(tk) div $SegWidth") - coalesce(col("n_kept"), lit(0L)))
           .cast("long").as("n_removed"))
   }
 

@@ -124,11 +124,17 @@ object Lexicon {
   def qCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
     val docs = Engine.rebalance(t(s, dir, "documents"))
     val lp = unigramLogprob(docs)
+    // one bounded row per doc, consumed TWICE (tercile cutoffs + final
+    // bucketing); left lazy each consumer re-ran the whole unigram-LM
+    // pipeline — two token explodes and the lexicon aggregate per
+    // consumer (measured: the two explode stages dominated this gate's
+    // CPU). Same narrow-decision-frame discipline as tokenBudgetKept.
     val sc = docs.select(col("doc_id"), col("lang"))
       .join(lp, Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         floor(col("avg_neg_logprob") * lit(1000000.0) + lit(0.5))
           .cast("long").as("score6"))
+      .localCheckpoint(true)
     val perScore = sc.groupBy(col("lang"), col("score6"))
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("lang")).orderBy(col("score6"))

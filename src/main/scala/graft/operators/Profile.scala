@@ -27,23 +27,27 @@ object Profile {
     Engine.table(s, dir, n)
 
   /** One row per profiled column:
-    * (column_name, n_rows, n_nulls, n_distinct, min_value, max_value). */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = Seq(count(lit(1)).as("__rows")) ++ cols.zipWithIndex.flatMap {
-      case (c, i) => Seq(
-        count(col(c)).as(s"__n$i"),
-        countDistinct(col(c)).as(s"__d$i"),
-        min(col(c)).cast("string").as(s"__mn$i"),
-        max(col(c)).cast("string").as(s"__mx$i"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
-      s"'$c', __rows, __rows - __n$i, __d$i, __mn$i, __mx$i"
-    }.mkString(", ")
-    one.selectExpr(
-      s"stack(${cols.size}, $stackArgs) AS " +
-        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)")
-  }
+    * (column_name, n_rows, n_nulls, n_distinct, min_value, max_value).
+    *
+    * One independent single-distinct aggregate per column, unioned —
+    * the oracle's own UNION ALL shape. A single agg with k exact
+    * `countDistinct`s plans as an Expand that multiplies EVERY input
+    * row ×(k+1) before the partial aggregate (the classic
+    * multi-distinct row blowup); per-column branches each use the
+    * Expand-free one-distinct plan, the scans are column-pruned (k
+    * single-column reads = the same bytes as one k-column read), and
+    * all branches run inside one job. Shuffled bytes are unchanged
+    * (each column's distinct values cross once either way). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.agg(count(lit(1)).as("n_rows"), count(col(c)).as("__n"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("column_name"), col("n_rows"),
+          (col("n_rows") - col("__n")).as("n_nulls"), col("n_distinct"),
+          col("min_value"), col("max_value"))
+    }.reduce(_ unionByName _)
 
   /** The 100 TB profiler: identical shape with
     * `approx_count_distinct` (HLL++, rsd 5% default) — sketch partials
