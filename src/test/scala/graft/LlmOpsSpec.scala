@@ -838,15 +838,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hits.filter(col("vec_id") === sampleId).count() === 1)
   }
 
-  test("profiler: one scan regardless of column count; stats match " +
+  test("profiler: column-pruned Expand-free branches; stats match " +
       "per-column recomputation") {
     import org.apache.spark.sql.functions._
     val orders = Engine.table(spark, sf, "orders")
     val prof = operators.Profile.profile(orders,
       Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
     val plan = prof.queryExecution.executedPlan.toString
-    assert(plan.split("Scan parquet").length - 1 === 1,
-      "profiling 3 columns must still be a single scan")
+    // r19 optimization: one single-distinct aggregate branch per column
+    // (k column-pruned scans read the same bytes as one k-column scan)
+    // instead of one multi-distinct aggregate whose Expand multiplied
+    // every input row ×(k+1). Pin BOTH properties: no Expand anywhere,
+    // and every branch's scan reads exactly one column.
+    assert(!plan.contains("Expand"),
+      "exact profiler must not multiply scan rows")
+    assert(plan.split("Scan parquet").length - 1 === 3,
+      "profiling 3 columns = 3 column-pruned aggregate branches")
     val rows = prof.collect().map(r => r.getString(0) -> r).toMap
     assert(rows("o_orderkey").getAs[Long]("n_distinct") === orders.count())
     assert(rows("o_orderstatus").getAs[Long]("n_distinct")
