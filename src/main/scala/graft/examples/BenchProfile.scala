@@ -75,7 +75,11 @@ object BenchProfile {
       Thread.sleep(200)
       val med = warms.sorted.apply(reps / 2)
       if (sys.env.contains("SPARK_GRAFT_PROFILE_STAGES")) {
-        // stage detail of the LAST warm rep only
+        // stage detail of the LAST warm rep only — APPROXIMATE slice
+        // (r19 advice): AQE replanning, reused exchanges or listener
+        // lag can vary per-rep stage counts, so the all.length/reps
+        // split can misattribute a stage across reps; good enough for
+        // the dev-loop eyeball this tool serves (not on any gated path)
         val all = c.stageLog.toArray(Array.empty[String])
         val per = all.length / reps
         all.drop(per * (reps - 1)).foreach(println)

@@ -171,6 +171,12 @@ object Corpus {
     // "decide on small rows" discipline: the corpus text is read once
     // and only per-doc metadata persists (corpus-metadata-sized at
     // 100 TB, the same class as the staged packing frame).
+    // Durability trade-off (r19 advice): localCheckpoint pins
+    // non-replicated blocks, so one executor loss fails the job instead
+    // of recomputing — acceptable for a single-query bench contract; a
+    // long-running deployment that must survive executor churn should
+    // stage this frame through parquet (sources.Staging) or
+    // persist(MEMORY_AND_DISK), trading a write for kept lineage.
     val scored = scoredDocs(docs).localCheckpoint(true)
     val perQ = scored.groupBy(col("q"))
       .agg(sum(col("n")).as("bucket_tokens"))

@@ -51,7 +51,17 @@ object Curation {
     * before (tokens are space-free, so gram string ⇔ token sequence is
     * bijective); unequal grams collide at the same 2^-64-class rate the
     * design already accepts, and the hash-free DuckDB oracle certifies
-    * the corpus it gates. */
+    * the corpus it gates.
+    *
+    * Adversarial-input caveat (r19 advice): unlike xxhash64 over the
+    * gram's bytes, the fixed-multiplier polynomial fold's collisions
+    * are CONSTRUCTIBLE — an adversary who controls token text can craft
+    * distinct grams with equal keys (solve a·x+h ≡ a·x'+h' mod 2^64),
+    * whereas xxhash64 collisions must be found by search. Acceptable
+    * here because a collision only widens decontamination (flags a
+    * clean doc — conservative for this gate) and the corpus is not
+    * attacker-authored; an adversarial deployment should revert to
+    * hashing the gram bytes. */
   private def ngramHashes(docs: DataFrame, n: Int): DataFrame =
     docs
       .select(col("doc_id"),

@@ -112,9 +112,16 @@ object Dedup {
     *     (zero shuffle), recomputation is a narrow columnar scan and the
     *     default is to NOT persist — a corpus-sized cache costs more
     *     than three scans at bench scale (measured) and may not fit at
-    *     100 TB. Callers where the scan dominates (wide rows, remote
-    *     storage) should persist/checkpoint the frame first —
-    *     cache-if-fits is a deployment decision, not a plan property. */
+    *     100 TB. Re-measured r20 after the cheaper hashing paths landed
+    *     (r19 verdict ask): an eager (doc_id, sig)-only checkpoint
+    *     feeding the bands branch — bounded 264 B/doc, hs still
+    *     recomputed — was adjacent-window SLOWER (med 1.61 s vs 1.54 s,
+    *     min 1.55 vs 1.44 at sf0.1/32c; the checkpoint job + extra
+    *     stages cost more than the one signature pass it saves), so the
+    *     no-persist decision stands. Callers where the scan dominates
+    *     (wide rows, remote storage) should persist/checkpoint the frame
+    *     first — cache-if-fits is a deployment decision, not a plan
+    *     property. */
   def lshCandidates(sigs: DataFrame): DataFrame =
     lshCandidates(sigs, Int.MaxValue)
 

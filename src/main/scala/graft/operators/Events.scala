@@ -63,9 +63,16 @@ object Events {
     * SURVEY §2.9): real JSON-path extraction from `props` with
     * `get_json_object`, typed cast, aggregated. */
   def qEventsJson(s: SparkSession, dir: String): DataFrame =
-    // rebalance: JSON path extraction is the per-row cost and the scan
-    // is one task at bench scale (see qJsonFuncs); no-op at cluster scale
-    Engine.rebalance(t(s, dir, "events"))
+    // NO rebalance (r20, reversing r19): unlike qJsonFuncs' 8 parses
+    // per row, ONE get_json_object here does not clear the bar of a
+    // full-data shuffle — adjacent-window A/B at sf0.1/32c measured
+    // med 0.80 s / min 0.65 s without vs 1.44 / 1.11 with (and the
+    // driver's r19 run had min-of-5 regress 0.545→0.610 s) — the
+    // map-side partial agg after the scan shrinks rows to the group
+    // count anyway, so the added exchange moved the whole props column
+    // to parallelize work cheaper than the move (guide §2.5 contract:
+    // shuffled bytes must be tiny next to the compute they unlock)
+    t(s, dir, "events")
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("event_type"))

@@ -290,7 +290,21 @@ object Lexicon {
     * rows already co-partitioned by doc_id.
     */
   def tfidfTopk(docs: DataFrame): DataFrame = {
-    val tf = tokens(docs).groupBy(col("doc_id"), col("tok"))
+    // ONE doc_id-keyed exchange right after the explode, shared by the
+    // whole query (guide §2.4: establish the partitioning once). tf
+    // feeds BOTH the df aggregate and the scoring join; in the r19
+    // plan the branches diverged below their (doc_id, tok) agg
+    // exchanges, so the explode ran once PER BRANCH, and the final
+    // window added a third corpus-sized exchange on doc_id. Hash
+    // partitioning by doc_id satisfies the clustered distribution of
+    // the (doc_id, tok) aggregate AND of the per-doc window, and the
+    // repartition node is byte-identical in both branches, so
+    // ReuseExchange feeds both from one shuffle: explode ×2 → ×1,
+    // corpus-sized exchanges 3 → 1. (An eager checkpoint of tf was
+    // also tried — adjacent-window slower, 1.93 s vs 1.54 s med: the
+    // materialization barrier cost more than the saved explode.)
+    val tf = tokens(docs).repartition(col("doc_id"))
+      .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -309,7 +323,10 @@ object Lexicon {
   }
 
   def qTfidfTopk(s: SparkSession, dir: String): DataFrame =
-    tfidfTopk(Engine.rebalance(t(s, dir, "documents")))
+    // no outer rebalance: tfidfTopk's own doc_id exchange right after
+    // the explode is what spreads the work (a prior roundrobin shuffle
+    // of the text would just be a second full-data exchange)
+    tfidfTopk(t(s, dir, "documents"))
       .orderBy(col("doc_id"), col("rnk"))
 
   val qTfidfTopkSql: String =

@@ -321,20 +321,28 @@ object Pipeline {
     val qual = clean.where(TextOps.qualityScore(col("text")) >= 0.45)
     // stage 3: exact dedup, keep-min per fingerprint — one window
     // shuffle on fp (the oracle's own MIN(doc_id) OVER (PARTITION BY
-    // md5(text)) formulation). The original groupBy+self-join shuffled
-    // the text-carrying side TWICE (agg exchange + join exchange).
+    // md5(text)) formulation). Text itself never crosses the shuffle:
+    // everything downstream needs only (doc_id, source, n) where n =
+    // tokenCount(text) — a deterministic per-row function computed HERE,
+    // inside the one scan-side pass, so the window shuffles ~24-byte
+    // metadata rows instead of documents (guide §2.3/§8: shuffle keys
+    // and metadata, decide on small rows). The r19 shape carried text
+    // through the fp window AND re-evaluated the whole decontam →
+    // quality → dedup chain for the final sampled join (2 evaluations);
+    // the eager checkpoint of the narrow survivor frame makes the chain
+    // run ONCE and both remaining consumers (manifest agg + sampled
+    // agg) read the materialized rows (guide §5).
     val wfp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     val uniq = qual
-      .select(col("doc_id"), col("source"), col("text"),
-        md5(col("text")).as("fp"))
+      .select(col("doc_id"), col("source"),
+        md5(col("text")).as("fp"),
+        TextOps.tokenCount(col("text")).as("n"))
       .withColumn("k", min(col("doc_id")).over(wfp))
       .where(col("doc_id") === col("k"))
-      .select(col("doc_id"), col("source"), col("text"))
+      .select(col("doc_id"), col("source"), col("n"))
+      .localCheckpoint(true)
     // stage 4: temperature mix over survivors (Sampling's integer math).
-    // `weighted` is |sources| rows and feeds BOTH `totals` and `quotas`;
-    // left lazy each consumer re-ran the whole decontam→quality→dedup
-    // chain (measured: 3 evaluations of `uniq` per run, now 2 — the
-    // manifest agg and the final sampled join).
+    // `weighted` is |sources| rows and feeds BOTH `totals` and `quotas`.
     val weighted = uniq.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w6",
@@ -352,7 +360,7 @@ object Pipeline {
       .where(bucket6 * col("n_docs") < col("quota") * lit(1000000L))
       .groupBy(col("source"), col("n_docs"), col("quota"))
       .agg(count(lit(1)).as("n_sampled"),
-        sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+        sum(col("n")).as("n_tokens"))
       .select(col("source"), col("n_docs"), col("quota"),
         col("n_sampled"), col("n_tokens").cast("long").as("n_tokens"))
   }

@@ -84,10 +84,11 @@ object Profile {
       .orderBy("bucket")
 
   def qProfileTable(s: SparkSession, dir: String): DataFrame =
-    // rebalance: the exact-distinct plan Expands every row ×(k+1) and
-    // partially aggregates it in the scan task — one task at bench scale
-    // (single-row-group parquet), so the whole multiplication ran on one
-    // core; no-op at cluster scale (Engine.rebalance contract)
+    // rebalance: profile() is k single-distinct per-column aggregates
+    // over the same scan; at bench scale each column's partial agg
+    // would otherwise run in the ONE scan task (single-row-group
+    // parquet) — the shuffle spreads the k distinct-hash partial aggs
+    // across cores; no-op at cluster scale (Engine.rebalance contract)
     profile(Engine.rebalance(t(s, dir, "orders")),
       Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
       .orderBy("column_name")

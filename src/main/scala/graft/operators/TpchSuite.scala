@@ -136,10 +136,19 @@ object TpchSuite {
 
   /** Q8 shape: NATION_3's share of ECONOMY-part volume sold into ASIA by
     * order year. The part pre-filter joins into lineitem first, shrinking
-    * the fact stream before the orderkey shuffle; hint-broadcast only the
-    * SF-fixed nation/region lookups and let Catalyst/AQE size
-    * part/customer/supplier (broadcast when small, shuffled at 100 TB).
-    * Both dsums are exact, so the final ratio is engine-deterministic. */
+    * the fact stream before the orderkey shuffle. The SF-fixed
+    * nation/region lookups are folded into their DIMENSION sides before
+    * those meet the fact stream (guide §3): customer pre-joins the
+    * ASIA-filtered nation key set — dropping ~4/5 of customers BEFORE
+    * the o_custkey join, so at 100 TB the customer shuffle (or
+    * broadcast) carries only ASIA customers — and supplier pre-attaches
+    * its nation name. The fact-row probe chain shrinks from 7 joins to
+    * 5 and two BroadcastExchanges (nCust, region) leave the fact path
+    * entirely (they build the tiny nAsia key set instead).
+    * Catalyst/AQE still size part/customer/supplier (broadcast when
+    * small, shuffled at 100 TB). Inner equi-join reassociation over
+    * key-unique lookups is row-set-preserving, and both dsums are exact
+    * decimal sums, so the final ratio is engine-deterministic. */
   def q08MarketShare(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
     val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
@@ -147,19 +156,23 @@ object TpchSuite {
       .select(col("n_nationkey").as("cn_nk"), col("n_regionkey").as("cn_rk"))
     val nSupp = t(s, dir, "nation")
       .select(col("n_nationkey").as("sn_nk"), col("n_name").as("supp_nation"))
+    // ASIA nation keys: nation ⋈ region collapses to one SF-fixed key set
+    val nAsia = nCust.join(broadcast(r), col("cn_rk") === col("r_regionkey"))
+      .select(col("cn_nk"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(nAsia), col("c_nationkey") === col("cn_nk"))
+      .select(col("c_custkey"))
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(nSupp), col("s_nationkey") === col("sn_nk"))
+      .select(col("s_suppkey"), col("supp_nation"))
     val o = t(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("1996-01-01")
         && col("o_orderdate") < lit("1998-01-01"))
     t(s, dir, "lineitem")
       .join(p, col("l_partkey") === col("p_partkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(t(s, dir, "customer"),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nCust), col("c_nationkey") === col("cn_nk"))
-      .join(broadcast(r), col("cn_rk") === col("r_regionkey"))
-      .join(t(s, dir, "supplier"),
-        col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(nSupp), col("s_nationkey") === col("sn_nk"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg((dsum(when(col("supp_nation") === "NATION_3", vol)
           .otherwise(lit(0.0))) / dsum(vol)).as("mkt_share"))
@@ -387,13 +400,19 @@ object TpchSuite {
   def q09ProfitShape(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
+    // nation pre-attaches to SUPPLIER (broadcast into the
+    // supplier-sized side) instead of probing every fact row — one
+    // fewer join on the lineitem stream, same rows (inner equi-join
+    // reassociation over the key-unique nation lookup); dsum is the
+    // exact decimal sum, so regrouping cannot move the result
     val su = t(s, dir, "supplier")
-    val n = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
     val p = t(s, dir, "part").filter(col("p_name").like("%bolt%"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(p, col("l_partkey") === col("p_partkey"))
       .join(su, col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("o_orderdate")).as("o_year"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
