@@ -53,6 +53,7 @@ class DeltaStore(spark: SparkSession, root: String) {
     * versions past the grace window (never the savepoint-pinned one). */
   private def promoteBase(v: Long): Unit = synchronized {
     baseVer = v
+    bumpEpoch()
     val floor =
       if (txnActive) math.min(txnBaseVer, v - KeepVersions)
       else v - KeepVersions
@@ -112,6 +113,7 @@ class DeltaStore(spark: SparkSession, root: String) {
     (if (single || smallStore) orderedSingle(df) else df)
       .write.mode("overwrite").parquet(baseDirOf(next))
     promoteBase(next)
+    bumpEpoch()
   }
 
   /** Append rows to the delta side (the INSERT buffer analog): local
@@ -131,9 +133,13 @@ class DeltaStore(spark: SparkSession, root: String) {
         org.apache.spark.sql.types.StructType(
           df.schema.fields.map(_.copy(nullable = true)))
       buffered ++= rows
+      bumpEpoch()
       if (buffered.size >= BufferCap) flush()
-    } else (if (smallStore) orderedSingle(df) else df)
-      .write.mode("append").parquet(deltaPath)
+    } else {
+      (if (smallStore) orderedSingle(df) else df)
+        .write.mode("append").parquet(deltaPath)
+      bumpEpoch()
+    }
   }
 
   /** Persist the in-memory buffer into the parquet delta (the durable
@@ -144,6 +150,50 @@ class DeltaStore(spark: SparkSession, root: String) {
       bufferedSchema)).write.mode("append").parquet(deltaPath)
     buffered.clear()
     bufferedSchema = null
+    bumpEpoch()
+  }
+
+  // ---- mutation epoch ----
+  // Bumped on EVERY visible state change (base writes/promotions,
+  // delta appends/flushes/discards, savepoint rollbacks). Callers may
+  // key derived caches on it — the statement runner's auto-increment
+  // watermark does — so a cache entry stamped with the current epoch
+  // is exactly as fresh as the store itself. Conservative by design: a
+  // spurious bump only costs a cache miss (one re-aggregation), never
+  // staleness.
+  @volatile private var mutEpoch = 0L
+  def mutationEpoch: Long = mutEpoch
+  private def bumpEpoch(): Unit = mutEpoch += 1
+
+  // ---- reader cache ----
+  // A promoted `base-N` dir is immutable (rewrites land in base-N+1)
+  // and a delta part file is immutable once written, so the DataFrames
+  // reading them are reusable across statements. Without this cache
+  // every table REFERENCE of every statement re-ran
+  // `spark.read.parquet` — file listing + footer schema inference on
+  // the driver — which thread-dump sampling showed as the #1 cost of
+  // an MTR replay (32/40 samples of the runner's main thread inside
+  // DataFrameReader.parquet; select.test = 1276 statements paid it
+  // per table reference). Keyed on baseVer: compact/truncate/ALTER
+  // bump the version, dropping the base entry AND the part entries
+  // (whose read schema is pinned to the base schema of that version).
+  private var baseCacheVer = -1L
+  private var baseCacheDf: DataFrame = null
+  private val partCache =
+    scala.collection.mutable.HashMap.empty[String, DataFrame]
+  private def baseDf(): DataFrame = synchronized {
+    if (baseCacheVer != baseVer || baseCacheDf == null) {
+      baseCacheDf = spark.read.parquet(basePath)
+      baseCacheVer = baseVer
+      partCache.clear()
+    }
+    baseCacheDf
+  }
+  private def partDf(path: String,
+                     schema: org.apache.spark.sql.types.StructType
+  ): DataFrame = synchronized {
+    partCache.getOrElseUpdate(path,
+      spark.read.schema(schema).parquet(path))
   }
 
   /** Merged read view: base ∪ delta (DeltaIterator analog). The
@@ -151,7 +201,7 @@ class DeltaStore(spark: SparkSession, root: String) {
     * them like any small side. */
   def read(): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val base = spark.read.parquet(basePath)
+    val base = baseDf()
     val withFiles =
       if (!exists(deltaPath)) base
       else {
@@ -169,8 +219,7 @@ class DeltaStore(spark: SparkSession, root: String) {
         else if (parts.length > 64 || !smallStore)
           base.unionByName(spark.read.parquet(deltaPath))
         else parts.foldLeft(base)((acc, p) =>
-          acc.unionByName(spark.read
-            .schema(base.schema).parquet(p)))
+          acc.unionByName(partDf(p, base.schema)))
       }
     if (buffered.isEmpty) withFiles
     else withFiles.unionByName(
@@ -236,6 +285,7 @@ class DeltaStore(spark: SparkSession, root: String) {
     txnActive = false
     txnBuffered = null
     txnBufferedSchema = null
+    bumpEpoch()
   }
 
   /** Delta-dir teardown honoring an open savepoint: inside a
@@ -246,6 +296,7 @@ class DeltaStore(spark: SparkSession, root: String) {
     val aside = new Path(s"$root/_txndelta")
     if (txnActive && !fs.exists(aside)) fs.rename(new Path(deltaPath), aside)
     else fs.delete(new Path(deltaPath), true)
+    bumpEpoch()
   }
 
   /** Versioned base rewrite shared by compact/truncate/alter: write the

@@ -16,6 +16,30 @@ object MtrParity {
   val MtrDir = "/root/reference/mysql-test/suite/tianmu/t"
   val ResDir = "/root/reference/mysql-test/suite/tianmu/r"
 
+  /** A fresh isolated session tuned for the STATEMENT tier: thousands
+    * of sub-second queries over KB-sized tables. AQE is OFF — its
+    * stage-by-stage materialization protocol (submit shuffle stage →
+    * wait on the event queue → re-optimize → next stage) adds several
+    * driver round-trips to every tiny query, and a thread dump of a
+    * replay showed the runner parked in
+    * `AdaptiveSparkPlanExec.withFinalPlanUpdate` most of the wall time
+    * (r19: the driver's `sbt test` died on wall-clock mid-sweep; A/B
+    * on range.test serial: 66 → 16 s replay). Two shuffle partitions
+    * instead of cores: a 5-row GROUP BY does not need 16 reduce tasks.
+    * Semantics are unchanged — AQE and the partition count are
+    * execution-strategy knobs; the statement tier's scan-order
+    * contract is pinned by DeltaStore's single-file write discipline,
+    * not by scheduler partitioning. The ANALYTIC gates keep AQE: this
+    * helper is only wired into the MTR/statement surfaces. */
+  def statementSession(
+      spark: org.apache.spark.sql.SparkSession
+  ): org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s
+  }
+
   /** Statements whose output is inherently nondeterministic or
     * session-dependent — never value-compared. */
   private val NonDeterministic =

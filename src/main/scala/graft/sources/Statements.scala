@@ -4188,6 +4188,40 @@ class StatementRunner(spark: SparkSession) {
     * stored as n−1 so the next assigned id is n. */
   private val autoIncBase = scala.collection.mutable.Map[String, Long]()
 
+  /** Rows of a statement-local batch WITHOUT a Spark job: the optimizer
+    * folds pure VALUES projections to a LocalRelation, whose physical
+    * LocalTableScanExec serves `collect()` straight from driver memory.
+    * None for file-backed or oversized plans (callers fall back to the
+    * distributed path). This is the discriminator behind the
+    * statement-tier fast paths below — an MTR replay runs thousands of
+    * sub-second statements, and every avoidable job round-trip
+    * (~50-100 ms of scheduler latency each) multiplies by that count. */
+  private def localPlanRows(df: DataFrame, cap: Int = 65536)
+      : Option[Array[org.apache.spark.sql.Row]] =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if l.data.length <= cap =>
+        Some(df.collect())
+      case _ => None
+    }
+
+  /** Table-max watermark for the auto-increment counter, keyed on the
+    * store's [[DeltaStore.mutationEpoch]]: (epoch, max). Valid exactly
+    * while the store is untouched; any mutation (our own append
+    * included) bumps the epoch and invalidates. [[commitAutoMax]]
+    * re-stamps the watermark AFTER a successful insert from the batch's
+    * own ids, so consecutive INSERTs never re-aggregate the table. */
+  private val autoIncSeen =
+    scala.collection.mutable.Map[String, (Long, Long)]()
+  private var pendingAutoMax: Option[(String, Long)] = None
+  private def commitAutoMax(store: DeltaStore): Unit = {
+    pendingAutoMax.foreach { case (k, m) =>
+      if (stores.get(k).exists(_ eq store))
+        autoIncSeen(k) = (store.mutationEpoch, m)
+    }
+    pendingAutoMax = None
+  }
+
   /** AUTO_INCREMENT assignment for a statement batch: omitted/NULL id
     * values continue from max(declared start, existing ids, explicit
     * batch ids) in batch order (MySQL's counter semantics: an explicit
@@ -4209,14 +4243,140 @@ class StatementRunner(spark: SparkSession) {
     schema.find(autoIncCol) match {
       case None => aligned
       case Some(f) =>
+        pendingAutoMax = None
         val idAsLong = col(f.name).cast("long")
-        val declared = stores.find(_._2 eq store)
-          .flatMap(kv => autoIncBase.get(kv._1)).getOrElse(0L)
+        val keyOpt = stores.find(_._2 eq store).map(_._1)
+        val declared = keyOpt.flatMap(autoIncBase.get).getOrElse(0L)
         // the counter BEFORE the batch; explicit batch rows advance it
-        // mid-stream below (MySQL's running-counter semantics)
-        val start = Seq(declared,
-          store.read().agg(coalesce(max(idAsLong), lit(0L)))
-            .first().getLong(0)).max
+        // mid-stream below (MySQL's running-counter semantics). The
+        // table max comes from the epoch-keyed watermark when the store
+        // is untouched since the last insert — the common consecutive-
+        // INSERT case — and from one aggregation otherwise.
+        val tableMax = keyOpt.flatMap(autoIncSeen.get)
+          .collect { case (ep, m) if ep == store.mutationEpoch => m }
+          .getOrElse {
+            val m = store.read().agg(coalesce(max(idAsLong), lit(0L)))
+              .first().getLong(0)
+            keyOpt.foreach(k => autoIncSeen(k) = (store.mutationEpoch, m))
+            m
+          }
+        val start = Seq(declared, tableMax).max
+        // ---- statement-local fast path ----
+        // A VALUES batch is a LocalRelation: MySQL's sequential counter
+        // runs directly over the driver rows — zero Spark jobs — and
+        // provably equals the distributed prefix formulation below
+        // (id_i = A_i + max(start, max_{explicit j≤i}(id_j − A_j)); the
+        // window algebra was DERIVED from this sequential scan). The
+        // cap/wrap semantics mirror the column-metadata logic of the
+        // distributed branch line for line. Restricted to integral id
+        // columns (decimal ids keep the distributed path's exact
+        // cast-to-long overflow behavior).
+        val integral = f.dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }
+        val localFast =
+          if (!integral) None else localPlanRows(aligned)
+        localFast match {
+          case Some(rows) =>
+            val idx = aligned.schema.fieldIndex(f.name)
+            val zeroAssigns0 =
+              !sessionSqlMode.contains("NO_AUTO_VALUE_ON_ZERO")
+            val declaredMax: Option[java.math.BigDecimal] =
+              if (f.metadata.contains("graft.mysql.max"))
+                Some(new java.math.BigDecimal(
+                  f.metadata.getString("graft.mysql.max")))
+              else None
+            val typ =
+              if (f.metadata.contains("graft.mysql.type"))
+                f.metadata.getString("graft.mysql.type")
+              else ""
+            val wrapCap: Option[java.math.BigDecimal] =
+              if (declaredMax.isEmpty || !typ.endsWith("UNSIGNED")) None
+              else if (typ.startsWith("MEDIUMINT"))
+                Some(new java.math.BigDecimal(8388607))
+              else if (typ.startsWith("INT"))
+                Some(new java.math.BigDecimal(Int.MaxValue))
+              else if (typ.startsWith("BIGINT"))
+                Some(new java.math.BigDecimal(Long.MaxValue))
+              else None
+            var autos = 0L
+            var bestExpl = Long.MinValue
+            var anyExpl = false
+            var anyAuto = false
+            var newMax = tableMax
+            val outRows = rows.map { r =>
+              val v = r.get(idx)
+              val vLong: Option[Long] = v match {
+                case null => None
+                case b: java.lang.Byte => Some(b.longValue)
+                case s: java.lang.Short => Some(s.longValue)
+                case i: java.lang.Integer => Some(i.longValue)
+                case l: java.lang.Long => Some(l.longValue)
+                case _ => None
+              }
+              val isAuto =
+                vLong.isEmpty || (zeroAssigns0 && vLong.contains(0L))
+              val outId: Any =
+                if (!isAuto) {
+                  anyExpl = true
+                  bestExpl = math.max(bestExpl, vLong.get - autos)
+                  newMax = math.max(newMax, vLong.get)
+                  v
+                } else {
+                  anyAuto = true
+                  autos += 1
+                  val base = if (anyExpl) math.max(start, bestExpl)
+                             else start
+                  val raw = new java.math.BigDecimal(base)
+                    .add(new java.math.BigDecimal(autos))
+                  val capped = wrapCap match {
+                    case Some(cap) =>
+                      if (raw.compareTo(cap) > 0)
+                        java.math.BigDecimal.ZERO
+                      else raw
+                    case None => declaredMax match {
+                      case Some(dm) => raw.min(dm)
+                      case None => raw
+                    }
+                  }
+                  // typed value; out-of-range mirrors the distributed
+                  // branch's non-ANSI decimal cast (null on overflow)
+                  val lv: Option[Long] =
+                    if (capped.compareTo(new java.math.BigDecimal(
+                          Long.MaxValue)) > 0 ||
+                        capped.compareTo(new java.math.BigDecimal(
+                          Long.MinValue)) < 0) None
+                    else Some(capped.longValueExact())
+                  lv.foreach(l => newMax = math.max(newMax, l))
+                  lv.map { l =>
+                    f.dataType match {
+                      case org.apache.spark.sql.types.ByteType =>
+                        java.lang.Byte.valueOf(l.toByte)
+                      case org.apache.spark.sql.types.ShortType =>
+                        java.lang.Short.valueOf(l.toShort)
+                      case org.apache.spark.sql.types.IntegerType =>
+                        java.lang.Integer.valueOf(l.toInt)
+                      case _ => java.lang.Long.valueOf(l)
+                    }
+                  }.orNull
+                }
+              org.apache.spark.sql.Row.fromSeq(
+                r.toSeq.updated(idx, outId))
+            }
+            if (anyAuto) lastInsertId = start + 1
+            pendingAutoMax = keyOpt.map(k => (k, newMax))
+            import scala.jdk.CollectionConverters._
+            return spark.createDataFrame(outRows.toList.asJava,
+              org.apache.spark.sql.types.StructType(
+                aligned.schema.fields.map(fld =>
+                  if (fld.name == f.name) fld.copy(nullable = true)
+                  else fld)))
+          case None => ()
+        }
         // NULL means "assign"; 0 too under MySQL's default sql_mode
         // (auto_increment.test) unless NO_AUTO_VALUE_ON_ZERO is set
         // (a session SET this runner tracks)
@@ -7083,7 +7243,7 @@ object Statements {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futs = files.map(f => scala.concurrent.Future(
-      (f, MtrParity.sweep(f, s.newSession()))))
+      (f, MtrParity.sweep(f, MtrParity.statementSession(s)))))
     val rows =
       try scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(futs),

@@ -82,7 +82,8 @@ object MtrDebug {
     val flagOn = args.length > 1 && args(1) == "flag"
     val stopAtFirst = args.length <= 2 || args(2) != "all"
     val spark = TestSession.spark
-    val runner = new sources.StatementRunner(spark.newSession())
+    val runner = new sources.StatementRunner(
+      sources.MtrParity.statementSession(spark))
     if (flagOn) runner.run("SET SESSION tianmu_no_key_error=ON")
     val opt = new java.io.File(s"$MtrDir/${file.stripSuffix(".test")}-master.opt")
     if (opt.exists()) {

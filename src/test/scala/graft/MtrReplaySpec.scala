@@ -558,15 +558,20 @@ class MtrReplaySpec extends AnyFunSuite {
       "success/error parity (statement floors pinned)") {
     // files are independent sessions — `spark.newSession()` isolates
     // temp views / session conf per file, so the corpus replays in
-    // PARALLEL (8 files at a time on the shared local[32] context);
-    // the serial sweep outgrew an hour at ~4500 statements
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    // PARALLEL (12 files at a time on the shared TestSession context);
+    // the serial sweep outgrew an hour at ~4500 statements. LONGEST
+    // FIRST: statement count is the duration proxy, and the biggest
+    // file (issue781, 1622 stmts, ~10 min under contention) must start
+    // in the first wave or it alone sets the suite's tail — with
+    // insertion order it started late and the pool drained around it.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futs = PinnedFiles.map { case (file, floor, maxSkip) =>
+    val futs = PinnedFiles.sortBy(-_._2).map { case (file, floor, maxSkip) =>
       scala.concurrent.Future {
         val t0 = System.nanoTime()
-        val res = scala.util.Try(replay(file, spark.newSession()))
+        val res = scala.util.Try(replay(file,
+          sources.MtrParity.statementSession(spark)))
         val secs = (System.nanoTime() - t0) / 1e9
         // per-file wall time to stdout: a pathological straggler must
         // be visible by NAME, not as a silent hour

@@ -32,7 +32,8 @@ object MtrTriage {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futs = only.map { file => scala.concurrent.Future {
-      triageOne(file, spark.newSession(), parse, oos, spec, okCount)
+      triageOne(file, sources.MtrParity.statementSession(spark), parse, oos,
+        spec, okCount)
     } }
     scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futs),

@@ -221,13 +221,17 @@ class MtrValueSpec extends AnyFunSuite {
   test(s"${CleanFiles.size} reference MTR files replay with full VALUE " +
       "parity on their deterministic SELECT blocks (golden .result " +
       "rows, cell-exact)") {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    // 12-wide, LONGEST FIRST (block count as the duration proxy) — the
+    // same straggler discipline as MtrReplaySpec: a big file started
+    // late sets the suite's tail all by itself
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futs = CleanFiles.map { case (file, floor) =>
+    val futs = CleanFiles.sortBy(-_._2).map { case (file, floor) =>
       scala.concurrent.Future {
         (file, floor,
-          scala.util.Try(MtrValueSweep.sweep(file, spark.newSession())))
+          scala.util.Try(MtrValueSweep.sweep(file,
+            sources.MtrParity.statementSession(spark))))
       }
     }
     val results =

@@ -37,7 +37,7 @@ object MtrValueSweep {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futs = files.map { f =>
       scala.concurrent.Future((f, scala.util.Try(
-        sweep(f, spark.newSession()))))
+        sweep(f, sources.MtrParity.statementSession(spark)))))
     }
     val results = scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futs),

@@ -9,7 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class ProceduralSpec extends AnyFunSuite {
   private def spark = TestSession.spark
 
-  private def runner() = new sources.StatementRunner(spark.newSession())
+  private def runner() = new sources.StatementRunner(
+    sources.MtrParity.statementSession(spark))
 
   private def one(r: sources.StatementRunner, sql: String): Any =
     r.run(sql).collect()(0).get(0)

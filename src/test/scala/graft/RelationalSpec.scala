@@ -3,9 +3,23 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared session for all suites (one JVM-wide session, local[4]). */
+/** Shared session for all suites (one JVM-wide session).
+  *
+  * Core count: min(availableProcessors, 16) — the suite's wall time is
+  * dominated by the MTR replay/value sweeps, which run 8-12 files
+  * concurrently, each issuing thousands of tiny single-task statement
+  * jobs; on the old `local[4]` those queued 2-3× deep behind the
+  * scheduler while 28 host cores idled (r19: the driver's sbt test run
+  * died on wall-clock inside MtrValueSpec). 16 caps shuffle.partitions
+  * (= cores, Engine.configure) so per-job task counts stay small. Test
+  * RESULTS are core-count-independent: the statement tier pins row
+  * order via single-file writes (DeltaStore.orderedSingle), not via
+  * scheduler partitioning. */
 object TestSession {
-  lazy val spark: SparkSession = Engine.session("local[4]", 4, "graft-test")
+  private val cpus =
+    math.min(Runtime.getRuntime.availableProcessors(), 16)
+  lazy val spark: SparkSession =
+    Engine.session(s"local[$cpus]", cpus, "graft-test")
   val sf: String = "/root/testdata/sf0.001"
 }
 

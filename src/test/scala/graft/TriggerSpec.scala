@@ -11,7 +11,8 @@ class TriggerSpec extends AnyFunSuite {
   private def spark = TestSession.spark
 
   private def runner(flagOn: Boolean = true) = {
-    val r = new sources.StatementRunner(spark.newSession())
+    val r = new sources.StatementRunner(
+      sources.MtrParity.statementSession(spark))
     if (flagOn) r.run("SET SESSION tianmu_no_key_error=ON")
     r
   }
